@@ -1,0 +1,6 @@
+"""Query registry package — import all plan modules to populate QUERIES/ORACLES."""
+
+from .registry import AS_OF, AS_OF_DATE, ORACLES, QUERIES, query  # noqa: F401
+
+# Each import registers its queries as a side effect.
+from . import flagship  # noqa: F401,E402

@@ -1,0 +1,104 @@
+"""SparkSession factory.
+
+One place to encode the execution posture the whole engine assumes:
+
+- AQE on (runtime re-plan: partition coalescing, skew-join splitting,
+  broadcast conversion) — this is what lets the same declarative plans
+  survive a 100x scale-up without hand-tuning.
+- UTC session timezone so timestamp semantics match the DuckDB oracle
+  and are stable across machines.
+- Arrow enabled for any pandas interchange (Pandas UDFs, toPandas).
+- shuffle.partitions sized to the local core count for tests/bench;
+  on a real cluster AQE's coalescing makes the initial number mostly
+  a ceiling, so a larger default is safe there.
+
+Replaces the reference's psycopg2/engine connection plumbing
+(reference: scripts/bronze/load_bronze.py:65-86) — there is no external
+warehouse; Spark is both the engine and the store.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, functions as F
+
+
+def default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return max(1, int(cpus))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "chai_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    cluster, leave it unset and let spark-submit provide it.
+    """
+    cores = default_parallelism()
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = cores
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+    """Read testdata parquet tables and register temp views.
+
+    Returns a dict name -> DataFrame. Explicit schemas are unnecessary
+    here (parquet is self-describing); production JSON/CSV paths use
+    chai_data_pipeline_spark.schemas instead.
+
+    The ``events`` table carries parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as long nanos
+    (``spark.sql.legacy.parquet.nanosAsLong`` — runtime-settable) and
+    convert to a microsecond timestamp with exact integer division
+    (``div``, not ``/`` — a double mantissa can't hold epoch-micros
+    without rounding). DuckDB truncates ns→us the same way, so the
+    oracle comparison stays exact.
+    """
+    out = {}
+    for name in names:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if name == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+        else:
+            df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
