@@ -1,0 +1,87 @@
+"""Cross-engine-deterministic numeric helpers.
+
+The driver's correctness gate hashes values produced by Spark and by a
+DuckDB oracle. Two systematic divergences must be engineered away:
+
+1. **Rounding path.** Spark ``round`` converts the double to its
+   shortest decimal representation and applies HALF_UP; DuckDB rounds
+   by scaling the double. On boundary values (exactly ``x.xxxx5`` —
+   common when inputs carry 2-decimal money values) the two disagree.
+   :func:`dround` / :func:`sql_dround` implement the SAME formula on
+   both sides — ``floor(x * 10^k + 0.5) / 10^k`` — which is a fixed
+   sequence of IEEE-754 ops and therefore bit-identical across engines.
+
+2. **Summation order.** A parallel engine's partial-aggregate combine
+   order differs from a single-threaded engine's sequential fold, so
+   ``SUM(double)`` can differ by ulps — and any ulp can flip a
+   subsequent rounding on a boundary value. :func:`dsum` /
+   :func:`sql_dsum` cast to DECIMAL before summing: decimal addition is
+   exact and associative, so the result is order-independent, then cast
+   back to double (a single correctly-rounded conversion in both
+   engines).
+
+This is not just test plumbing: order-independent aggregation is what
+makes results reproducible run-to-run on a real cluster too (AQE can
+change partitioning between runs, and a 1000-executor sum would
+otherwise never reproduce byte-identical outputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# DECIMAL(27, s): 27 integral+fractional digits keeps Spark's sum result
+# type within DECIMAL(37, s) (cap 38) while holding sums of ~1e13 values.
+_PREC = 27
+
+
+def dround(col: Column | str, k: int = 4) -> Column:
+    """Deterministic cross-engine round-half-up: floor(x*10^k + 0.5)/10^k."""
+    c = F.col(col) if isinstance(col, str) else col
+    m = 10**k
+    return F.floor(c * F.lit(m) + F.lit(0.5)) / F.lit(float(m))
+
+
+def sql_dround(expr: str, k: int = 4) -> str:
+    m = 10**k
+    return f"(FLOOR(({expr}) * {m} + 0.5) / {float(m)})"
+
+
+def dsum(col: Column | str, scale: int = 4) -> Column:
+    """Order-independent (exact) sum of a double column, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({_PREC},{scale})")).cast("double")
+
+
+def sql_dsum(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({_PREC},{scale}))) AS DOUBLE)"
+
+
+def davg(col: Column | str, scale: int = 4) -> Column:
+    """Order-independent average of a double column, as double.
+
+    Exact decimal sum divided by the non-null count — one IEEE division,
+    identical on both engines.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c, scale) / F.count(c)
+
+
+def sql_davg(expr: str, scale: int = 4) -> str:
+    return f"({sql_dsum(expr, scale)} / COUNT({expr}))"
+
+
+def epoch_seconds(col: Column | str) -> Column:
+    """Epoch seconds (with fractional part) of a timestamp/ntz column.
+
+    Parquet timestamps without UTC-adjust read as TIMESTAMP_NTZ in
+    Spark 4, which cannot cast to double directly; route via timestamp
+    (identity under the engine's pinned UTC session zone).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
+
+
+def sql_epoch(expr: str) -> str:
+    return f"epoch({expr})"

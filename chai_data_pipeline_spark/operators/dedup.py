@@ -1,0 +1,223 @@
+"""Deduplication operators: exact key dedup, exact content dedup,
+MinHash-LSH / SimHash / n-gram-Jaccard near-duplicate detection.
+
+Scale notes (the point of each design):
+
+- ``dedup_by_key`` / ``dedup_exact``: one shuffle on the dedup key; the
+  window/groupBy is the map-side-combinable kind. At 100 TB, hash the
+  content FIRST (64-128 bit) so the shuffle moves hashes, not documents.
+- ``minhash_lsh_candidates``: classic shingle→minhash→band→bucket-join.
+  Only rows sharing a (band, band-hash) bucket are paired, so the join
+  is an equi-join Catalyst can shuffle on the bucket key — never an
+  O(n²) cross join. Banding parameters (num_perm, bands) trade recall
+  for bucket size; skewed buckets (boilerplate docs) are capped.
+- ``simhash64``: 64-bit fingerprint via sign-aggregation of token
+  hashes; near-dups differ in few bits. Pure column expressions.
+- n-gram Jaccard verification runs only on LSH/blocking candidates.
+
+All hash functions are Spark's built-in xxhash64/hash — deterministic
+across runs and cluster sizes (seeded), JVM-side, codegen-friendly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dedup_by_key(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[str]
+) -> DataFrame:
+    """Keep exactly one row per key — the first under ``order_by``
+    (deterministic survivor; reference drop_duplicates keeps arbitrary,
+    scripts/silver/transform_silver.py:232)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str, id_col: str, normalize: bool = True
+) -> DataFrame:
+    """Exact-content dedup: group by content hash, keep min id.
+
+    Returns one row per distinct content with ``n_copies``. The shuffle
+    key is the 64-char sha2 hex — at scale, rows carry only (hash, id)
+    through the exchange; the full text never shuffles.
+    """
+    text = F.col(text_col)
+    if normalize:
+        text = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    hashed = df.select(
+        F.sha2(text, 256).alias("content_hash"), F.col(id_col).alias("doc_id")
+    )
+    return hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def shingles(col, n: int = 3):
+    """Distinct character n-gram array of a string column (column expr)."""
+    # transform over 1..len-n+1 positions; empty array for short strings
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({col}) - {n - 1}, 0)),"
+            f" i -> substring({col}, i, {n}))"
+        )
+    )
+
+
+def word_shingles(col, n: int = 2):
+    """Distinct word n-gram array (space-joined) of a string column."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size(split(trim({col}), '\\\\s+')) - {n - 1}, 0)),"
+            f" i -> concat_ws(' ', slice(split(trim({col}), '\\\\s+'), i, {n})))"
+        )
+    )
+
+
+def minhash_signature(shingle_col, num_perm: int = 32):
+    """MinHash signature as an array<long> column.
+
+    h_i(x) = min over shingles of xxhash64(shingle, seed=i). Using the
+    seed as the permutation index gives num_perm independent hash
+    functions without materializing permutations.
+    """
+    return F.expr(
+        f"transform(sequence(0, {num_perm - 1}),"
+        f" s -> array_min(transform({shingle_col}, x -> xxhash64(x, s))))"
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+    shingle_size: int = 3,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH banding.
+
+    Returns (id_a, id_b, n_shared_bands) with id_a < id_b. Pipeline:
+    shingle → num_perm minhashes → split into ``bands`` bands → hash
+    each band → self-equi-join on (band_idx, band_hash). Buckets larger
+    than ``max_bucket`` are dropped (boilerplate guard — a 10k-doc
+    bucket would otherwise explode quadratically; this is the skew cap).
+    """
+    rows_per_band = num_perm // bands
+    sig = (
+        df.withColumn("__sh", shingles(text_col, shingle_size))
+        .filter(F.size("__sh") > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            minhash_signature("__sh", num_perm).alias("sig"),
+        )
+    )
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}),"
+                f" b -> struct(b AS band_idx,"
+                f" xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1,"
+                f" {rows_per_band}))) AS band_hash))"
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+
+    bucket_sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("__bucket_n")
+    )
+    banded = banded.join(
+        bucket_sizes.filter(F.col("__bucket_n") <= max_bucket),
+        ["band_idx", "band_hash"],
+    ).drop("__bucket_n")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only (id_a, id_b).
+
+    Joins shingle sets back to the (small) candidate list — the
+    quadratic step never happens; only |candidates| rows compute the
+    set intersection.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, shingle_size).alias("sh")
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .drop("sh_a", "sh_b")
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document.
+
+    For each of 64 bit positions, sum +1/-1 over token hashes' bits and
+    take the sign. Near-duplicate docs land within small Hamming
+    distance. Implemented as pure array expressions (no UDF): token →
+    xxhash64 → per-bit contribution via bit arithmetic.
+    """
+    # bit b of signature = 1 if sum over tokens of (bit b set ? 1 : -1) > 0
+    sig = F.expr(
+        """
+        aggregate(
+          sequence(0, 63),
+          cast(0 as bigint),
+          (acc, b) -> acc | (case when
+             aggregate(
+               transform(array_distinct(split(lower(trim({t})), '\\\\s+')), x -> xxhash64(x)),
+               cast(0 as bigint),
+               (s, h) -> s + (case when ((h >> b) & 1) = 1 then 1 else -1 end)
+             ) > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end)
+        )
+        """.format(t=text_col)
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+
+
+def hamming64(a, b):
+    """Hamming distance between two 64-bit fingerprints (column expr)."""
+    return F.expr(f"bit_count({a} ^ {b})")

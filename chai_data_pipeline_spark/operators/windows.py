@@ -1,0 +1,96 @@
+"""Reusable window-shaped operators: sessionization, diff, rolling.
+
+These wrap the window idioms the plans use so the medallion layers and
+ad-hoc users share one implementation with pinned determinism rules
+(explicit ordering tiebreaks everywhere — SURVEY §7.4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign gap-based session ids per user (batch analog of streaming
+    session windows). Adds a ``session_id`` column (1-based per user).
+
+    Scale: one shuffle on ``user_col``; per-user partitions are small in
+    any realistic event stream, and the two stacked windows share the
+    same partitioning so Catalyst plans a single exchange + sort.
+    """
+    order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (
+            (F.col(ts_col).cast("double") - prev_ts.cast("double"))
+            > gap_seconds
+        ),
+        1,
+    ).otherwise(0)
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn("__is_new", is_new).withColumn(
+        "session_id", F.sum("__is_new").over(w_run)
+    ).drop("__is_new")
+
+
+def grouped_diff(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    fill: float | int | None = 0,
+) -> DataFrame:
+    """value - lag(value) within each partition (pandas groupby().diff()
+    analog, reference scripts/silver/transform_silver.py:312-314, but
+    with explicit per-series partitioning — the reference diffs
+    interleaved provinces within a country, SURVEY §7.4.2)."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    delta = F.col(value_col) - F.lag(value_col).over(w)
+    if fill is not None:
+        delta = F.coalesce(delta, F.lit(fill))
+    return df.withColumn(out_col, delta)
+
+
+def rolling_mean(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    window_rows: int = 7,
+) -> DataFrame:
+    """Trailing rolling mean over the last ``window_rows`` rows
+    (min_periods=1 semantics match Spark's partial leading frames;
+    reference scripts/silver/transform_silver.py:316-317)."""
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(-(window_rows - 1), 0)
+    )
+    return df.withColumn(out_col, F.avg(value_col).over(w))
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number (caller supplies deterministic
+    order_cols incl. tiebreak; reference scripts/gold/model_gold.py:332-335)."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )

@@ -4,3 +4,7 @@ from .registry import AS_OF, AS_OF_DATE, ORACLES, QUERIES, query  # noqa: F401
 
 # Each import registers its queries as a side effect.
 from . import flagship  # noqa: F401,E402
+from . import projections  # noqa: F401,E402
+from . import joins  # noqa: F401,E402
+from . import aggregates  # noqa: F401,E402
+from . import windows  # noqa: F401,E402

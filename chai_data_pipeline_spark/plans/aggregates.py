@@ -1,0 +1,394 @@
+"""Aggregation queries (SURVEY §2.4) + set ops (§2.7).
+
+All are single-pass hash aggregations (partial + final, map-side
+combine free from Catalyst). The DQ-style checks are deliberately fused
+into ONE aggregation over one scan — the reference runs one SQL query
+per check (scripts/silver/validate_silver.py:89-107), i.e. 12 scans; at
+100 TB that difference is the whole game.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import (
+    davg,
+    dround,
+    dsum,
+    epoch_seconds,
+    sql_davg,
+    sql_dround,
+    sql_dsum,
+)
+from ..session import load_tables
+from .registry import AS_OF, query
+
+# --------------------------------------------------------------------------
+# A1 — grouped multi-agg daily summary (matview mv_daily_covid_summary)
+# (reference: scripts/gold/model_gold.py:106-116)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_summary",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS event_date,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       {sql_dround(sql_dsum('value'))} AS total_value,
+       {sql_dround(sql_davg('value'))} AS avg_value,
+       {sql_dround('MIN(value)')} AS min_value,
+       {sql_dround('MAX(value)')} AS max_value
+FROM events
+GROUP BY 1
+""",
+)
+def daily_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return events.groupBy(F.to_date("ts").alias("event_date")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        dround(dsum("value")).alias("total_value"),
+        dround(davg("value")).alias("avg_value"),
+        dround(F.min("value")).alias("min_value"),
+        dround(F.max("value")).alias("max_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A2 — grouped agg + deterministic string agg (mv_user_company_analysis)
+# (reference: scripts/gold/model_gold.py:118-127 STRING_AGG(DISTINCT ...);
+#  ours sorts the set for determinism, SURVEY §7.4.1)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "segment_nation_profile",
+    oracle=f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       {sql_dround(sql_davg('c_acctbal', 2), 2)} AS avg_bal,
+       string_agg(DISTINCT n_name, ', ' ORDER BY n_name) AS nations
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_mktsegment
+""",
+)
+def segment_nation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dround(davg("c_acctbal", 2), 2).alias("avg_bal"),
+            F.concat_ws(", ", F.array_sort(F.collect_set("n_name"))).alias(
+                "nations"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A3 — conditional counts (new-users-today pattern)
+# (reference: scripts/gold/model_gold.py:148-157 COUNT(CASE WHEN ...))
+# --------------------------------------------------------------------------
+
+
+@query(
+    "conditional_counts",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       count_if(o_orderstatus = 'F') AS n_finished,
+       count_if(o_orderdate >= TIMESTAMP '1997-01-01 00:00:00') AS n_recent
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(
+            F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+        ).alias("n_recent"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A4 — two-level aggregate (group, then re-aggregate the groups)
+# (reference: scripts/gold/model_gold.py:159-173)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "two_level_agg",
+    oracle=f"""
+WITH l1 AS (
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(27,2))) AS qty, COUNT(*) AS n
+    FROM lineitem GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       CAST(SUM(n) AS BIGINT) AS total_items,
+       {sql_dround('CAST(SUM(qty) AS DOUBLE)', 2)} AS total_qty,
+       {sql_dround('CAST(SUM(qty) AS DOUBLE) / COUNT(qty)', 2)} AS avg_group_qty,
+       COUNT(*) AS n_groups
+FROM l1 GROUP BY 1
+""",
+)
+def two_level_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    l1 = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(27,2)")).alias("qty"),
+        F.count("*").alias("n"),
+    )
+    return l1.groupBy("l_returnflag").agg(
+        F.sum("n").alias("total_items"),
+        dround(F.sum("qty").cast("double"), 2).alias("total_qty"),
+        dround(F.sum("qty").cast("double") / F.count("qty"), 2).alias(
+            "avg_group_qty"
+        ),
+        F.count("*").alias("n_groups"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A5 — argmax with deterministic tiebreak (top company by users)
+# (reference: scripts/gold/model_gold.py:169-170 idxmax; SURVEY §7.4.1)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "argmax_top_segment",
+    oracle="""
+WITH counts AS (
+    SELECT n_name, c_mktsegment, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1, 2
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY n_name ORDER BY n_customers DESC, c_mktsegment
+    ) AS rn
+    FROM counts
+)
+SELECT n_name, c_mktsegment AS top_segment, n_customers
+FROM ranked WHERE rn = 1
+""",
+)
+def argmax_top_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    counts = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("n_customers"), F.asc("c_mktsegment")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "n_name",
+            F.col("c_mktsegment").alias("top_segment"),
+            "n_customers",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A7 — latest-partition slice (max-subquery filter), collect-free
+# (reference: scripts/gold/model_gold.py:250-253 WHERE d = (SELECT MAX(d)))
+# --------------------------------------------------------------------------
+
+
+@query(
+    "latest_partition_summary",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS event_date,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       {sql_dround(sql_dsum('value'))} AS total_value
+FROM events
+WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
+GROUP BY 1
+""",
+)
+def latest_partition_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    with_date = events.withColumn("event_date", F.to_date("ts"))
+    max_date = with_date.agg(F.max("event_date").alias("max_date"))
+    return (
+        with_date.join(
+            F.broadcast(max_date),
+            F.col("event_date") == F.col("max_date"),
+        )
+        .groupBy("event_date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dround(dsum("value")).alias("total_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# A8 — all data-quality predicate counts fused into ONE scan
+# (reference: scripts/silver/validate_silver.py:89-233 runs one query per
+#  check; ours is a single aggregation — see medallion/quality.py for the
+#  config-driven rule compiler built on the same idea)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dq_single_pass",
+    oracle="""
+SELECT count_if(l_orderkey IS NULL) AS null_orderkey,
+       count_if(l_quantity < 0) AS negative_qty,
+       count_if(l_discount < 0 OR l_discount > 1) AS bad_discount,
+       count_if(l_tax > l_discount) AS tax_gt_discount,
+       count_if(l_shipdate IS NULL) AS null_shipdate,
+       COUNT(*) AS total_rows
+FROM lineitem
+""",
+)
+def dq_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.agg(
+        F.count_if(F.col("l_orderkey").isNull()).alias("null_orderkey"),
+        F.count_if(F.col("l_quantity") < 0).alias("negative_qty"),
+        F.count_if(
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+        ).alias("bad_discount"),
+        F.count_if(F.col("l_tax") > F.col("l_discount")).alias("tax_gt_discount"),
+        F.count_if(F.col("l_shipdate").isNull()).alias("null_shipdate"),
+        F.count("*").alias("total_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# A9 + U1 — per-table freshness vs pinned as-of, combined via UNION ALL
+# (reference: scripts/silver/validate_silver.py:239-252)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "freshness_union",
+    oracle=f"""
+SELECT 'events' AS table_name,
+       {sql_dround(f"(epoch(TIMESTAMP '{AS_OF}') - epoch(MAX(ts))) / 3600.0", 4)}
+           AS hours_old
+FROM events
+UNION ALL
+SELECT 'orders',
+       {sql_dround(f"(epoch(TIMESTAMP '{AS_OF}') - epoch(MAX(o_orderdate))) / 3600.0", 4)}
+FROM orders
+UNION ALL
+SELECT 'lineitem',
+       {sql_dround(f"(epoch(TIMESTAMP '{AS_OF}') - epoch(MAX(l_shipdate))) / 3600.0", 4)}
+FROM lineitem
+""",
+)
+def freshness_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events", "orders", "lineitem")
+    asof = F.lit(AS_OF).cast("timestamp").cast("double")
+
+    def fresh(df: DataFrame, name: str, ts_col: str) -> DataFrame:
+        return df.agg(
+            dround(
+                (asof - F.max(epoch_seconds(ts_col))) / 3600.0, 4
+            ).alias("hours_old")
+        ).select(F.lit(name).alias("table_name"), "hours_old")
+
+    return (
+        fresh(t["events"], "events", "ts")
+        .unionByName(fresh(t["orders"], "orders", "o_orderdate"))
+        .unionByName(fresh(t["lineitem"], "lineitem", "l_shipdate"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact quantiles per group (beyond-reference: interpolated median/p90;
+# scale note — exact percentile collects per-group value lists; at 100 TB
+# use approx_percentile with a t-digest-sized accuracy instead)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "group_quantiles",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_dround('quantile_cont(l_quantity, 0.5)', 4)} AS median_qty,
+       {sql_dround('quantile_cont(l_extendedprice, 0.9)', 4)} AS p90_price
+FROM lineitem GROUP BY 1
+""",
+)
+def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        dround(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        dround(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP (beyond-reference Spark-native: hierarchical totals in one pass)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rollup_revenue",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       {sql_dround(sql_dsum('l_extendedprice', 2), 2)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+""",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            dround(dsum("l_extendedprice", 2), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# U-extra — EXCEPT (events users with no orders)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "except_inactive_users",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_inactive
+FROM (
+    SELECT DISTINCT user_id FROM events
+    EXCEPT
+    SELECT DISTINCT o_custkey FROM orders
+)
+""",
+)
+def except_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events", "orders")
+    ev_users = t["events"].select(F.col("user_id")).distinct()
+    order_users = t["orders"].select(F.col("o_custkey").alias("user_id")).distinct()
+    return ev_users.exceptAll(order_users).agg(F.count("*").alias("n_inactive"))

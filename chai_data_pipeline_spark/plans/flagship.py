@@ -22,17 +22,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import dround, dsum, sql_dround, sql_dsum
 from ..session import load_tables
 from .registry import query
 
-_ORACLE = """
+_ORACLE = f"""
 WITH daily AS (
     SELECT
         CAST(ts AS DATE)            AS event_date,
         event_type,
         COUNT(*)                    AS n_events,
         COUNT(DISTINCT user_id)     AS n_users,
-        ROUND(SUM(value), 4)        AS total_value
+        {sql_dround(sql_dsum('value'))} AS total_value
     FROM events
     WHERE event_type IS NOT NULL
     GROUP BY 1, 2
@@ -46,10 +47,10 @@ SELECT
     n_events - COALESCE(
         LAG(n_events) OVER (PARTITION BY event_type ORDER BY event_date), 0
     ) AS daily_delta,
-    ROUND(AVG(n_events) OVER (
+    {sql_dround('''AVG(n_events) OVER (
         PARTITION BY event_type ORDER BY event_date
         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
-    ), 4) AS rolling_7d,
+    )''')} AS rolling_7d,
     CAST(ROW_NUMBER() OVER (
         PARTITION BY event_date ORDER BY n_events DESC, event_type
     ) AS INTEGER) AS rank_in_day
@@ -70,7 +71,7 @@ def flagship_daily_event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            dround(dsum("value")).alias("total_value"),
         )
     )
 
@@ -88,6 +89,6 @@ def flagship_daily_event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_value",
         (F.col("n_events") - F.coalesce(F.lag("n_events").over(w_series), F.lit(0)))
         .alias("daily_delta"),
-        F.round(F.avg("n_events").over(w_roll), 4).alias("rolling_7d"),
+        dround(F.avg("n_events").over(w_roll)).alias("rolling_7d"),
         F.row_number().over(w_rank).alias("rank_in_day"),
     )

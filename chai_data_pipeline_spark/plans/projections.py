@@ -1,0 +1,275 @@
+"""Projection / filter / scalar-function queries (SURVEY §2.2, §2.8).
+
+Each query is a pure column-expression plan — no UDFs — so the whole
+thing stays inside WholeStageCodegen and filters/projections push down
+to the parquet scan (verified via .explain in tests/bench). All float
+outputs go through the cross-engine-deterministic dround (see
+functions/numeric.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dround, epoch_seconds, sql_dround
+from ..session import load_tables
+from .registry import query
+
+# --------------------------------------------------------------------------
+# P1+P2 — explicit projection + predicate filter, pushdown-friendly
+# (reference: scripts/silver/transform_silver.py:146-152 SELECT-list +
+#  WHERE extraction)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "proj_filter_pushdown",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+       {sql_dround('l_extendedprice', 2)} AS price,
+       {sql_dround('l_quantity', 1)} AS qty
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_discount > 0.05
+""",
+)
+def proj_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            dround(F.col("l_extendedprice"), 2).alias("price"),
+            dround(F.col("l_quantity"), 1).alias("qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# P6+P7+F16 — blank→NULL normalization, audit columns, lineage hash
+# (reference: scripts/bronze/load_bronze.py:348 blank→NA,
+#  :350-355 audit columns; scripts/bronze/ingest_bronze.py:52-54 sha256[:16])
+# --------------------------------------------------------------------------
+
+
+@query(
+    "audit_lineage_columns",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN TRIM(source) = '' THEN NULL ELSE source END AS source_norm,
+       'documents' AS source_system,
+       SUBSTRING(sha256(text), 1, 16) AS data_hash,
+       CAST(LENGTH(text) AS INTEGER) AS text_len
+FROM documents
+""",
+)
+def audit_lineage_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.select(
+        "doc_id",
+        F.when(F.trim("source") == "", None)
+        .otherwise(F.col("source"))
+        .alias("source_norm"),
+        F.lit("documents").alias("source_system"),
+        F.substring(F.sha2("text", 256), 1, 16).alias("data_hash"),
+        F.length("text").alias("text_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P8 — date-range violation predicate (fixed bounds, no wall clock)
+# (reference: scripts/silver/validate_silver.py:138-146)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "date_range_violations",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_violations
+FROM events
+WHERE CAST(ts AS DATE) < DATE '2024-01-05' OR CAST(ts AS DATE) > DATE '2024-02-20'
+""",
+)
+def date_range_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    d = F.to_date("ts")
+    return events.filter(
+        (d < F.lit("2024-01-05").cast("date")) | (d > F.lit("2024-02-20").cast("date"))
+    ).agg(F.count("*").alias("n_violations"))
+
+
+# --------------------------------------------------------------------------
+# P9 — recency predicate relative to a pinned as-of date
+# (reference: scripts/gold/model_gold.py:453 CURRENT_DATE - 30 days)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "recency_filter",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_recent
+FROM events
+WHERE CAST(ts AS DATE) >= DATE '2024-03-01' - INTERVAL 45 DAY
+GROUP BY event_type
+""",
+)
+def recency_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    cutoff = F.date_sub(F.lit("2024-03-01").cast("date"), 45)
+    return (
+        events.filter(F.to_date("ts") >= cutoff)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_recent"))
+    )
+
+
+# --------------------------------------------------------------------------
+# F1-F5, F10-F11, F17 — string cleaning / containment / clip / coercion /
+# int64 clamp, all as one fused projection
+# (reference: scripts/silver/transform_silver.py:167-199 name/email/phone
+#  cleaning; :293-298 coercion+clip; scripts/gold/model_gold.py:295-310
+#  safe_int clamp)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "string_cleaning_suite",
+    oracle=f"""
+SELECT c_custkey,
+       LOWER(TRIM(c_name)) AS name_norm,
+       CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+       SPLIT_PART(c_name, '#', 2) AS name_suffix,
+       REGEXP_REPLACE(c_name, '[^0-9]', '', 'g') AS digits_only,
+       CONTAINS(c_name, '1') AS has_one,
+       {sql_dround('GREATEST(0.0, c_acctbal)', 2)} AS acctbal_clipped,
+       COALESCE(TRY_CAST(c_mktsegment AS INTEGER), -1) AS seg_as_int,
+       LEAST(9223372036854775807, c_custkey * 1000000000) AS clamped_id
+FROM customer
+""",
+)
+def string_cleaning_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    return cust.select(
+        "c_custkey",
+        F.lower(F.trim("c_name")).alias("name_norm"),
+        F.length("c_name").alias("name_len"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_suffix"),
+        F.regexp_replace("c_name", "[^0-9]", "").alias("digits_only"),
+        F.col("c_name").contains("1").alias("has_one"),
+        dround(F.greatest(F.lit(0.0), F.col("c_acctbal")), 2).alias(
+            "acctbal_clipped"
+        ),
+        F.coalesce(
+            F.expr("TRY_CAST(c_mktsegment AS INT)"), F.lit(-1)
+        ).alias("seg_as_int"),
+        F.least(
+            F.lit(9223372036854775807), F.col("c_custkey") * F.lit(1000000000)
+        ).alias("clamped_id"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F9 — safe division / arithmetic guards
+# (reference: scripts/gold/aggregate_gold.py:194 NULLIF;
+#  scripts/silver/transform_silver.py:300-310 guarded rate math)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "safe_arithmetic",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+       {sql_dround('CASE WHEN l_discount > 0 THEN l_tax / l_discount END', 4)}
+           AS tax_over_discount,
+       {sql_dround('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4)}
+           AS net_charge,
+       GREATEST(0.0, {sql_dround('l_quantity - 25.0', 1)}) AS qty_over_25
+FROM lineitem
+""",
+)
+def safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(
+            F.when(F.col("l_discount") > 0, F.col("l_tax") / F.col("l_discount")),
+            4,
+        ).alias("tax_over_discount"),
+        dround(
+            F.col("l_extendedprice")
+            * (F.lit(1) - F.col("l_discount"))
+            * (F.lit(1) + F.col("l_tax")),
+            4,
+        ).alias("net_charge"),
+        F.greatest(F.lit(0.0), dround(F.col("l_quantity") - 25.0, 1)).alias(
+            "qty_over_25"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# F12+F13 — date parse/truncate + epoch arithmetic against pinned as-of
+# (reference: scripts/gold/aggregate_gold.py:92-97 DATE(ts);
+#  scripts/silver/validate_silver.py:243 EXTRACT(EPOCH ...)/3600)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "date_functions",
+    oracle=f"""
+SELECT event_id,
+       CAST(ts AS DATE) AS event_date,
+       CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month_start,
+       CAST(year(ts) AS INTEGER) AS yr,
+       CAST(month(ts) AS INTEGER) AS mo,
+       CAST(dayofweek(ts) AS INTEGER) AS dow,
+       {sql_dround("(epoch(TIMESTAMP '2024-03-01 00:00:00') - epoch(ts)) / 3600.0", 4)}
+           AS hours_before_asof
+FROM events
+""",
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    asof_epoch = F.lit("2024-03-01 00:00:00").cast("timestamp").cast("double")
+    return events.select(
+        "event_id",
+        F.to_date("ts").alias("event_date"),
+        F.trunc("ts", "month").alias("month_start"),
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mo"),
+        # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
+        (F.dayofweek("ts") - 1).alias("dow"),
+        dround(
+            (asof_epoch - epoch_seconds("ts")) / 3600.0, 4
+        ).alias("hours_before_asof"),
+    )
+
+
+# --------------------------------------------------------------------------
+# F14 — JSON field extraction from an open-shaped payload column
+# (reference: scripts/silver/transform_silver.py:171-183 nested access;
+#  open payloads kept as JSON strings per SURVEY §1.2)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "json_extraction",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       CAST(json_extract_string(props, '$.missing') AS INTEGER) AS missing_val
+FROM events
+""",
+)
+def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+        F.get_json_object("props", "$.missing").cast("int").alias("missing_val"),
+    )

@@ -1,0 +1,336 @@
+"""Window-function queries (SURVEY §2.5-§2.7) + sessionization.
+
+All windows partition by a bounded-cardinality key *after* a
+pre-aggregation shrinks the data (daily grain), or by a high-cardinality
+key (user_id) where per-partition row counts stay small — both shapes
+survive a 100x scale-up. Global (unpartitioned) windows appear only
+over pre-aggregated frames of ≤ a few hundred rows (rank over nations).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dround, dsum, epoch_seconds, sql_dround, sql_dsum
+from ..session import load_tables
+from .registry import query
+
+# --------------------------------------------------------------------------
+# W1 — ranking over a pre-aggregated frame; rank on the ROUNDED measure
+# so cross-engine ulp differences can't reorder ties
+# (reference: scripts/gold/model_gold.py:319-330 country rank)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rank_nations_by_balance",
+    oracle=f"""
+WITH t AS (
+    SELECT n_name, {sql_dround(sql_dsum('c_acctbal', 2), 2)} AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1
+)
+SELECT n_name, total_bal,
+       CAST(ROW_NUMBER() OVER (ORDER BY total_bal DESC, n_name) AS INTEGER)
+           AS bal_rank
+FROM t
+""",
+)
+def rank_nations_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    totals = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(dround(dsum("c_acctbal", 2), 2).alias("total_bal"))
+    )
+    w = Window.orderBy(F.desc("total_bal"), F.asc("n_name"))
+    return totals.withColumn("bal_rank", F.row_number().over(w))
+
+
+# --------------------------------------------------------------------------
+# W2+W7+W8 — lag-1 / lag-7, day-over-day delta, week-over-week growth %
+# (reference: scripts/gold/aggregate_gold.py:222-242 v_trend_analysis)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lag_dod_wow",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT d, event_type, n,
+       n - COALESCE(LAG(n, 1) OVER w, 0) AS dod_delta,
+       {sql_dround('''CASE WHEN LAG(n, 7) OVER w > 0
+                  THEN (n - LAG(n, 7) OVER w) * 100.0 / LAG(n, 7) OVER w
+             END''', 4)} AS wow_growth_pct
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY d)
+""",
+)
+def lag_dod_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lag7 = F.lag("n", 7).over(w)
+    return daily.select(
+        "d",
+        "event_type",
+        "n",
+        (F.col("n") - F.coalesce(F.lag("n", 1).over(w), F.lit(0))).alias(
+            "dod_delta"
+        ),
+        dround(
+            F.when(lag7 > 0, (F.col("n") - lag7) * 100.0 / lag7), 4
+        ).alias("wow_growth_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W3 — grouped discrete derivative (diff) with deterministic ordering
+# (reference: scripts/silver/transform_silver.py:312-314 groupby().diff();
+#  ours orders by (ts, event_id) — explicit tiebreak, SURVEY §7.4.1/2)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "user_value_diff",
+    oracle=f"""
+SELECT user_id, event_id,
+       {sql_dround('''value - COALESCE(
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0
+       )''', 4)} AS value_delta
+FROM events
+""",
+)
+def user_value_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        dround(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0)), 4
+        ).alias("value_delta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W4 — rolling mean with partial leading frame (min_periods=1 semantics)
+# (reference: scripts/silver/transform_silver.py:316-317 rolling(7))
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rolling_user_avg",
+    oracle=f"""
+SELECT user_id, event_id,
+       {sql_dround('''CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / COUNT(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       )''', 4)} AS rolling_3
+FROM events
+""",
+)
+def rolling_user_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    # exact decimal frame-sum / count: order-independent, matches oracle
+    return events.select(
+        "user_id",
+        "event_id",
+        dround(
+            F.sum(F.col("value").cast("decimal(27,4)")).over(w).cast("double")
+            / F.count("value").over(w),
+            4,
+        ).alias("rolling_3"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W5+O3 — top-k per group via rank filter, explicit tiebreak
+# (reference: scripts/gold/model_gold.py:332-335 top/bottom 5)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "topk_customers_per_nation",
+    oracle=f"""
+WITH ranked AS (
+    SELECT n_name, c_name, c_acctbal, c_custkey,
+           ROW_NUMBER() OVER (
+               PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey
+           ) AS rn
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, c_name, {sql_dround('c_acctbal', 2)} AS acctbal,
+       CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= 3
+""",
+)
+def topk_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    joined = t["customer"].join(
+        F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey")
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "n_name",
+            "c_name",
+            dround("c_acctbal", 2).alias("acctbal"),
+            "rn",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# W6 — trailing-vs-prior mean trend classification (the reference's one
+# genuinely UDAF-shaped computation, rewritten as conditional window aggs)
+# (reference: scripts/gold/model_gold.py:463-493 calculate_trend)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "trend_classification",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+), r AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d DESC) AS rn
+    FROM daily
+), s AS (
+    SELECT event_type,
+           AVG(CASE WHEN rn <= 7 THEN n END) AS recent_avg,
+           AVG(CASE WHEN rn > 7 THEN n END) AS earlier_avg
+    FROM r GROUP BY event_type
+)
+SELECT event_type,
+       {sql_dround('recent_avg', 4)} AS recent_avg,
+       {sql_dround('earlier_avg', 4)} AS earlier_avg,
+       CASE WHEN earlier_avg IS NULL OR earlier_avg = 0 THEN 'STABLE'
+            WHEN recent_avg > earlier_avg * 1.1 THEN 'INCREASING'
+            WHEN recent_avg < earlier_avg * 0.9 THEN 'DECREASING'
+            ELSE 'STABLE' END AS trend
+FROM s
+""",
+)
+def trend_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("d"))
+    r = daily.withColumn("rn", F.row_number().over(w))
+    s = r.groupBy("event_type").agg(
+        F.avg(F.when(F.col("rn") <= 7, F.col("n"))).alias("recent_avg"),
+        F.avg(F.when(F.col("rn") > 7, F.col("n"))).alias("earlier_avg"),
+    )
+    return s.select(
+        "event_type",
+        dround("recent_avg", 4).alias("recent_avg"),
+        dround("earlier_avg", 4).alias("earlier_avg"),
+        F.when(
+            F.col("earlier_avg").isNull() | (F.col("earlier_avg") == 0), "STABLE"
+        )
+        .when(F.col("recent_avg") > F.col("earlier_avg") * 1.1, "INCREASING")
+        .when(F.col("recent_avg") < F.col("earlier_avg") * 0.9, "DECREASING")
+        .otherwise("STABLE")
+        .alias("trend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# U2 — dedup-by-key keeping a DETERMINISTIC survivor (earliest ts, then
+# smallest event_id) — reference's drop_duplicates keeps whatever row
+# pandas saw first (scripts/silver/transform_silver.py:232,354);
+# SURVEY §7.4.1 pins the survivor explicitly.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_keep_first",
+    oracle=f"""
+WITH r AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts, event_id
+    ) AS rn
+    FROM events
+)
+SELECT event_id, user_id, event_type, {sql_dround('value', 4)} AS value
+FROM r WHERE rn = 1
+""",
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_by_key
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    deduped = dedup_by_key(
+        events, keys=["user_id", "event_type"], order_by=["ts", "event_id"]
+    )
+    return deduped.select(
+        "event_id", "user_id", "event_type", dround("value", 4).alias("value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sessionization (beyond-reference; lag-gap + cumulative-sum session ids,
+# the batch analog of streaming session windows)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sessionization",
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) AS session_id
+    FROM e
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       {sql_dround(sql_dsum('value'))} AS session_value,
+       {sql_dround('(epoch(MAX(ts)) - epoch(MIN(ts))) / 60.0', 4)} AS session_minutes
+FROM s GROUP BY user_id, session_id
+""",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import sessionize
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    s = sessionize(
+        events, user_col="user_id", ts_col="ts", gap_seconds=1800,
+        order_tiebreak="event_id",
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        dround(dsum("value")).alias("session_value"),
+        dround(
+            (F.max(epoch_seconds("ts")) - F.min(epoch_seconds("ts"))) / 60.0,
+            4,
+        ).alias("session_minutes"),
+    )
