@@ -210,7 +210,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
              aggregate(
                transform(array_distinct(split(lower(trim({t})), '\\\\s+')), x -> xxhash64(x)),
                cast(0 as bigint),
-               (s, h) -> s + (case when ((h >> b) & 1) = 1 then 1 else -1 end)
+               (s, h) -> s + (case when (shiftright(h, b) & 1) = 1 then 1 else -1 end)
              ) > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end)
         )
         """.format(t=text_col)

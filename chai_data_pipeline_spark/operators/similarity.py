@@ -1,0 +1,164 @@
+"""Embedding similarity-search operators.
+
+- :func:`with_cosine` — exact cosine between two array<float> columns as
+  a pure SQL expression (sequential left fold → bit-identical to the
+  DuckDB oracle's list_sum over the same index order).
+- :func:`brute_force_topk` — exact top-k neighbors of one query vector:
+  the O(n) baseline, one broadcast + one narrow projection + one top-k.
+- :func:`lsh_sign_buckets` — random-hyperplane (sign) LSH bucketing for
+  the approximate scale path: at 100 TB you bucket-join instead of
+  cross-joining; candidates share ≥1 of ``n_tables`` 8-bit signatures.
+  Hyperplanes are derived from xxhash64 (deterministic, no stored model).
+
+Scale posture: brute-force against ONE query is linear and fine at any
+scale (broadcast the query). All-pairs exact KNN is quadratic — the
+``knn`` plan caps the query side; the LSH path is the honest answer at
+scale, trading recall for a bucket-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(arr: str) -> str:
+    return f"transform({arr}, x -> cast(x AS double))"
+
+
+def dot_sql_spark(a: str, b: str) -> str:
+    """Spark SQL fragment: exact sequential-fold dot product."""
+    return (
+        f"aggregate(zip_with({_as_double(a)}, {_as_double(b)}, (x, y) -> x * y),"
+        f" cast(0 AS double), (acc, v) -> acc + v)"
+    )
+
+
+def dot_sql_duckdb(a: str, b: str, dim: int) -> str:
+    """DuckDB fragment with the same accumulation order (1-based index)."""
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def cosine_sql_spark(a: str, b: str) -> str:
+    return (
+        f"({dot_sql_spark(a, b)}) / "
+        f"(sqrt({dot_sql_spark(a, a)}) * sqrt({dot_sql_spark(b, b)}))"
+    )
+
+
+def cosine_sql_duckdb(a: str, b: str, dim: int) -> str:
+    return (
+        f"({dot_sql_duckdb(a, b, dim)}) / "
+        f"(sqrt({dot_sql_duckdb(a, a, dim)}) * sqrt({dot_sql_duckdb(b, b, dim)}))"
+    )
+
+
+def with_cosine(
+    df: DataFrame, a_col: str, b_col: str, out_col: str = "cosine"
+) -> DataFrame:
+    return df.withColumn(out_col, F.expr(cosine_sql_spark(a_col, b_col)))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Exact top-k rows of ``vectors`` by cosine to the single-row
+    ``query`` (broadcast). Ranks on the ROUNDED cosine + id tiebreak so
+    ordering is engine-independent."""
+    from pyspark.sql.window import Window
+
+    from ..functions import dround
+
+    joined = vectors.crossJoin(F.broadcast(query))
+    scored = joined.select(
+        F.col(id_col),
+        dround(F.expr(cosine_sql_spark(vec_col, query_vec_col)), 6).alias(
+            "cosine"
+        ),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_sign_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 4,
+    bits_per_table: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH: per table, an ``bits_per_table``-bit
+    signature; rows sharing a (table, signature) bucket are ANN
+    candidates. Hyperplane component (t, b, i) is a deterministic
+    pseudo-random value in [-1, 1) derived from xxhash64 — identical on
+    every executor with no broadcast state."""
+    sig_exprs = []
+    for t in range(n_tables):
+        bit_exprs = []
+        for b in range(bits_per_table):
+            proj = (
+                f"aggregate(zip_with({_as_double(vec_col)},"
+                f" transform(sequence(0, {dim - 1}),"
+                f" i -> (cast(xxhash64(concat('{t}_{b}_', i)) % 10000 AS double))"
+                f" / 10000.0),"
+                f" (x, r) -> x * r), cast(0 AS double), (acc, v) -> acc + v)"
+            )
+            bit_exprs.append(
+                f"(case when ({proj}) > 0 then shiftleft(1, {b}) else 0 end)"
+            )
+        sig_exprs.append(
+            f"struct({t} AS table_id, ({' + '.join(bit_exprs)}) AS signature)"
+        )
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(F.expr(f"array({', '.join(sig_exprs)})")).alias("bucket"),
+    ).select(id_col, vec_col, "bucket.table_id", "bucket.signature")
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    **lsh_kwargs,
+) -> DataFrame:
+    """Approximate top-k: candidates = rows sharing any LSH bucket with
+    the query, then exact cosine on candidates only."""
+    from pyspark.sql.window import Window
+
+    from ..functions import dround
+
+    buckets = lsh_sign_buckets(df, vec_col, id_col, **lsh_kwargs)
+    q_buckets = lsh_sign_buckets(
+        query.select(F.col("qv").alias(vec_col), F.lit(-1).alias(id_col)),
+        vec_col,
+        id_col,
+        **lsh_kwargs,
+    ).select("table_id", "signature", F.col(vec_col).alias("qv"))
+    cands = (
+        buckets.join(F.broadcast(q_buckets), ["table_id", "signature"])
+        .select(id_col, vec_col, "qv")
+        .dropDuplicates([id_col])
+    )
+    scored = cands.select(
+        F.col(id_col),
+        dround(F.expr(cosine_sql_spark(vec_col, "qv")), 6).alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

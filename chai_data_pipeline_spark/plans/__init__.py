@@ -8,3 +8,7 @@ from . import projections  # noqa: F401,E402
 from . import joins  # noqa: F401,E402
 from . import aggregates  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
+from . import gold  # noqa: F401,E402
+from . import text  # noqa: F401,E402
+from . import dedup  # noqa: F401,E402
+from . import similarity  # noqa: F401,E402

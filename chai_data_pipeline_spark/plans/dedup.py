@@ -1,0 +1,176 @@
+"""Deduplication queries over documents (LLM-pipeline core ops).
+
+- exact content dedup (oracle-checked)
+- blocked n-gram Jaccard near-dup pairs (oracle-checked — blocking keys
+  and set arithmetic identical in both engines)
+- MinHash-LSH candidate pairs and SimHash fingerprints (rows-only:
+  xxhash64 has no DuckDB equivalent; determinism is covered by unit
+  tests with planted near-duplicates instead)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import sql_dround
+from ..operators.dedup import (
+    dedup_exact,
+    hamming64,
+    jaccard_verify,
+    minhash_lsh_candidates,
+    simhash64,
+)
+from ..session import load_tables
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Exact dedup by normalized content hash
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_content",
+    oracle="""
+WITH h AS (
+    SELECT doc_id,
+           sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+               AS content_hash
+    FROM documents
+)
+SELECT content_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM h GROUP BY 1
+""",
+)
+def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return dedup_exact(docs, "text", "doc_id", normalize=True)
+
+
+# --------------------------------------------------------------------------
+# Blocked n-gram Jaccard near-dup pairs: block on (lang, n_chars//64) so
+# the pair space is bounded, then exact 3-gram Jaccard ≥ 0.5. Both the
+# blocking and the set arithmetic (|A∩B| / (|A|+|B|-|A∩B|)) are
+# engine-identical. At scale the blocking key bounds each bucket; the
+# quadratic step never crosses buckets.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id, lang, n_chars // 64 AS len_bucket,
+           list_distinct(list_transform(
+               range(1, GREATEST(LENGTH(text) - 2, 0) + 1),
+               i -> text[i : i + 2]
+           )) AS grams
+    FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       {sql_dround('''len(list_intersect(a.grams, b.grams)) * 1.0
+        / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))''', 6)}
+           AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+      / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+      >= 0.5
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import dround
+    from ..operators.dedup import shingles
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
+        shingles("text", 3).alias("grams"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = (
+        F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    )
+    jac = inter * 1.0 / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            dround(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH candidates (rows-only: depends on xxhash64) — the scale
+# path for near-dedup: equi-join on band buckets, never O(n²).
+# --------------------------------------------------------------------------
+
+
+@query("dedup_minhash_lsh")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    cands = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_perm=32, bands=8, shingle_size=3
+    )
+    return jaccard_verify(
+        cands, docs, "text", "doc_id", shingle_size=3, threshold=0.5
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash fingerprints + near-pairs within Hamming distance 12
+# (rows-only: xxhash64-based)
+# --------------------------------------------------------------------------
+
+
+@query("dedup_simhash")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sig = simhash64(docs, "text", "doc_id")
+    # block on 16-bit chunks: near-dups (≤12 differing bits of 64) must
+    # share at least one exact 16-bit chunk by pigeonhole when ≤3 chunks
+    # are touched; 4-chunk blocking gives exact recall for hamming ≤ 3
+    # per-chunk spread and high recall otherwise — the standard trick.
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3),"
+                " c -> struct(c AS chunk_idx,"
+                " shiftright(simhash, c * 16) & 65535 AS chunk_val))"
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming64("a.simhash", "b.simhash").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= 12)
+    )
+    return pairs

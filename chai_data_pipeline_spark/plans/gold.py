@@ -1,0 +1,193 @@
+"""Gold-layer model queries (SURVEY §2.12 build targets + A6/J2 rewrite).
+
+These are the testdata analogs of the reference's gold models:
+user_engagement_metrics, weekly_aggregates, monthly_kpis
+(reference: scripts/gold/model_gold.py:93-103,
+scripts/gold/aggregate_gold.py:44-72 — declared-but-unpopulated tables)
+and the global as-of summary whose reference implementation fans out
+across provinces via a country-only self-join
+(scripts/gold/model_gold.py:246-287); ours uses window lags over one
+pre-aggregated daily frame (SURVEY §7.4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import davg, dround, dsum, sql_davg, sql_dround, sql_dsum
+from ..session import load_tables
+from .registry import query
+
+# --------------------------------------------------------------------------
+# user_engagement_metrics: per-user activity + CASE bucketing
+# (reference: scripts/gold/model_gold.py:93-103)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "user_engagement",
+    oracle=f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_event_types,
+       {sql_dround(sql_dsum('value'))} AS total_value,
+       {sql_dround(sql_davg('value'))} AS avg_value,
+       CASE WHEN COUNT(*) >= 200 THEN 'HIGH'
+            WHEN COUNT(*) >= 100 THEN 'MEDIUM'
+            ELSE 'LOW' END AS activity_level
+FROM events
+GROUP BY user_id
+""",
+)
+def user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    n = F.count("*")
+    return events.groupBy("user_id").agg(
+        n.alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        dround(dsum("value")).alias("total_value"),
+        dround(davg("value")).alias("avg_value"),
+        F.when(n >= 200, "HIGH")
+        .when(n >= 100, "MEDIUM")
+        .otherwise("LOW")
+        .alias("activity_level"),
+    )
+
+
+# --------------------------------------------------------------------------
+# weekly_aggregates: ISO week grouping over the daily frame
+# (reference: scripts/gold/aggregate_gold.py:44-56)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "weekly_aggregates",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1
+)
+SELECT CAST(isoyear(d) AS INTEGER) AS iso_year,
+       CAST(weekofyear(d) AS INTEGER) AS week_num,
+       CAST(SUM(n) AS BIGINT) AS total_events,
+       {sql_dround('AVG(n)')} AS avg_daily_events,
+       CAST(MAX(n) AS BIGINT) AS peak_daily_events,
+       COUNT(*) AS n_days
+FROM daily GROUP BY 1, 2
+""",
+)
+def weekly_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n")
+    )
+    return daily.groupBy(
+        F.expr("extract(YEAROFWEEK FROM d)").cast("int").alias("iso_year"),
+        F.weekofyear("d").alias("week_num"),
+    ).agg(
+        F.sum("n").alias("total_events"),
+        dround(F.avg("n")).alias("avg_daily_events"),
+        F.max("n").alias("peak_daily_events"),
+        F.count("*").alias("n_days"),
+    )
+
+
+# --------------------------------------------------------------------------
+# monthly_kpis: month truncation + month-over-month growth window
+# (reference: scripts/gold/aggregate_gold.py:58-72)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "monthly_kpis",
+    oracle=f"""
+WITH m AS (
+    SELECT CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE) AS month_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           {sql_dround(sql_dsum('value'))} AS total_value
+    FROM events GROUP BY 1
+)
+SELECT month_start, n_events, n_users, total_value,
+       {sql_dround('''CASE WHEN LAG(n_events) OVER (ORDER BY month_start) > 0
+            THEN (n_events - LAG(n_events) OVER (ORDER BY month_start)) * 100.0
+                 / LAG(n_events) OVER (ORDER BY month_start)
+       END''')} AS mom_growth_pct
+FROM m
+""",
+)
+def monthly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    m = events.groupBy(F.trunc("ts", "month").alias("month_start")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        dround(dsum("value")).alias("total_value"),
+    )
+    w = Window.orderBy("month_start")
+    prev = F.lag("n_events").over(w)
+    return m.select(
+        "month_start",
+        "n_events",
+        "n_users",
+        "total_value",
+        dround(
+            F.when(prev > 0, (F.col("n_events") - prev) * 100.0 / prev)
+        ).alias("mom_growth_pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# global as-of summary: latest day vs prev-day vs week-ago via lags over
+# ONE daily frame (replaces the reference's fanning self-join J2/A6)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "global_asof_summary",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n,
+           {sql_dround(sql_dsum('value'))} AS v
+    FROM events GROUP BY 1
+), w AS (
+    SELECT d, n, v,
+           LAG(n, 1) OVER (ORDER BY d) AS prev_n,
+           LAG(n, 7) OVER (ORDER BY d) AS week_n
+    FROM daily
+), mx AS (SELECT MAX(d) AS maxd FROM daily)
+SELECT w.d AS summary_date,
+       n AS total_events,
+       v AS total_value,
+       COALESCE(prev_n, 0) AS prev_day_events,
+       n - COALESCE(prev_n, 0) AS day_delta,
+       COALESCE(week_n, 0) AS week_ago_events
+FROM w JOIN mx ON w.d = mx.maxd
+""",
+)
+def global_asof_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n"), dround(dsum("value")).alias("v")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "n",
+        "v",
+        F.lag("n", 1).over(w).alias("prev_n"),
+        F.lag("n", 7).over(w).alias("week_n"),
+    )
+    mx = daily.agg(F.max("d").alias("maxd"))
+    return (
+        lagged.join(F.broadcast(mx), F.col("d") == F.col("maxd"))
+        .select(
+            F.col("d").alias("summary_date"),
+            F.col("n").alias("total_events"),
+            F.col("v").alias("total_value"),
+            F.coalesce("prev_n", F.lit(0)).alias("prev_day_events"),
+            (F.col("n") - F.coalesce("prev_n", F.lit(0))).alias("day_delta"),
+            F.coalesce("week_n", F.lit(0)).alias("week_ago_events"),
+        )
+    )

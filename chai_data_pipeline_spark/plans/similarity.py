@@ -1,0 +1,117 @@
+"""Embedding similarity-search queries (LLM-pipeline core ops).
+
+- brute-force cosine top-k against one query vector (oracle-checked,
+  bit-exact: both engines fold the dot product in index order)
+- exact KNN join for a capped query set (oracle-checked)
+- LSH-bucketed approximate top-k (rows-only: xxhash64-based hyperplanes)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dround, sql_dround
+from ..operators.similarity import (
+    ann_topk_lsh,
+    brute_force_topk,
+    cosine_sql_duckdb,
+    cosine_sql_spark,
+)
+from ..session import load_tables
+from .registry import query
+
+DIM = 64
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k vs the vec_id=0 query vector
+# --------------------------------------------------------------------------
+
+
+@query(
+    "similarity_cosine_topk",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT vec_id,
+           {sql_dround(cosine_sql_duckdb('embedding', 'qv', DIM), 6)} AS cosine
+    FROM embeddings CROSS JOIN q
+), ranked AS (
+    SELECT vec_id, cosine,
+           ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+""",
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    return brute_force_topk(emb, qdf, k=10)
+
+
+# --------------------------------------------------------------------------
+# Exact KNN join: top-1 neighbor for each of the first 50 vectors.
+# Quadratic step capped on the query side; the full-scale answer is the
+# LSH plan below.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "similarity_knn_join",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 50),
+scored AS (
+    SELECT qid, vec_id AS neighbor_id,
+           {sql_dround(cosine_sql_duckdb('embedding', 'qv', DIM), 6)} AS cosine
+    FROM embeddings CROSS JOIN q
+    WHERE vec_id <> qid
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY cosine DESC, neighbor_id
+    ) AS rn
+    FROM scored
+)
+SELECT qid, neighbor_id, cosine FROM ranked WHERE rn = 1
+""",
+)
+def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            dround(F.expr(cosine_sql_spark("embedding", "qv")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", "neighbor_id", "cosine")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed approximate top-k (the 100 TB path; rows-only check)
+# --------------------------------------------------------------------------
+
+
+@query("similarity_ann_lsh")
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    return ann_topk_lsh(emb, qdf, k=10, dim=DIM)
