@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark: run the engine's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes fully via the noop sink (forces the whole plan —
+scan, shuffles, windows — without collect/driver materialization).
+Quadratic-by-design verification queries (blocked Jaccard, MinHash
+verify) are excluded: their cost is a function of planted-duplicate
+density, not engine throughput; the scale-path variants (LSH) are in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+HEADLINE = [
+    "flagship_daily_event_trends",
+    "star_join_revenue",
+    "broadcast_dim_join",
+    "daily_summary",
+    "rollup_revenue",
+    "dq_single_pass",
+    "two_level_agg",
+    "group_quantiles",
+    "lag_dod_wow",
+    "topk_customers_per_nation",
+    "sessionization",
+    "user_engagement",
+    "dedup_exact_content",
+    "dedup_keep_first",
+    "text_stats",
+    "lang_id",
+    "token_counts",
+    "similarity_cosine_topk",
+    "similarity_ann_lsh",
+    "upsert_merge_by_key",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from chai_data_pipeline_spark import plans
+    from chai_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("chai-bench")
+    # warm up the JVM/session so the first query doesn't pay startup
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = plans.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -197,25 +197,47 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     For each of 64 bit positions, sum +1/-1 over token hashes' bits and
     take the sign. Near-duplicate docs land within small Hamming
-    distance. Implemented as pure array expressions (no UDF): token →
-    xxhash64 → per-bit contribution via bit arithmetic.
+    distance.
+
+    Split of work: tokenization + xxhash64 stay JVM-side (codegen'd);
+    the 64-bit × n-token sign aggregation goes through an Arrow-batched
+    Pandas UDF with numpy bit tricks — Spark's higher-order-function
+    lambdas are interpreted per element, and the pure-expression version
+    of this fold measured ~10x slower. This is the engine's canonical
+    "UDF done right" example: vectorized, deterministic, no driver state.
     """
-    # bit b of signature = 1 if sum over tokens of (bit b set ? 1 : -1) > 0
-    sig = F.expr(
-        """
-        aggregate(
-          sequence(0, 63),
-          cast(0 as bigint),
-          (acc, b) -> acc | (case when
-             aggregate(
-               transform(array_distinct(split(lower(trim({t})), '\\\\s+')), x -> xxhash64(x)),
-               cast(0 as bigint),
-               (s, h) -> s + (case when (shiftright(h, b) & 1) = 1 then 1 else -1 end)
-             ) > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end)
-        )
-        """.format(t=text_col)
+    import numpy as np
+    import pandas as pd
+
+    hashes = F.expr(
+        f"transform(array_distinct(split(lower(trim({text_col})), '\\\\s+')),"
+        f" x -> xxhash64(x))"
     )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+
+    # NB: `from __future__ import annotations` stringifies hints, which
+    # pandas_udf's inference can't read — set real annotations instead.
+    def _simhash_impl(batches):
+        out = np.zeros(len(batches), dtype=np.int64)
+        powers = np.left_shift(np.uint64(1), np.arange(64, dtype=np.uint64))
+        for j, arr in enumerate(batches):
+            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if a.size == 0:
+                continue
+            bits = (
+                (a[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            ).astype(np.int32)
+            sums = bits.sum(axis=0) * 2 - a.size  # (+1/-1) sign sums
+            sig = np.bitwise_or.reduce(powers[sums > 0]) if (sums > 0).any() else np.uint64(0)
+            out[j] = np.array([sig], dtype=np.uint64).view(np.int64)[0]
+        return pd.Series(out)
+
+    _simhash_impl.__annotations__ = {"batches": pd.Series, "return": pd.Series}
+    _simhash_from_hashes = F.pandas_udf(_simhash_impl, "long")
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        _simhash_from_hashes(hashes).alias("simhash"),
+    )
 
 
 def hamming64(a, b):

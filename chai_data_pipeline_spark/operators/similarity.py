@@ -91,6 +91,20 @@ def brute_force_topk(
     )
 
 
+def _hyperplane(t: int, b: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1)^dim, derived
+    from sha256 at PLAN TIME — the values become literals in the plan,
+    so executors never recompute them (recomputing per row was a 10x
+    slowdown) and every run/cluster sees identical planes."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.sha256(f"{t}_{b}_{i}".encode()).digest()
+        out.append(int.from_bytes(h[:4], "big") / 2**31 - 1.0)
+    return out
+
+
 def lsh_sign_buckets(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -99,20 +113,18 @@ def lsh_sign_buckets(
     bits_per_table: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Random-hyperplane LSH: per table, an ``bits_per_table``-bit
+    """Random-hyperplane LSH: per table, a ``bits_per_table``-bit
     signature; rows sharing a (table, signature) bucket are ANN
-    candidates. Hyperplane component (t, b, i) is a deterministic
-    pseudo-random value in [-1, 1) derived from xxhash64 — identical on
-    every executor with no broadcast state."""
+    candidates. One narrow projection per row — no shuffle, no state."""
     sig_exprs = []
     for t in range(n_tables):
         bit_exprs = []
         for b in range(bits_per_table):
+            plane = ", ".join(
+                f"cast({v!r} AS double)" for v in _hyperplane(t, b, dim)
+            )
             proj = (
-                f"aggregate(zip_with({_as_double(vec_col)},"
-                f" transform(sequence(0, {dim - 1}),"
-                f" i -> (cast(xxhash64(concat('{t}_{b}_', i)) % 10000 AS double))"
-                f" / 10000.0),"
+                f"aggregate(zip_with({_as_double(vec_col)}, array({plane}),"
                 f" (x, r) -> x * r), cast(0 AS double), (acc, v) -> acc + v)"
             )
             bit_exprs.append(

@@ -156,6 +156,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ch"),
     ).select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    # skew cap: same-vocabulary corpora produce near-identical simhashes,
+    # so a hot chunk bucket would go quadratic — cap like MinHash-LSH
+    sizes = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.count("*").alias("__n")
+    )
+    chunks = chunks.join(
+        sizes.filter(F.col("__n") <= 100), ["chunk_idx", "chunk_val"]
+    ).drop("__n")
     a = chunks.alias("a")
     b = chunks.alias("b")
     pairs = (
