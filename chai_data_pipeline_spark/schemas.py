@@ -85,13 +85,11 @@ COVID_RAW = T.StructType(
     ]
 )
 
+# applied AFTER identifier sanitization (readers.sanitize_identifier
+# lowercases and replaces "/" with "_"), so keys are the sanitized forms
 COVID_RENAME = {
-    "Date": "date",
-    "Country/Region": "country",
-    "Province/State": "province",
-    "Confirmed": "confirmed",
-    "Recovered": "recovered",
-    "Deaths": "deaths",
+    "country_region": "country",
+    "province_state": "province",
 }
 
 # telco — generic CSV path (FIXTURES.md §A4; declared-but-unrouted in the

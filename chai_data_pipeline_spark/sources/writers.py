@@ -1,0 +1,58 @@
+"""Lake writers: overwrite / append / partition-upsert semantics.
+
+The reference's sinks are Postgres COPY + to_sql + TRUNCATE-reload +
+ON CONFLICT upserts (reference: scripts/bronze/load_bronze.py:179-221,
+scripts/silver/transform_silver.py:242-249,
+scripts/gold/model_gold.py:354-378). On a parquet lake:
+
+- truncate-reload      → ``mode("overwrite")``              (S9)
+- chunked append       → ``mode("append")`` (per-partition) (S7)
+- upsert by key        → dynamic partition overwrite on the key
+                         partitions (M1), exact row-level merge via
+                         operators/merge.upsert when keys aren't the
+                         partition column
+
+Partitioning is the index replacement (M5): gold tables partition by
+their query key (date), so readers prune instead of scanning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def overwrite_table(
+    df: DataFrame, path: str, partition_by: Sequence[str] | None = None
+) -> None:
+    write_table(df, path, "overwrite", partition_by)
+
+
+def upsert_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+) -> None:
+    """Upsert by overwriting ONLY the partitions present in ``df``
+    (dynamic partition overwrite). The scalable merge: a one-day refresh
+    against years of history rewrites one partition, not the table."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
