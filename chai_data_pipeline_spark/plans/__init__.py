@@ -12,3 +12,5 @@ from . import gold  # noqa: F401,E402
 from . import text  # noqa: F401,E402
 from . import dedup  # noqa: F401,E402
 from . import similarity  # noqa: F401,E402
+from . import streaming  # noqa: F401,E402
+from . import multimodal  # noqa: F401,E402

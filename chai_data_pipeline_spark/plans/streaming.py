@@ -1,0 +1,100 @@
+"""Streaming queries for the driver contract.
+
+Each runs a real Structured Streaming query (file source → watermarked
+window agg → memory sink, driven to completion synchronously) and
+returns the result as a batch DataFrame; the oracle is the equivalent
+batch SQL, so these are full-strength hash-checked operators, not
+rows-only smoke tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.windows import (
+    run_streaming_query,
+    sessionized_stream,
+    sliding_counts_stream,
+    tumbling_counts_stream,
+)
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Tumbling 1h windows per event_type (epoch-aligned = date_trunc hour)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_query(
+        tumbling_counts_stream(spark, sf_dir), "t_tumbling"
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding 2h windows, 1h slide: each event lands in 2 windows — the
+# batch oracle expresses that as a 2-bucket union
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+WITH buckets AS (
+    SELECT date_trunc('hour', ts) AS window_start, value FROM events
+    UNION ALL
+    SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events
+)
+SELECT window_start,
+       COUNT(*) AS n_events,
+       (FLOOR(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) * 10000 + 0.5)
+        / 10000.0) AS total_value
+FROM buckets
+GROUP BY 1
+""",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_query(
+        sliding_counts_stream(spark, sf_dir), "t_sliding"
+    )
+
+
+# --------------------------------------------------------------------------
+# Session windows (30 min gap) per user — oracle is the batch lag-gap
+# sessionization (identical gap semantics)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+WITH e AS (
+    SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), s AS (
+    SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+    ) AS session_id
+    FROM e
+)
+SELECT user_id, COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_id
+""",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_query(
+        sessionized_stream(spark, sf_dir), "t_session"
+    )

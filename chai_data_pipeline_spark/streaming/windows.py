@@ -1,0 +1,136 @@
+"""Structured Streaming ingest path: watermarked tumbling/sliding
+window aggregations and session windows over the events stream.
+
+The reference has NO streaming (its closest analog is the
+``validation_status='pending'`` micro-batch flag pattern, reference:
+scripts/silver/transform_silver.py:251-257); this is the engine's
+north-star extension. The same aggregations run identically on a
+file-backed stream here and on Kafka in production — only the
+``readStream`` source line changes.
+
+Semantics:
+- event-time windows via ``window(ts, size[, slide])`` aligned to the
+  unix epoch (same alignment as date_trunc, so batch oracles agree);
+- ``withWatermark`` bounds state: late data beyond the watermark is
+  dropped instead of growing state forever — the 100 TB/day posture;
+- ``session_window`` gives gap-based sessions, the streaming equivalent
+  of operators/windows.sessionize (same gap rule, so the batch
+  sessionization oracle doubles as this stream's correctness check);
+- the local test harness drives the stream to completion synchronously
+  with a memory sink + processAllAvailable (complete output mode, so
+  trailing windows still inside the watermark are emitted too).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-backed events stream with the same ns→µs conversion as the
+    batch reader (session.load_tables).
+
+    The file stream source requires a DIRECTORY; the testdata table is a
+    single file, so we stage a symlink dir under /tmp (read-only
+    testdata stays untouched). In production this line is the Kafka/
+    landing-bucket source instead.
+    """
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(src)
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "chai_stream_src",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    stream = (
+        spark.readStream.schema(batch.schema).format("parquet").load(stage)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts_stream(
+    spark: SparkSession, sf_dir: str, size: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def sliding_counts_stream(
+    spark: SparkSession, sf_dir: str, size: str = "2 hours",
+    slide: str = "1 hour", watermark: str = "2 hours",
+) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    # no countDistinct on streams — exact decimal sum instead (order-
+    # independent, matches the batch oracle bit-for-bit)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.floor(
+                F.sum(F.col("value").cast("decimal(27,4)")).cast("double")
+                * 10000 + 0.5
+            ).cast("double").alias("__scaled"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            (F.col("__scaled") / 10000.0).alias("total_value"),
+        )
+    )
+
+
+def sessionized_stream(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", "n_events")
+    )
+
+
+def run_streaming_query(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming aggregation to completion synchronously via the
+    memory sink; returns the final result as a batch DataFrame."""
+    spark = df.sparkSession
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
