@@ -1,0 +1,79 @@
+"""As-of join — Spark has no native one; this is the scalable
+union+window implementation (the standard trick: interleave both sides
+on the time axis, then carry the last right-side row forward).
+
+vs the alternatives: a per-group ``pd.merge_asof`` via applyInPandas
+ships both sides through Arrow (slow path); a windowed-bucket join
+duplicates right rows per bucket. The union+window form is one shuffle
+on the join key + one sort — the same cost as a sort-merge join, and it
+never materializes candidate pairs.
+
+Determinism: right-side ties on (key, ts) are pre-reduced with an
+explicit tiebreak before the union, so exactly one right row can win.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right[right_ts] <= left[left_ts]`` within the same ``on`` key.
+
+    ``value_cols`` are the right-side columns to carry. Right rows with
+    equal (on, right_ts) are reduced to one via max(tiebreak) first.
+    """
+    r = right
+    if tiebreak:
+        w_tb = Window.partitionBy(on, right_ts).orderBy(F.desc(tiebreak))
+        r = (
+            r.withColumn("__tb", F.row_number().over(w_tb))
+            .filter(F.col("__tb") == 1)
+            .drop("__tb")
+        )
+
+    left_cols = left.columns
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left_cols).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    r_tagged = r.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            l_tagged.schema["__l"].dataType
+        ).alias("__l"),
+        *[F.col(c) for c in value_cols],
+    )
+    # right rows sort BEFORE left rows at equal ts (asof is <=, so a
+    # right row at exactly left_ts is eligible)
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__t", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "__is_left",
+        "__l",
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+    )
+    return carried.filter(F.col("__is_left") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in left_cols],
+        *value_cols,
+    )

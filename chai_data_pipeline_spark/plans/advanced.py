@@ -1,0 +1,371 @@
+"""Advanced / beyond-reference operators: as-of join, range-predicate
+join, pivot/unpivot, cube & grouping sets, navigation windows, running
+totals, exact-formula variance, approximate distinct.
+
+These close the gap between the reference's operator surface and what a
+production Spark analytics engine is expected to ship. Each is oracle-
+checked except approx_count_distinct (estimator internals differ across
+engines by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dround, dsum, sql_dround, sql_dsum
+from ..operators.asof import asof_join
+from ..session import load_tables
+from .registry import query
+
+# --------------------------------------------------------------------------
+# As-of join: each event gets the user's most recent signup event at or
+# before its timestamp. Oracle: DuckDB's native ASOF LEFT JOIN; ours is
+# the union+window carry-forward (operators/asof.py).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_last_signup",
+    oracle=f"""
+WITH s AS (
+    SELECT user_id, ts, event_id, value,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, ts ORDER BY event_id DESC
+           ) AS rn
+    FROM events WHERE event_type = 'signup'
+), sd AS (
+    SELECT user_id, ts, event_id AS last_signup_event,
+           value AS signup_value
+    FROM s WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, sd.last_signup_event,
+       {sql_dround('sd.signup_value', 4)} AS signup_value
+FROM events e ASOF LEFT JOIN sd
+  ON e.user_id = sd.user_id AND e.ts >= sd.ts
+""",
+)
+def asof_join_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("last_signup_event"),
+        F.col("value").alias("signup_value"),
+    )
+    joined = asof_join(
+        events.select("event_id", "user_id", "ts"),
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["last_signup_event", "signup_value"],
+        tiebreak="last_signup_event",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "last_signup_event",
+        dround("signup_value", 4).alias("signup_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Equi + range-predicate join (hash join + residual range filter)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "range_predicate_join",
+    oracle=f"""
+SELECT p_brand, COUNT(*) AS n_items,
+       {sql_dround(sql_dsum('l_extendedprice', 2), 2)} AS revenue
+FROM lineitem JOIN part
+  ON l_partkey = p_partkey
+ AND l_extendedprice / l_quantity BETWEEN p_retailprice * 0.5
+                                      AND p_retailprice * 1.5
+GROUP BY p_brand
+""",
+)
+def range_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"]),
+            (F.col("l_partkey") == F.col("p_partkey"))
+            & (unit >= F.col("p_retailprice") * 0.5)
+            & (unit <= F.col("p_retailprice") * 1.5),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            dround(dsum("l_extendedprice", 2), 2).alias("revenue"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot (wide conditional aggregation) and unpivot (stack)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pivot_status_counts",
+    oracle="""
+SELECT l_returnflag,
+       count_if(l_linestatus = 'O') AS o_count,
+       count_if(l_linestatus = 'F') AS f_count
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    pivoted = (
+        li.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).count()
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.coalesce("O", F.lit(0)).alias("o_count"),
+        F.coalesce("F", F.lit(0)).alias("f_count"),
+    )
+
+
+@query(
+    "unpivot_measures",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber, measure,
+       {sql_dround('value', 4)} AS value
+FROM (
+    SELECT l_orderkey, l_linenumber,
+           l_quantity AS quantity, l_discount AS discount
+    FROM lineitem
+) UNPIVOT (value FOR measure IN (quantity, discount))
+""",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "stack(2, 'quantity', l_quantity, 'discount', l_discount)"
+        " AS (measure, value)",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        dround("value", 4).alias("value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CUBE and GROUPING SETS (multi-dimensional totals in one pass)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cube_revenue",
+    oracle=f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       {sql_dround(sql_dsum('l_extendedprice', 2), 2)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            dround(dsum("l_extendedprice", 2), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+@query(
+    "grouping_sets_priority",
+    oracle="""
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+""",
+)
+def grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Running totals (exact decimal frame sums) + navigation windows
+# --------------------------------------------------------------------------
+
+
+@query(
+    "running_totals",
+    oracle=f"""
+SELECT user_id, event_id,
+       {sql_dround('''CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+       ) AS DOUBLE)''', 4)} AS running_value,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ) AS INTEGER) AS event_seq
+FROM events
+""",
+)
+def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return events.select(
+        "user_id",
+        "event_id",
+        dround(
+            F.sum(F.col("value").cast("decimal(27,4)")).over(w_run).cast("double"),
+            4,
+        ).alias("running_value"),
+        F.row_number().over(w).alias("event_seq"),
+    )
+
+
+@query(
+    "window_navigation",
+    oracle="""
+SELECT user_id, event_id,
+       FIRST_VALUE(event_id) OVER w AS first_event,
+       LAST_VALUE(event_id) OVER w AS last_event,
+       NTH_VALUE(event_id, 2) OVER w AS second_event,
+       LEAD(event_id) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+       ) AS next_event
+FROM events
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+""",
+)
+def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.first("event_id").over(w_full).alias("first_event"),
+        F.last("event_id").over(w_full).alias("last_event"),
+        F.nth_value("event_id", 2).over(w_full).alias("second_event"),
+        F.lead("event_id").over(w_ord).alias("next_event"),
+    )
+
+
+@query(
+    "ntile_percentiles",
+    oracle=f"""
+WITH t AS (
+    SELECT c_custkey, c_mktsegment,
+           {sql_dround('c_acctbal', 2)} AS bal
+    FROM customer
+)
+SELECT c_custkey, c_mktsegment, bal,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       {sql_dround('PERCENT_RANK() OVER w', 6)} AS pct_rank,
+       {sql_dround('CUME_DIST() OVER w', 6)} AS cume
+FROM t
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY bal, c_custkey)
+""",
+)
+def ntile_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    t = cust.select(
+        "c_custkey", "c_mktsegment", dround("c_acctbal", 2).alias("bal")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("bal", "c_custkey")
+    return t.select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal",
+        F.ntile(4).over(w).alias("quartile"),
+        dround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        dround(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-formula variance/stddev: both engines evaluate the SAME
+# two-sum formula from exact decimal sums — engine-native stddev
+# implementations (Welford vs two-pass) would differ in ulps.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "manual_variance",
+    oracle=f"""
+WITH t AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {sql_dsum('l_quantity', 2)} AS sx,
+           {sql_dsum('l_quantity * l_quantity', 4)} AS sx2
+    FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       {sql_dround('(sx2 - sx * sx / n) / (n - 1)', 4)} AS variance,
+       {sql_dround('sqrt((sx2 - sx * sx / n) / (n - 1))', 4)} AS stddev
+FROM t
+""",
+)
+def manual_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    t = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity", 2).alias("sx"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), 4).alias("sx2"),
+    )
+    var = (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return t.select(
+        "l_returnflag",
+        "n",
+        dround(var, 4).alias("variance"),
+        dround(F.sqrt(var), 4).alias("stddev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate distinct (HLL) — estimator internals are engine-specific,
+# so rows-only; the point is the scale path for COUNT(DISTINCT) at 100 TB
+# --------------------------------------------------------------------------
+
+
+@query("approx_distinct_users")
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

@@ -1,0 +1,70 @@
+"""Physical-plan shape assertions: the scale properties (pushdown,
+column pruning, broadcast joins, map-side partial aggregation) are
+load-bearing design decisions — these tests pin them so a refactor
+can't silently trade them away."""
+
+from __future__ import annotations
+
+import pytest
+
+from chai_data_pipeline_spark import plans
+
+
+def _plan(spark, name, sf_dir) -> str:
+    df = plans.QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, "proj_filter_pushdown", sf_dir)
+    assert "PushedFilters: [" in plan
+    assert "LessThan(l_shipdate" in plan
+    assert "GreaterThan(l_discount" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, "proj_filter_pushdown", sf_dir)
+    # only the 6 needed columns of lineitem's 11 are read
+    read = [l for l in plan.split("\n") if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read
+    assert "l_returnflag" not in read and "l_tax" not in read
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = _plan(spark, "star_join_revenue", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3  # nation/region/customer side
+    # the fact table never shuffles for the joins: no shuffle exchange
+    # below the join tree except the final aggregation's
+    assert "SortMergeJoin" not in plan
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    plan = _plan(spark, "daily_summary", sf_dir)
+    assert "partial_" in plan  # map-side combine present
+
+
+def test_windows_avoid_global_partition_for_series(spark, sf_dir):
+    plan = _plan(spark, "lag_dod_wow", sf_dir)
+    # series windows are partitioned (no single-partition window)
+    assert "windowspecdefinition(event_type" in plan
+
+
+def test_anti_join_is_join_not_filterscan(spark, sf_dir):
+    plan = _plan(spark, "anti_join_orphans", sf_dir)
+    assert "LeftAnti" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_exact_content", "text_stats", "lang_id", "token_counts"]
+)
+def test_text_ops_have_no_python_udf(spark, sf_dir, name):
+    """Text analysis must stay JVM-side (no BatchEvalPython/ArrowEval
+    in the plan) — UDFs are reserved for genuinely non-expressible ops
+    (SimHash bit fold, multimodal decode)."""
+    plan = _plan(spark, name, sf_dir)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
