@@ -140,3 +140,37 @@ def test_grouped_diff_and_rolling(spark):
     got_m = {(r.g, r.i): r.m for r in roll.collect()}
     assert got_m[("a", 1)] == 10.0 and got_m[("a", 2)] == 12.5
     assert got_m[("a", 3)] == 13.5
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from chai_data_pipeline_spark.operators.skew import salted_count, salted_join
+    from chai_data_pipeline_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    plain = (
+        t["orders"].join(
+            t["customer"].withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+        )
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    salted = (
+        salted_join(
+            t["orders"],
+            t["customer"].withColumnRenamed("c_custkey", "o_custkey"),
+            "o_custkey",
+        )
+        .groupBy("c_mktsegment")
+        .count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    plain_counts = {
+        r.o_orderpriority: r[1]
+        for r in t["orders"].groupBy("o_orderpriority").count().collect()
+    }
+    salted_counts = {
+        r.o_orderpriority: r.n
+        for r in salted_count(t["orders"], "o_orderpriority").collect()
+    }
+    assert plain_counts == salted_counts
