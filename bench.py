@@ -26,7 +26,9 @@ if str(REPO) not in sys.path:
 
 HEADLINE = [
     "flagship_daily_event_trends",
+    "tpch_q1_pricing_summary",
     "star_join_revenue",
+    "asof_join_last_signup",
     "broadcast_dim_join",
     "daily_summary",
     "rollup_revenue",

@@ -33,6 +33,15 @@ from pyspark.sql import functions as F
 
 # DECIMAL(27, s): 27 integral+fractional digits keeps Spark's sum result
 # type within DECIMAL(37, s) (cap 38) while holding sums of ~1e13 values.
+#
+# SCALE RULE: the scale passed to dsum/sql_dsum must be >= the TRUE
+# decimal precision of the summed expression, so the double→decimal cast
+# never rounds. A cast that rounds hits engine-divergent paths (Spark
+# rounds the shortest decimal repr HALF_UP; DuckDB scales the binary
+# value) exactly on the money-data boundary cases (x.xxx5). E.g. a
+# product of three 2-decimal values is a 6-decimal quantity → scale >= 6.
+# Division results are NOT finite decimals — never dsum a quotient;
+# divide after summing (davg does).
 _PREC = 27
 
 

@@ -15,3 +15,4 @@ from . import similarity  # noqa: F401,E402
 from . import streaming  # noqa: F401,E402
 from . import multimodal  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
+from . import classic  # noqa: F401,E402
