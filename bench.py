@@ -59,8 +59,12 @@ def main() -> None:
     from chai_data_pipeline_spark.session import get_spark
 
     spark = get_spark("chai-bench")
-    # warm up the JVM/session so the first query doesn't pay startup
+    # warm up JVM + codegen + parquet reader paths so the first measured
+    # query doesn't pay one-time session startup
     spark.range(1).count()
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,108 @@
+"""More canonical TPC-H shapes: Q3 (shipping priority, join + group +
+top-k) and Q6 (forecast revenue change, pure filter-agg — the pushdown
+showcase).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dround, dsum, sql_dround, sql_dsum
+from ..session import load_tables
+from .registry import query
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+WITH seg AS (SELECT MIN(c_mktsegment) AS s FROM customer),
+agg AS (
+    SELECT l_orderkey,
+           {sql_dround(sql_dsum('l_extendedprice * (1 - l_discount)', 4), 2)}
+               AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN seg ON c_mktsegment = seg.s
+    WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS rn
+    FROM agg
+)
+SELECT l_orderkey, revenue, order_date, o_orderpriority,
+       CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= 10
+""",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    seg = t["customer"].agg(F.min("c_mktsegment").alias("s"))
+    cust = (
+        t["customer"]
+        .crossJoin(F.broadcast(seg))
+        .filter(F.col("c_mktsegment") == F.col("s"))
+        .select("c_custkey")
+    )
+    orders = t["orders"].filter(
+        F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    li = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1997-01-01 00:00:00").cast("timestamp")
+    )
+    agg = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "l_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            dround(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority", "rn")
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+SELECT {sql_dround(sql_dsum('l_extendedprice * l_discount', 4), 2)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dround(
+                dsum(F.col("l_extendedprice") * F.col("l_discount"), 4), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )

@@ -166,3 +166,22 @@ def test_rules_from_reference_config_shape(spark):
     assert rows["users_not_null_user_id"].failed_count == 1
     assert rows["users_not_null_email"].failed_count == 0
     assert quality_score(res) == 50.0
+
+
+def test_partition_pruning_on_covid_lake(spark, journal_and_lake):
+    """The covid silver table partitions by record_date (the index
+    replacement, SURVEY §2.9 M5) — a date filter must prune partitions
+    at the scan, not filter rows after reading everything."""
+    import os
+
+    _, lake = journal_and_lake
+    covid = spark.read.parquet(os.path.join(lake, "silver", "clean_covid"))
+    pruned = covid.filter(F.col("record_date") == "2020-03-05")
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PartitionFilters: [" in plan
+    assert "record_date" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert pruned.count() == 3  # P1, P2, CountryB
