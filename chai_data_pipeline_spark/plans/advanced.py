@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 from ..functions import dround, dsum, sql_dround, sql_dsum
 from ..operators.asof import asof_join
 from ..session import load_tables
-from .registry import query
+from .registry import ORACLES, query
 
 # --------------------------------------------------------------------------
 # As-of join: each event gets the user's most recent signup event at or
@@ -368,4 +368,107 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Manual correlation (same exact-decimal two-sum formula in both engines
+# — engine-native corr() implementations differ in ulps)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "manual_correlation",
+    oracle=f"""
+WITH t AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {sql_dsum('l_quantity', 2)} AS sx,
+           {sql_dsum('l_discount', 2)} AS sy,
+           {sql_dsum('l_quantity * l_quantity', 4)} AS sx2,
+           {sql_dsum('l_discount * l_discount', 4)} AS sy2,
+           {sql_dsum('l_quantity * l_discount', 4)} AS sxy
+    FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       {sql_dround('''(n * sxy - sx * sy)
+        / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))''', 6)}
+           AS corr_qty_discount
+FROM t
+""",
+)
+def manual_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    t = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum("l_quantity", 2).alias("sx"),
+        dsum("l_discount", 2).alias("sy"),
+        dsum(F.col("l_quantity") * F.col("l_quantity"), 4).alias("sx2"),
+        dsum(F.col("l_discount") * F.col("l_discount"), 4).alias("sy2"),
+        dsum(F.col("l_quantity") * F.col("l_discount"), 4).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    ) * F.sqrt(F.col("n") * F.col("sy2") - F.col("sy") * F.col("sy"))
+    return t.select(
+        "l_returnflag", "n", dround(num / den, 6).alias("corr_qty_discount")
+    )
+
+
+# --------------------------------------------------------------------------
+# applyInPandas UDAF showcase: the grouped trend classification computed
+# per-group in pandas, checked against the SAME SQL oracle as the pure
+# window/agg version (trend_classification) — demonstrating that the
+# Arrow grouped-map path produces identical results to the JVM plan.
+# Scale note: applyInPandas ships each group through Arrow; the window
+# rewrite is the preferred plan — this exists as the canonical pattern
+# for logic that genuinely can't be expressed in columns.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "trend_applyinpandas",
+    oracle=ORACLES["trend_classification"],
+)
+def trend_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        F.to_date("ts").alias("d"), "event_type"
+    ).agg(F.count("*").alias("n"))
+
+    def classify(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("d", ascending=False).reset_index(drop=True)
+        recent = pdf["n"].iloc[:7]
+        earlier = pdf["n"].iloc[7:]
+        recent_avg = float(recent.mean()) if len(recent) else None
+        earlier_avg = float(earlier.mean()) if len(earlier) else None
+        if earlier_avg is None or earlier_avg == 0:
+            trend = "STABLE"
+        elif recent_avg > earlier_avg * 1.1:
+            trend = "INCREASING"
+        elif recent_avg < earlier_avg * 0.9:
+            trend = "DECREASING"
+        else:
+            trend = "STABLE"
+
+        def r4(x):
+            import math
+
+            return None if x is None else math.floor(x * 10000 + 0.5) / 10000
+
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "recent_avg": [r4(recent_avg)],
+                "earlier_avg": [r4(earlier_avg)],
+                "trend": [trend],
+            }
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        classify,
+        "event_type string, recent_avg double, earlier_avg double, trend string",
     )

@@ -182,3 +182,61 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 12)
     )
     return pairs
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs, label-blocked (the semantic-dedup
+# variant: near-identical embeddings = near-identical content). Blocking
+# on the label column bounds the pair space the same way LSH buckets
+# would; cosine is the bit-exact sequential fold.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       (FLOOR((
+           list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+            * sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+       ) * 1000000 + 0.5) / 1000000.0) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE (list_sum(list_transform(range(1, 65),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+       / (sqrt(list_sum(list_transform(range(1, 65),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+        * sqrt(list_sum(list_transform(range(1, 65),
+           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))))
+      >= 0.8
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import dround
+    from ..operators.similarity import cosine_sql_spark
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cos = F.expr(cosine_sql_spark("emb_a", "emb_b"))
+    return (
+        a.join(
+            b,
+            (F.col("label_a") == F.col("label_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(cos >= 0.8)
+        .select("id_a", "id_b", dround(cos, 6).alias("cosine"))
+    )

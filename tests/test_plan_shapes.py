@@ -68,3 +68,40 @@ def test_text_ops_have_no_python_udf(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path_factory):
+    """Two tables bucketed on the join key co-locate: the sort-merge
+    join runs with NO exchange on either side."""
+    from chai_data_pipeline_spark.session import load_tables
+    from chai_data_pipeline_spark.sources.writers import write_bucketed_table
+
+    loc = tmp_path_factory.mktemp("bucketdb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{loc}'")
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    write_bucketed_table(t["orders"], "bucketdb.orders_b", 8, ["o_orderkey"])
+    write_bucketed_table(
+        t["lineitem"], "bucketdb.lineitem_b", 8, ["l_orderkey"]
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bucketdb.lineitem_b").join(
+            spark.table("bucketdb.orders_b"),
+            spark.table("bucketdb.lineitem_b").l_orderkey
+            == spark.table("bucketdb.orders_b").o_orderkey,
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        # and the result is right
+        assert joined.count() == t["lineitem"].count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bucketdb.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bucketdb.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS bucketdb")
