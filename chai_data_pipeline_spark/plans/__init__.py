@@ -17,3 +17,4 @@ from . import multimodal  # noqa: F401,E402
 from . import advanced  # noqa: F401,E402
 from . import classic  # noqa: F401,E402
 from . import tpch_more  # noqa: F401,E402
+from . import timeseries  # noqa: F401,E402

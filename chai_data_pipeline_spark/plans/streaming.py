@@ -98,3 +98,41 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_query(
         sessionized_stream(spark, sf_dir), "t_session"
     )
+
+
+# --------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState): per-user running
+# totals carried in group state. With the file source delivering one
+# batch, the emitted updates equal the batch aggregate — so even the
+# custom-state path is oracle-checked.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_stateful_totals",
+    oracle="""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       (FLOOR(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) * 10000 + 0.5)
+        / 10000.0) AS total_value
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..streaming.stateful import running_user_totals_stream
+
+    out = run_streaming_query(
+        running_user_totals_stream(spark, sf_dir),
+        "t_stateful",
+        output_mode="update",
+    )
+    # one update row per user per batch; last update per user is the total
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        (
+            F.floor(F.max("total_value") * 10000 + F.lit(0.5)) / 10000.0
+        ).alias("total_value"),
+    )

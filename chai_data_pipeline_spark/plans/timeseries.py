@@ -1,0 +1,223 @@
+"""Time-series utilities: calendar gap-filling (resampling), value
+histograms, per-series regression slope — the ops a daily-grain rollup
+pipeline needs beyond plain windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dround, dsum, sql_dround, sql_dsum
+from ..session import load_tables
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Gap filling: dense daily calendar per series via sequence+explode,
+# left join the sparse aggregates, zero-fill. (The resample/asfreq
+# analog — a cumulative series stays correct through empty days.)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "gap_fill_daily",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1
+), calendar AS (
+    SELECT event_type, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+    FROM bounds
+)
+SELECT c.event_type, c.d, COALESCE(daily.n, 0) AS n,
+       (daily.n IS NULL) AS was_gap
+FROM calendar c LEFT JOIN daily
+  ON c.event_type = daily.event_type AND c.d = daily.d
+""",
+)
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    calendar = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+    )
+    return (
+        calendar.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            "d",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.col("n").isNull().alias("was_gap"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Histogram via width_bucket (fixed bins — the distributed histogram:
+# one pass, one small result, no sort)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "value_histogram",
+    oracle="""
+SELECT CAST(CASE WHEN l_quantity < 0.0 THEN 0
+            WHEN l_quantity >= 50.0 THEN 11
+            ELSE FLOOR((l_quantity - 0.0) / 50.0 * 10) + 1 END AS INTEGER)
+           AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(l_quantity) AS DOUBLE) AS bucket_min,
+       CAST(MAX(l_quantity) AS DOUBLE) AS bucket_max
+FROM lineitem
+GROUP BY 1
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explicit width_bucket formula (same IEEE ops both engines; DuckDB
+    # has no width_bucket, and matching Spark's boundary semantics by
+    # hand is safer than trusting two implementations to agree)
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    q = F.col("l_quantity")
+    bucket = (
+        F.when(q < 0.0, 0)
+        .when(q >= 50.0, 11)
+        .otherwise(F.floor((q - 0.0) / 50.0 * 10) + 1)
+        .cast("int")
+    )
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_quantity").cast("double").alias("bucket_min"),
+            F.max("l_quantity").cast("double").alias("bucket_max"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-series least-squares slope over (day_index, daily_count) from
+# exact decimal sums — same formula both engines (trend strength as a
+# number, complementing the INCREASING/DECREASING classifier)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "trend_slope",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+), idx AS (
+    SELECT event_type, n,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS x
+    FROM daily
+), sums AS (
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(n) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sx2,
+           CAST(SUM(x * n) AS BIGINT) AS sxy
+    FROM idx GROUP BY 1
+)
+SELECT event_type, cnt,
+       {sql_dround('(cnt * sxy - sx * sy) * 1.0 / (cnt * sx2 - sx * sx)', 6)}
+           AS slope_per_day
+FROM sums
+""",
+)
+def trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.withColumn("x", F.row_number().over(w).cast("long"))
+    sums = idx.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("x").alias("sx"),
+        F.sum("n").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum(F.col("x") * F.col("n")).alias("sxy"),
+    )
+    slope = (
+        (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0
+        / (F.col("cnt") * F.col("sx2") - F.col("sx") * F.col("sx"))
+    )
+    return sums.select(
+        "event_type", "cnt", dround(slope, 6).alias("slope_per_day")
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document (the classic text-relevance op): tf from
+# exploded tokens, df across docs, score = tf * ln(N/df); top-3 terms
+# per doc ranked on the ROUNDED score with word tiebreak.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH tokens AS (
+    SELECT doc_id,
+           unnest(string_split_regex(TRIM(LOWER(text)), '\\s+')) AS word
+    FROM documents
+), tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf FROM tokens GROUP BY 1, 2
+), df AS (
+    SELECT word, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY 1
+), n_docs AS (
+    SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+), scored AS (
+    SELECT tf.doc_id, tf.word,
+           {sql_dround('tf.tf * ln(n_docs.n * 1.0 / df.df)', 6)} AS tfidf
+    FROM tf JOIN df USING (word) CROSS JOIN n_docs
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, word
+    ) AS rn
+    FROM scored
+)
+SELECT doc_id, word, tfidf, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tokens = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+    )
+    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            dround(
+                F.col("tf") * F.log(F.col("n") * 1.0 / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf", "rn")
+    )

@@ -174,3 +174,35 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
         for r in salted_count(t["orders"], "o_orderpriority").collect()
     }
     assert plain_counts == salted_counts
+
+
+def test_foreach_batch_upsert_matches_batch_agg(spark, sf_dir, tmp_path_factory):
+    """The foreachBatch incremental sink (modern replacement for the
+    reference's validation_status flag pattern) converges to the batch
+    aggregate, and re-running it is idempotent (keyed upsert)."""
+    import os
+
+    from chai_data_pipeline_spark.session import load_tables
+    from chai_data_pipeline_spark.streaming.stateful import run_foreach_batch_upsert
+
+    target = str(tmp_path_factory.mktemp("sink")) + "/daily"
+    run_foreach_batch_upsert(spark, sf_dir, target)
+    got = {
+        (str(r.d), r.event_type): r.n
+        for r in spark.read.parquet(target).collect()
+    }
+    events = load_tables(spark, sf_dir, "events")["events"]
+    want = {
+        (str(r.d), r.event_type): r.n
+        for r in events.groupBy(
+            F.to_date("ts").alias("d"), "event_type"
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
+    # idempotency: running again (same data re-delivered) upserts, not appends
+    run_foreach_batch_upsert(spark, sf_dir, target)
+    again = {
+        (str(r.d), r.event_type): r.n
+        for r in spark.read.parquet(target).collect()
+    }
+    assert again == want
