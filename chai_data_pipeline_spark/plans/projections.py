@@ -273,3 +273,32 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("int").alias("k_val"),
         F.get_json_object("props", "$.missing").cast("int").alias("missing_val"),
     )
+
+
+# --------------------------------------------------------------------------
+# F14-typed — schema-declared JSON parse (from_json → struct access),
+# the production path for known-shape payloads (vs get_json_object for
+# ad-hoc extraction above)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "json_typed_parse",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
+       (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+FROM events
+""",
+)
+def json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = events.withColumn("p", F.from_json("props", schema))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_typed"),
+        F.col("p.k").isNotNull().alias("has_k"),
+    )

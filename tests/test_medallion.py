@@ -185,3 +185,32 @@ def test_partition_pruning_on_covid_lake(spark, journal_and_lake):
     assert "PartitionFilters: [" in plan
     assert "record_date" in plan.split("PartitionFilters:")[1].split("]")[0]
     assert pruned.count() == 3  # P1, P2, CountryB
+
+
+def test_quality_rule_types_unique_range_format(spark):
+    """Rule types not exercised by the reference's 12 checks: unique,
+    range with both bounds, format."""
+    from chai_data_pipeline_spark.medallion.quality import (
+        rules_from_config,
+        run_checks,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a@b.co", 5), (1, "x", 500), (2, "c@d.io", -3)],
+        ["id", "email", "amount"],
+    )
+    rules = rules_from_config(
+        [
+            {"name": "t_unique", "table": "t", "rule": "unique",
+             "columns": [None], "keys": ["id"]},
+            {"name": "t_amount_range", "table": "t", "rule": "range",
+             "columns": ["amount"], "min_value": "0", "max_value": "100"},
+            {"name": "t_email_format", "table": "t", "rule": "format",
+             "columns": ["email"],
+             "pattern": r"^[^@]+@[^@]+\.[a-z]+$"},
+        ]
+    )
+    res = {r.check_name: r for r in run_checks(spark, {"t": df}, rules, ASOF).collect()}
+    assert res["t_unique"].failed_count == 1      # id=1 duplicated
+    assert res["t_amount_range"].failed_count == 2  # 500 and -3
+    assert res["t_email_format"].failed_count == 1  # "x"
