@@ -174,3 +174,83 @@ def ann_topk_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    "centroid". Centroids are the first ``n_centroids`` vectors by id —
+    a deterministic stand-in for a k-means codebook (production would
+    train one; the partitioning/probe mechanics are identical). Adds a
+    ``centroid_id`` column; the assignment is a broadcast join + argmax,
+    no shuffle of the vector table."""
+    from pyspark.sql.window import Window
+
+    cents = (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    scored = df.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", F.expr(cosine_sql_spark(vec_col, "centroid_vec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(df["*"], "centroid_id")
+    )
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: score the query against the centroid
+    codebook, probe the ``n_probe`` nearest inverted lists, exact cosine
+    only within them. At scale the assignment is written once
+    (partitioned by centroid_id) and each query touches n_probe/n_total
+    of the data."""
+    from pyspark.sql.window import Window
+
+    from ..functions import dround
+
+    assigned = ivf_assign(df, n_centroids, vec_col, id_col)
+    cents = (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(query))
+        .withColumn("__sim", F.expr(cosine_sql_spark("centroid_vec", "qv")))
+        .orderBy(F.desc("__sim"), F.asc("centroid_id"))
+        .limit(n_probe)
+        .select("centroid_id")
+    )
+    cands = assigned.join(F.broadcast(probe), "centroid_id").crossJoin(
+        F.broadcast(query)
+    )
+    scored = cands.select(
+        F.col(id_col),
+        dround(F.expr(cosine_sql_spark(vec_col, "qv")), 6).alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

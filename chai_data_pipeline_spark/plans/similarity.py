@@ -115,3 +115,21 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv")
     )
     return ann_topk_lsh(emb, qdf, k=10, dim=DIM)
+
+
+# --------------------------------------------------------------------------
+# IVF-bucketed approximate top-k (coarse quantize → probe nearest
+# inverted lists; the other 100 TB path besides LSH; rows-only check,
+# recall covered by the agreement unit test)
+# --------------------------------------------------------------------------
+
+
+@query("similarity_ann_ivf")
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_topk_ivf
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    return ann_topk_ivf(emb, qdf, k=10)

@@ -206,3 +206,29 @@ def test_foreach_batch_upsert_matches_batch_agg(spark, sf_dir, tmp_path_factory)
         for r in spark.read.parquet(target).collect()
     }
     assert again == want
+
+
+def test_ann_ivf_recovers_query_vector(spark, sf_dir):
+    from chai_data_pipeline_spark.operators.similarity import (
+        ann_topk_ivf,
+        brute_force_topk,
+        ivf_assign,
+    )
+    from chai_data_pipeline_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # every vector gets exactly one centroid
+    assigned = ivf_assign(emb, n_centroids=8)
+    assert assigned.count() == emb.count()
+    assert assigned.select("centroid_id").distinct().count() <= 8
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    approx = ann_topk_ivf(emb, q, k=1, n_centroids=8, n_probe=2).collect()[0]
+    # vec 0 IS a centroid, so its list is always probed → exact recovery
+    assert approx.vec_id == 0 and abs(approx.cosine - 1.0) < 1e-9
+    # probing more lists converges toward brute force top-10 overlap
+    exact_ids = {r.vec_id for r in brute_force_topk(emb, q, k=10).collect()}
+    ivf_ids = {
+        r.vec_id
+        for r in ann_topk_ivf(emb, q, k=10, n_centroids=8, n_probe=8).collect()
+    }
+    assert ivf_ids == exact_ids  # n_probe = all lists → exhaustive
