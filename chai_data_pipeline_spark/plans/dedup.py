@@ -240,3 +240,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.8)
         .select("id_a", "id_b", dround(cos, 6).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Edit-distance (Levenshtein) fuzzy-match pairs — the entity-resolution
+# flavor of near-dedup. Blocked by (nation, name length bucket) so the
+# pair space stays bounded; both engines use unit-cost Levenshtein.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_fuzzy_names",
+    oracle="""
+WITH c AS (
+    SELECT c_custkey, c_nationkey, c_name, LENGTH(c_name) // 4 AS len_bucket
+    FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_distance
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.len_bucket = b.len_bucket
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""",
+)
+def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    c = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_name",
+        (F.length("c_name") / 4).cast("long").alias("len_bucket"),
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(dist <= 2)
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            dist.cast("int").alias("edit_distance"),
+        )
+    )

@@ -302,3 +302,32 @@ def json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k_typed"),
         F.col("p.k").isNotNull().alias("has_k"),
     )
+
+
+# --------------------------------------------------------------------------
+# Regex group extraction + translate (F-family completions)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "regex_extract_groups",
+    oracle="""
+SELECT c_custkey,
+       regexp_extract(c_name, '#(\\d+)', 1) AS cust_num,
+       CAST(TRY_CAST(regexp_extract(c_name, '#(\\d+)', 1) AS BIGINT) AS BIGINT)
+           AS cust_num_int,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated
+FROM customer
+""",
+)
+def regex_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    num = F.regexp_extract("c_name", r"#(\d+)", 1)
+    return cust.select(
+        "c_custkey",
+        num.alias("cust_num"),
+        F.expr(r"TRY_CAST(regexp_extract(c_name, '#(\\d+)', 1) AS BIGINT)").alias(
+            "cust_num_int"
+        ),
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+    )
