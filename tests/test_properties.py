@@ -1,0 +1,128 @@
+"""Property-based tests (SURVEY §5.4) for semantics-sensitive operators:
+window rewrites vs naive models, and determinism under repartitioning /
+input reordering — the properties that make cluster runs reproducible.
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),           # group
+        st.integers(min_value=0, max_value=50),      # seq (may collide)
+        st.integers(min_value=-100, max_value=100),  # value
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _mk_df(spark, rows):
+    # unique row id makes orderings total → deterministic expectations
+    data = [(g, s, v, i) for i, (g, s, v) in enumerate(rows)]
+    return spark.createDataFrame(data, ["g", "s", "v", "rid"])
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_grouped_diff_matches_naive_model(spark, rows):
+    from chai_data_pipeline_spark.operators.windows import grouped_diff
+
+    df = _mk_df(spark, rows)
+    out = {
+        r.rid: r.d
+        for r in grouped_diff(df, ["g"], ["s", "rid"], "v", "d").collect()
+    }
+    # naive python model
+    data = [(g, s, v, i) for i, (g, s, v) in enumerate(rows)]
+    by_group: dict = {}
+    for g, s, v, i in sorted(data, key=lambda t: (t[0], t[1], t[3])):
+        prev = by_group.get(g)
+        expected = 0 if prev is None else v - prev
+        assert out[i] == expected, (i, out[i], expected)
+        by_group[g] = v
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_rolling_mean_matches_naive_model(spark, rows):
+    from chai_data_pipeline_spark.operators.windows import rolling_mean
+
+    df = _mk_df(spark, rows)
+    out = {
+        r.rid: r.m
+        for r in rolling_mean(df, ["g"], ["s", "rid"], "v", "m", 3).collect()
+    }
+    data = [(g, s, v, i) for i, (g, s, v) in enumerate(rows)]
+    series: dict = {}
+    for g, s, v, i in sorted(data, key=lambda t: (t[0], t[1], t[3])):
+        hist = series.setdefault(g, [])
+        hist.append(v)
+        window = hist[-3:]
+        assert abs(out[i] - sum(window) / len(window)) < 1e-9
+
+
+@given(rows=ROWS, seed=st.integers(min_value=0, max_value=10))
+@_SETTINGS
+def test_dedup_survivor_invariant_under_reordering(spark, rows, seed):
+    """dedup_by_key must pick the SAME survivor regardless of input row
+    order and partitioning (the determinism the reference lacks)."""
+    from chai_data_pipeline_spark.operators.dedup import dedup_by_key
+
+    shuffled = rows[:]
+    random.Random(seed).shuffle(shuffled)
+    a = _mk_df(spark, rows)
+    b = _mk_df_preserving_rid(spark, rows, shuffled)
+    da = {
+        (r.g,): (r.s, r.rid)
+        for r in dedup_by_key(a, ["g"], ["s", "rid"]).collect()
+    }
+    db = {
+        (r.g,): (r.s, r.rid)
+        for r in dedup_by_key(
+            b.repartition(7), ["g"], ["s", "rid"]
+        ).collect()
+    }
+    assert da == db
+
+
+def _mk_df_preserving_rid(spark, original, shuffled):
+    # rid assigned by ORIGINAL position so both frames hold identical rows
+    index = {}
+    data = []
+    for i, row in enumerate(original):
+        index.setdefault(row, []).append(i)
+    for row in shuffled:
+        data.append((row[0], row[1], row[2], index[row].pop(0)))
+    return spark.createDataFrame(data, ["g", "s", "v", "rid"])
+
+
+@given(rows=ROWS)
+@_SETTINGS
+def test_upsert_idempotent(spark, rows):
+    """upsert(t, s) twice == once, and keys(result) == keys(t) ∪ keys(s)."""
+    from chai_data_pipeline_spark.operators.merge import upsert
+
+    half = max(1, len(rows) // 2)
+    t = spark.createDataFrame(
+        [(g, v) for g, s, v in rows[:half]], ["k", "v"]
+    ).dropDuplicates(["k"])
+    s = spark.createDataFrame(
+        [(g, v * 10) for g, s, v in rows[half:]] or [("zz", 0)], ["k", "v"]
+    ).dropDuplicates(["k"])
+    once = upsert(t, s, ["k"])
+    twice = upsert(once, s, ["k"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    keys = {r.k for r in once.collect()}
+    assert keys == {r.k for r in t.collect()} | {r.k for r in s.collect()}
