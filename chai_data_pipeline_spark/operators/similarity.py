@@ -115,29 +115,46 @@ def lsh_sign_buckets(
 ) -> DataFrame:
     """Random-hyperplane LSH: per table, a ``bits_per_table``-bit
     signature; rows sharing a (table, signature) bucket are ANN
-    candidates. One narrow projection per row — no shuffle, no state."""
-    sig_exprs = []
-    for t in range(n_tables):
-        bit_exprs = []
-        for b in range(bits_per_table):
-            plane = ", ".join(
-                f"cast({v!r} AS double)" for v in _hyperplane(t, b, dim)
-            )
-            proj = (
-                f"aggregate(zip_with({_as_double(vec_col)}, array({plane}),"
-                f" (x, r) -> x * r), cast(0 AS double), (acc, v) -> acc + v)"
-            )
-            bit_exprs.append(
-                f"(case when ({proj}) > 0 then shiftleft(1, {b}) else 0 end)"
-            )
-        sig_exprs.append(
-            f"struct({t} AS table_id, ({' + '.join(bit_exprs)}) AS signature)"
+    candidates.
+
+    All (n_tables × bits_per_table) projections compute as ONE numpy
+    matmul per Arrow batch inside a pandas UDF — the expression form
+    (one interpreted fold per bit) measured ~10x slower. The hyperplane
+    matrix is a closure constant: deterministic, shipped by value, no
+    broadcast state. No shuffle; one narrow projection per row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(
+        [
+            _hyperplane(t, b, dim)
+            for t in range(n_tables)
+            for b in range(bits_per_table)
+        ],
+        dtype=np.float64,
+    ).T  # (dim, n_tables*bits_per_table)
+    powers = (1 << np.arange(bits_per_table)).astype(np.int64)
+
+    def _signatures_impl(vecs):
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (mat @ planes) > 0  # (rows, tables*bits)
+        bits = bits.reshape(len(vecs), n_tables, bits_per_table)
+        sigs = (bits * powers).sum(axis=2).astype(np.int64)  # (rows, tables)
+        return pd.Series(list(sigs))
+
+    _signatures_impl.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    signatures = F.pandas_udf(_signatures_impl, "array<long>")
+
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.posexplode(signatures(F.col(vec_col))).alias(
+                "table_id", "signature"
+            ),
         )
-    return df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.explode(F.expr(f"array({', '.join(sig_exprs)})")).alias("bucket"),
-    ).select(id_col, vec_col, "bucket.table_id", "bucket.signature")
+    )
 
 
 def ann_topk_lsh(

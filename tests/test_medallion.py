@@ -214,3 +214,17 @@ def test_quality_rule_types_unique_range_format(spark):
     assert res["t_unique"].failed_count == 1      # id=1 duplicated
     assert res["t_amount_range"].failed_count == 2  # 500 and -3
     assert res["t_email_format"].failed_count == 1  # "x"
+
+
+def test_land_url_file_scheme(tmp_path):
+    """S1/S2 fetch step: land_url pulls a remote resource into the
+    landing dir (file:// here; https in production — same code path)."""
+    from chai_data_pipeline_spark.medallion.bronze import land_url
+
+    src = tmp_path / "remote.json"
+    src.write_text('[{"id": 1}]')
+    dest_dir = tmp_path / "landing"
+    out = land_url(src.as_uri(), str(dest_dir), "users_fetched.json")
+    assert os.path.exists(out)
+    with open(out) as fh:
+        assert fh.read() == '[{"id": 1}]'
