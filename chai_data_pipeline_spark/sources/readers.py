@@ -156,3 +156,11 @@ def route_bronze_files(paths: list[str]) -> tuple[list[RoutedFile], list[str]]:
         else:
             unknown.append(p)
     return routed, unknown
+
+
+def read_parquet_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with schema evolution (mergeSchema): batches landed
+    over time may add columns; the unified schema is the union, older
+    files read the new columns as NULL. The bronze posture for
+    append-only landing zones whose producers evolve."""
+    return spark.read.option("mergeSchema", True).parquet(path)

@@ -75,3 +75,24 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Small-file compaction: rewrite a table directory into
+    ``target_files`` files (per partition if partitioned). Streaming
+    sinks and incremental upserts accrete small files; periodic
+    compaction keeps scan task counts sane (a 100 TB table of 1 MB
+    files is 10^8 scheduler tasks — compaction is operationally
+    mandatory at scale)."""
+    df = spark.read.parquet(path)
+    # localCheckpoint: fully materialize before overwriting the source
+    compacted = df.repartition(target_files).localCheckpoint(eager=True)
+    w = compacted.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

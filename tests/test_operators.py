@@ -232,3 +232,34 @@ def test_ann_ivf_recovers_query_vector(spark, sf_dir):
         for r in ann_topk_ivf(emb, q, k=10, n_centroids=8, n_probe=8).collect()
     }
     assert ivf_ids == exact_ids  # n_probe = all lists → exhaustive
+
+
+def test_compact_preserves_rows(spark, sf_dir, tmp_path_factory):
+    from chai_data_pipeline_spark.session import load_tables
+    from chai_data_pipeline_spark.sources.writers import compact
+
+    path = str(tmp_path_factory.mktemp("compact")) + "/t"
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    ev.repartition(16).write.parquet(path)  # 16 small files
+    import glob
+
+    before = len(glob.glob(path + "/*.parquet"))
+    assert before >= 16
+    compact(spark, path, target_files=2)
+    after = len(glob.glob(path + "/*.parquet"))
+    assert after <= 2
+    assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_schema_evolution_merge(spark, tmp_path_factory):
+    from chai_data_pipeline_spark.sources.readers import read_parquet_evolving
+
+    path = str(tmp_path_factory.mktemp("evolve")) + "/t"
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "name", "score"]
+    ).write.mode("append").parquet(path)
+    df = read_parquet_evolving(spark, path)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r for r in df.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
