@@ -47,6 +47,10 @@ HEADLINE = [
     "similarity_cosine_topk",
     "similarity_ann_lsh",
     "upsert_merge_by_key",
+    "heavy_hitters",
+    "pii_redaction",
+    "per_source_cap",
+    "train_test_split",
 ]
 
 
@@ -59,9 +63,23 @@ def main() -> None:
     from chai_data_pipeline_spark.session import get_spark
 
     spark = get_spark("chai-bench")
-    # warm up JVM + codegen + parquet reader paths so the first measured
-    # query doesn't pay one-time session startup
+    # Warm-up: run every headline query once at the smallest SF before
+    # timing. First execution of each plan pays one-time costs that are
+    # per-PROCESS, not per-query — JIT/whole-stage-codegen compilation,
+    # Arrow/pandas-UDF worker startup, shuffle service init. On a real
+    # cluster those amortize over long-running executors; warming at
+    # sf0.001 (~1s total) makes the sf0.1 numbers measure steady-state
+    # plan throughput instead of JVM warm-up.
     spark.range(1).count()
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    from chai_data_pipeline_spark import plans as _p
+
+    for name in HEADLINE:
+        _p.QUERIES[name](spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).write.format(
         "noop"
     ).mode("overwrite").save()

@@ -18,3 +18,4 @@ from . import advanced  # noqa: F401,E402
 from . import classic  # noqa: F401,E402
 from . import tpch_more  # noqa: F401,E402
 from . import timeseries  # noqa: F401,E402
+from . import training  # noqa: F401,E402

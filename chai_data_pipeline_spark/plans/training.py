@@ -1,0 +1,326 @@
+"""Training-data curation operators over the documents table.
+
+Beyond the reference's ETL surface: the operations a large-scale
+LLM-training-data pipeline layers on top of dedup/similarity/text
+analysis — reproducible sampling, split assignment, per-source caps,
+PII redaction, vocabulary heavy hitters, and quantile-based quality
+trimming. (The reference has no analog; closest is its quality-score
+gating, scripts/silver/transform_silver.py:319-336.)
+
+Scale posture, per query:
+- hash-sampling / split assignment / PII redaction are map-only —
+  no shuffle, scan-bounded, trivially parallel at any scale;
+- per-source cap shuffles once on the capping key; the output is
+  bounded (cap × n_sources) regardless of input size;
+- heavy hitters shuffles token counts (map-side partial combine
+  shrinks to vocabulary size), then a single-partition top-k over
+  the vocabulary-sized count table only;
+- quantile trim partitions by language — per-partition sort, no
+  global sort. At 100 TB the ntile window per language is the one
+  piece that would need an approx-quantile rewrite (documented).
+
+The sampling/split hash is the first 8 hex chars of sha256 of the key
+— NOT Spark's murmur3 ``hash()`` — so the assignment is engine- and
+version-independent: the same doc lands in the same split on Spark,
+DuckDB, or anything else that can compute sha256. That is the property
+a training pipeline actually needs (resharding or engine migration
+must not silently reshuffle train/test membership).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dround, sql_dround
+from ..session import load_tables
+from .registry import query
+
+
+def hash_bucket(col, buckets: int = 100):
+    """Deterministic cross-engine bucket in [0, buckets): sha256-based."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.sha2(c.cast("string"), 256), 1, 8), 16, 10)
+    return F.pmod(h.cast("bigint"), F.lit(buckets))
+
+
+def sql_hash_bucket(expr: str, buckets: int = 100) -> str:
+    return (
+        f"(CAST(concat('0x', substring(sha256(CAST(({expr}) AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {buckets})"
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic hash sampling (reproducible Bernoulli-by-key)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sample_hash_deterministic",
+    oracle=f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE {sql_hash_bucket('doc_id')} < 10
+""",
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% sample, stable under resharding/engine change (map-only scan)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    return docs.filter(hash_bucket("doc_id") < 10).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# --------------------------------------------------------------------------
+# train/valid/test split assignment + per-split profile
+# --------------------------------------------------------------------------
+
+
+_SPLIT_SQL = f"""
+CASE WHEN {sql_hash_bucket('doc_id')} < 80 THEN 'train'
+     WHEN {sql_hash_bucket('doc_id')} < 90 THEN 'valid'
+     ELSE 'test' END
+"""
+
+
+@query(
+    "train_test_split",
+    oracle=f"""
+SELECT {_SPLIT_SQL} AS split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       {sql_dround('SUM(n_chars) * 1.0 / COUNT(*)', 2)} AS avg_chars
+FROM documents
+GROUP BY 1
+""",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split by content-stable hash; profile proves balance.
+
+    The split column itself is map-side (zero shuffle); only the
+    small profile aggregation shuffles, on a 3-value key.
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    b = hash_bucket("doc_id")
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    ).alias("split")
+    return docs.groupBy(split).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        dround(F.sum("n_chars") / F.count("*"), 2).alias("avg_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# per-source document cap (domain balancing)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "per_source_cap",
+    oracle="""
+SELECT doc_id, source, cap_rank
+FROM (
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+           ) AS INTEGER) AS cap_rank
+    FROM documents
+) t
+WHERE cap_rank <= 20
+""",
+)
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep at most 20 docs per source (longest first, id tiebreak).
+
+    The standard domain-balancing op: prevents one crawl domain from
+    dominating the corpus. One shuffle on `source`; output bounded by
+    cap × n_sources. Skewed sources (one domain = half the corpus)
+    are exactly the case AQE skew-split handles, since rank computation
+    per key is a sort within the key's partition.
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("cap_rank"))
+        .filter(F.col("cap_rank") <= 20)
+    )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (regex scrub; deterministic synthetic PII planted in-query)
+# --------------------------------------------------------------------------
+
+_EMAIL_PAT = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_PAT = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "pii_redaction",
+    oracle=f"""
+WITH pii AS (
+    SELECT doc_id,
+           concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                  '@mail.example.com or 555-01', CAST(doc_id % 10 AS VARCHAR),
+                  '0-99', CAST(doc_id % 100 AS VARCHAR), '2.') AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PHONE_PAT}')) AS INTEGER) AS n_phones,
+       SUBSTRING(sha256(
+           regexp_replace(regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+                          '{_PHONE_PAT}', '<PHONE>', 'g')
+       ), 1, 16) AS redacted_fp
+FROM pii
+""",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (emails, phone numbers) with detection counts.
+
+    The corpus is synthetic and PII-free, so the query plants
+    deterministic PII derived from doc_id, then scrubs it; the
+    fingerprint of the redacted text is hash-compared against the
+    oracle, proving byte-identical redaction. Map-only — at scale this
+    runs at scan speed inside WholeStageCodegen (no UDF).
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-01"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("0-99"),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("2."),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(planted, _EMAIL_PAT, "<EMAIL>"),
+        _PHONE_PAT,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(planted, F.lit(_EMAIL_PAT), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(planted, F.lit(_PHONE_PAT), 0)).alias(
+            "n_phones"
+        ),
+        F.substring(F.sha2(redacted, 256), 1, 16).alias("redacted_fp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# vocabulary heavy hitters (exact top-k terms)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "heavy_hitters",
+    oracle="""
+SELECT token, n_occurrences, n_docs, rank
+FROM (
+    SELECT token,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY COUNT(*) DESC, token
+           ) AS INTEGER) AS rank
+    FROM (
+        SELECT doc_id, unnest(string_split_regex(TRIM(text), '\\s+')) AS token
+        FROM documents
+    ) tokens
+    WHERE LENGTH(token) > 2
+    GROUP BY token
+) t
+WHERE rank <= 50
+""",
+)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-50 corpus terms by occurrence (doc frequency alongside).
+
+    explode → groupBy(token): map-side partial aggregation collapses
+    each partition to its local vocabulary before the shuffle, so
+    shuffle volume is vocab-sized, not corpus-sized. The ranking
+    window is single-partition BUT runs over the post-aggregation
+    vocabulary table only — at 100 TB that is still just the
+    vocabulary, not the corpus. (n_docs via COUNT(DISTINCT) adds the
+    standard two-phase distinct expansion; acceptable because it is
+    also vocab × doc bounded after dedup within the aggregate.)
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 2)
+    counts = tok.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
+    return (
+        counts.select(
+            "token",
+            "n_occurrences",
+            "n_docs",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 50)
+    )
+
+
+# --------------------------------------------------------------------------
+# quantile-based quality trimming (per-language length decile trim)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "quantile_length_trim",
+    oracle=f"""
+WITH deciled AS (
+    SELECT doc_id, lang, n_chars,
+           ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+    FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_kept,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       {sql_dround('SUM(n_chars) * 1.0 / COUNT(*)', 2)} AS avg_chars
+FROM deciled
+WHERE decile BETWEEN 2 AND 9
+GROUP BY lang
+""",
+)
+def quantile_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop the shortest and longest length-decile per language.
+
+    The classic outlier trim before training. ntile (deterministic
+    under the (n_chars, doc_id) total order) makes the bucket
+    boundaries engine-exact, unlike interpolated percentiles whose
+    float cutoffs can flip membership between engines. Window
+    partitions by language — per-partition sort, no global sort. At
+    100 TB, swap ntile for approxQuantile-derived cutoffs per
+    language (two scans, no per-language sort); semantics then become
+    approximate, which a trim tolerates.
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    w = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    deciled = docs.select(
+        "doc_id", "lang", "n_chars", F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        deciled.filter(F.col("decile").between(2, 9))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            dround(F.sum("n_chars") / F.count("*"), 2).alias("avg_chars"),
+        )
+    )
