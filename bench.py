@@ -51,6 +51,8 @@ HEADLINE = [
     "pii_redaction",
     "per_source_cap",
     "train_test_split",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customers",
 ]
 
 

@@ -19,3 +19,4 @@ from . import classic  # noqa: F401,E402
 from . import tpch_more  # noqa: F401,E402
 from . import timeseries  # noqa: F401,E402
 from . import training  # noqa: F401,E402
+from . import tpch2  # noqa: F401,E402
