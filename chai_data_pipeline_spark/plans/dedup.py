@@ -290,3 +290,75 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_distance"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup cluster assignment: Jaccard candidate pairs → connected
+# components (iterative min-label propagation). Similarity is pairwise,
+# not transitive — turning pairs into KEEP-ONE-PER-CLUSTER decisions
+# requires the transitive closure, which is this query. The oracle
+# expresses the same closure as a DuckDB recursive CTE (tractable at
+# test SF; the Spark side is the scale path).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cluster_components",
+    oracle="""
+WITH RECURSIVE sh AS (
+    SELECT doc_id, lang, n_chars // 64 AS len_bucket,
+           list_distinct(list_transform(
+               range(1, GREATEST(LENGTH(text) - 2, 0) + 1),
+               i -> text[i : i + 2]
+           )) AS grams
+    FROM documents
+),
+edges AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+          / (len(a.grams) + len(b.grams)
+             - len(list_intersect(a.grams, b.grams))) >= 0.3
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(node, r) AS (
+    SELECT DISTINCT src, src FROM sym
+    UNION
+    SELECT s.src, reach.r FROM sym s JOIN reach ON reach.node = s.dst
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id
+FROM reach GROUP BY node
+""",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingles
+    from ..operators.graph import connected_components
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
+        shingles("text", 3).alias("grams"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    edges = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(inter * 1.0 / union >= 0.3)
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+    )
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )

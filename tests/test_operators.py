@@ -263,3 +263,20 @@ def test_schema_evolution_merge(spark, tmp_path_factory):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r.id: r for r in df.collect()}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_connected_components_path_and_blobs(spark):
+    from chai_data_pipeline_spark.operators.graph import connected_components
+
+    # a 10-node path (worst diameter), a triangle, and a disjoint pair
+    path = [(i, i + 1) for i in range(100, 109)]
+    tri = [(1, 2), (2, 3), (1, 3)]
+    pair = [(7, 8)]
+    edges = spark.createDataFrame(path + tri + pair, ["src", "dst"])
+    got = {
+        r.node: r.cluster_id for r in connected_components(edges).collect()
+    }
+    assert all(got[n] == 100 for n in range(100, 110))  # full path collapses
+    assert got[1] == got[2] == got[3] == 1
+    assert got[7] == got[8] == 7
+    assert len(got) == 15
