@@ -324,3 +324,130 @@ def quantile_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("n_chars") / F.count("*"), 2).alias("avg_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# weighted mixture sampling (per-source rates via broadcast weight dim)
+# --------------------------------------------------------------------------
+
+# sampling rate in percent per source-number modulus: heavily keep
+# "high-quality" sources, downsample the rest — the mixture-reweighting
+# step of corpus assembly
+_MIX_SQL = """
+CASE WHEN CAST(SUBSTRING(source, 4) AS INTEGER) % 4 = 0 THEN 100
+     WHEN CAST(SUBSTRING(source, 4) AS INTEGER) % 4 = 1 THEN 50
+     WHEN CAST(SUBSTRING(source, 4) AS INTEGER) % 4 = 2 THEN 25
+     ELSE 10 END
+"""
+
+
+@query(
+    "mixture_weighted_sample",
+    oracle=f"""
+WITH rated AS (
+    SELECT doc_id, source, lang, n_chars, {_MIX_SQL} AS keep_pct
+    FROM documents
+)
+SELECT source, keep_pct,
+       COUNT(*) AS n_kept,
+       {sql_dround('SUM(n_chars) * 1.0 / COUNT(*)', 2)} AS avg_chars
+FROM rated
+WHERE {sql_hash_bucket('doc_id')} < keep_pct
+GROUP BY source, keep_pct
+""",
+)
+def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling rates applied via a broadcast weight
+    dimension — the mixture-reweighting step of corpus assembly
+    (downsample low-quality crawls, keep curated sources whole).
+
+    The weight table is a true dimension (one row per source) joined
+    with an explicit broadcast — the pattern scales to any corpus
+    since the dim is bounded by the source catalog, not the data.
+    Membership is the same sha256 bucket as the split/sample ops, so
+    resampling with different weights keeps decisions consistent.
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    srcs = docs.select("source").distinct()
+    src_num = F.substring("source", 4, 10).cast("int")
+    weights = F.broadcast(
+        srcs.select(
+            "source",
+            F.when(src_num % 4 == 0, 100)
+            .when(src_num % 4 == 1, 50)
+            .when(src_num % 4 == 2, 25)
+            .otherwise(10)
+            .alias("keep_pct"),
+        )
+    )
+    return (
+        docs.join(weights, "source")
+        .filter(hash_bucket("doc_id") < F.col("keep_pct"))
+        .groupBy("source", "keep_pct")
+        .agg(
+            F.count("*").alias("n_kept"),
+            dround(F.sum("n_chars") / F.count("*"), 2).alias("avg_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# sequence packing (chunked concatenation into fixed token budgets)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, lang,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, lang, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // 2048 AS BIGINT) AS seq_id
+    FROM toks
+)
+SELECT lang, seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM packed
+GROUP BY lang, seq_id
+""",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign documents to fixed-budget training sequences (2048
+    tokens) by chunked concatenation: docs are laid out in a
+    deterministic order (lang, doc_id) and cut into chunks wherever
+    the running token total crosses the budget — how pretraining
+    corpora are actually packed, minus the tokenizer.
+
+    All integer arithmetic over a running-sum window — exact on any
+    engine. Partitioned by lang: per-partition sort only, no global
+    sort; at scale the order key would be (shard, position) with the
+    same plan shape.
+    """
+    from ..operators import text as T
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id", "lang", T.token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "seq_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 2048),
+    )
+    return packed.groupBy("lang", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
