@@ -136,3 +136,55 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.max("total_value") * 10000 + F.lit(0.5)) / 10000.0
         ).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-stream time-range join (funnel attribution): purchases matched
+# to same-user clicks in the preceding hour; oracle is the batch range
+# join. Watermarks on both sides + two-sided time bound = evictable
+# join state (the only formulation that survives unbounded streams).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+WHERE p.event_type = 'purchase'
+  AND c.event_type = 'click'
+  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+""",
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import purchase_click_join_stream
+
+    return run_streaming_query(
+        purchase_click_join_stream(spark, sf_dir),
+        "t_stream_join",
+        output_mode="append",
+    )
+
+
+# --------------------------------------------------------------------------
+# Streaming dedup over an at-least-once source: every record delivered
+# twice, dropDuplicatesWithinWatermark emits each exactly once; oracle
+# is simply the table itself (each event once).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_dedup_delivery",
+    oracle="""
+SELECT event_id, user_id, event_type FROM events
+""",
+)
+def streaming_dedup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import dedup_delivery_stream
+
+    return run_streaming_query(
+        dedup_delivery_stream(spark, sf_dir),
+        "t_stream_dedup",
+        output_mode="append",
+    )

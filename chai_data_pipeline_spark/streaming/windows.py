@@ -29,7 +29,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream(
+    spark: SparkSession, sf_dir: str, duplicate_delivery: bool = False
+) -> DataFrame:
     """File-backed events stream with the same ns→µs conversion as the
     batch reader (session.load_tables).
 
@@ -37,6 +39,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     single file, so we stage a symlink dir under /tmp (read-only
     testdata stays untouched). In production this line is the Kafka/
     landing-bucket source instead.
+
+    ``duplicate_delivery=True`` stages the SAME file twice — simulating
+    an at-least-once source redelivering every record — for exercising
+    streaming deduplication.
     """
     import tempfile
 
@@ -46,13 +52,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stage = os.path.join(
         tempfile.gettempdir(),
-        "chai_stream_src",
+        "chai_stream_src_dup" if duplicate_delivery else "chai_stream_src",
         os.path.basename(os.path.normpath(sf_dir)),
     )
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    links = ["events.parquet"]
+    if duplicate_delivery:
+        links.append("events_redelivered.parquet")
+    for name in links:
+        link = os.path.join(stage, name)
+        if not os.path.exists(link):
+            os.symlink(src, link)
 
     stream = (
         spark.readStream.schema(batch.schema).format("parquet").load(stage)
@@ -114,6 +124,58 @@ def sessionized_stream(
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select("user_id", "n_events")
+    )
+
+
+def purchase_click_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks in the preceding hour.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides — the two requirements for Spark to EVICT join
+    state (without them, stream-stream join state grows forever; with
+    them, state is capped at watermark + range, the 100 TB/day
+    posture). Self-join of one source, filtered two ways — exactly the
+    funnel-attribution shape."""
+    ev = _events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+    ).select("purchase_id", "click_id")
+
+
+def dedup_delivery_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once on top of an at-least-once source:
+    ``dropDuplicatesWithinWatermark`` on the event id suppresses
+    redeliveries arriving within the watermark, with state evicted
+    beyond it (bounded memory — plain dropDuplicates on a stream would
+    keep every id forever). The staged source delivers every record
+    TWICE; the output must contain each exactly once."""
+    ev = _events_stream(spark, sf_dir, duplicate_delivery=True)
+    return (
+        ev.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
     )
 
 
