@@ -105,3 +105,31 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS bucketdb.orders_b")
         spark.sql("DROP TABLE IF EXISTS bucketdb.lineitem_b")
         spark.sql("DROP DATABASE IF EXISTS bucketdb")
+
+
+def test_hash_sample_is_map_only(spark, sf_dir):
+    """Deterministic sampling must be scan+filter — zero exchanges;
+    at 100 TB any shuffle here would be a pure waste."""
+    plan = _plan(spark, "sample_hash_deterministic", sf_dir)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_redaction_is_map_only_jvm(spark, sf_dir):
+    plan = _plan(spark, "pii_redaction", sf_dir)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_heavy_hitters_partial_agg_before_shuffle(spark, sf_dir):
+    """Token counting must combine map-side so the shuffle moves
+    vocabulary-sized partials, not corpus-sized token rows."""
+    plan = _plan(spark, "heavy_hitters", sf_dir)
+    assert "partial_" in plan
+
+
+def test_sequence_packing_partitions_by_lang(spark, sf_dir):
+    """The packing window must be per-language (no single-partition
+    global sort over the corpus)."""
+    plan = _plan(spark, "sequence_packing", sf_dir)
+    assert "windowspecdefinition(lang" in plan
