@@ -133,3 +133,47 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv")
     )
     return ann_topk_ivf(emb, qdf, k=10)
+
+
+# --------------------------------------------------------------------------
+# Per-label centroids — distributed vector averaging. The scalable
+# layout: posexplode to (label, dim, val) so each dimension's sum is an
+# independent aggregation key (no giant per-group vector state, shuffle
+# carries (label × dim) partials). Cross-row float sums are order-
+# dependent, so values are fixed-point quantized first: floor(x·2²⁰)
+# is an exact IEEE op (power-of-two scale = exponent shift) and the
+# resulting integer sum is associative — bit-identical on any engine
+# and any partitioning. Centroids come out at 2⁻²⁰ resolution, far
+# below float32's own noise floor for unit-scale embeddings.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+WITH flat AS (
+    SELECT label,
+           unnest(range(len(embedding))) AS dim,
+           unnest(embedding) AS val
+    FROM embeddings
+)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       (CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+        / (1048576.0 * COUNT(*))) AS centroid,
+       COUNT(*) AS n_vectors
+FROM flat
+GROUP BY label, dim
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "val")
+    )
+    q = F.floor(F.col("val").cast("double") * 1048576).cast("long")
+    return flat.groupBy("label", "dim").agg(
+        (F.sum(q).cast("double") / (1048576.0 * F.count("*"))).alias(
+            "centroid"
+        ),
+        F.count("*").alias("n_vectors"),
+    )
