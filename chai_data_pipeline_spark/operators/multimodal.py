@@ -23,7 +23,6 @@ driver fixtures too.
 from __future__ import annotations
 
 import hashlib
-import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -54,28 +53,6 @@ def attach_fake_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def _parse_image_header(b: bytes) -> tuple[str, int, int] | None:
-    """Real header parsing for PNG/JPEG (no external libs needed)."""
-    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
-        w, h = struct.unpack(">II", b[16:24])
-        return "png", w, h
-    if len(b) >= 4 and b[:2] == b"\xff\xd8":
-        # JPEG: scan for SOF0/SOF2 frame header
-        i = 2
-        while i + 9 < len(b):
-            if b[i] != 0xFF:
-                i += 1
-                continue
-            marker = b[i + 1]
-            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
-            if marker in (0xC0, 0xC2):
-                h = int.from_bytes(b[i + 5 : i + 7], "big")
-                w = int.from_bytes(b[i + 7 : i + 9], "big")
-                return "jpeg", w, h
-            i += 2 + seg_len
-    return None
-
-
 def decode_image_meta(assets: DataFrame) -> DataFrame:
     """Decode step: real PNG/JPEG header parse when the payload is a
     real image; deterministic hash-derived fake dimensions otherwise
@@ -83,6 +60,29 @@ def decode_image_meta(assets: DataFrame) -> DataFrame:
     PIL — stubbed per environment constraints."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        # nested (not module-level) so cloudpickle ships it by VALUE:
+        # executors don't have this repo on their PYTHONPATH
+        def _parse_image_header(b: bytes):
+            if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n":
+                w, h = struct.unpack(">II", b[16:24])
+                return "png", w, h
+            if len(b) >= 4 and b[:2] == b"\xff\xd8":
+                i = 2
+                while i + 9 < len(b):
+                    if b[i] != 0xFF:
+                        i += 1
+                        continue
+                    marker = b[i + 1]
+                    seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                    if marker in (0xC0, 0xC2):
+                        h = int.from_bytes(b[i + 5 : i + 7], "big")
+                        w = int.from_bytes(b[i + 7 : i + 9], "big")
+                        return "jpeg", w, h
+                    i += 2 + seg_len
+            return None
+
         try:
             from PIL import Image  # noqa: F401
 

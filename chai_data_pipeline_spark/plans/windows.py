@@ -334,3 +334,58 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("session_minutes"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-RANGE window frame: trailing 7 *calendar days* per user — NOT 7
+# rows. With gappy activity the two differ: a row frame reaches back
+# through idle weeks, a range frame sees only what actually happened in
+# the time interval. Spark expresses range frames over an epoch-seconds
+# ordering key; the oracle uses DuckDB's native RANGE INTERVAL frame —
+# agreeing results prove the epoch encoding is faithful.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "range_window_trailing_7d",
+    oracle=f"""
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS event_date,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS day_value
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT user_id, event_date,
+       CAST(SUM(n_events) OVER w AS BIGINT) AS events_7d,
+       {sql_dround('''SUM(day_value) OVER w''')} AS value_7d,
+       CAST(COUNT(*) OVER w AS INTEGER) AS active_days_7d
+FROM daily
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY event_date
+    RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+)
+""",
+)
+def range_window_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("event_date")
+    ).agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("day_value"),
+    )
+    # range frame over epoch days: -6 days .. current
+    day_key = F.unix_timestamp(F.col("event_date").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(day_key)
+        .rangeBetween(-6 * 86400, 0)
+    )
+    return daily.select(
+        "user_id",
+        "event_date",
+        F.sum("n_events").over(w).alias("events_7d"),
+        dround(F.sum("day_value").over(w)).alias("value_7d"),
+        F.count("*").over(w).cast("int").alias("active_days_7d"),
+    )
