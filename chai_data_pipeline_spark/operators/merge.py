@@ -57,3 +57,45 @@ def delete_then_append(
     key_rows = source.select(*keys).dropDuplicates(list(keys))
     kept = target.join(key_rows, on=list(keys), how="left_anti")
     return kept.unionByName(source)
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a change-data-capture log to a snapshot.
+
+    ``changes`` carries the target's columns plus ``op_col``
+    ('I'/'U'/'D') and ``seq_col`` (monotone change order). Per key,
+    only the LATEST change matters for the final state (deterministic
+    tiebreak: highest seq wins); a final 'D' deletes the key, anything
+    else upserts the change row.
+
+    Scale: compacting the log first (one window over the changes on
+    the key — log-sized, not snapshot-sized) means the expensive
+    snapshot-side work is a single left-anti + union on the key, never
+    a per-change replay. This is the plain-parquet expression of what
+    Delta/Iceberg MERGE does under row-level concurrency.
+    """
+    from pyspark.sql.window import Window
+
+    data_cols = [c for c in changes.columns if c not in (op_col, seq_col)]
+    if set(data_cols) != set(target.columns):
+        raise ValueError(
+            f"schema mismatch: {sorted(data_cols)} vs {sorted(target.columns)}"
+        )
+    w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+    latest = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    touched = latest.select(*keys).dropDuplicates(list(keys))
+    untouched = target.join(touched, on=list(keys), how="left_anti")
+    survivors = latest.filter(F.col(op_col) != "D").select(
+        *[F.col(c) for c in target.columns]
+    )
+    return untouched.unionByName(survivors)

@@ -237,3 +237,63 @@ def upsert_merge_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = daily(F.to_date("ts") <= F.lit("2024-01-20").cast("date"))
     source = daily(F.to_date("ts") >= F.lit("2024-01-15").cast("date"))
     return upsert(target, source, keys=["d", "event_type"])
+
+
+# --------------------------------------------------------------------------
+# CDC apply: latest-change-wins compaction + tombstone deletes over a
+# snapshot (operators/merge.apply_cdc). The change log is synthesized
+# deterministically from the customer snapshot: two competing updates
+# (seq 1: +50, seq 2: +100 — latest must win), deletes, and inserts.
+# The oracle derives the FINAL state directly (no window), so the two
+# sides agree only if compaction picks exactly the right change per key.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cdc_apply_changes",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey,
+       CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100 ELSE c_acctbal END
+           AS c_acctbal,
+       c_mktsegment
+FROM customer
+WHERE c_custkey % 7 <> 1
+UNION ALL
+SELECT c_custkey + 1000000, c_name, c_nationkey, 0.0, c_mktsegment
+FROM customer
+WHERE c_custkey % 7 = 2
+""",
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import apply_cdc
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    cols = cust.columns
+    k = F.col("c_custkey")
+
+    upd1 = (
+        cust.filter(k % 7 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 50)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+    )
+    upd2 = (
+        cust.filter(k % 7 == 0)
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(2))
+    )
+    dels = (
+        cust.filter(k % 7 == 1)
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(1))
+    )
+    ins = (
+        cust.filter(k % 7 == 2)
+        .withColumn("c_custkey", k + 1000000)
+        .withColumn("c_acctbal", F.lit(0.0))
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.lit(1))
+    )
+    changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    return apply_cdc(cust, changes, ["c_custkey"]).select(*cols)
