@@ -221,3 +221,87 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "tfidf", "rn")
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 history build: collapse an event log into slowly-changing-
+# dimension type-2 validity intervals — consecutive same-value runs
+# merge, each version row carries [valid_from, valid_to) with NULL
+# valid_to for the current version. The warehouse-standard history
+# shape the reference's truncate-reload model cannot produce.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scd2_history",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type, ts,
+           CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS is_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT user_id, event_type, ts,
+           SUM(is_change) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING
+           ) AS version
+    FROM ordered
+),
+versions AS (
+    SELECT user_id, event_type, CAST(version AS INTEGER) AS version,
+           MIN(ts) AS valid_from,
+           COUNT(*) AS n_events
+    FROM runs GROUP BY user_id, event_type, version
+)
+SELECT user_id, event_type, version, valid_from,
+       LEAD(valid_from) OVER (
+           PARTITION BY user_id ORDER BY valid_from
+       ) AS valid_to,
+       n_events
+FROM versions
+""",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle on user_id serves every window (same partitioning
+    reused across lag → run-id → lead); per-user partitions are
+    bounded by per-user activity, never corpus size."""
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("is_change"),
+    )
+    runs = ordered.withColumn(
+        "version",
+        F.sum("is_change").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    versions = runs.groupBy(
+        "user_id", "event_type", F.col("version").cast("int").alias("version")
+    ).agg(
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    return versions.select(
+        "user_id",
+        "event_type",
+        "version",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_events",
+    )
