@@ -53,6 +53,12 @@ HEADLINE = [
     "train_test_split",
     "tpch_q5_local_supplier_volume",
     "tpch_q18_large_volume_customers",
+    "cdc_apply_changes",
+    "scd2_history",
+    "range_window_trailing_7d",
+    "embedding_centroids",
+    "sequence_packing",
+    "mixture_weighted_sample",
 ]
 
 
