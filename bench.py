@@ -82,6 +82,11 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+        print(
+            f"warning: {warm_dir!r} used for warm-up (sf0.001 missing) — "
+            "each headline query runs twice at full scale",
+            file=sys.stderr,
+        )
     from chai_data_pipeline_spark import plans as _p
 
     for name in HEADLINE:

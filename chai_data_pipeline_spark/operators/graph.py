@@ -84,4 +84,12 @@ def connected_components(
         labels = stepped.select("node", "label")
         if n_changed == 0:
             break
+    else:
+        # silent partial convergence would split true components —
+        # wrong dedup survivors with no signal. Fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_changed} labels still changing); the graph has a "
+            f"component of diameter > {max_iter} — raise max_iter"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))

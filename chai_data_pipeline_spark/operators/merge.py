@@ -87,7 +87,12 @@ def apply_cdc(
         raise ValueError(
             f"schema mismatch: {sorted(data_cols)} vs {sorted(target.columns)}"
         )
-    w = Window.partitionBy(*keys).orderBy(F.desc(seq_col))
+    # full tiebreak: equal-seq changes (shared transaction sequence)
+    # must still pick ONE winner deterministically across runs and
+    # partitionings — op then every data column breaks remaining ties
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(seq_col), F.desc(op_col), *[F.desc(c) for c in data_cols]
+    )
     latest = (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -236,7 +236,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scd2_history",
     oracle="""
 WITH ordered AS (
-    SELECT user_id, event_type, ts,
+    SELECT user_id, event_type, ts, event_id,
            CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
                 THEN 1 ELSE 0 END AS is_change
     FROM events
@@ -245,7 +245,7 @@ WITH ordered AS (
 runs AS (
     SELECT user_id, event_type, ts,
            SUM(is_change) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING
            ) AS version
     FROM ordered
@@ -258,7 +258,7 @@ versions AS (
 )
 SELECT user_id, event_type, version, valid_from,
        LEAD(valid_from) OVER (
-           PARTITION BY user_id ORDER BY valid_from
+           PARTITION BY user_id ORDER BY valid_from, version
        ) AS valid_to,
        n_events
 FROM versions
@@ -276,6 +276,7 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "ts",
+        "event_id",
         F.when(
             ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
         )
@@ -286,7 +287,7 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version",
         F.sum("is_change").over(
             Window.partitionBy("user_id")
-            .orderBy("ts")
+            .orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
@@ -296,7 +297,7 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("valid_from"),
         F.count("*").alias("n_events"),
     )
-    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    wv = Window.partitionBy("user_id").orderBy("valid_from", "version")
     return versions.select(
         "user_id",
         "event_type",

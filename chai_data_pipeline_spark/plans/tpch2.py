@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import dround, dsum, sql_dround, sql_dsum
+from ..functions import davg, dround, dsum, sql_davg, sql_dround, sql_dsum
 from ..session import load_tables
 from .registry import query
 
@@ -190,7 +190,7 @@ FROM lineitem, part
 WHERE p_partkey = l_partkey
   AND p_brand = 'Brand#3'
   AND l_quantity < 0.2 * (
-      SELECT {sql_dsum('l_quantity', 2)} / COUNT(l_quantity)
+      SELECT {sql_davg('l_quantity', 2)}
       FROM lineitem l2
       WHERE l2.l_partkey = part.p_partkey
   )
@@ -210,7 +210,7 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     part = t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     per_part_avg = (
         li.groupBy("l_partkey").agg(
-            (dsum("l_quantity", 2) / F.count("l_quantity")).alias("avg_qty")
+            davg("l_quantity", 2).alias("avg_qty")
         ).withColumnRenamed("l_partkey", "ap_partkey")
     )
     return (

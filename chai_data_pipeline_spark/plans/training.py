@@ -357,31 +357,31 @@ GROUP BY source, keep_pct
 """,
 )
 def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source sampling rates applied via a broadcast weight
-    dimension — the mixture-reweighting step of corpus assembly
-    (downsample low-quality crawls, keep curated sources whole).
+    """Per-source sampling rates — the mixture-reweighting step of
+    corpus assembly (downsample low-quality crawls, keep curated
+    sources whole).
 
-    The weight table is a true dimension (one row per source) joined
-    with an explicit broadcast — the pattern scales to any corpus
-    since the dim is bounded by the source catalog, not the data.
-    Membership is the same sha256 bucket as the split/sample ops, so
-    resampling with different weights keeps decisions consistent.
+    keep_pct is a pure per-row expression of `source`, so it is
+    computed map-side inside codegen: the whole query is scan →
+    filter → one small aggregation, zero extra passes. (A weight
+    table sourced OUTSIDE the corpus — a curation config — would be
+    a broadcast dim join instead, covered by `broadcast_dim_join`;
+    deriving it here from the corpus itself via distinct+join would
+    cost a full extra scan for nothing.) Membership is the same
+    sha256 bucket as the split/sample ops, so resampling with
+    different weights keeps decisions consistent.
     """
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    srcs = docs.select("source").distinct()
     src_num = F.substring("source", 4, 10).cast("int")
-    weights = F.broadcast(
-        srcs.select(
-            "source",
-            F.when(src_num % 4 == 0, 100)
-            .when(src_num % 4 == 1, 50)
-            .when(src_num % 4 == 2, 25)
-            .otherwise(10)
-            .alias("keep_pct"),
-        )
+    keep_pct = (
+        F.when(src_num % 4 == 0, 100)
+        .when(src_num % 4 == 1, 50)
+        .when(src_num % 4 == 2, 25)
+        .otherwise(10)
+        .alias("keep_pct")
     )
     return (
-        docs.join(weights, "source")
+        docs.withColumn("keep_pct", keep_pct)
         .filter(hash_bucket("doc_id") < F.col("keep_pct"))
         .groupBy("source", "keep_pct")
         .agg(

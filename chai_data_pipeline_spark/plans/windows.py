@@ -375,12 +375,16 @@ def range_window_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum("value").alias("day_value"),
     )
-    # range frame over epoch days: -6 days .. current
-    day_key = F.unix_timestamp(F.col("event_date").cast("timestamp"))
+    # range frame over a DAY-NUMBER key (days since epoch), not epoch
+    # seconds: unix_timestamp depends on the session time zone, and the
+    # external driver runs a vanilla session — across a DST fall-back a
+    # "6 days earlier" date would be 6d+1h of epoch seconds and fall
+    # out of the frame. datediff is calendar arithmetic, tz-independent.
+    day_key = F.datediff(F.col("event_date"), F.lit("1970-01-01"))
     w = (
         Window.partitionBy("user_id")
         .orderBy(day_key)
-        .rangeBetween(-6 * 86400, 0)
+        .rangeBetween(-6, 0)
     )
     return daily.select(
         "user_id",

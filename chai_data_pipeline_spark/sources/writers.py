@@ -89,10 +89,22 @@ def compact(
     compaction keeps scan task counts sane (a 100 TB table of 1 MB
     files is 10^8 scheduler tasks — compaction is operationally
     mandatory at scale)."""
+    import shutil
+    import uuid
+
+    # write-then-swap: never delete the source before the replacement
+    # is fully durable (localCheckpoint blocks live on executor-local
+    # storage and are NOT fault-tolerant — an in-place overwrite that
+    # fails mid-write would lose the table). Local-fs swap here; on an
+    # object store the same pattern is write-to-prefix + manifest/
+    # pointer flip (or a table format's atomic commit).
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
     df = spark.read.parquet(path)
-    # localCheckpoint: fully materialize before overwriting the source
-    compacted = df.repartition(target_files).localCheckpoint(eager=True)
-    w = compacted.write.mode("overwrite")
+    w = df.repartition(target_files).write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    w.parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)

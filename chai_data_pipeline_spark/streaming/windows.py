@@ -61,8 +61,15 @@ def _events_stream(
         links.append("events_redelivered.parquet")
     for name in links:
         link = os.path.join(stage, name)
-        if not os.path.exists(link):
-            os.symlink(src, link)
+        # lexists (not exists): a dangling symlink from a rebuilt
+        # testdata dir must be replaced, not crash os.symlink; a live
+        # link pointing at a DIFFERENT file must be re-pointed, not
+        # silently stream stale data
+        if os.path.lexists(link):
+            if os.path.islink(link) and os.readlink(link) == src:
+                continue
+            os.remove(link)
+        os.symlink(src, link)
 
     stream = (
         spark.readStream.schema(batch.schema).format("parquet").load(stage)
