@@ -29,10 +29,12 @@ def sessionize(
     order = [ts_col] + ([order_tiebreak] if order_tiebreak else [])
     w = Window.partitionBy(user_col).orderBy(*order)
     prev_ts = F.lag(ts_col).over(w)
+    from ..functions.numeric import epoch_seconds
+
     is_new = F.when(
         prev_ts.isNull()
         | (
-            (F.col(ts_col).cast("double") - prev_ts.cast("double"))
+            (epoch_seconds(F.col(ts_col)) - epoch_seconds(prev_ts))
             > gap_seconds
         ),
         1,

@@ -87,6 +87,13 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     without rounding). DuckDB truncates ns→us the same way, so the
     oracle comparison stays exact.
     """
+    # Pin the session zone at read time: the external driver's session
+    # is VANILLA (host-default tz). events.ts becomes a timestamp
+    # INSTANT via timestamp_micros, so to_date/window bucketing on it
+    # follows the session zone — under a DST zone every date-grain
+    # query would bucket (and range-frame) differently than the naive-
+    # timestamp DuckDB oracle. UTC = the oracle's naive interpretation.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     out = {}
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -94,8 +101,16 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
             if dict(df.dtypes).get("ts") == "bigint":
+                # → NTZ wall-clock (identity under the UTC pin above):
+                # an instant-typed ts would make every downstream
+                # to_date/window bucket session-tz-dependent AND
+                # collect() converts instants via the OS zone — naive
+                # timestamps match the DuckDB oracle on both counts
                 df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    "ts",
+                    F.timestamp_micros(F.expr("ts div 1000")).cast(
+                        "timestamp_ntz"
+                    ),
                 )
         else:
             df = spark.read.parquet(path)

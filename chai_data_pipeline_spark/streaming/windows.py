@@ -47,6 +47,10 @@ def _events_stream(
     import tempfile
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # same tz pin + NTZ conversion as the batch reader
+    # (session.load_tables): window bucketing on an instant would
+    # follow the host zone of the driver's vanilla session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     src = os.path.join(sf_dir, "events.parquet")
     batch = spark.read.parquet(src)
 
@@ -74,6 +78,10 @@ def _events_stream(
     stream = (
         spark.readStream.schema(batch.schema).format("parquet").load(stage)
     )
+    # ts stays an INSTANT here (withWatermark rejects TIMESTAMP_NTZ);
+    # the UTC session pin above makes window bucketing deterministic,
+    # and aggregate outputs cast their window labels to NTZ so
+    # driver-side collection is OS-tz-independent
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
@@ -89,7 +97,7 @@ def tumbling_counts_stream(
         .groupBy(F.window("ts", size).alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
         .select(
-            F.col("w.start").alias("window_start"),
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n_events",
         )
@@ -114,7 +122,7 @@ def sliding_counts_stream(
             ).cast("double").alias("__scaled"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "n_events",
             (F.col("__scaled") / 10000.0).alias("total_value"),
         )

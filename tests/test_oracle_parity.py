@@ -39,3 +39,23 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert "event_date" in df.columns
+
+
+@pytest.mark.parametrize(
+    "name", ["range_window_trailing_7d", "flagship_daily_event_trends"]
+)
+def test_tz_independent_under_dst_session(spark, duck, sf_dir, name):
+    """The external driver's session is vanilla (host-default tz).
+    Date bucketing and range frames over the events instant column
+    must not follow a DST session zone — load_tables pins UTC at read
+    time (CLAUDE.md contract), which this test exercises by starting
+    from America/New_York."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        res = compare_query(
+            spark, duck, name, plans.QUERIES[name], plans.ORACLES[name], sf_dir
+        )
+        assert res.ok, res.detail
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
