@@ -17,6 +17,8 @@ from pyspark.sql.window import Window
 from ..functions import dround, dsum, sql_dround, sql_dsum
 from ..operators.asof import asof_join
 from ..session import load_tables
+from . import windows as _windows  # noqa: F401  (registers the shared
+#   trend_classification oracle; keeps this module import-order-independent)
 from .registry import ORACLES, query
 
 # --------------------------------------------------------------------------
@@ -116,8 +118,8 @@ def range_predicate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_counts",
     oracle="""
 SELECT l_returnflag,
-       count_if(l_linestatus = 'O') AS o_count,
-       count_if(l_linestatus = 'F') AS f_count
+       COUNT(*) FILTER (WHERE l_linestatus = 'O') AS o_count,
+       COUNT(*) FILTER (WHERE l_linestatus = 'F') AS f_count
 FROM lineitem GROUP BY l_returnflag
 """,
 )

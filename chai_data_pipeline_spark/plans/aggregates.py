@@ -101,8 +101,9 @@ def segment_nation_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
-       count_if(o_orderstatus = 'F') AS n_finished,
-       count_if(o_orderdate >= TIMESTAMP '1997-01-01 00:00:00') AS n_recent
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+           AS n_recent
 FROM orders
 GROUP BY o_orderpriority
 """,
@@ -250,11 +251,11 @@ def latest_partition_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dq_single_pass",
     oracle="""
-SELECT count_if(l_orderkey IS NULL) AS null_orderkey,
-       count_if(l_quantity < 0) AS negative_qty,
-       count_if(l_discount < 0 OR l_discount > 1) AS bad_discount,
-       count_if(l_tax > l_discount) AS tax_gt_discount,
-       count_if(l_shipdate IS NULL) AS null_shipdate,
+SELECT COUNT(*) FILTER (WHERE l_orderkey IS NULL) AS null_orderkey,
+       COUNT(*) FILTER (WHERE l_quantity < 0) AS negative_qty,
+       COUNT(*) FILTER (WHERE l_discount < 0 OR l_discount > 1) AS bad_discount,
+       COUNT(*) FILTER (WHERE l_tax > l_discount) AS tax_gt_discount,
+       COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS null_shipdate,
        COUNT(*) AS total_rows
 FROM lineitem
 """,

@@ -60,6 +60,114 @@ def _norm(v):
     return v
 
 
+_DUCK_INT_TYPES = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def spark_value_class(dt) -> str:
+    """Canonical value class a Spark column materializes as via Arrow.
+
+    The driver's value hash is sensitive to the PYTHON TYPE of each cell
+    (int vs Decimal vs float vs date...), not to physical width. Two
+    engines agree iff every column lands in the same class — and, for
+    decimals, the same SCALE (str(Decimal('5.00')) != str(Decimal('5.0'))).
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return f"decimal(s={dt.scale})"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, T.TimestampNTZType):
+        return "timestamp"
+    if isinstance(dt, T.TimestampType):
+        # Instant-typed output converts through the HOST OS zone on
+        # collect() — banned from the contract surface (CLAUDE.md).
+        return "timestamp_instant"
+    if isinstance(dt, T.ArrayType):
+        return f"list<{spark_value_class(dt.elementType)}>"
+    if isinstance(dt, T.StructType):
+        inner = ",".join(
+            f"{f.name}:{spark_value_class(f.dataType)}" for f in dt.fields
+        )
+        return f"struct<{inner}>"
+    return dt.simpleString()
+
+
+def duckdb_value_class(type_str: str) -> str:
+    """Canonical value class for a DuckDB type string (from DESCRIBE)."""
+    t = type_str.strip().upper()
+    if t.endswith("[]"):
+        return f"list<{duckdb_value_class(t[:-2])}>"
+    if t in _DUCK_INT_TYPES:
+        return "int"
+    if t == "HUGEINT":
+        # DuckDB HUGEINT surfaces as Arrow decimal128(38,0) → Python
+        # Decimal — hash-mismatches a Spark int64. count_if/SUM(int)
+        # produce it; oracles must CAST or use COUNT(*) FILTER.
+        return "decimal(s=0)"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        scale = t.rsplit(",", 1)[-1].rstrip(")") if "," in t else "0"
+        return f"decimal(s={int(scale)})"
+    if t == "BOOLEAN":
+        return "bool"
+    if t in ("VARCHAR", "TEXT", "STRING"):
+        return "str"
+    if t in ("BLOB", "BYTEA"):
+        return "binary"
+    if t == "DATE":
+        return "date"
+    if t.startswith("TIMESTAMP WITH TIME ZONE") or t == "TIMESTAMPTZ":
+        return "timestamp_instant"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t.startswith("STRUCT"):
+        return "struct<...>"  # compared loosely; no struct outputs today
+    return t
+
+
+def oracle_type_mismatches(
+    spark: SparkSession,
+    con: duckdb.DuckDBPyConnection,
+    spark_fn,
+    oracle: str,
+    sf_dir: str,
+) -> list[tuple[str, str, str]]:
+    """(column, spark_class, duck_class) for every class-level mismatch.
+
+    Spark side is pure schema analysis (no job); DuckDB side uses
+    DESCRIBE (no execution). Catches oracle type artifacts (e.g. DuckDB
+    count_if → HUGEINT → Decimal vs Spark int64) locally, before the
+    driver's type-sensitive value hash sees them.
+    """
+    sdf = spark_fn(spark, sf_dir)
+    spark_classes = {f.name: spark_value_class(f.dataType) for f in sdf.schema.fields}
+    duck_classes = {
+        row[0]: duckdb_value_class(row[1])
+        for row in con.execute(f"DESCRIBE {oracle}").fetchall()
+    }
+    out = []
+    for col in sorted(set(spark_classes) | set(duck_classes)):
+        s, d = spark_classes.get(col, "<missing>"), duck_classes.get(col, "<missing>")
+        if s != d:
+            out.append((col, s, d))
+    return out
+
+
 def _sort_key(row):
     return tuple(
         (x is None, str(type(x).__name__), str(x)) for x in row
