@@ -62,6 +62,23 @@ def with_cosine(
     return df.withColumn(out_col, F.expr(cosine_sql_spark(a_col, b_col)))
 
 
+def ranked_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Top-k by (cosine DESC, id ASC) with a ``rank`` column.
+
+    Sort+limit compiles to TakeOrderedAndProject: every partition keeps
+    its local top k and the driver merges k×P rows — the scalable shape.
+    (A global row_number() window here would pull EVERY scored row into
+    one partition.) The rank is then derived over the bounded (≤k-row)
+    result; the constant partition key keeps the window spec non-empty —
+    single-partition by construction, input already capped at k.
+    """
+    from pyspark.sql.window import Window
+
+    topk = scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cosine"), F.asc(id_col))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
 def brute_force_topk(
     vectors: DataFrame,
     query: DataFrame,
@@ -73,8 +90,6 @@ def brute_force_topk(
     """Exact top-k rows of ``vectors`` by cosine to the single-row
     ``query`` (broadcast). Ranks on the ROUNDED cosine + id tiebreak so
     ordering is engine-independent."""
-    from pyspark.sql.window import Window
-
     from ..functions import dround
 
     joined = vectors.crossJoin(F.broadcast(query))
@@ -84,11 +99,7 @@ def brute_force_topk(
             "cosine"
         ),
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-    )
+    return ranked_topk(scored, k, id_col)
 
 
 def _hyperplane(t: int, b: int, dim: int) -> list[float]:
@@ -167,8 +178,6 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates = rows sharing any LSH bucket with
     the query, then exact cosine on candidates only."""
-    from pyspark.sql.window import Window
-
     from ..functions import dround
 
     buckets = lsh_sign_buckets(df, vec_col, id_col, **lsh_kwargs)
@@ -187,10 +196,7 @@ def ann_topk_lsh(
         F.col(id_col),
         dround(F.expr(cosine_sql_spark(vec_col, "qv")), 6).alias("cosine"),
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return ranked_topk(scored, k, id_col)
 
 
 def ivf_assign(
@@ -202,11 +208,16 @@ def ivf_assign(
     """IVF coarse quantization: assign each vector to its nearest
     "centroid". Centroids are the first ``n_centroids`` vectors by id —
     a deterministic stand-in for a k-means codebook (production would
-    train one; the partitioning/probe mechanics are identical). Adds a
-    ``centroid_id`` column; the assignment is a broadcast join + argmax,
-    no shuffle of the vector table."""
-    from pyspark.sql.window import Window
+    train one; the partitioning/probe mechanics are identical).
 
+    MAP-ONLY: the codebook is folded into ONE array<struct> row (sorted
+    by centroid_id), broadcast via a nested-loop join with the 1-row
+    side, and each vector scores every centroid in-row, taking the
+    argmax with array_max over (sim, -centroid_id) structs — highest
+    similarity wins, ties break to the LOWEST centroid id. Zero shuffle
+    of the vector table (the previous per-id window over the
+    row×centroid crossJoin moved 16× the embedding volume through an
+    exchange)."""
     cents = (
         df.orderBy(id_col)
         .limit(n_centroids)
@@ -215,14 +226,20 @@ def ivf_assign(
             F.col(vec_col).alias("centroid_vec"),
         )
     )
-    scored = df.crossJoin(F.broadcast(cents)).withColumn(
-        "__sim", F.expr(cosine_sql_spark(vec_col, "centroid_vec"))
+    codebook = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "centroid_vec"))
+        ).alias("__codebook")
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+    best = (
+        "array_max(transform(__codebook, c -> struct("
+        f"{cosine_sql_spark(vec_col, 'c.centroid_vec')} AS sim, "
+        "-c.centroid_id AS neg_cid)))"
+    )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(df["*"], "centroid_id")
+        df.crossJoin(F.broadcast(codebook))
+        .withColumn("__best", F.expr(best))
+        .select(df["*"], (-F.col("__best.neg_cid")).alias("centroid_id"))
     )
 
 
@@ -240,8 +257,6 @@ def ann_topk_ivf(
     only within them. At scale the assignment is written once
     (partitioned by centroid_id) and each query touches n_probe/n_total
     of the data."""
-    from pyspark.sql.window import Window
-
     from ..functions import dround
 
     assigned = ivf_assign(df, n_centroids, vec_col, id_col)
@@ -267,7 +282,4 @@ def ann_topk_ivf(
         F.col(id_col),
         dround(F.expr(cosine_sql_spark(vec_col, "qv")), 6).alias("cosine"),
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    )
+    return ranked_topk(scored, k, id_col)

@@ -69,11 +69,18 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
-    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
-    return (
-        agg.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("l_orderkey", "revenue", "order_date", "o_orderpriority", "rn")
+    # Top-10 via sort+limit → TakeOrderedAndProject: each partition keeps
+    # its local top 10, the driver merges 10×P rows. The previous global
+    # row_number() window pulled EVERY per-order aggregate into one
+    # partition — correct, but a scale-killer at 100×. The rank is then
+    # derived over the bounded (≤10-row) result; the constant partition
+    # key keeps the window spec non-empty (input already capped).
+    topk = agg.orderBy(F.desc("revenue"), F.asc("l_orderkey")).limit(10)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("revenue"), F.asc("l_orderkey")
+    )
+    return topk.withColumn("rn", F.row_number().over(w)).select(
+        "l_orderkey", "revenue", "order_date", "o_orderpriority", "rn"
     )
 
 

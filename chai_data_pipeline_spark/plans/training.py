@@ -246,12 +246,12 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     explode → groupBy(token): map-side partial aggregation collapses
     each partition to its local vocabulary before the shuffle, so
-    shuffle volume is vocab-sized, not corpus-sized. The ranking
-    window is single-partition BUT runs over the post-aggregation
-    vocabulary table only — at 100 TB that is still just the
-    vocabulary, not the corpus. (n_docs via COUNT(DISTINCT) adds the
-    standard two-phase distinct expansion; acceptable because it is
-    also vocab × doc bounded after dedup within the aggregate.)
+    shuffle volume is vocab-sized, not corpus-sized. The top-50 is
+    sort+limit (TakeOrderedAndProject: local top-k per partition,
+    driver merge of 50×P rows) — cheaper than even a vocab-bounded
+    global window. (n_docs via COUNT(DISTINCT) adds the standard
+    two-phase distinct expansion; acceptable because it is also
+    vocab × doc bounded after dedup within the aggregate.)
     """
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     tok = docs.select(
@@ -262,15 +262,12 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_occurrences"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
-    w = Window.orderBy(F.desc("n_occurrences"), F.asc("token"))
-    return (
-        counts.select(
-            "token",
-            "n_occurrences",
-            "n_docs",
-            F.row_number().over(w).alias("rank"),
-        )
-        .filter(F.col("rank") <= 50)
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(50)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("n_occurrences"), F.asc("token")
+    )
+    return top.select(
+        "token", "n_occurrences", "n_docs", F.row_number().over(w).alias("rank")
     )
 
 

@@ -128,6 +128,39 @@ def test_heavy_hitters_partial_agg_before_shuffle(spark, sf_dir):
     assert "partial_" in plan
 
 
+def test_ivf_assign_is_map_only(spark, sf_dir):
+    """Centroid assignment must never shuffle the vector table: the
+    codebook folds to one broadcast row and the argmax happens in-row.
+    The old shape (crossJoin + per-id window) moved 16x the embedding
+    volume through an Exchange hashpartitioning(vec_id)."""
+    from chai_data_pipeline_spark.operators.similarity import ivf_assign
+    from chai_data_pipeline_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    assigned = ivf_assign(emb)
+    plan = assigned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "hashpartitioning(vec_id" not in plan
+    assert "Window" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["similarity_cosine_topk", "tpch_q3_shipping_priority"]
+)
+def test_topk_is_sort_limit_not_global_window(spark, sf_dir, name):
+    """Top-k finishers must compile to TakeOrderedAndProject (local
+    top-k per partition, driver merge of k*P rows), not a global
+    unpartitioned row_number() window over every scored row."""
+    plan = _plan(spark, name, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    # the only window left ranks the bounded k-row result and carries a
+    # non-empty (constant) partition spec
+    assert "windowspecdefinition(0," in plan or "windowspecdefinition(Window" not in plan
+
+
 def test_sequence_packing_partitions_by_lang(spark, sf_dir):
     """The packing window must be per-language (no single-partition
     global sort over the corpus)."""
