@@ -339,6 +339,26 @@ def group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("group_quantiles_approx")
+def group_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB plan for group_quantiles: approx_percentile keeps a
+    bounded mergeable sketch per group (Greenwald-Khanna, accuracy
+    1/10000) instead of materializing every value on the 3 reducers —
+    exact percentile over 3 groups is an OOM at 100× scale. No SQL
+    oracle: the sketch algorithm is engine-specific, so the driver runs
+    the rows-only check; the tolerance agreement with the exact plan is
+    pinned by a local test (tests/test_operators.py)."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        dround(
+            F.expr("approx_percentile(l_quantity, 0.5, 10000)"), 4
+        ).alias("median_qty"),
+        dround(
+            F.expr("approx_percentile(l_extendedprice, 0.9, 10000)"), 4
+        ).alias("p90_price"),
+    )
+
+
 # --------------------------------------------------------------------------
 # ROLLUP (beyond-reference Spark-native: hierarchical totals in one pass)
 # --------------------------------------------------------------------------

@@ -53,22 +53,62 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Blocked n-gram Jaccard near-dup pairs: block on (lang, n_chars//64) so
 # the pair space is bounded, then exact 3-gram Jaccard ≥ 0.5. Both the
 # blocking and the set arithmetic (|A∩B| / (|A|+|B|-|A∩B|)) are
-# engine-identical. At scale the blocking key bounds each bucket; the
-# quadratic step never crosses buckets.
+# engine-identical.
+#
+# Block populations grow linearly with the corpus, so same-block pairing
+# alone is quadratic at scale. MAX_BLOCK caps it: blocks larger than the
+# cap are dropped entirely (deterministic, mirrors the max_bucket cap in
+# operators/dedup.minhash_lsh_candidates), bounding any block's pair
+# count at MAX_BLOCK²/2. Oversized blocks are exactly the ones LSH
+# handles — the 100 TB path is minhash_lsh_candidates + jaccard_verify.
+# The oracle encodes the SAME cap so the comparison stays exact.
 # --------------------------------------------------------------------------
 
+MAX_BLOCK = 256
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-WITH sh AS (
+_JACCARD_BLOCK_SQL = """
+sh0 AS (
     SELECT doc_id, lang, n_chars // 64 AS len_bucket,
            list_distinct(list_transform(
                range(1, GREATEST(LENGTH(text) - 2, 0) + 1),
                i -> text[i : i + 2]
            )) AS grams
     FROM documents
-)
+),
+ok AS (
+    SELECT lang, len_bucket FROM sh0
+    GROUP BY lang, len_bucket HAVING COUNT(*) <= 256
+),
+sh AS (SELECT sh0.* FROM sh0 JOIN ok USING (lang, len_bucket))
+"""
+
+
+def _capped_shingle_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, len_bucket, grams) with over-cap blocks removed."""
+    from ..operators.dedup import shingles
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sh = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
+        shingles("text", 3).alias("grams"),
+    )
+    ok = (
+        sh.groupBy("lang", "len_bucket")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") <= MAX_BLOCK)
+        .drop("__n")
+    )
+    # block-cardinality table is small — broadcast keeps the cap filter
+    # a map-side semi join, no shuffle of the shingle table
+    return sh.join(F.broadcast(ok), ["lang", "len_bucket"])
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_JACCARD_BLOCK_SQL}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        {sql_dround('''len(list_intersect(a.grams, b.grams)) * 1.0
         / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))''', 6)}
@@ -82,15 +122,8 @@ WHERE len(list_intersect(a.grams, b.grams)) * 1.0
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import dround
-    from ..operators.dedup import shingles
 
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
-    sh = docs.select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
-        shingles("text", 3).alias("grams"),
-    )
+    sh = _capped_shingle_blocks(spark, sf_dir)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
@@ -304,15 +337,8 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_cluster_components",
-    oracle="""
-WITH RECURSIVE sh AS (
-    SELECT doc_id, lang, n_chars // 64 AS len_bucket,
-           list_distinct(list_transform(
-               range(1, GREATEST(LENGTH(text) - 2, 0) + 1),
-               i -> text[i : i + 2]
-           )) AS grams
-    FROM documents
-),
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_BLOCK_SQL},
 edges AS (
     SELECT a.doc_id AS src, b.doc_id AS dst
     FROM sh a JOIN sh b
@@ -343,22 +369,16 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join instead of O(pairs × gram-length) intersections).
 
     Exact-Jaccard edge generation still touches every same-block pair
-    sharing any gram — the honest, oracle-checkable formulation. At
-    100 TB, swap the edge source for `minhash_lsh_candidates` +
+    sharing any gram, so blocks are capped at MAX_BLOCK docs (oversized
+    blocks dropped, mirrored in the oracle — see dedup_ngram_jaccard).
+    At 100 TB, swap the edge source for `minhash_lsh_candidates` +
     `jaccard_verify` (same module): candidates drop to LSH-bucket
     collisions and the verification cost scales with true-duplicate
     density, not block size. `connected_components` is unchanged
     either way."""
-    from ..operators.dedup import shingles
     from ..operators.graph import connected_components
 
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
-    sh = docs.select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
-        shingles("text", 3).alias("grams"),
-    )
+    sh = _capped_shingle_blocks(spark, sf_dir)
     postings = sh.select(
         "doc_id",
         "lang",

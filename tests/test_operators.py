@@ -280,3 +280,107 @@ def test_connected_components_path_and_blobs(spark):
     assert got[1] == got[2] == got[3] == 1
     assert got[7] == got[8] == 7
     assert len(got) == 15
+
+
+def test_group_quantiles_approx_close_to_exact(spark, sf_dir):
+    """The scale-path sketch quantiles must agree with the exact plan
+    within 1% relative error at test SF (accuracy=10000)."""
+    from chai_data_pipeline_spark import plans
+
+    exact = {
+        r.l_returnflag: r
+        for r in plans.QUERIES["group_quantiles"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.l_returnflag: r
+        for r in plans.QUERIES["group_quantiles_approx"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, e in exact.items():
+        a = approx[k]
+        assert abs(e.median_qty - a.median_qty) <= max(1e-6, 0.01 * abs(e.median_qty))
+        assert abs(e.p90_price - a.p90_price) <= max(1e-6, 0.01 * abs(e.p90_price))
+
+
+def test_ngram_jaccard_block_cap_drops_oversized_blocks(spark, sf_dir, tmp_path):
+    """A block with more docs than MAX_BLOCK must be dropped entirely
+    (its pairs belong to the LSH path) — bounding any block's pair
+    count at MAX_BLOCK^2/2."""
+    import chai_data_pipeline_spark.plans.dedup as D
+    from chai_data_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    n = D.MAX_BLOCK + 10
+    sch = {f.name: f.dataType for f in docs.schema.fields}
+    from pyspark.sql import functions as F
+
+    oversized = (
+        docs.limit(n)
+        .withColumn("lang", F.lit("xx").cast(sch["lang"]))
+        .withColumn("n_chars", F.lit(100).cast(sch["n_chars"]))
+        .withColumn(
+            "text", F.lit("identical near duplicate text").cast(sch["text"])
+        )
+    )
+    assert oversized.count() == n
+    out_dir = str(tmp_path)
+    oversized.write.mode("overwrite").parquet(out_dir + "/documents.parquet")
+    # every doc identical => uncapped would emit n*(n-1)/2 pairs
+    assert D.dedup_ngram_jaccard(spark, out_dir).count() == 0
+
+
+def test_sessionize_exact_gap_boundary_matches_session_window(spark):
+    """An event EXACTLY gap_seconds after the previous one starts a NEW
+    session — Spark's session_window convention (windows are [t, t+gap),
+    adjacent not overlapping)."""
+    from chai_data_pipeline_spark.operators.windows import sessionize
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:30:00"),  # exactly 1800s later -> NEW session
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_str"]).withColumn(
+        "ts", F.col("ts_str").cast("timestamp")
+    )
+    out = sessionize(df, "user_id", "ts", gap_seconds=1800)
+    got = {r.ts_str: r.session_id for r in out.collect()}
+    assert got["2024-01-01 00:00:00"] == 1
+    assert got["2024-01-01 00:30:00"] == 2
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """Right/full outer joins would emit each unmatched small-side row
+    once per salt (the small side is replicated) — must be refused."""
+    import pytest as _pytest
+
+    from chai_data_pipeline_spark.operators.skew import salted_join
+
+    a = spark.createDataFrame([(1, "x")], ["k", "va"])
+    b = spark.createDataFrame([(2, "y")], ["k", "vb"])
+    for bad in ("right", "full", "outer", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(a, b, "k", how=bad)
+
+
+def test_asof_join_carries_whole_row_including_nulls(spark):
+    """The most recent right row must be attached ATOMICALLY: a
+    legitimate NULL in it must come through as NULL (not the previous
+    non-null value), and values must never mix across right rows."""
+    from chai_data_pipeline_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 10.0, "old"),
+            (1, "2024-01-01 01:00:00", None, "new"),
+        ],
+        ["k", "ts_str", "v", "tag"],
+    ).select("k", F.col("ts_str").cast("timestamp").alias("rts"), "v", "tag")
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 02:00:00")], ["k", "ts_str"]
+    ).select("k", F.col("ts_str").cast("timestamp").alias("lts"))
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        value_cols=["v", "tag"],
+    ).collect()[0]
+    assert out.tag == "new"
+    assert out.v is None  # NOT 10.0 from the older row
