@@ -33,7 +33,16 @@ def asof_join(
 
     ``value_cols`` are the right-side columns to carry. Right rows with
     equal (on, right_ts) are reduced to one via max(tiebreak) first.
+
+    The carried columns are packed into ONE struct and carried with a
+    single last(ignorenulls=True): the whole most-recent right ROW is
+    attached atomically. Carrying each column independently would (a)
+    skip a legitimate NULL in the most-recent row (attaching a stale
+    older value for just that column) and (b) let values from different
+    right rows mix across columns.
     """
+    from pyspark.sql import types as T
+
     r = right
     if tiebreak:
         w_tb = Window.partitionBy(on, right_ts).orderBy(F.desc(tiebreak))
@@ -44,12 +53,15 @@ def asof_join(
         )
 
     left_cols = left.columns
+    val_type = T.StructType(
+        [T.StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l_tagged = left.select(
         F.col(on).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*left_cols).alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(val_type).alias("__v"),
     )
     r_tagged = r.select(
         F.col(on).alias("__k"),
@@ -58,7 +70,7 @@ def asof_join(
         F.lit(None).cast(
             l_tagged.schema["__l"].dataType
         ).alias("__l"),
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__v"),
     )
     # right rows sort BEFORE left rows at equal ts (asof is <=, so a
     # right row at exactly left_ts is eligible)
@@ -71,9 +83,9 @@ def asof_join(
     carried = unioned.select(
         "__is_left",
         "__l",
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in value_cols],
+        F.last("__v", ignorenulls=True).over(w).alias("__v"),
     )
     return carried.filter(F.col("__is_left") == 1).select(
         *[F.col(f"__l.{c}").alias(c) for c in left_cols],
-        *value_cols,
+        *[F.col(f"__v.{c}").alias(c) for c in value_cols],
     )

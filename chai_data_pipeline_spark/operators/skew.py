@@ -29,7 +29,18 @@ def salted_join(
 
     Use when ``on`` has hot keys and ``small`` is too large to
     broadcast outright. Output columns = natural join output.
+
+    Only join types that never emit unmatched SMALL-side rows are
+    allowed: the small side is replicated once per salt, so a right or
+    full outer join would emit each unmatched small-side row ``salts``
+    times (duplicated null-extended rows). Salt the other side instead.
     """
+    allowed = {"inner", "left", "left_outer", "leftsemi", "left_semi"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only; got {how!r} — "
+            "the replicated small side would duplicate unmatched rows"
+        )
     big_salted = big.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salts))
     )

@@ -70,7 +70,9 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Session windows (30 min gap) per user — oracle is the batch lag-gap
-# sessionization (identical gap semantics)
+# sessionization. Boundary matches Spark's session_window exactly:
+# windows are [t, t+gap), adjacent not overlapping, so a gap of EXACTLY
+# 1800s starts a new session (>=).
 # --------------------------------------------------------------------------
 
 
@@ -80,7 +82,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (
     SELECT user_id, ts,
            CASE WHEN LAG(ts) OVER w IS NULL
-                     OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                     OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
                 THEN 1 ELSE 0 END AS is_new
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -129,11 +131,14 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_stateful",
         output_mode="update",
     )
-    # one update row per user per batch; last update per user is the total
+    # one update row per user per batch; the LAST emission (highest seq,
+    # stamped by the state function) is the final total — max of the
+    # totals themselves would only be correct while totals are monotone
     return out.groupBy("user_id").agg(
-        F.max("n_events").alias("n_events"),
+        F.max_by("n_events", "seq").alias("n_events"),
         (
-            F.floor(F.max("total_value") * 10000 + F.lit(0.5)) / 10000.0
+            F.floor(F.max_by("total_value", "seq") * 10000 + F.lit(0.5))
+            / 10000.0
         ).alias("total_value"),
     )
 

@@ -17,14 +17,15 @@ from __future__ import annotations
 
 from typing import Any, Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from .windows import _events_stream
 
-OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
-STATE_SCHEMA = "n long, total double"
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, seq long"
+STATE_SCHEMA = "n long, total double, seq long"
 
 
 def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,15 +38,28 @@ def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total, seq = state.get if state.exists else (0, 0.0, 0)
         for pdf in pdfs:
             n += len(pdf)
             # cents-exact accumulation: state survives across batches, so
-            # float drift would compound — accumulate scaled integers
-            total += float(pdf["value"].mul(10000).round().sum()) / 10000.0
-        state.update((n, total))
+            # float drift would compound — accumulate scaled integers.
+            # Half-up floor(x*1e4 + 0.5) matches the engine-wide dround
+            # formula (pandas .round() is banker's half-even and would
+            # diverge on exact .5 scaled values).
+            total += float(np.floor(pdf["value"].mul(10000) + 0.5).sum()) / 10000.0
+        # seq = per-key emission counter: downstream reducers pick the
+        # LAST emission via max_by(_, seq) — max of the totals themselves
+        # is only correct while totals are monotone (a negative value
+        # would silently select a non-final row)
+        seq += 1
+        state.update((n, total, seq))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [total],
+                "seq": [seq],
+            }
         )
 
     ev = _events_stream(spark, sf_dir).select("user_id", "ts", "value")
