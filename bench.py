@@ -24,9 +24,27 @@ REPO = Path(__file__).resolve().parent
 if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
+# Superset of the round-1 headline keys (keep it that way: the per-round
+# BENCH_r{N}.json files are only regression-comparable if keys persist).
 HEADLINE = [
     "flagship_daily_event_trends",
     "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_priority_check",
+    "tpch_q6_forecast_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_discounted_revenue",
+    "streaming_tumbling_counts",
+    "streaming_sliding_counts",
+    "streaming_session_window",
+    "streaming_stateful_totals",
+    "streaming_stream_join",
+    "streaming_dedup_delivery",
+    "group_quantiles_approx",
+    "similarity_knn_join",
+    "similarity_ann_ivf",
+    "dedup_simhash",
     "star_join_revenue",
     "asof_join_last_signup",
     "broadcast_dim_join",

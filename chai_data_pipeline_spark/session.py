@@ -72,6 +72,58 @@ def get_spark(
     return spark
 
 
+def object_store_conf(
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    path_style_access: bool = True,
+) -> dict[str, str]:
+    """Hadoop conf for ``s3a://`` URIs (S3 / MinIO object stores).
+
+    The reference uploads every medallion layer to MinIO buckets
+    (config/config.yaml:14-27; scripts/bronze/ingest_bronze.py:74-78,
+    scripts/silver/transform_silver.py:416-441,
+    scripts/gold/model_gold.py:212-234). Our writers are path-scheme
+    agnostic — pass ``s3a://bronze/...`` instead of a local path and
+    parquet IO goes through S3A with this conf:
+
+    - ``endpoint`` + path-style access → MinIO/other S3-compatible
+      stores (virtual-host-style addressing breaks on bare endpoints).
+    - committer ``magic`` → commit without rename; on object stores
+      rename is a full copy, so the default FileOutputCommitter v1/v2 is
+      either O(data) on commit or non-atomic. Requires the
+      ``spark-hadoop-cloud`` module on the cluster classpath.
+    - Keys are ``fs.s3a.*`` (runtime-settable on hadoopConfiguration via
+      :func:`apply_object_store_conf`) or pass prefixed with
+      ``spark.hadoop.`` to ``get_spark(extra_conf=...)`` at build time.
+    """
+    conf = {
+        "fs.s3a.committer.name": "magic",
+        "fs.s3a.connection.maximum": "64",
+        "fs.s3a.fast.upload": "true",
+    }
+    if endpoint:
+        conf["fs.s3a.endpoint"] = endpoint
+    if access_key:
+        conf["fs.s3a.access.key"] = access_key
+    if secret_key:
+        conf["fs.s3a.secret.key"] = secret_key
+    if path_style_access:
+        conf["fs.s3a.path.style.access"] = "true"
+    return conf
+
+
+def apply_object_store_conf(spark: SparkSession, **kwargs) -> dict[str, str]:
+    """Apply :func:`object_store_conf` to a LIVE session's Hadoop conf
+    (fs.s3a.* keys are read per-filesystem-instance, so this works
+    without session restart). Returns the applied dict."""
+    conf = object_store_conf(**kwargs)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        hconf.set(k, v)
+    return conf
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """Read testdata parquet tables and register temp views.
 

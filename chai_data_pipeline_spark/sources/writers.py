@@ -58,6 +58,50 @@ def upsert_partitions(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    isolation_level: str = "READ_COMMITTED",
+    num_partitions: int | None = None,
+    driver: str | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Warehouse (JDBC) sink — the relational-output completion of
+    SURVEY §2.1 S6 for users migrating off the reference who still need
+    a Postgres/warehouse table (the reference's primary store is
+    Postgres via COPY/to_sql: scripts/bronze/load_bronze.py:179-221,
+    config/config.yaml:29-34).
+
+    - ``batch_size`` → JDBC ``batchsize``: rows per INSERT round trip
+      (the COPY-throughput analog; default 10k keeps round trips rare
+      without megabyte-scale statements).
+    - ``num_partitions`` caps parallel connections — every write task
+      opens one; a 1000-executor cluster writing unthrottled is a
+      connection storm, so SET THIS when the cluster is bigger than the
+      database. Repartitions down only (coalesce) — never shuffles up.
+    - ``isolation_level`` → per-connection transaction isolation
+      (``NONE`` disables transactions for bulk-load speed).
+    """
+    w = (
+        df.write.format("jdbc")
+        .mode(mode)
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .option("isolationLevel", isolation_level)
+    )
+    if num_partitions is not None:
+        w = w.option("numPartitions", str(num_partitions))
+    if driver:
+        w = w.option("driver", driver)
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.save()
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

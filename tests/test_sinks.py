@@ -1,0 +1,73 @@
+"""Sink surface tests: JDBC round trip (Derby in-memory), object-store
+conf application, and URI-scheme (non-bare-path) parquet writes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_write_jdbc_round_trip_derby(spark, sf_dir):
+    """Real JDBC write + read-back against the in-JVM Derby database
+    (ships with Spark). Pins the option plumbing (batchsize, isolation,
+    numPartitions) actually reaches a working driver."""
+    from chai_data_pipeline_spark.session import load_tables
+    from chai_data_pipeline_spark.sources.writers import write_jdbc
+
+    nation = load_tables(spark, sf_dir, "nation")["nation"].select(
+        "n_nationkey", "n_name"
+    )
+    url = "jdbc:derby:memory:sinktest;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    write_jdbc(
+        nation,
+        url,
+        "nation_out",
+        mode="overwrite",
+        batch_size=7,
+        num_partitions=2,
+        driver=driver,
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "nation_out")
+        .option("driver", driver)
+        .load()
+    )
+    got = {(r[0], r[1]) for r in back.collect()}
+    want = {(r[0], r[1]) for r in nation.collect()}
+    assert got == want
+
+
+def test_apply_object_store_conf_reaches_hadoop_conf(spark):
+    """fs.s3a.* keys land on the live Hadoop configuration (the surface
+    a MinIO/S3 deployment configures; per-bucket creds ride the same
+    mechanism)."""
+    from chai_data_pipeline_spark.session import apply_object_store_conf
+
+    applied = apply_object_store_conf(
+        spark,
+        endpoint="http://localhost:9000",
+        access_key="minio",
+        secret_key="minio123",
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in applied.items():
+        assert hconf.get(k) == v
+    assert hconf.get("fs.s3a.endpoint") == "http://localhost:9000"
+    assert hconf.get("fs.s3a.path.style.access") == "true"
+    assert hconf.get("fs.s3a.committer.name") == "magic"
+
+
+def test_write_table_through_uri_scheme(spark, sf_dir, tmp_path):
+    """Writers must be path-scheme agnostic: a file:// URI (same Hadoop
+    FileSystem resolution path an s3a:// URI takes) round-trips."""
+    from chai_data_pipeline_spark.session import load_tables
+    from chai_data_pipeline_spark.sources.writers import write_table
+
+    region = load_tables(spark, sf_dir, "region")["region"]
+    uri = f"file://{tmp_path}/region_uri_out"
+    write_table(region, uri, partition_by=["r_regionkey"])
+    back = spark.read.parquet(uri)
+    assert back.count() == region.count()
+    assert set(back.columns) == set(region.columns)
