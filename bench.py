@@ -45,6 +45,9 @@ HEADLINE = [
     "similarity_knn_join",
     "similarity_ann_ivf",
     "dedup_simhash",
+    "doc_repetition",
+    "doc_contamination",
+    "embedding_kmeans",
     "star_join_revenue",
     "asof_join_last_signup",
     "broadcast_dim_join",

@@ -1,0 +1,137 @@
+"""Distributed Lloyd's k-means over an embedding column — trains the
+IVF codebook (operators/similarity.ivf_assign ships with a first-k
+stand-in; this is the production path it names).
+
+Design for determinism AND scale:
+
+- **Assignment is map-only**: the codebook is a plan-time literal
+  (k × dim doubles — a model artifact, same posture as the LSH
+  hyperplanes in operators/similarity._hyperplane), so each vector
+  scores every centroid in-row and argmaxes without any shuffle.
+- **Update is one partial-aggregated shuffle** keyed (cluster, dim)
+  after a posexplode — k×dim keys total, so the shuffle moves bounded
+  partials regardless of corpus size (same layout as the
+  embedding_centroids plan).
+- **Bit-reproducible across partitionings**: per-dimension sums are
+  fixed-point quantized (floor(x·2²⁰), an exact IEEE op) so integer
+  summation is associative — the resulting codebook is identical on
+  any cluster size, which keeps every downstream assignment
+  deterministic too.
+- **Init**: the k lowest-id vectors (deterministic; k-means++ would add
+  a sampling pass whose benefit at IVF codebook sizes is marginal).
+- Ties in assignment break to the LOWEST centroid id (matches
+  ivf_assign).
+
+The driver-side state per iteration is k×dim floats — O(model), never
+O(data); at 100 TB this is exactly how a codebook trainer must look.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_Q = 1 << 20  # fixed-point scale (2^20): exact for unit-scale floats
+
+
+def _assign_expr(codebook: list[list[float]], vec_col: str) -> str:
+    """SQL expr: argmax cluster id by cosine against literal centroids,
+    ties to the lowest id. Uses the same sequential-fold dot product as
+    operators/similarity (bit-identical across engines/partitions)."""
+    from .similarity import cosine_sql_spark
+
+    elems = []
+    for cid, vec in enumerate(codebook):
+        arr = f"array({', '.join(f'cast({x!r} AS double)' for x in vec)})"
+        elems.append(
+            f"struct({cosine_sql_spark(vec_col, arr)} AS sim, "
+            f"{-cid} AS neg_cid)"
+        )
+    return f"-array_max(array({', '.join(elems)})).neg_cid"
+
+
+def kmeans_assign(
+    df: DataFrame,
+    codebook: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Map-only nearest-centroid assignment against a literal codebook."""
+    return df.withColumn(out_col, F.expr(_assign_expr(codebook, vec_col)))
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Train a k-centroid codebook; returns it as plain Python floats
+    (the model artifact — bounded k×dim driver state, NOT a data-path
+    collect)."""
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    codebook = [[float(x) for x in r.v] for r in init]
+    for _ in range(iters):
+        assigned = kmeans_assign(df, codebook, vec_col)
+        sums = (
+            assigned.select(
+                "cluster_id", F.posexplode(vec_col).alias("dim", "val")
+            )
+            .groupBy("cluster_id", "dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val").cast("double") * _Q).cast("long")
+                ).alias("qsum"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new_book = [list(c) for c in codebook]  # empty cluster keeps its centroid
+        acc: dict[int, list[tuple[int, int, int]]] = {}
+        for r in sums:
+            acc.setdefault(int(r.cluster_id), []).append(
+                (int(r.dim), int(r.qsum), int(r.n))
+            )
+        for cid, entries in acc.items():
+            vec = new_book[cid]
+            for dim, qsum, n in entries:
+                vec[dim] = qsum / _Q / n
+        codebook = new_book
+    return codebook
+
+
+def kmeans_summary(
+    df: DataFrame,
+    codebook: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster_id, n_members, mean_sim) for a fitted codebook —
+    assignment map-only, one bounded aggregation."""
+    from ..functions import dround
+    from .similarity import cosine_sql_spark
+
+    assigned = kmeans_assign(df, codebook, vec_col)
+    sim_cases = " ".join(
+        f"WHEN {cid} THEN "
+        + cosine_sql_spark(
+            vec_col,
+            f"array({', '.join(f'cast({x!r} AS double)' for x in vec)})",
+        )
+        for cid, vec in enumerate(codebook)
+    )
+    sim = F.expr(f"CASE cluster_id {sim_cases} END")
+    # fixed-point-quantized mean (exact integer sum → associative →
+    # partition-order-independent), same trick as embedding_centroids
+    qsim = F.floor(sim * _Q).cast("long")
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        dround(
+            F.sum(qsim).cast("double") / (float(_Q) * F.count("*")), 4
+        ).alias("mean_sim"),
+    )

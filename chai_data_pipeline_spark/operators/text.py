@@ -54,6 +54,32 @@ def distinct_word_ratio(col: str) -> Column:
     return F.size(F.array_distinct(words(col))) / F.size(words(col))
 
 
+def word_ngrams(col: str, n: int) -> Column:
+    """Array of space-joined word ``n``-grams (empty when < n words).
+
+    Pure column expression (codegen); the DuckDB mirror is
+    :func:`word_ngrams_sql_duckdb` — both slice the same whitespace
+    token array, so gram strings are byte-identical across engines.
+    """
+    w = f"split(trim({col}), '\\\\s+')"
+    return F.expr(
+        f"CASE WHEN size({w}) < {n} THEN CAST(array() AS array<string>) "
+        f"ELSE transform(sequence(1, size({w}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({w}, i, {n}))) END"
+    )
+
+
+def word_ngrams_sql_duckdb(col: str, n: int) -> str:
+    """DuckDB fragment mirroring :func:`word_ngrams` (1-based inclusive
+    list_slice; range upper bound exclusive)."""
+    w = f"string_split_regex(TRIM({col}), '\\s+')"
+    return (
+        f"CASE WHEN len({w}) < {n} THEN [] "
+        f"ELSE list_transform(range(1, len({w}) - {n - 2}), "
+        f"i -> array_to_string(list_slice({w}, i, i + {n - 1}), ' ')) END"
+    )
+
+
 def _occurrences(padded: str, marker: str) -> str:
     """SQL fragment: count of non-overlapping marker occurrences via the
     length/replace identity — chosen because it is bit-identical in any

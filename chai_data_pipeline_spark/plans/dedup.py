@@ -334,11 +334,10 @@ def dedup_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 # test SF; the Spark side is the scale path).
 # --------------------------------------------------------------------------
 
-
-@query(
-    "dedup_cluster_components",
-    oracle=f"""
-WITH RECURSIVE {_JACCARD_BLOCK_SQL},
+# Shared closure SQL (after the capped-block CTEs): edges → symmetric
+# closure → reachability → min-label clusters. Reused by the
+# keep-canonical materialization below.
+_CLUSTER_SQL = """
 edges AS (
     SELECT a.doc_id AS src, b.doc_id AS dst
     FROM sh a JOIN sh b
@@ -353,9 +352,17 @@ reach(node, r) AS (
     SELECT DISTINCT src, src FROM sym
     UNION
     SELECT s.src, reach.r FROM sym s JOIN reach ON reach.node = s.dst
-)
-SELECT node AS doc_id, MIN(r) AS cluster_id
-FROM reach GROUP BY node
+),
+clusters AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+"""
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_BLOCK_SQL},
+{_CLUSTER_SQL}
+SELECT node AS doc_id, cluster_id FROM clusters
 """,
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -378,6 +385,15 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     either way."""
     from ..operators.graph import connected_components
 
+    edges = _jaccard_edges(spark, sf_dir)
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+
+
+def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, dst) near-dup edges via the inverted-index formulation over
+    MAX_BLOCK-capped blocks (see dedup_cluster_components docstring)."""
     sh = _capped_shingle_blocks(spark, sf_dir)
     postings = sh.select(
         "doc_id",
@@ -404,10 +420,65 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("inter"))
     )
-    edges = pair_inter.filter(
+    return pair_inter.filter(
         F.col("inter") * 1.0 / (F.col("na") + F.col("nb") - F.col("inter"))
         >= 0.5
     ).select("src", "dst")
-    return connected_components(edges).select(
-        F.col("node").alias("doc_id"), "cluster_id"
+
+
+# --------------------------------------------------------------------------
+# Keep-one-per-cluster materialization — the dedup DECISION table a
+# training pipeline actually consumes: every document labeled with its
+# cluster, whether it is the kept (canonical) copy, and the cluster
+# size. Min-label propagation makes cluster_id = MIN(doc_id) in the
+# component, so canonical = (doc_id == cluster_id); singletons (no
+# near-dup edge) keep themselves.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_keep_canonical",
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_BLOCK_SQL},
+{_CLUSTER_SQL},
+assigned AS (
+    SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+),
+sizes AS (
+    SELECT cluster_id, COUNT(*) AS cluster_size
+    FROM assigned GROUP BY cluster_id
+)
+SELECT a.doc_id, a.cluster_id,
+       (a.doc_id = a.cluster_id) AS is_canonical,
+       s.cluster_size
+FROM assigned a JOIN sizes s USING (cluster_id)
+""",
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale shape: component assignment touches only docs WITH edges
+    (cluster table ≪ corpus); the left join back to the corpus and the
+    size join both shuffle on bounded keys (doc_id / cluster_id). The
+    output is directly joinable to the corpus as the keep/drop filter.
+    """
+    from ..operators.graph import connected_components
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    clusters = connected_components(_jaccard_edges(spark, sf_dir))
+    assigned = (
+        docs.select("doc_id")
+        .join(clusters, docs["doc_id"] == clusters["node"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return assigned.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        "cluster_size",
     )

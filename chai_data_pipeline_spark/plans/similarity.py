@@ -177,3 +177,21 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count("*").alias("n_vectors"),
     )
+
+
+# --------------------------------------------------------------------------
+# K-means codebook training (Lloyd's, 5 iterations) + cluster summary —
+# the production IVF codebook path (ivf_assign's first-k init is the
+# stand-in it names). Rows-only: the iterative trainer has no tractable
+# SQL oracle; determinism and recovery are pinned by unit tests
+# (tests/test_operators.py: blob recovery, run-to-run identity).
+# --------------------------------------------------------------------------
+
+
+@query("embedding_kmeans")
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import kmeans_fit, kmeans_summary
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    codebook = kmeans_fit(emb, k=8, iters=5)
+    return kmeans_summary(emb, codebook)

@@ -187,6 +187,140 @@ def doc_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Repetition / boilerplate metrics: duplicate word-3-gram fraction — the
+# classic pretraining quality filter (high duplicate-n-gram fraction =
+# boilerplate/spam; cf. the published Gopher/C4 rule sets). Map-only:
+# grams, distinct and the ratio all compute in-row inside codegen — no
+# shuffle, no UDF.
+# --------------------------------------------------------------------------
+
+_G3_DUCK = T.word_ngrams_sql_duckdb("text", 3)
+
+
+@query(
+    "doc_repetition",
+    oracle=f"""
+WITH g AS (
+    SELECT doc_id,
+           CAST(len(string_split_regex(TRIM(text), '\\s+')) AS INTEGER)
+               AS n_words,
+           {_G3_DUCK} AS grams
+    FROM documents
+)
+SELECT doc_id, n_words,
+       CAST(len(grams) AS INTEGER) AS n_3grams,
+       CAST(len(list_distinct(grams)) AS INTEGER) AS distinct_3grams,
+       {sql_dround("CASE WHEN len(grams) > 0 THEN 1.0 - len(list_distinct(grams)) * 1.0 / len(grams) ELSE 0.0 END", 4)}
+           AS dup_3gram_ratio
+FROM g
+""",
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    g = docs.select(
+        "doc_id",
+        T.word_count("text").alias("n_words"),
+        T.word_ngrams("text", 3).alias("grams"),
+    )
+    n = F.size("grams")
+    nd = F.size(F.array_distinct("grams"))
+    return g.select(
+        "doc_id",
+        "n_words",
+        n.alias("n_3grams"),
+        nd.alias("distinct_3grams"),
+        dround(
+            F.when(n > 0, 1.0 - nd * 1.0 / n).otherwise(0.0), 4
+        ).alias("dup_3gram_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination check: fraction of each corpus document's
+# distinct word-5-grams that appear anywhere in the benchmark set
+# (source='src0' stands in for an eval benchmark). The scalable shape is
+# an INVERTED-INDEX equi-join on the gram (shuffle keyed by gram,
+# map-side combine on the per-doc counts) — never doc×doc comparison;
+# at 100 TB the benchmark side is tiny relative to the corpus and
+# broadcast-joins.
+# --------------------------------------------------------------------------
+
+_G5_DUCK = T.word_ngrams_sql_duckdb("text", 5)
+_CONTAM_RATIO = (
+    "CASE WHEN len(g.grams) > 0 "
+    "THEN COALESCE(h.n_overlap, 0) * 1.0 / len(g.grams) ELSE 0.0 END"
+)
+
+
+@query(
+    "doc_contamination",
+    oracle=f"""
+WITH g AS (
+    SELECT doc_id, source, list_distinct({_G5_DUCK}) AS grams
+    FROM documents
+),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = 'src0'),
+corpus AS (
+    SELECT doc_id, unnest(grams) AS gram FROM g WHERE source <> 'src0'
+),
+hits AS (
+    SELECT c.doc_id,
+           COUNT(*) FILTER (WHERE b.gram IS NOT NULL) AS n_overlap
+    FROM corpus c LEFT JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id
+),
+scored AS (
+    SELECT g.doc_id,
+           CAST(len(g.grams) AS INTEGER) AS n_grams,
+           CAST(COALESCE(h.n_overlap, 0) AS INTEGER) AS n_overlap,
+           {sql_dround(_CONTAM_RATIO, 4)} AS overlap_ratio
+    FROM g LEFT JOIN hits h USING (doc_id)
+    WHERE g.source <> 'src0'
+)
+SELECT doc_id, n_grams, n_overlap, overlap_ratio,
+       (overlap_ratio >= 0.2) AS contaminated
+FROM scored
+""",
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    g = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(T.word_ngrams("text", 5)).alias("grams"),
+    )
+    bench = (
+        g.filter(F.col("source") == "src0")
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    corpus = g.filter(F.col("source") != "src0")
+    hits = (
+        corpus.select("doc_id", F.explode("grams").alias("gram"))
+        .join(bench, "gram", "left")
+        .groupBy("doc_id")
+        .agg(F.count("__hit").alias("n_overlap"))
+    )
+    base = corpus.select("doc_id", F.size("grams").alias("n_grams"))
+    scored = base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_overlap", F.lit(0)).cast("int").alias("n_overlap"),
+        dround(
+            F.when(
+                F.col("n_grams") > 0,
+                F.coalesce("n_overlap", F.lit(0)) * 1.0 / F.col("n_grams"),
+            ).otherwise(0.0),
+            4,
+        ).alias("overlap_ratio"),
+    )
+    return scored.withColumn(
+        "contaminated", F.col("overlap_ratio") >= 0.2
+    )
+
+
+# --------------------------------------------------------------------------
 # document fingerprinting (normalized content hash)
 # --------------------------------------------------------------------------
 

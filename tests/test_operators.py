@@ -384,3 +384,46 @@ def test_asof_join_carries_whole_row_including_nulls(spark):
     ).collect()[0]
     assert out.tag == "new"
     assert out.v is None  # NOT 10.0 from the older row
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    """Three well-separated blobs -> three clusters with the right
+    membership; and the fit is bit-deterministic across runs."""
+    import random
+
+    from chai_data_pipeline_spark.operators.kmeans import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rng = random.Random(7)
+    centers = [[5.0, 0.0, 0.0], [0.0, 5.0, 0.0], [0.0, 0.0, 5.0]]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append(
+            (i, [x + rng.uniform(-0.3, 0.3) for x in c])
+        )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    book1 = kmeans_fit(df, k=3, iters=5)
+    book2 = kmeans_fit(df, k=3, iters=5)
+    assert book1 == book2  # bit-deterministic (fixed-point sums)
+    assigned = kmeans_assign(df, book1).collect()
+    # every blob maps to exactly one cluster id
+    by_blob = {}
+    for r in assigned:
+        by_blob.setdefault(r.vec_id % 3, set()).add(r.cluster_id)
+    assert all(len(s) == 1 for s in by_blob.values())
+    assert len({next(iter(s)) for s in by_blob.values()}) == 3
+
+
+def test_kmeans_summary_counts(spark, sf_dir):
+    from chai_data_pipeline_spark import plans
+
+    out = plans.QUERIES["embedding_kmeans"](spark, sf_dir)
+    rows = out.collect()
+    from chai_data_pipeline_spark.session import load_tables
+
+    total = load_tables(spark, sf_dir, "embeddings")["embeddings"].count()
+    assert sum(r.n_members for r in rows) == total
+    assert all(-1.0 <= r.mean_sim <= 1.0 for r in rows)
