@@ -457,10 +457,15 @@ FROM assigned a JOIN sizes s USING (cluster_id)
 )
 def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale shape: component assignment touches only docs WITH edges
-    (cluster table ≪ corpus); the left join back to the corpus and the
-    size join both shuffle on bounded keys (doc_id / cluster_id). The
-    output is directly joinable to the corpus as the keep/drop filter.
+    (cluster table ≪ corpus); the left join back to the corpus shuffles
+    on doc_id and the cluster size comes from a count-over-window on
+    cluster_id — ONE pass over the assignment (a groupBy+self-join
+    would compute the whole join tree twice), with per-partition state
+    bounded by the largest cluster. The output is directly joinable to
+    the corpus as the keep/drop filter.
     """
+    from pyspark.sql.window import Window
+
     from ..operators.graph import connected_components
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
@@ -473,12 +478,11 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
         )
     )
-    sizes = assigned.groupBy("cluster_id").agg(
-        F.count("*").alias("cluster_size")
-    )
-    return assigned.join(sizes, "cluster_id").select(
+    return assigned.select(
         "doc_id",
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-        "cluster_size",
+        F.count("*")
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
     )
