@@ -168,6 +168,88 @@ def lsh_sign_buckets(
     )
 
 
+def _literal_array_spark(vec: list[float]) -> str:
+    return "array(" + ", ".join(f"cast({x!r} as double)" for x in vec) + ")"
+
+
+def _literal_list_duckdb(vec: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in vec) + "]"
+
+
+def lsh_signature_exprs(
+    vec_col: str,
+    n_tables: int = 2,
+    bits_per_table: int = 8,
+    dim: int = 64,
+) -> tuple[list[str], list[str]]:
+    """(spark_exprs, duckdb_exprs): one integer signature expression per
+    LSH table, with the hyperplanes embedded as LITERALS and every dot
+    product a sequential left fold — so both engines compute
+    bit-identical signs and the whole ANN pipeline becomes
+    hash-checkable. The numpy-matmul path (lsh_sign_buckets) is ~10×
+    faster per row but sums in SIMD order, which no SQL engine can
+    reproduce; this expression form exists to put ANN under the
+    DuckDB-differential oracle."""
+    spark_exprs, duck_exprs = [], []
+    for t in range(n_tables):
+        s_terms, d_terms = [], []
+        for b in range(bits_per_table):
+            plane = _hyperplane(t, b, dim)
+            s_dot = dot_sql_spark(vec_col, _literal_array_spark(plane))
+            d_dot = dot_sql_duckdb(
+                vec_col, f"({_literal_list_duckdb(plane)})", dim
+            )
+            s_terms.append(
+                f"(CASE WHEN ({s_dot}) > 0 THEN {1 << b} ELSE 0 END)"
+            )
+            d_terms.append(
+                f"(CASE WHEN ({d_dot}) > 0 THEN {1 << b} ELSE 0 END)"
+            )
+        spark_exprs.append("(" + " + ".join(s_terms) + ")")
+        duck_exprs.append("(" + " + ".join(d_terms) + ")")
+    return spark_exprs, duck_exprs
+
+
+def ann_topk_lsh_checked(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_tables: int = 2,
+    bits_per_table: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Oracle-checkable ANN: expression-fold signatures (see
+    lsh_signature_exprs), bucket-join candidates, exact cosine top-k.
+    Same plan shape as ann_topk_lsh — bucket equi-join, never O(n²)."""
+    from ..functions import dround
+
+    s_exprs, _ = lsh_signature_exprs(vec_col, n_tables, bits_per_table, dim)
+    sig_array = "array(" + ", ".join(s_exprs) + ")"
+
+    def buckets(d: DataFrame) -> DataFrame:
+        return d.select(
+            "*",
+            F.posexplode(F.expr(sig_array)).alias("table_id", "signature"),
+        )
+
+    b = buckets(df).select(id_col, vec_col, "table_id", "signature")
+    qb = buckets(query.select(F.col("qv").alias(vec_col))).select(
+        "table_id", "signature", F.col(vec_col).alias("qv")
+    )
+    cands = (
+        b.join(F.broadcast(qb), ["table_id", "signature"])
+        .select(id_col, vec_col, "qv")
+        .dropDuplicates([id_col])
+    )
+    scored = cands.select(
+        F.col(id_col),
+        dround(F.expr(cosine_sql_spark(vec_col, "qv")), 6).alias("cosine"),
+    )
+    return ranked_topk(scored, k, id_col)
+
+
 def ann_topk_lsh(
     df: DataFrame,
     query: DataFrame,

@@ -195,3 +195,63 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     codebook = kmeans_fit(emb, k=8, iters=5)
     return kmeans_summary(emb, codebook)
+
+
+# --------------------------------------------------------------------------
+# Hash-checked ANN: the LSH hyperplanes are plan-time literals, so an
+# expression-fold signature variant can embed the SAME literals in the
+# DuckDB oracle — both engines compute bit-identical signs, making the
+# full ANN pipeline (bucketing → candidate join → exact-cosine top-k)
+# hash-checkable end to end. The numpy-matmul variant above stays as
+# the fast production path (SIMD summation order is not reproducible
+# in SQL); this one puts ANN under the differential oracle.
+# --------------------------------------------------------------------------
+
+
+def _ann_checked_oracle() -> str:
+    from ..operators.similarity import lsh_signature_exprs
+
+    _, d_corpus = lsh_signature_exprs("embedding")
+    _, d_query = lsh_signature_exprs("qv")
+    cos = sql_dround(cosine_sql_duckdb("embedding", "qv", DIM), 6)
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qsig AS (
+    SELECT unnest([{", ".join(d_query)}]) AS signature,
+           unnest([0, 1]) AS table_id
+    FROM q
+),
+bsig AS (
+    SELECT vec_id,
+           unnest([{", ".join(d_corpus)}]) AS signature,
+           unnest([0, 1]) AS table_id
+    FROM embeddings
+),
+cands AS (
+    SELECT DISTINCT b.vec_id
+    FROM bsig b JOIN qsig s
+      ON b.table_id = s.table_id AND b.signature = s.signature
+),
+scored AS (
+    SELECT e.vec_id, {cos} AS cosine
+    FROM cands c JOIN embeddings e ON c.vec_id = e.vec_id CROSS JOIN q
+),
+ranked AS (
+    SELECT vec_id, cosine,
+           ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("similarity_ann_lsh_checked", oracle=_ann_checked_oracle())
+def similarity_ann_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_topk_lsh_checked
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    return ann_topk_lsh_checked(emb, qdf, k=10, dim=DIM)
