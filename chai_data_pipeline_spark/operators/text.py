@@ -54,14 +54,21 @@ def distinct_word_ratio(col: str) -> Column:
     return F.size(F.array_distinct(words(col))) / F.size(words(col))
 
 
-def word_ngrams(col: str, n: int) -> Column:
+def word_ngrams(col: str, n: int, presplit: bool = False) -> Column:
     """Array of space-joined word ``n``-grams (empty when < n words).
 
     Pure column expression (codegen); the DuckDB mirror is
     :func:`word_ngrams_sql_duckdb` — both slice the same whitespace
     token array, so gram strings are byte-identical across engines.
+
+    ``presplit=True`` treats ``col`` as an already-split array<string>
+    column. The expression references its input several times; a regex
+    split inlined at each reference is the dominant per-row cost, so
+    callers should project ``words(text)`` in a SEPARATE select first
+    (CollapseProject won't duplicate non-cheap expressions across a
+    projection boundary) and pass the array column here.
     """
-    w = f"split(trim({col}), '\\\\s+')"
+    w = col if presplit else f"split(trim({col}), '\\\\s+')"
     return F.expr(
         f"CASE WHEN size({w}) < {n} THEN CAST(array() AS array<string>) "
         f"ELSE transform(sequence(1, size({w}) - {n - 1}), "

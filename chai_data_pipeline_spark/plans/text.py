@@ -217,10 +217,14 @@ FROM g
 )
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    g = docs.select(
+    # split once behind a projection boundary — the gram expression
+    # references its input repeatedly and an inlined regex split at
+    # every reference dominates per-row cost (measured ~2× at sf0.1)
+    pre = docs.select("doc_id", T.words("text").alias("toks"))
+    g = pre.select(
         "doc_id",
-        T.word_count("text").alias("n_words"),
-        T.word_ngrams("text", 3).alias("grams"),
+        F.size("toks").alias("n_words"),
+        T.word_ngrams("toks", 3, presplit=True).alias("grams"),
     )
     n = F.size("grams")
     nd = F.size(F.array_distinct("grams"))
@@ -284,10 +288,14 @@ FROM scored
 )
 def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    g = docs.select(
+    # split once behind a projection boundary (see doc_repetition)
+    pre = docs.select("doc_id", "source", T.words("text").alias("toks"))
+    g = pre.select(
         "doc_id",
         "source",
-        F.array_distinct(T.word_ngrams("text", 5)).alias("grams"),
+        F.array_distinct(T.word_ngrams("toks", 5, presplit=True)).alias(
+            "grams"
+        ),
     )
     bench = (
         g.filter(F.col("source") == "src0")
@@ -295,25 +303,33 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    corpus = g.filter(F.col("source") != "src0")
-    hits = (
-        corpus.select("doc_id", F.explode("grams").alias("gram"))
-        .join(bench, "gram", "left")
-        .groupBy("doc_id")
-        .agg(F.count("__hit").alias("n_overlap"))
-    )
-    base = corpus.select("doc_id", F.size("grams").alias("n_grams"))
-    scored = base.join(hits, "doc_id", "left").select(
+    # explode_outer keeps zero-gram docs in the SAME pass (NULL gram
+    # never matches the bench join, count(__hit) skips it) — no second
+    # corpus subtree + join-back for the base row set
+    exploded = g.filter(F.col("source") != "src0").select(
         "doc_id",
-        "n_grams",
-        F.coalesce("n_overlap", F.lit(0)).cast("int").alias("n_overlap"),
-        dround(
-            F.when(
-                F.col("n_grams") > 0,
-                F.coalesce("n_overlap", F.lit(0)) * 1.0 / F.col("n_grams"),
-            ).otherwise(0.0),
-            4,
-        ).alias("overlap_ratio"),
+        F.size("grams").alias("n_grams"),
+        F.explode_outer("grams").alias("gram"),
+    )
+    scored = (
+        exploded.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.min("n_grams").alias("n_grams"),
+            F.count("__hit").cast("int").alias("n_overlap"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_overlap",
+            dround(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.col("n_overlap") * 1.0 / F.col("n_grams"),
+                ).otherwise(0.0),
+                4,
+            ).alias("overlap_ratio"),
+        )
     )
     return scored.withColumn(
         "contaminated", F.col("overlap_ratio") >= 0.2
