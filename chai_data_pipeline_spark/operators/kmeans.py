@@ -34,17 +34,33 @@ from pyspark.sql import functions as F
 _Q = 1 << 20  # fixed-point scale (2^20): exact for unit-scale floats
 
 
+def _centroid_norm(vec: list[float]) -> float:
+    """sqrt of the sequential-fold self-dot — the SAME left-to-right
+    IEEE-double accumulation the engine's fold performs, so the literal
+    equals what an in-plan sqrt(dot(c,c)) would produce bit-for-bit."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += x * x
+    return math.sqrt(acc)
+
+
 def _assign_expr(codebook: list[list[float]], vec_col: str) -> str:
     """SQL expr: argmax cluster id by cosine against literal centroids,
     ties to the lowest id. Uses the same sequential-fold dot product as
-    operators/similarity (bit-identical across engines/partitions)."""
-    from .similarity import cosine_sql_spark
+    operators/similarity (bit-identical across engines/partitions).
+    Centroid norms are baked in as literals and the row norm is read
+    from a pre-hoisted ``__vnorm`` column — the naive form recomputes
+    both k times per row."""
+    from .similarity import dot_sql_spark
 
     elems = []
     for cid, vec in enumerate(codebook):
         arr = f"array({', '.join(f'cast({x!r} AS double)' for x in vec)})"
         elems.append(
-            f"struct({cosine_sql_spark(vec_col, arr)} AS sim, "
+            f"struct(({dot_sql_spark(vec_col, arr)})"
+            f" / (__vnorm * {_centroid_norm(vec)!r}) AS sim, "
             f"{-cid} AS neg_cid)"
         )
     return f"-array_max(array({', '.join(elems)})).neg_cid"
@@ -57,7 +73,15 @@ def kmeans_assign(
     out_col: str = "cluster_id",
 ) -> DataFrame:
     """Map-only nearest-centroid assignment against a literal codebook."""
-    return df.withColumn(out_col, F.expr(_assign_expr(codebook, vec_col)))
+    from .similarity import dot_sql_spark
+
+    return (
+        df.withColumn(
+            "__vnorm", F.expr(f"sqrt({dot_sql_spark(vec_col, vec_col)})")
+        )
+        .withColumn(out_col, F.expr(_assign_expr(codebook, vec_col)))
+        .drop("__vnorm")
+    )
 
 
 def kmeans_fit(

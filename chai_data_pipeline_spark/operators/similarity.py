@@ -308,18 +308,35 @@ def ivf_assign(
             F.col(vec_col).alias("centroid_vec"),
         )
     )
+    # centroid norms ride inside the codebook struct (computed once in
+    # the agg) and the row's own norm is hoisted to a column — the naive
+    # in-row cosine would recompute BOTH per centroid (16× self-dots +
+    # 16× centroid-norm folds per row). Same arithmetic shape as
+    # cosine_sql_spark (dot / (sqrt(aa) * sqrt(bb))), so values are
+    # bit-identical.
     codebook = cents.agg(
         F.array_sort(
-            F.collect_list(F.struct("centroid_id", "centroid_vec"))
+            F.collect_list(
+                F.struct(
+                    F.col("centroid_id"),
+                    F.col("centroid_vec"),
+                    F.expr(
+                        f"sqrt({dot_sql_spark('centroid_vec', 'centroid_vec')})"
+                    ).alias("cnorm"),
+                )
+            )
         ).alias("__codebook")
     )
     best = (
         "array_max(transform(__codebook, c -> struct("
-        f"{cosine_sql_spark(vec_col, 'c.centroid_vec')} AS sim, "
-        "-c.centroid_id AS neg_cid)))"
+        f"({dot_sql_spark(vec_col, 'c.centroid_vec')}) / (__vnorm * c.cnorm)"
+        " AS sim, -c.centroid_id AS neg_cid)))"
     )
     return (
-        df.crossJoin(F.broadcast(codebook))
+        df.withColumn(
+            "__vnorm", F.expr(f"sqrt({dot_sql_spark(vec_col, vec_col)})")
+        )
+        .crossJoin(F.broadcast(codebook))
         .withColumn("__best", F.expr(best))
         .select(df["*"], (-F.col("__best.neg_cid")).alias("centroid_id"))
     )
