@@ -1,8 +1,13 @@
 """Multimodal queries for the driver contract.
 
-``multimodal_metadata`` is oracle-checked (byte lengths / hashes are
-engine-identical); the decode/feature/frame queries are rows-only (the
-stub outputs are deterministic but hash-derived Python-side).
+``multimodal_metadata``, ``multimodal_decode_meta`` and
+``multimodal_frame_sample`` are oracle-checked: the stub decode derives
+dimensions from sha256 digest bytes and frame offsets from integer
+arithmetic, both reproducible in DuckDB SQL (hex-substring of sha256 =
+digest bytes; ``//`` = Python floor division on non-negatives), so even
+the pandas-UDF outputs get full value-hash checks. Only
+``multimodal_features`` stays rows-only — its unit vector is computed
+in numpy float32, which double-precision SQL cannot reproduce bit-wise.
 """
 
 from __future__ import annotations
@@ -41,7 +46,23 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode_meta")
+@query(
+    "multimodal_decode_meta",
+    oracle="""
+SELECT doc_id AS asset_id,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       'fake' AS format,
+       -- stub dims = 64 + digest_byte % 192; hex-substring of sha256
+       -- IS the digest byte (text payloads can never carry PNG/JPEG
+       -- magic: 0x89/0xFF are invalid UTF-8 lead bytes)
+       CAST(64 + CAST(('0x' || substring(sha256(text), 1, 2)) AS INTEGER) % 192
+            AS INTEGER) AS width,
+       CAST(64 + CAST(('0x' || substring(sha256(text), 3, 2)) AS INTEGER) % 192
+            AS INTEGER) AS height,
+       'stub' AS decoder
+FROM documents
+""",
+)
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return decode_image_meta(attach_fake_payload(docs))
@@ -53,7 +74,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_fake_payload(docs))
 
 
-@query("multimodal_frame_sample")
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id AS asset_id,
+       CAST(f AS INTEGER) AS frame_index,
+       CAST(octet_length(encode(text)) * f // 4 AS BIGINT)
+           AS frame_offset_bytes
+FROM documents, (SELECT unnest(range(0, 4)) AS f) frames
+""",
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return sample_frames(attach_fake_payload(docs))
