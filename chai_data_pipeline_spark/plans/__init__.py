@@ -20,6 +20,7 @@ from . import tpch_more  # noqa: F401,E402
 from . import timeseries  # noqa: F401,E402
 from . import training  # noqa: F401,E402
 from . import tpch2  # noqa: F401,E402
+from . import tpch3  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration ORDER is part of the driver contract: the per-round
