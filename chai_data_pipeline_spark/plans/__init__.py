@@ -66,6 +66,10 @@ _FRONT = [
     "tpch_q6_forecast_revenue", "tpch_q13_customer_distribution",
     "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
     "tpch_q19_discounted_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q10_returned_items", "tpch_q12_priority_classes",
+    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+    "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
     "streaming_tumbling_counts", "streaming_sliding_counts",
     "streaming_session_window", "streaming_stateful_totals",
     "streaming_stream_join", "streaming_dedup_delivery",

@@ -195,11 +195,62 @@ def dedup_delivery_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_streaming_query(
-    df: DataFrame, name: str, output_mode: str = "complete"
+    df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int = 8,
 ) -> DataFrame:
-    """Drive a streaming aggregation to completion synchronously via the
-    memory sink; returns the final result as a batch DataFrame."""
+    """Drive a streaming query to completion synchronously; returns the
+    final result as a batch DataFrame.
+
+    ``state_partitions`` sets ``spark.sql.shuffle.partitions`` for the
+    stream's lifetime (restored after): a streaming query's STATE STORE
+    partition count is fixed from that conf at first start, and every
+    micro-batch commits one state file per partition per stateful
+    operator — with a vanilla session's 200 partitions the fixed
+    per-batch overhead dwarfs the data. Size it to expected state
+    volume / executor count in production; 8 fits the local harness.
+
+    Sink choice matters too: append-mode outputs can be ROW-SIZED (the
+    delivery-dedup and stream-join queries emit one row per event), and
+    a memory sink pins all of that in driver heap for the rest of the
+    process — measured as multi-second GC drag on every subsequent
+    query in the bench. Append mode therefore goes through a parquet
+    file sink (the production shape; supports append only) and is read
+    back lazily; complete/update aggregates are small and keep the
+    memory sink."""
     spark = df.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        return _run_stream_inner(spark, df, name, output_mode)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _run_stream_inner(
+    spark, df: DataFrame, name: str, output_mode: str
+) -> DataFrame:
+    if output_mode == "append":
+        import tempfile
+        import uuid
+
+        out = os.path.join(
+            tempfile.gettempdir(),
+            f"chai_stream_out_{name}_{uuid.uuid4().hex[:8]}",
+        )
+        q = (
+            df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", out + "_chk")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(out)
     q = (
         df.writeStream.outputMode(output_mode)
         .format("memory")
