@@ -43,6 +43,11 @@ HEADLINE = [
     "tpch_q15_top_supplier",
     "tpch_q21_waiting_supplier",
     "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q16_parts_supplier_count",
+    "tpch_q20_excess_suppliers",
     "streaming_tumbling_counts",
     "streaming_sliding_counts",
     "streaming_session_window",

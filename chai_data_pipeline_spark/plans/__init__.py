@@ -21,6 +21,7 @@ from . import timeseries  # noqa: F401,E402
 from . import training  # noqa: F401,E402
 from . import tpch2  # noqa: F401,E402
 from . import tpch3  # noqa: F401,E402
+from . import tpch4  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration ORDER is part of the driver contract: the per-round
@@ -70,6 +71,9 @@ _FRONT = [
     "tpch_q10_returned_items", "tpch_q12_priority_classes",
     "tpch_q14_promo_effect", "tpch_q15_top_supplier",
     "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+    "tpch_q11_important_stock", "tpch_q16_parts_supplier_count",
+    "tpch_q20_excess_suppliers",
     "streaming_tumbling_counts", "streaming_sliding_counts",
     "streaming_session_window", "streaming_stateful_totals",
     "streaming_stream_join", "streaming_dedup_delivery",

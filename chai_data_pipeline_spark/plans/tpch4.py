@@ -1,0 +1,323 @@
+"""TPC-H Q2/Q9/Q11/Q16/Q20 shapes — the five queries whose canonical
+form needs the partsupp table, adapted over the part-supplier relation
+that LINEITEM itself defines (distinct (l_partkey, l_suppkey) pairs =
+"this supplier supplies this part"). With these, all 22 TPC-H operator
+shapes are implemented and oracle-checked.
+
+Stand-ins (the operator shape is what's preserved):
+- supply cost      → s_acctbal (stored 2-dp value; exact equality safe)
+- ps_availqty      → quantity actually shipped in 1996
+- p_name color     → p_name LIKE '%red%' (names are "<adj> <noun>")
+- complaint filter → suppliers with negative account balance
+
+Scale posture: the pairs relation derives from one distinct over a
+two-column projection of lineitem (map-side combine, then one shuffle
+keyed by the pair); every subsequent per-part / per-supplier aggregate
+shuffles on a key it is later joined on. Scalar thresholds (totals,
+minima) broadcast. Top-k finishers are sort+limit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dround, dsum, sql_dround, sql_dsum
+from ..session import load_tables
+from .registry import query
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+# --------------------------------------------------------------------------
+# Q2 shape — minimum-cost supplier: for each small EUROPE-supplied part,
+# the supplier(s) with the MINIMUM cost stand-in among those supplying
+# it (correlated scalar subquery → decorrelated min + equality join
+# back). Top 10 by (cost, part, supplier).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle="""
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+eu AS (
+    SELECT s_suppkey, s_name, s_acctbal, n_name
+    FROM supplier, nation, region
+    WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+),
+cand AS (
+    SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name
+    FROM pairs, part, eu
+    WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      AND p_size < 5
+),
+mins AS (
+    SELECT p_partkey AS mk, MIN(s_acctbal) AS min_bal
+    FROM cand GROUP BY p_partkey
+),
+best AS (
+    SELECT c.* FROM cand c JOIN mins ON p_partkey = mk AND s_acctbal = min_bal
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        ORDER BY s_acctbal, p_partkey, s_suppkey
+    ) AS rn
+    FROM best
+)
+SELECT p_partkey, p_brand, s_suppkey, s_name,
+       CAST(s_acctbal AS DOUBLE) AS s_acctbal, n_name,
+       CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= 10
+""",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    eu = (
+        t["supplier"]
+        .join(
+            F.broadcast(
+                t["nation"].join(
+                    F.broadcast(
+                        t["region"].filter(F.col("r_name") == "EUROPE")
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    small = t["part"].filter(F.col("p_size") < 5).select("p_partkey", "p_brand")
+    cand = (
+        pairs.join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+        .join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    mins = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    best = cand.join(
+        mins,
+        (F.col("p_partkey") == F.col("mk"))
+        & (F.col("s_acctbal") == F.col("min_bal")),
+    ).drop("mk", "min_bal")
+    order = [F.asc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey")]
+    topk = best.orderBy(*order).limit(10)
+    w = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return topk.withColumn("rn", F.row_number().over(w)).select(
+        "p_partkey", "p_brand", "s_suppkey", "s_name",
+        F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        "n_name", "rn",
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 shape — product-type profit by nation and year: profit = revenue
+# minus a cost stand-in (0.4 · retail · qty), for parts matching a name
+# pattern, attributed to the SUPPLIER's nation per order year.
+# --------------------------------------------------------------------------
+
+_PROFIT = f"{_REV} - 0.4 * p_retailprice * l_quantity"
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS o_year,
+       {sql_dround(sql_dsum(_PROFIT, 6), 2)} AS sum_profit
+FROM lineitem, part, supplier, orders, nation
+WHERE l_partkey = p_partkey
+  AND l_suppkey = s_suppkey
+  AND l_orderkey = o_orderkey
+  AND s_nationkey = n_nationkey
+  AND p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation"
+    )
+    red = t["part"].filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.4 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dround(dsum(profit, 6), 2).alias("sum_profit"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 shape — important stock: per-part shipped value, kept where it
+# exceeds a GLOBAL scalar threshold (broadcast, HAVING over an
+# aggregate). The spec's fixed-fraction-of-total threshold is
+# SF-dependent (average share is 1/n_parts, so a constant fraction
+# selects nothing as the catalog grows); 1.5× the mean part value keeps
+# the shape and selects the skewed tail at any scale.
+# --------------------------------------------------------------------------
+
+_VALUE = "p_retailprice * l_quantity"
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+WITH per_part AS (
+    SELECT l_partkey,
+           {sql_dround(sql_dsum(_VALUE, 2), 2)} AS part_value
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY l_partkey
+),
+total AS (
+    SELECT SUM(part_value) AS tv, COUNT(*) AS np FROM per_part
+)
+SELECT l_partkey, part_value
+FROM per_part, total
+WHERE part_value > 1.5 * tv / np
+""",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    per_part = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            dround(
+                dsum(F.col("p_retailprice") * F.col("l_quantity"), 2), 2
+            ).alias("part_value")
+        )
+    )
+    # second-level sum over ROUNDED per-part values: plain double SUM
+    # would be partial-order-dependent, so go through decimal again
+    total = per_part.agg(
+        dsum("part_value", 2).alias("tv"), F.count("*").alias("np")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > 1.5 * F.col("tv") / F.col("np"))
+        .select("l_partkey", "part_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 shape — supplier count by part attributes, excluding a supplier
+# blocklist (NOT IN → anti join), COUNT(DISTINCT) per group.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q16_parts_supplier_count",
+    oracle="""
+WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+ok AS (
+    SELECT l_partkey, l_suppkey FROM pairs
+    WHERE l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+)
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM ok JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size <= 25
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def tpch_q16_parts_supplier_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    ok = pairs.join(
+        F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    parts = t["part"].filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ok.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 shape — suppliers with excess shipments: suppliers (in ASIA) that
+# shipped more than a threshold of some PROMO part in 1996 — nested IN
+# subqueries realized as a correlated aggregate + chained semi joins.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+WITH promo_parts AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+shipped AS (
+    SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_partkey IN (SELECT p_partkey FROM promo_parts)
+    GROUP BY l_suppkey, l_partkey
+    HAVING SUM(l_quantity) > 50
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey
+  AND n_regionkey = (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+  AND s_suppkey IN (SELECT l_suppkey FROM shipped)
+""",
+)
+def tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    promo = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    asia = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    return (
+        t["supplier"]
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
