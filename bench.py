@@ -7,8 +7,15 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query executes fully via the noop sink (forces the whole plan —
 scan, shuffles, windows — without collect/driver materialization).
 Quadratic-by-design verification queries (blocked Jaccard, MinHash
-verify) are excluded: their cost is a function of planted-duplicate
-density, not engine throughput; the scale-path variants (LSH) are in.
+verify, cluster components) are excluded: their cost is a function of
+planted-duplicate density, not engine throughput; the scale-path
+variants (LSH, SimHash) are in.
+
+Round-over-round comparison: the headline set only GROWS (superset
+rule), so the total rises as coverage widens — compare per-query
+timings for regressions, and note the six streaming queries carry a
+~1.5-6 s fixed micro-batch/state cost each that is overhead of the
+streaming harness, not plan throughput.
 """
 
 from __future__ import annotations
