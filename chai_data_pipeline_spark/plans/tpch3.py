@@ -413,23 +413,23 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("late"),
         )
     )
-    l1 = l.filter(F.col("late")).select("l_orderkey", "l_suppkey")
-    others = l.select(
-        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    # The EXISTS/NOT-EXISTS pair decorrelates to ONE per-order aggregate
+    # instead of three scans of the joined relation: a late row survives
+    # iff its order has >= 2 distinct suppliers and exactly one distinct
+    # LATE supplier (which is then necessarily this row's) — equivalent
+    # to "some other supplier exists, no other supplier is late".
+    per_order = l.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("n_late_supps"),
     )
-    late_others = l.filter(F.col("late")).select(
-        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
-    )
-    waiting = l1.join(
-        others,
-        (F.col("l_orderkey") == F.col("o2_key"))
-        & (F.col("l_suppkey") != F.col("s2_key")),
+    waiting = l.filter(F.col("late")).join(
+        per_order.filter(
+            (F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1)
+        ),
+        F.col("l_orderkey") == F.col("ok"),
         "left_semi",
-    ).join(
-        late_others,
-        (F.col("l_orderkey") == F.col("o3_key"))
-        & (F.col("l_suppkey") != F.col("s3_key")),
-        "left_anti",
     )
     counts = (
         waiting.join(

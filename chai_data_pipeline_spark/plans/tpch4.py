@@ -99,14 +99,16 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eu, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    mins = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
-        F.min("s_acctbal").alias("min_bal")
+    # min-per-part via a window, not agg+join-back: the join-back form
+    # materializes the whole candidate subtree twice (9 exchanges vs 4);
+    # the window shuffles once on p_partkey with per-part frames bounded
+    # by that part's supplier count
+    w_min = Window.partitionBy("p_partkey")
+    best = (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w_min))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .drop("min_bal")
     )
-    best = cand.join(
-        mins,
-        (F.col("p_partkey") == F.col("mk"))
-        & (F.col("s_acctbal") == F.col("min_bal")),
-    ).drop("mk", "min_bal")
     order = [F.asc("s_acctbal"), F.asc("p_partkey"), F.asc("s_suppkey")]
     topk = best.orderBy(*order).limit(10)
     w = Window.partitionBy(F.lit(0)).orderBy(*order)
