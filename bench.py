@@ -67,6 +67,8 @@ HEADLINE = [
     "dedup_simhash",
     "doc_repetition",
     "doc_contamination",
+    "doc_chunking",
+    "decontaminate_exact",
     "embedding_kmeans",
     "star_join_revenue",
     "asof_join_last_signup",

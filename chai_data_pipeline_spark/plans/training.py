@@ -448,3 +448,105 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-size document chunking with overlap (64-word windows, stride
+# 48): the context-window prep step between cleaning and tokenization.
+# Map-only — chunk starts, slices and joins all compute in-row
+# (transform over a stepped sequence), then one explode; no shuffle.
+# --------------------------------------------------------------------------
+
+CHUNK_WORDS = 64
+CHUNK_STRIDE = 48  # = CHUNK_WORDS - overlap(16)
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS toks
+    FROM documents
+),
+chunks AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, len(toks) + 1, {CHUNK_STRIDE}),
+               s -> struct_pack(
+                   idx := (s - 1) // {CHUNK_STRIDE},
+                   n := len(list_slice(toks, s, s + {CHUNK_WORDS} - 1)),
+                   txt := array_to_string(
+                       list_slice(toks, s, s + {CHUNK_WORDS} - 1), ' ')
+               )
+           )) AS c
+    FROM w
+)
+SELECT doc_id,
+       CAST(c.idx AS INTEGER) AS chunk_index,
+       CAST(c.n AS INTEGER) AS chunk_words,
+       c.txt AS chunk_text
+FROM chunks
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    pre = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    chunk_struct = (
+        f"transform(sequence(1, size(toks), {CHUNK_STRIDE}), "
+        f"s -> struct(cast((s - 1) div {CHUNK_STRIDE} AS int) AS idx, "
+        f"size(slice(toks, s, {CHUNK_WORDS})) AS n, "
+        f"concat_ws(' ', slice(toks, s, {CHUNK_WORDS})) AS txt))"
+    )
+    return pre.select(
+        "doc_id", F.explode(F.expr(chunk_struct)).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.idx").alias("chunk_index"),
+        F.col("c.n").alias("chunk_words"),
+        F.col("c.txt").alias("chunk_text"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-hash decontamination: flag corpus documents whose NORMALIZED
+# content hash appears anywhere in the benchmark source — the
+# document-level companion to doc_contamination's n-gram overlap.
+# Anti-join-shaped (broadcast the benchmark hash set at scale).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "decontaminate_exact",
+    oracle="""
+WITH h AS (
+    SELECT doc_id, source,
+           sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+               AS content_hash
+    FROM documents
+),
+bench AS (SELECT DISTINCT content_hash FROM h WHERE source = 'src0')
+SELECT h.doc_id, h.content_hash,
+       (b.content_hash IS NOT NULL) AS in_benchmark
+FROM h LEFT JOIN bench b ON h.content_hash = b.content_hash
+WHERE h.source <> 'src0'
+""",
+)
+def decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    h = docs.select("doc_id", "source", F.sha2(norm, 256).alias("content_hash"))
+    bench = (
+        h.filter(F.col("source") == "src0")
+        .select("content_hash")
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    return (
+        h.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "content_hash", "left")
+        .select(
+            "doc_id",
+            "content_hash",
+            F.coalesce("__hit", F.lit(False)).alias("in_benchmark"),
+        )
+    )
