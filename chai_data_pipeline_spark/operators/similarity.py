@@ -89,15 +89,25 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k rows of ``vectors`` by cosine to the single-row
     ``query`` (broadcast). Ranks on the ROUNDED cosine + id tiebreak so
-    ordering is engine-independent."""
+    ordering is engine-independent. Norms are hoisted to per-row
+    columns (one interpreted fold per vector instead of three per
+    pair); values stay bit-identical (same ops, same order)."""
     from ..functions import dround
 
-    joined = vectors.crossJoin(F.broadcast(query))
+    base = vectors.withColumn(
+        "__n", F.expr(f"sqrt({dot_sql_spark(vec_col, vec_col)})")
+    )
+    qn = query.withColumn(
+        "__qn", F.expr(f"sqrt({dot_sql_spark(query_vec_col, query_vec_col)})")
+    )
+    joined = base.crossJoin(F.broadcast(qn))
     scored = joined.select(
         F.col(id_col),
-        dround(F.expr(cosine_sql_spark(vec_col, query_vec_col)), 6).alias(
-            "cosine"
-        ),
+        dround(
+            F.expr(dot_sql_spark(vec_col, query_vec_col))
+            / (F.col("__n") * F.col("__qn")),
+            6,
+        ).alias("cosine"),
     )
     return ranked_topk(scored, k, id_col)
 

@@ -250,20 +250,30 @@ WHERE (list_sum(list_transform(range(1, 65),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import dround
-    from ..operators.similarity import cosine_sql_spark
+    from ..operators.similarity import dot_sql_spark
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    a = emb.select(
+    # per-row norms hoisted before the self-join (one fold per VECTOR,
+    # not three per PAIR) — bit-identical to the oracle's per-pair form:
+    # dot / (sqrt(aa) * sqrt(bb)), same ops in the same order
+    base = emb.withColumn(
+        "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding')})")
+    )
+    a = base.select(
         F.col("vec_id").alias("id_a"),
         F.col("label").alias("label_a"),
         F.col("embedding").alias("emb_a"),
+        F.col("__n").alias("__na"),
     )
-    b = emb.select(
+    b = base.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("__n").alias("__nb"),
     )
-    cos = F.expr(cosine_sql_spark("emb_a", "emb_b"))
+    cos = F.expr(dot_sql_spark("emb_a", "emb_b")) / (
+        F.col("__na") * F.col("__nb")
+    )
     return (
         a.join(
             b,

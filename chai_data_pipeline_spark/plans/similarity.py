@@ -80,19 +80,33 @@ SELECT qid, neighbor_id, cosine FROM ranked WHERE rn = 1
 """,
 )
 def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot_sql_spark
+
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    q = emb.filter(F.col("vec_id") < 50).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    # hoist each side's norm to a per-ROW column before the crossJoin:
+    # the naive per-pair cosine folds three 64-dim dot products in the
+    # INTERPRETED higher-order-function path — precomputing norms cuts
+    # that to one fold per pair, bit-identically (same ops, same order:
+    # dot / (sqrt(aa) * sqrt(bb)))
+    base = emb.withColumn(
+        "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding')})")
+    )
+    q = base.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("__n").alias("__qn"),
     )
     scored = (
-        emb.crossJoin(F.broadcast(q))
+        base.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             F.col("vec_id").alias("neighbor_id"),
-            dround(F.expr(cosine_sql_spark("embedding", "qv")), 6).alias(
-                "cosine"
-            ),
+            dround(
+                F.expr(dot_sql_spark("embedding", "qv"))
+                / (F.col("__n") * F.col("__qn")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
