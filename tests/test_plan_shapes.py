@@ -166,3 +166,34 @@ def test_sequence_packing_partitions_by_lang(spark, sf_dir):
     global sort over the corpus)."""
     plan = _plan(spark, "sequence_packing", sf_dir)
     assert "windowspecdefinition(lang" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["tpch_q10_returned_items", "tpch_q21_waiting_supplier",
+     "tpch_q2_min_cost_supplier"],
+)
+def test_tpch_topk_finishers_take_ordered(spark, sf_dir, name):
+    """TPC-H top-k reports must compile to TakeOrderedAndProject, never
+    a global row_number() window over the full aggregate."""
+    plan = _plan(spark, name, sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["tpch_q7_volume_shipping", "tpch_q9_product_profit",
+     "tpch_q5_local_supplier_volume"],
+)
+def test_tpch_fixed_dims_broadcast(spark, sf_dir, name):
+    """Fixed-cardinality dimensions (nation/region; filtered part sets)
+    must broadcast — the fact table never shuffles for those joins."""
+    plan = _plan(spark, name, sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q14_single_pass_no_exchange_before_agg(spark, sf_dir):
+    """Q14's promo percentage is ONE scan + broadcast join + one global
+    agg — exactly one exchange (the single-partition final agg)."""
+    plan = _plan(spark, name="tpch_q14_promo_effect", sf_dir=sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 0
