@@ -68,6 +68,7 @@ HEADLINE = [
     "doc_repetition",
     "doc_contamination",
     "doc_chunking",
+    "doc_unigram_stats",
     "decontaminate_exact",
     "embedding_kmeans",
     "star_join_revenue",

@@ -356,3 +356,47 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.substring(F.sha2(norm, 256), 1, 16).alias("fingerprint")
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-frequency quality stats — the "model-based" filter without a
+# model: average corpus frequency of a document's words (low = OOV /
+# noise-heavy) and the share of rare words (corpus freq <= 2). All
+# integer/rational arithmetic (counts and ratios of counts), so the
+# oracle comparison is exact — no transcendental functions whose libm
+# bit-patterns could differ across engines. Shape: explode -> vocab
+# aggregate (map-side combine to vocabulary size) -> inverted-index
+# join back -> per-doc aggregate; at 100 TB the vocab side broadcasts.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doc_unigram_stats",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, unnest(string_split_regex(TRIM(text), '\\s+')) AS word
+    FROM documents
+),
+vocab AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word)
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       {sql_dround('CAST(SUM(freq) AS BIGINT) * 1.0 / COUNT(*)', 4)}
+           AS avg_word_freq,
+       {sql_dround('COUNT(*) FILTER (WHERE freq <= 2) * 1.0 / COUNT(*)', 4)}
+           AS rare_word_ratio
+FROM w JOIN vocab USING (word)
+GROUP BY doc_id
+""",
+)
+def doc_unigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    w = docs.select("doc_id", F.explode(T.words("text")).alias("word"))
+    vocab = w.groupBy("word").agg(F.count("*").alias("freq"))
+    joined = w.join(vocab, "word")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        dround(F.sum("freq") * 1.0 / F.count("*"), 4).alias("avg_word_freq"),
+        dround(
+            F.count_if(F.col("freq") <= 2) * 1.0 / F.count("*"), 4
+        ).alias("rare_word_ratio"),
+    )

@@ -121,6 +121,58 @@ def write_bucketed_table(
     w.format("parquet").saveAsTable(table)
 
 
+def merge_into(
+    spark: SparkSession,
+    target_dir: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Row-level copy-on-write MERGE into a parquet directory — the
+    storage-level realization of SURVEY §2.9 M1/M2 when the merge key
+    is NOT the partition column (where dynamic partition overwrite
+    can't help) and no table format (Delta/Iceberg) is on the
+    classpath.
+
+    Read target (if present) → in-plan upsert (source wins) →
+    materialize → write-then-swap (never deletes the old data before
+    the replacement is fully durable; same discipline as
+    :func:`compact`). On an object store the swap step becomes a
+    manifest/pointer flip or a table format's atomic commit — this is
+    exactly the copy-on-write MERGE those formats run, minus the
+    transaction log.
+
+    Scale: cost is one full-outer shuffle on the key plus a rewrite of
+    the table — which is what row-level merge without a table format
+    costs, period; for partition-aligned keys use
+    :func:`upsert_partitions` (rewrites only touched partitions).
+    """
+    import os
+    import shutil
+    import uuid
+
+    from ..operators.merge import upsert
+
+    if os.path.exists(target_dir):
+        merged = upsert(spark.read.parquet(target_dir), source, keys)
+    else:
+        merged = source
+    tmp = f"{target_dir}__merge_{uuid.uuid4().hex[:8]}"
+    # localCheckpoint: cut lineage back to the files we are about to
+    # replace BEFORE the swap (read-overwrite hazard)
+    w = merged.localCheckpoint(eager=True).write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    if os.path.exists(target_dir):
+        old = f"{target_dir}__old_{uuid.uuid4().hex[:8]}"
+        shutil.move(target_dir, old)
+        shutil.move(tmp, target_dir)
+        shutil.rmtree(old)
+    else:
+        shutil.move(tmp, target_dir)
+
+
 def compact(
     spark: SparkSession,
     path: str,

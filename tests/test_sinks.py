@@ -71,3 +71,26 @@ def test_write_table_through_uri_scheme(spark, sf_dir, tmp_path):
     back = spark.read.parquet(uri)
     assert back.count() == region.count()
     assert set(back.columns) == set(region.columns)
+
+
+def test_merge_into_parquet_round_trips(spark, tmp_path):
+    """Copy-on-write MERGE: updates win, inserts appear, untouched rows
+    survive, and the directory stays readable after repeated merges."""
+    from chai_data_pipeline_spark.sources.writers import merge_into
+
+    tgt = str(tmp_path / "users")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], ["id", "name", "v"]
+    )
+    merge_into(spark, tgt, base, ["id"])
+    delta = spark.createDataFrame(
+        [(2, "b2", 25.0), (4, "d", 40.0)], ["id", "name", "v"]
+    )
+    merge_into(spark, tgt, delta, ["id"])
+    got = {r.id: (r.name, r.v) for r in spark.read.parquet(tgt).collect()}
+    assert got == {
+        1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0), 4: ("d", 40.0)
+    }
+    # idempotent re-merge of the same delta
+    merge_into(spark, tgt, delta, ["id"])
+    assert spark.read.parquet(tgt).count() == 4
