@@ -70,6 +70,7 @@ HEADLINE = [
     "doc_chunking",
     "doc_unigram_stats",
     "decontaminate_exact",
+    "curation_end_to_end",
     "embedding_kmeans",
     "star_join_revenue",
     "asof_join_last_signup",

@@ -550,3 +550,72 @@ def decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("__hit", F.lit(False)).alias("in_benchmark"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end curation pipeline as ONE declarative plan: quality filter →
+# exact dedup (keep-first) → split assignment → per-(split, lang)
+# profile. The point is composition — every stage is the same operator
+# the standalone queries use, fused so Catalyst optimizes across stage
+# boundaries (the quality filter pushes below the dedup shuffle; one
+# scan end to end).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "curation_end_to_end",
+    oracle=f"""
+WITH q AS (
+    SELECT doc_id, lang,
+           sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS h,
+           100
+           - CASE WHEN len(string_split_regex(TRIM(text), '\\s+')) < 10
+                  THEN 30 ELSE 0 END
+           - CASE WHEN n_chars < 80 THEN 20 ELSE 0 END
+           - CASE WHEN len(list_distinct(string_split_regex(TRIM(text), '\\s+')))
+                       * 1.0 / len(string_split_regex(TRIM(text), '\\s+')) < 0.5
+                  THEN 20 ELSE 0 END AS score
+    FROM documents
+),
+filtered AS (SELECT * FROM q WHERE score >= 50),
+kept AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM filtered
+    ) WHERE rn = 1
+),
+final AS (SELECT *, {_SPLIT_SQL} AS split FROM kept)
+SELECT split, lang,
+       COUNT(*) AS n_docs,
+       {sql_dround('SUM(score) * 1.0 / COUNT(*)', 2)} AS avg_quality
+FROM final GROUP BY 1, 2
+""",
+)
+def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+
+    from ..operators import text as T
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.sha2(norm, 256).alias("h"),
+        T.quality_score("text", "n_chars").cast("int").alias("score"),
+    )
+    filtered = q.filter(F.col("score") >= 50)
+    w = _W.partitionBy("h").orderBy("doc_id")
+    kept = (
+        filtered.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    b = hash_bucket("doc_id")
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    ).alias("split")
+    return kept.groupBy(split, "lang").agg(
+        F.count("*").alias("n_docs"),
+        dround(F.sum("score") * 1.0 / F.count("*"), 2).alias("avg_quality"),
+    )
