@@ -126,3 +126,47 @@ def test_upsert_idempotent(spark, rows):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
     keys = {r.k for r in once.collect()}
     assert keys == {r.k for r in t.collect()} | {r.k for r in s.collect()}
+
+
+MONEY = st.lists(
+    st.integers(min_value=-(10**9), max_value=10**9).map(lambda i: i / 10**4),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(vals=MONEY, parts=st.integers(min_value=1, max_value=8))
+@_SETTINGS
+def test_deterministic_numerics_bit_identical_cross_engine(spark, vals, parts):
+    """The engine-wide numeric contract, property-tested: for inputs
+    within the declared decimal scale, dsum/davg/dround produce the
+    EXACT same double as the DuckDB formulation, for ANY partitioning —
+    the invariant every oracle comparison in this repo rests on."""
+    import duckdb
+
+    from chai_data_pipeline_spark.functions import (
+        davg,
+        dround,
+        dsum,
+        sql_davg,
+        sql_dround,
+        sql_dsum,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in vals], "v double"
+    ).repartition(parts)
+    row = df.agg(
+        dround(dsum("v", 4), 4).alias("s"),
+        dround(davg("v", 4), 4).alias("a"),
+    ).collect()[0]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    ds, da = con.execute(
+        f"SELECT {sql_dround(sql_dsum('v', 4), 4)},"
+        f" {sql_dround(sql_davg('v', 4), 4)} FROM t"
+    ).fetchone()
+    assert row.s == ds, (vals, parts, row.s, ds)
+    assert row.a == da, (vals, parts, row.a, da)
