@@ -50,3 +50,40 @@ def test_api_source_requires_urls(spark):
     register_api_source(spark)
     with _pytest.raises(Exception):
         spark.read.format("chai_api").load().collect()
+
+
+def test_api_stream_reader_incremental_offsets(spark, tmp_path):
+    """Streaming reads are incremental: records appended to the
+    endpoint between micro-batches arrive exactly once (offset = count
+    already emitted)."""
+    p = tmp_path / "feed.json"
+    p.write_text(json.dumps([{"id": 1}, {"id": 2}]))
+    url = f"file://{p}"
+
+    from chai_data_pipeline_spark.sources.api_source import register_api_source
+
+    register_api_source(spark)
+    chk = str(tmp_path / "chk")
+    q = (
+        spark.readStream.format("chai_api")
+        .option("urls", url)
+        .load()
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_api_stream")
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = spark.table("t_api_stream").count()
+        assert first == 2
+        # append one record; next batch must emit ONLY the new one
+        p.write_text(json.dumps([{"id": 1}, {"id": 2}, {"id": 3}]))
+        q.processAllAvailable()
+        rows = spark.table("t_api_stream").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 3
+    ids = sorted(json.loads(r.raw_data)["id"] for r in rows)
+    assert ids == [1, 2, 3]
