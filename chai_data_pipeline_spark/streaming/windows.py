@@ -232,9 +232,18 @@ def _run_stream_inner(
     spark, df: DataFrame, name: str, output_mode: str
 ) -> DataFrame:
     if output_mode == "append":
+        import glob
+        import shutil
         import tempfile
         import uuid
 
+        # bounded temp usage: drop PREVIOUS runs' output/checkpoint dirs
+        # for this query name (the fresh uuid below means the dir being
+        # created never collides with one still being read)
+        for stale in glob.glob(
+            os.path.join(tempfile.gettempdir(), f"chai_stream_out_{name}_*")
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
         out = os.path.join(
             tempfile.gettempdir(),
             f"chai_stream_out_{name}_{uuid.uuid4().hex[:8]}",
