@@ -496,3 +496,108 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("cluster_id"))
         .alias("cluster_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hash-checked MinHash-LSH: the production path (dedup_minhash_lsh)
+# hashes shingles with xxhash64, which no SQL engine reproduces — so it
+# carries only a rows-only check. This variant derives the 16 minhash
+# permutations from md5 (bit-identical in Spark, DuckDB, and Python),
+# making the ENTIRE pipeline — shingle → minhash → banded buckets →
+# candidate join → exact-Jaccard verify — value-hash-checked end to
+# end. Same plan shape as the fast path: bucket equi-join, never O(n²).
+# --------------------------------------------------------------------------
+
+_MINHASH_PERMS = 16
+_MINHASH_BANDS = 4  # 4 rows per band
+
+
+@query(
+    "dedup_minhash_lsh_checked",
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, GREATEST(LENGTH(text) - 2, 0) + 1),
+               i -> text[i : i + 2]
+           )) AS grams
+    FROM documents
+),
+mh AS (
+    SELECT doc_id, grams,
+           list_transform(range(0, {_MINHASH_PERMS}), p ->
+               list_min(list_transform(grams, g ->
+                   CAST(('0x' || substring(md5(g || '|' || CAST(p AS VARCHAR)), 1, 8))
+                        AS BIGINT)))
+           ) AS sig
+    FROM sh WHERE len(grams) > 0
+),
+buckets AS (
+    SELECT doc_id, grams, b.b AS band,
+           array_to_string(list_slice(sig, b.b * 4 + 1, b.b * 4 + 4), ',')
+               AS band_sig
+    FROM mh, (SELECT unnest(range(0, {_MINHASH_BANDS})) AS b) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.grams AS ga, b.grams AS gb
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       {sql_dround('''len(list_intersect(ga, gb)) * 1.0
+        / (len(ga) + len(gb) - len(list_intersect(ga, gb)))''', 6)} AS jaccard
+FROM cand
+WHERE len(list_intersect(ga, gb)) * 1.0
+      / (len(ga) + len(gb) - len(list_intersect(ga, gb))) >= 0.5
+""",
+)
+def dedup_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import dround
+    from ..operators.dedup import shingles
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sh = docs.select("doc_id", shingles("text", 3).alias("grams")).filter(
+        F.size("grams") > 0
+    )
+    mh_expr = (
+        f"transform(sequence(0, {_MINHASH_PERMS - 1}), p -> "
+        "array_min(transform(grams, g -> "
+        "cast(conv(substring(md5(concat(g, '|', cast(p AS string))), 1, 8),"
+        " 16, 10) AS bigint))))"
+    )
+    band_expr = (
+        f"transform(sequence(0, {_MINHASH_BANDS - 1}), b -> "
+        "struct(b AS band, "
+        "concat_ws(',', transform(slice(sig, b * 4 + 1, 4), "
+        "x -> cast(x AS string))) AS band_sig))"
+    )
+    buckets = (
+        sh.withColumn("sig", F.expr(mh_expr))
+        .select("doc_id", "grams", F.explode(F.expr(band_expr)).alias("bb"))
+        .select("doc_id", "grams", "bb.band", "bb.band_sig")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.grams").alias("ga"),
+            F.col("b.grams").alias("gb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    jac = inter * 1.0 / union
+    return cand.filter(jac >= 0.5).select(
+        "id_a", "id_b", dround(jac, 6).alias("jaccard")
+    )
