@@ -22,10 +22,12 @@ def sessionize(
     """Assign gap-based session ids per user (batch analog of streaming
     session windows). Adds a ``session_id`` column (1-based per user).
 
-    Boundary matches Spark's ``session_window`` exactly: windows are
-    ``[t, t+gap)`` — adjacent, not overlapping — so an event arriving
-    EXACTLY ``gap_seconds`` after the previous one starts a NEW session
-    (``>=``, open upper bound).
+    Boundary matches Spark's ``session_window`` exactly: an event
+    arriving EXACTLY ``gap_seconds`` after the previous one is MERGED
+    into that session (verified empirically against ``F.session_window``
+    in batch and streaming — the half-open ``[t, t+gap)`` window label is
+    touched, and touching sessions merge). A new session starts only when
+    the gap is STRICTLY greater than ``gap_seconds`` (``>``).
 
     Scale: one shuffle on ``user_col``; per-user partitions are small in
     any realistic event stream, and the two stacked windows share the
@@ -40,7 +42,7 @@ def sessionize(
         prev_ts.isNull()
         | (
             (epoch_seconds(F.col(ts_col)) - epoch_seconds(prev_ts))
-            >= gap_seconds
+            > gap_seconds
         ),
         1,
     ).otherwise(0)

@@ -26,64 +26,108 @@ from . import tpch4  # noqa: F401,E402
 # ---------------------------------------------------------------------------
 # Registration ORDER is part of the driver contract: the per-round
 # correctness gate checks queries in `queries()` dict order up to a cap
-# (round 1 covered exactly the first 50 registered). To maximize the set
-# of queries with at least one driver-green CORRECTNESS row across
-# rounds, queries that already earned a green hash row in round 1 are
-# moved to the BACK of the dicts (they keep local sf0.001/sf0.01 parity
-# protection against regression); everything still unverified by the
-# driver — plus the two round-1 hash-fails whose oracles were fixed —
-# comes first. Reorder is in-place so registry.QUERIES and
-# plans.QUERIES stay the same objects.
+# (~50). To maximize the set of queries with at least one driver-green
+# CORRECTNESS row across rounds, queries that already earned a green
+# hash row in ANY past round are moved to the BACK of the dicts (they
+# keep local sf0.001/sf0.01 parity protection against regression);
+# everything still unverified by the driver comes first. Reorder is
+# in-place so registry.QUERIES and plans.QUERIES stay the same objects.
+#
+# EACH ROUND (CLAUDE.md): fold the newest CORRECTNESS_r{N}.json greens
+# into _DRIVER_GREEN below and rebuild _FRONT from what's still
+# unchecked.
 # ---------------------------------------------------------------------------
 
-_ROUND1_GREEN = {
-    "flagship_daily_event_trends", "proj_filter_pushdown",
-    "audit_lineage_columns", "date_range_violations", "recency_filter",
-    "string_cleaning_suite", "safe_arithmetic", "date_functions",
-    "json_extraction", "json_typed_parse", "regex_extract_groups",
-    "anti_join_orphans", "semi_join_active_customers",
-    "cross_join_scalar_stats", "broadcast_dim_join", "star_join_revenue",
-    "upsert_merge_by_key", "cdc_apply_changes", "daily_summary",
-    "segment_nation_profile", "two_level_agg", "argmax_top_segment",
-    "latest_partition_summary", "freshness_union", "group_quantiles",
-    "rollup_revenue", "except_inactive_users", "rank_nations_by_balance",
-    "lag_dod_wow", "user_value_diff", "rolling_user_avg",
-    "topk_customers_per_nation", "trend_classification",
-    "dedup_keep_first", "sessionization", "range_window_trailing_7d",
-    "user_engagement", "weekly_aggregates", "monthly_kpis",
-    "global_asof_summary", "text_stats", "token_counts", "lang_id",
-    "doc_quality_scores", "doc_sentiment", "doc_fingerprints",
-    "dedup_exact_content", "dedup_ngram_jaccard",
+# Union of hash-green rows across CORRECTNESS_r01 + r02 (computed
+# directly from the JSON files — 92 names).
+_DRIVER_GREEN = {
+    "anti_join_orphans", "argmax_top_segment",
+    "audit_lineage_columns", "broadcast_dim_join",
+    "cdc_apply_changes", "conditional_counts",
+    "cross_join_scalar_stats", "daily_summary", "date_functions",
+    "date_range_violations", "dedup_cluster_components",
+    "dedup_embedding_cosine", "dedup_exact_content",
+    "dedup_fuzzy_names", "dedup_keep_canonical", "dedup_keep_first",
+    "dedup_minhash_lsh_checked", "dedup_ngram_jaccard",
+    "doc_contamination", "doc_fingerprints", "doc_quality_scores",
+    "doc_repetition", "doc_sentiment", "doc_unigram_stats",
+    "dq_single_pass", "embedding_centroids", "except_inactive_users",
+    "flagship_daily_event_trends", "freshness_union",
+    "global_asof_summary", "group_quantiles", "json_extraction",
+    "json_typed_parse", "lag_dod_wow", "lang_id",
+    "latest_partition_summary", "monthly_kpis",
+    "multimodal_decode_meta", "multimodal_metadata",
+    "proj_filter_pushdown", "range_window_trailing_7d",
+    "rank_nations_by_balance", "recency_filter",
+    "regex_extract_groups", "rolling_user_avg", "rollup_revenue",
+    "safe_arithmetic", "segment_nation_profile",
+    "semi_join_active_customers", "sessionization",
+    "similarity_ann_lsh_checked", "similarity_cosine_topk",
+    "similarity_knn_join", "star_join_revenue",
+    "streaming_dedup_delivery", "streaming_session_window",
+    "streaming_sliding_counts", "streaming_stateful_totals",
+    "streaming_stream_join", "streaming_tumbling_counts",
+    "string_cleaning_suite", "text_stats", "token_counts",
+    "topk_customers_per_nation", "tpch_q10_returned_items",
+    "tpch_q11_important_stock", "tpch_q12_priority_classes",
+    "tpch_q13_customer_distribution", "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier", "tpch_q16_parts_supplier_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers", "tpch_q19_discounted_revenue",
+    "tpch_q1_pricing_summary", "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
+    "tpch_q2_min_cost_supplier", "tpch_q3_shipping_priority",
+    "tpch_q4_priority_check", "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "trend_classification", "two_level_agg", "upsert_merge_by_key",
+    "user_engagement", "user_value_diff", "weekly_aggregates",
 }
 
+# Permanently oracle-less (rows-only by nature: approx sketches,
+# float32 features, iterative fp-dependent) — still worth ONE rows-only
+# driver row each, but never ahead of an oracle-bearing unchecked query.
+_NO_ORACLE_LAST = [
+    "multimodal_features", "approx_distinct_users",
+    "group_quantiles_approx", "dedup_minhash_lsh", "dedup_simhash",
+    "similarity_ann_lsh", "similarity_ann_ivf", "embedding_kmeans",
+]
 
-# Flagship capability claims checked first within the unverified set:
-# the two fixed round-1 hash-fails, all nine TPC-H queries, and the six
-# streaming queries.
+# Round 3 front: the 31 never-checked oracle-bearing queries first
+# (ID order groups related plans), then new _checked twins / variants
+# added this round (registered but absent from both lists land in the
+# middle rank automatically), then regression re-checks of the two
+# round-1-fixed oracles + flagship fill spare cap slots.
 _FRONT = [
+    # never-checked, oracle-bearing (31)
+    "asof_join_last_signup", "range_predicate_join",
+    "pivot_status_counts", "unpivot_measures", "cube_revenue",
+    "grouping_sets_priority", "running_totals", "window_navigation",
+    "ntile_percentiles", "manual_variance", "manual_correlation",
+    "trend_applyinpandas", "explode_word_counts", "intersect_users",
+    "gap_fill_daily", "value_histogram", "trend_slope",
+    "tfidf_top_terms", "scd2_history", "doc_chunking",
+    "decontaminate_exact", "sample_hash_deterministic",
+    "train_test_split", "per_source_cap", "pii_redaction",
+    "heavy_hitters", "quantile_length_trim", "mixture_weighted_sample",
+    "sequence_packing", "curation_end_to_end",
+    "multimodal_frame_sample",
+    # never-checked, rows-only (first driver row still valuable)
+    "multimodal_features", "approx_distinct_users",
+    # regression re-checks (fill remaining cap slots)
     "conditional_counts", "dq_single_pass",
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q4_priority_check", "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue", "tpch_q13_customer_distribution",
-    "tpch_q17_small_quantity_revenue", "tpch_q18_large_volume_customers",
-    "tpch_q19_discounted_revenue",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q10_returned_items", "tpch_q12_priority_classes",
-    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
-    "tpch_q21_waiting_supplier", "tpch_q22_global_sales_opportunity",
-    "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
-    "tpch_q11_important_stock", "tpch_q16_parts_supplier_count",
-    "tpch_q20_excess_suppliers",
-    "streaming_tumbling_counts", "streaming_sliding_counts",
-    "streaming_session_window", "streaming_stateful_totals",
-    "streaming_stream_join", "streaming_dedup_delivery",
+    "flagship_daily_event_trends", "upsert_merge_by_key",
+    "streaming_session_window", "sessionization",
+    "tpch_q11_important_stock",
 ]
 
 
 def _rank(name: str) -> tuple[int, int]:
     if name in _FRONT:
         return (0, _FRONT.index(name))
-    return (2, 0) if name in _ROUND1_GREEN else (1, 0)
+    if name in _NO_ORACLE_LAST:
+        return (3, _NO_ORACLE_LAST.index(name))
+    return (2, 0) if name in _DRIVER_GREEN else (1, 0)
 
 
 def _reorder_for_driver() -> None:

@@ -66,7 +66,7 @@ def dedup_exact_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MAX_BLOCK = 256
 
-_JACCARD_BLOCK_SQL = """
+_JACCARD_BLOCK_SQL = f"""
 sh0 AS (
     SELECT doc_id, lang, n_chars // 64 AS len_bucket,
            list_distinct(list_transform(
@@ -77,7 +77,7 @@ sh0 AS (
 ),
 ok AS (
     SELECT lang, len_bucket FROM sh0
-    GROUP BY lang, len_bucket HAVING COUNT(*) <= 256
+    GROUP BY lang, len_bucket HAVING COUNT(*) <= {MAX_BLOCK}
 ),
 sh AS (SELECT sh0.* FROM sh0 JOIN ok USING (lang, len_bucket))
 """

@@ -70,9 +70,10 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Session windows (30 min gap) per user — oracle is the batch lag-gap
-# sessionization. Boundary matches Spark's session_window exactly:
-# windows are [t, t+gap), adjacent not overlapping, so a gap of EXACTLY
-# 1800s starts a new session (>=).
+# sessionization. Boundary matches Spark's session_window exactly: a gap
+# of EXACTLY 1800s MERGES into the previous session (verified
+# empirically in batch and streaming); only a STRICTLY greater gap (>)
+# starts a new session.
 # --------------------------------------------------------------------------
 
 
@@ -82,7 +83,7 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (
     SELECT user_id, ts,
            CASE WHEN LAG(ts) OVER w IS NULL
-                     OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+                     OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
                 THEN 1 ELSE 0 END AS is_new
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)

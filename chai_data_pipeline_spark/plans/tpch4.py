@@ -193,7 +193,10 @@ WITH per_part AS (
     GROUP BY l_partkey
 ),
 total AS (
-    SELECT SUM(part_value) AS tv, COUNT(*) AS np FROM per_part
+    -- decimal path, mirroring the Spark side's dsum('part_value', 2):
+    -- a plain double SUM is partial-order-dependent and a ULP drift in
+    -- tv flips membership of parts sitting at the filter boundary
+    SELECT {sql_dsum('part_value', 2)} AS tv, COUNT(*) AS np FROM per_part
 )
 SELECT l_partkey, part_value
 FROM per_part, total

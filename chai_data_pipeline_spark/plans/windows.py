@@ -301,7 +301,7 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH e AS (
     SELECT user_id, ts, event_id, value,
            CASE WHEN LAG(ts) OVER w IS NULL
-                     OR epoch(ts) - epoch(LAG(ts) OVER w) >= 1800
+                     OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
                 THEN 1 ELSE 0 END AS is_new
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -152,7 +152,8 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
         if name == "events":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
-            if dict(df.dtypes).get("ts") == "bigint":
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
                 # → NTZ wall-clock (identity under the UTC pin above):
                 # an instant-typed ts would make every downstream
                 # to_date/window bucket session-tz-dependent AND
@@ -164,6 +165,14 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
                         "timestamp_ntz"
                     ),
                 )
+            elif ts_type == "timestamp":
+                # µs-instant parquet (isAdjustedToUTC=true, or NTZ
+                # inference disabled): same NTZ normalization — the
+                # UTC pin makes the cast an identity on the wall clock
+                df = df.withColumn(
+                    "ts", F.col("ts").cast("timestamp_ntz")
+                )
+            # µs-NTZ parquet already reads as timestamp_ntz: no-op
         else:
             df = spark.read.parquet(path)
         df.createOrReplaceTempView(name)

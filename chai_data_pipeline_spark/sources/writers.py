@@ -165,10 +165,27 @@ def merge_into(
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
     if os.path.exists(target_dir):
+        # Two local-fs renames can't be one atomic op, so (a) keep the
+        # no-target window as small as possible (two back-to-back
+        # renames, no work between), and (b) drop a marker file FIRST
+        # naming both dirs so a crash inside the window is recoverable
+        # by hand: if `target_dir` is missing, rename the `old` path in
+        # the marker back (data was never deleted before the new copy
+        # was durable). The marker is removed only after the swap and
+        # cleanup fully succeed.
         old = f"{target_dir}__old_{uuid.uuid4().hex[:8]}"
+        marker = f"{target_dir}__merge_marker"
+        with open(marker, "w") as fh:
+            fh.write(
+                "in-flight merge_into swap\n"
+                f"old={old}\ntmp={tmp}\ntarget={target_dir}\n"
+                "recovery: if target is missing, move old back to "
+                "target (tmp holds the merged copy)\n"
+            )
         shutil.move(target_dir, old)
         shutil.move(tmp, target_dir)
         shutil.rmtree(old)
+        os.remove(marker)
     else:
         shutil.move(tmp, target_dir)
 

@@ -78,12 +78,21 @@ def _events_stream(
     stream = (
         spark.readStream.schema(batch.schema).format("parquet").load(stage)
     )
-    # ts stays an INSTANT here (withWatermark rejects TIMESTAMP_NTZ);
+    # ts must be an INSTANT here (withWatermark rejects TIMESTAMP_NTZ);
     # the UTC session pin above makes window bucketing deterministic,
     # and aggregate outputs cast their window labels to NTZ so
-    # driver-side collection is OS-tz-independent
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # driver-side collection is OS-tz-independent. Handle every ts
+    # physical type the testdata has shipped with: ns (reads as bigint
+    # under nanosAsLong), µs-NTZ (reads as timestamp_ntz), or already
+    # an instant.
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    elif ts_type == "timestamp_ntz":
+        # NTZ wall clock -> instant: identity under the UTC session pin
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
@@ -233,17 +242,26 @@ def _run_stream_inner(
 ) -> DataFrame:
     if output_mode == "append":
         import glob
+        import re
         import shutil
         import tempfile
         import uuid
 
-        # bounded temp usage: drop PREVIOUS runs' output/checkpoint dirs
-        # for this query name (the fresh uuid below means the dir being
-        # created never collides with one still being read)
+        # Bounded temp usage: drop PREVIOUS runs' output/checkpoint dirs
+        # for THIS query name only — the trailing pattern is anchored to
+        # exactly one 8-hex-char run id (+ optional _chk) so a name that
+        # is a prefix of another ("join" vs "join_x") never deletes the
+        # other's dirs. Contract: ONE live result per name — the lazy
+        # DataFrame returned by a previous run of the SAME name becomes
+        # unreadable once this run deletes its backing dir.
+        stale_re = re.compile(
+            rf"chai_stream_out_{re.escape(name)}_[0-9a-f]{{8}}(_chk)?$"
+        )
         for stale in glob.glob(
             os.path.join(tempfile.gettempdir(), f"chai_stream_out_{name}_*")
         ):
-            shutil.rmtree(stale, ignore_errors=True)
+            if stale_re.search(os.path.basename(stale)):
+                shutil.rmtree(stale, ignore_errors=True)
         out = os.path.join(
             tempfile.gettempdir(),
             f"chai_stream_out_{name}_{uuid.uuid4().hex[:8]}",

@@ -330,14 +330,16 @@ def test_ngram_jaccard_block_cap_drops_oversized_blocks(spark, sf_dir, tmp_path)
 
 
 def test_sessionize_exact_gap_boundary_matches_session_window(spark):
-    """An event EXACTLY gap_seconds after the previous one starts a NEW
-    session — Spark's session_window convention (windows are [t, t+gap),
-    adjacent not overlapping)."""
+    """An event EXACTLY gap_seconds after the previous one MERGES into
+    the previous session — Spark's session_window convention (touching
+    sessions merge; only a strictly-greater gap splits). Asserted both
+    against sessionize() and directly against F.session_window."""
     from chai_data_pipeline_spark.operators.windows import sessionize
 
     rows = [
         (1, "2024-01-01 00:00:00"),
-        (1, "2024-01-01 00:30:00"),  # exactly 1800s later -> NEW session
+        (1, "2024-01-01 00:30:00"),  # exactly 1800s later -> MERGED
+        (1, "2024-01-01 01:00:01"),  # 1801s later -> NEW session
     ]
     df = spark.createDataFrame(rows, ["user_id", "ts_str"]).withColumn(
         "ts", F.col("ts_str").cast("timestamp")
@@ -345,7 +347,21 @@ def test_sessionize_exact_gap_boundary_matches_session_window(spark):
     out = sessionize(df, "user_id", "ts", gap_seconds=1800)
     got = {r.ts_str: r.session_id for r in out.collect()}
     assert got["2024-01-01 00:00:00"] == 1
-    assert got["2024-01-01 00:30:00"] == 2
+    assert got["2024-01-01 00:30:00"] == 1
+    assert got["2024-01-01 01:00:01"] == 2
+
+    # Ground truth: native session_window groups the same way.
+    native = sorted(
+        r["count"]
+        for r in df.groupBy(
+            "user_id", F.session_window("ts", "30 minutes")
+        ).count().collect()
+    )
+    mine = sorted(
+        r["count"]
+        for r in out.groupBy("user_id", "session_id").count().collect()
+    )
+    assert native == mine == [1, 2]
 
 
 def test_salted_join_rejects_outer_joins(spark):
