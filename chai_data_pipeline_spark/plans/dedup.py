@@ -601,3 +601,125 @@ def dedup_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(jac >= 0.5).select(
         "id_a", "id_b", dround(jac, 6).alias("jaccard")
     )
+
+
+# --------------------------------------------------------------------------
+# Hash-checked SimHash: the production path (dedup_simhash) hashes
+# tokens with xxhash64 and folds the 64 sign-sums in a numpy pandas
+# UDF — neither is reproducible in SQL, so it carries a rows-only
+# check. This twin derives 32-bit token hashes from md5 (bit-identical
+# in Spark and DuckDB, same recipe as dedup_minhash_lsh_checked) and
+# folds the sign-sums as pure column expressions, putting the ENTIRE
+# pipeline — tokenize → hash → sign-fold fingerprint → chunk blocking
+# with skew cap → Hamming filter — under the value-hash oracle. Same
+# plan shape as the fast path: chunk equi-join, never O(n²).
+# --------------------------------------------------------------------------
+
+_SIMHASH_CHK_BITS = 32
+_SIMHASH_CHK_CHUNKS = 4  # 8 bits each
+_SIMHASH_CHK_CAP = 100  # hot-chunk skew cap, as in dedup_simhash
+_SIMHASH_CHK_HAM = 6  # of 32 bits ≈ the production 12-of-64 threshold
+
+_TOKENS_SPARK = "array_distinct(split(lower(trim(text)), '\\\\s+'))"
+_HASHES_SPARK = (
+    f"transform({_TOKENS_SPARK}, t -> "
+    "cast(conv(substring(md5(t), 1, 8), 16, 10) AS bigint))"
+)
+_BITSUMS_SPARK = (
+    f"aggregate({_HASHES_SPARK}, "
+    f"transform(sequence(0, {_SIMHASH_CHK_BITS - 1}), b -> cast(0 AS bigint)), "
+    f"(acc, h) -> zip_with(acc, sequence(0, {_SIMHASH_CHK_BITS - 1}), "
+    "(a, b) -> a + (CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END)))"
+)
+_SIMHASH_SPARK = (
+    f"aggregate(zip_with({_BITSUMS_SPARK}, "
+    f"sequence(0, {_SIMHASH_CHK_BITS - 1}), "
+    "(s, b) -> CASE WHEN s > 0 THEN shiftleft(cast(1 AS bigint), b) "
+    "ELSE cast(0 AS bigint) END), "
+    "cast(0 AS bigint), (acc, v) -> acc + v)"
+)
+
+
+@query(
+    "dedup_simhash_checked",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_transform(
+               list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
+               t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
+           ) AS hashes
+    FROM documents
+),
+sig AS (
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, {_SIMHASH_CHK_BITS}), b ->
+               CASE WHEN list_sum(list_transform(hashes, h ->
+                        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+           )) AS BIGINT) AS simhash
+    FROM tok
+),
+chunks AS (
+    SELECT doc_id, simhash, c.c AS chunk_idx,
+           (simhash >> (c.c * 8)) & 255 AS chunk_val
+    FROM sig, (SELECT unnest(range(0, {_SIMHASH_CHK_CHUNKS})) AS c) c
+),
+ok AS (
+    SELECT chunk_idx, chunk_val FROM chunks
+    GROUP BY 1, 2 HAVING COUNT(*) <= {_SIMHASH_CHK_CAP}
+),
+kept AS (SELECT chunks.* FROM chunks JOIN ok USING (chunk_idx, chunk_val)),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sa, b.simhash AS sb
+    FROM kept a JOIN kept b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+FROM pairs WHERE bit_count(xor(sa, sb)) <= {_SIMHASH_CHK_HAM}
+""",
+)
+def dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sig = docs.select(
+        "doc_id", F.expr(_SIMHASH_SPARK).alias("simhash")
+    )
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_SIMHASH_CHK_CHUNKS - 1}),"
+                " c -> struct(c AS chunk_idx,"
+                " shiftright(simhash, c * 8) & 255 AS chunk_val))"
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    sizes = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.count("*").alias("__n")
+    )
+    chunks = chunks.join(
+        sizes.filter(F.col("__n") <= _SIMHASH_CHK_CAP),
+        ["chunk_idx", "chunk_val"],
+    ).drop("__n")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr("cast(bit_count(a.simhash ^ b.simhash) AS int)").alias(
+                "hamming"
+            ),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= _SIMHASH_CHK_HAM)
+    )

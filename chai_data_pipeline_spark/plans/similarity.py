@@ -269,3 +269,124 @@ def similarity_ann_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv")
     )
     return ann_topk_lsh_checked(emb, qdf, k=10, dim=DIM)
+
+
+# --------------------------------------------------------------------------
+# Hash-checked IVF ANN: ann_topk_ivf is ALREADY fully deterministic and
+# expression-based (first-k codebook, sequential-fold cosine, explicit
+# tiebreaks) — it just never had an oracle. This twin runs the SAME
+# Spark plan under a DuckDB oracle that reproduces codebook selection,
+# nearest-centroid assignment (ties to the lowest centroid id), the
+# n_probe nearest inverted lists, and the exact-cosine top-k —
+# bit-identical arithmetic throughout (same left-fold dot products).
+# --------------------------------------------------------------------------
+
+_IVF_CENTS = 16
+_IVF_PROBE = 4
+
+
+def _ivf_checked_oracle() -> str:
+    assign_cos = cosine_sql_duckdb("e.embedding", "c.centroid_vec", DIM)
+    probe_cos = cosine_sql_duckdb("centroid_vec", "qv", DIM)
+    final_cos = cosine_sql_duckdb("embedding", "qv", DIM)
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding AS centroid_vec
+    FROM embeddings ORDER BY vec_id LIMIT {_IVF_CENTS}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+assigned AS (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {assign_cos} DESC, c.centroid_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+),
+probe AS (
+    SELECT centroid_id
+    FROM cents CROSS JOIN q
+    ORDER BY {probe_cos} DESC, centroid_id ASC
+    LIMIT {_IVF_PROBE}
+),
+cands AS (
+    SELECT a.vec_id, a.embedding
+    FROM assigned a JOIN probe p USING (centroid_id)
+    WHERE a.rn = 1
+),
+scored AS (
+    SELECT vec_id, {sql_dround(final_cos, 6)} AS cosine
+    FROM cands CROSS JOIN q
+),
+ranked AS (
+    SELECT vec_id, cosine,
+           ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS rank
+    FROM scored
+)
+SELECT vec_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("similarity_ann_ivf_checked", oracle=_ivf_checked_oracle())
+def similarity_ann_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_topk_ivf
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    qdf = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    return ann_topk_ivf(
+        emb, qdf, k=10, n_centroids=_IVF_CENTS, n_probe=_IVF_PROBE
+    )
+
+
+# --------------------------------------------------------------------------
+# Hash-checked k-means: ONE assign+summary pass against the
+# deterministic INIT codebook (the k lowest-id vectors — exactly
+# kmeans_fit(iters=0)). The iterative trainer stays rows-only
+# (embedding_kmeans); this twin puts the assignment arithmetic, the
+# lowest-id tiebreak, and the fixed-point mean-similarity reduction
+# under the DuckDB differential oracle. The codebook literals are
+# collected float32 values (exact in double), and the centroid-norm
+# literal is a Python sequential fold — the same left-to-right IEEE
+# accumulation both engines' folds perform, so sims are bit-identical.
+# --------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_Q = 1 << 20
+
+
+def _kmeans_checked_oracle() -> str:
+    cos = cosine_sql_duckdb("e.embedding", "c.cvec", DIM)
+    return f"""
+WITH cents AS (
+    SELECT embedding AS cvec,
+           ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id
+    FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+),
+assigned AS (
+    SELECT e.vec_id, c.cluster_id, {cos} AS sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {cos} DESC, c.cluster_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+)
+SELECT CAST(cluster_id AS INTEGER) AS cluster_id,
+       COUNT(*) AS n_members,
+       {sql_dround(
+           'CAST(SUM(CAST(FLOOR(sim * ' + str(_KM_Q) + ') AS BIGINT)) AS DOUBLE)'
+           ' / (' + str(float(_KM_Q)) + ' * COUNT(*))', 4)} AS mean_sim
+FROM assigned WHERE rn = 1
+GROUP BY cluster_id
+"""
+
+
+@query("embedding_kmeans_checked", oracle=_kmeans_checked_oracle())
+def embedding_kmeans_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import kmeans_fit, kmeans_summary
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    codebook = kmeans_fit(emb, k=_KM_K, iters=0)
+    return kmeans_summary(emb, codebook)
