@@ -34,13 +34,18 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    nodes: DataFrame | None = None,
+    node_col: str = "node",
 ) -> DataFrame:
     """Label every node of the undirected graph ``edges`` with the
     minimum node id of its connected component.
 
-    Returns (node, cluster_id). Nodes are whatever appears as an
-    endpoint; isolated nodes (no edges) are absent by construction —
-    union them in with label=id if needed.
+    Returns (node, cluster_id). By default nodes are whatever appears
+    as an edge endpoint, so isolated nodes (no edges) are absent by
+    construction. Pass ``nodes`` (a DataFrame whose ``node_col`` is the
+    full node universe) to get edge-less nodes back labeled with
+    themselves — a singleton component each — instead of every caller
+    re-implementing the union.
     """
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
@@ -92,4 +97,13 @@ def connected_components(
             f"({n_changed} labels still changing); the graph has a "
             f"component of diameter > {max_iter} — raise max_iter"
         )
-    return labels.select("node", F.col("label").alias("cluster_id"))
+    out = labels.select("node", F.col("label").alias("cluster_id"))
+    if nodes is not None:
+        universe = nodes.select(
+            F.col(node_col).cast("long").alias("node")
+        ).distinct()
+        isolated = universe.join(out.select("node"), "node", "left_anti")
+        out = out.unionByName(
+            isolated.withColumn("cluster_id", F.col("node"))
+        )
+    return out

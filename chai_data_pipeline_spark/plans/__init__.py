@@ -22,6 +22,7 @@ from . import training  # noqa: F401,E402
 from . import tpch2  # noqa: F401,E402
 from . import tpch3  # noqa: F401,E402
 from . import tpch4  # noqa: F401,E402
+from . import medallion  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration ORDER is part of the driver contract: the per-round

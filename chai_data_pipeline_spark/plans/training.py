@@ -619,3 +619,152 @@ def curation_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         dround(F.sum("score") * 1.0 / F.count("*"), 2).alias("avg_quality"),
     )
+
+
+# --------------------------------------------------------------------------
+# Scale-safe variants of the two per-language single-task-window plans
+# (quantile_length_trim's ntile and sequence_packing's running sum both
+# sort one partition per language — fine at sf0.1, skew-bound at 100×).
+# Registered ALONGSIDE the originals: same outputs, shuffle-safe shapes.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "quantile_length_trim_approx",
+    oracle=f"""
+WITH hist AS (
+    SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2
+),
+cum AS (
+    SELECT lang, n_chars,
+           SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum
+    FROM hist
+),
+tot AS (SELECT lang, SUM(c) AS n FROM hist GROUP BY lang),
+cuts AS (
+    SELECT c.lang,
+           MIN(CASE WHEN cum >= (n + 9) // 10 THEN n_chars END) AS lo,
+           MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN n_chars END) AS hi
+    FROM cum c JOIN tot t ON c.lang = t.lang
+    GROUP BY c.lang
+)
+SELECT d.lang,
+       COUNT(*) AS n_kept,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       {sql_dround('SUM(n_chars) * 1.0 / COUNT(*)', 2)} AS avg_chars
+FROM documents d JOIN cuts ON d.lang = cuts.lang
+WHERE d.n_chars BETWEEN lo AND hi
+GROUP BY d.lang
+""",
+)
+def quantile_length_trim_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-exact percentile trim — the 100-TB shape the
+    quantile_length_trim docstring promises.
+
+    Keep docs with p10 ≤ n_chars ≤ p90 per language, where the cutoff
+    for percentile p is the smallest length whose cumulative count
+    reaches ceil(p·n) — EXACT (integer arithmetic, engine-identical),
+    despite the name's nod to the approxQuantile family it replaces at
+    scale. No per-language sort of the data: the base table collapses
+    map-side to (lang, n_chars) histogram cells, the cumulative window
+    runs over that tiny distinct-length table, and the trim itself is
+    a map-only filter against broadcast cutoffs. Every stage's width
+    is bounded by the histogram size, not the corpus.
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    hist = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    wc = Window.partitionBy("lang").orderBy("n_chars")
+    cum = hist.withColumn("cum", F.sum("c").over(wc))
+    tot = hist.groupBy("lang").agg(F.sum("c").alias("n"))
+    j = cum.join(F.broadcast(tot), "lang")
+    cuts = j.groupBy("lang").agg(
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(n + 9) div 10"), F.col("n_chars")
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(9 * n + 9) div 10"),
+                F.col("n_chars"),
+            )
+        ).alias("hi"),
+    )
+    return (
+        docs.join(F.broadcast(cuts), "lang")
+        .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            dround(F.sum("n_chars") / F.count("*"), 2).alias("avg_chars"),
+        )
+    )
+
+
+_PACK_SHARDS = 16
+
+
+@query(
+    "sequence_packing_sharded",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang,
+           {sql_hash_bucket('doc_id', _PACK_SHARDS)} AS shard,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT doc_id, lang, shard, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang, shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // 2048 AS BIGINT) AS seq_id
+    FROM toks
+)
+SELECT lang, CAST(shard AS BIGINT) AS shard, seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM packed
+GROUP BY lang, shard, seq_id
+""",
+)
+def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing re-keyed by (lang, shard) — the scale-safe
+    variant sequence_packing's docstring promises.
+
+    shard = sha256-bucket(doc_id, 16): each language's running-sum
+    window becomes 16 independent, statistically-equal partitions, so
+    no single task ever sorts a whole language. The budget (2048
+    tokens) applies PER (lang, shard) stream — the semantics a sharded
+    packer actually has: each shard packs its own document stream into
+    full sequences, and shard streams concatenate at write time. The
+    sha256 bucket keys membership to the doc_id value itself, so
+    repartitioning the corpus never moves a doc between shards
+    (same engine-stability property as train_test_split).
+    """
+    from ..operators import text as T
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        hash_bucket("doc_id", _PACK_SHARDS).alias("shard"),
+        T.token_count("text").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "seq_id",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 2048),
+    )
+    return packed.groupBy("lang", "shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

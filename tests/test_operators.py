@@ -281,6 +281,19 @@ def test_connected_components_path_and_blobs(spark):
     assert got[7] == got[8] == 7
     assert len(got) == 15
 
+    # with a node universe: edge-less nodes come back as singletons,
+    # edge-bearing labels unchanged
+    universe = spark.createDataFrame(
+        [(n,) for n in list(range(100, 110)) + [1, 2, 3, 7, 8, 500, 501]],
+        ["node"],
+    )
+    got_u = {
+        r.node: r.cluster_id
+        for r in connected_components(edges, nodes=universe).collect()
+    }
+    assert got_u[500] == 500 and got_u[501] == 501
+    assert {k: v for k, v in got_u.items() if k not in (500, 501)} == got
+
 
 def test_group_quantiles_approx_close_to_exact(spark, sf_dir):
     """The scale-path sketch quantiles must agree with the exact plan

@@ -170,3 +170,56 @@ def test_deterministic_numerics_bit_identical_cross_engine(spark, vals, parts):
     ).fetchone()
     assert row.s == ds, (vals, parts, row.s, ds)
     assert row.a == da, (vals, parts, row.a, da)
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    parts=st.integers(min_value=1, max_value=8),
+)
+@_SETTINGS
+def test_split_membership_stable_across_partitionings_and_engines(
+    spark, ids, parts
+):
+    """The load-bearing guarantee of the curation stack
+    (plans/training.py): sha256-bucket split assignment is a pure
+    function of the KEY VALUE — identical for any repartitioning, and
+    identical in DuckDB. Resharding a 100-TB corpus (or migrating
+    engines) must never move a document between train/valid/test."""
+    import duckdb
+
+    from chai_data_pipeline_spark.plans.training import (
+        hash_bucket,
+        sql_hash_bucket,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    b = hash_bucket("doc_id")
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    ).alias("split")
+
+    one = {r.doc_id: r.split for r in df.coalesce(1).select("doc_id", split).collect()}
+    many = {
+        r.doc_id: r.split
+        for r in df.repartition(parts).select("doc_id", split).collect()
+    }
+    assert one == many, (parts,)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(i,) for i in ids])
+    duck = dict(
+        con.execute(
+            f"""SELECT doc_id,
+                CASE WHEN {sql_hash_bucket('doc_id')} < 80 THEN 'train'
+                     WHEN {sql_hash_bucket('doc_id')} < 90 THEN 'valid'
+                     ELSE 'test' END
+                FROM t"""
+        ).fetchall()
+    )
+    assert one == duck
