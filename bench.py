@@ -104,6 +104,13 @@ HEADLINE = [
     "embedding_centroids",
     "sequence_packing",
     "mixture_weighted_sample",
+    # round 3 additions: the scale-safe curation variants + the
+    # medallion bronze→silver surface (checked twins are correctness
+    # scaffolding, not throughput paths — their production variants
+    # are already above)
+    "quantile_length_trim_approx",
+    "sequence_packing_sharded",
+    "medallion_pipeline_summary",
 ]
 
 

@@ -113,6 +113,10 @@ _FRONT = [
     "heavy_hitters", "quantile_length_trim", "mixture_weighted_sample",
     "sequence_packing", "curation_end_to_end",
     "multimodal_frame_sample",
+    # new this round, oracle-bearing (checked twins + scale variants)
+    "dedup_simhash_checked", "similarity_ann_ivf_checked",
+    "embedding_kmeans_checked", "quantile_length_trim_approx",
+    "sequence_packing_sharded", "medallion_pipeline_summary",
     # never-checked, rows-only (first driver row still valuable)
     "multimodal_features", "approx_distinct_users",
     # regression re-checks (fill remaining cap slots)

@@ -197,3 +197,18 @@ def test_tpch_q14_single_pass_no_exchange_before_agg(spark, sf_dir):
     agg — exactly one exchange (the single-partition final agg)."""
     plan = _plan(spark, name="tpch_q14_promo_effect", sf_dir=sf_dir)
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_tpch_q18_semi_join_broadcasts_having_set(spark, sf_dir):
+    """Q18's HAVING-qualified order-key set (tiny by selectivity:
+    sum(qty) > 250) must reach the lineitem fact table as a BROADCAST
+    left-semi join — the fact side never shuffles for membership. The
+    only hash exchanges are the two aggregations (per-order sum, final
+    group-by). Pins the shape investigated in round 3 (the r2 timing
+    blip was suite noise, not a plan change: 1.39 s at sf0.1, at its
+    r1 level)."""
+    plan = _plan(spark, "tpch_q18_large_volume_customers", sf_dir)
+    assert "BroadcastHashJoin LeftSemi" in plan
+    assert "SortMergeJoin LeftSemi" not in plan
+    assert "ShuffledHashJoin LeftSemi" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
