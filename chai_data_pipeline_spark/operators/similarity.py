@@ -392,3 +392,124 @@ def ann_topk_ivf(
         dround(F.expr(cosine_sql_spark(vec_col, "qv")), 6).alias("cosine"),
     )
     return ranked_topk(scored, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compression side of large-scale ANN
+# (IVF-PQ): split each vector into M subvectors, quantize each against a
+# per-subspace codebook, score queries against an M×K lookup table of
+# partial distances (asymmetric distance computation). At 100 TB the
+# corpus stores M bytes per vector instead of 4·dim, the encode pass is
+# MAP-ONLY against a broadcast/literal codebook, and query scoring is a
+# map-only LUT sum + TakeOrdered — no shuffle anywhere in the hot path.
+# ---------------------------------------------------------------------------
+
+
+def _sq_l2_spark(vec_expr: str, lit_vec: list[float]) -> str:
+    """Spark SQL fragment: squared-L2 distance between a slice
+    expression and a literal vector, as a sequential left fold — the
+    same accumulation order DuckDB's list_sum performs."""
+    arr = _literal_array_spark(lit_vec)
+    return (
+        f"aggregate(zip_with(transform({vec_expr}, v -> cast(v AS double)),"
+        f" {arr}, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 AS double), (acc, v) -> acc + v)"
+    )
+
+
+def pq_codebooks(
+    df: DataFrame,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace codebooks: the first ``n_centroids``
+    vectors by id, sliced into ``n_subspaces`` equal subvectors —
+    kmeans_fit(iters=0)'s init posture, per subspace. Production would
+    run kmeans_fit per subspace; the encode/score mechanics below are
+    identical either way. Returns [m][cid] -> subvector (Python floats:
+    bounded model state, k×dim, not a data collect)."""
+    rows = (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    full = [[float(x) for x in r[0]] for r in rows]
+    dim = len(full[0])
+    sub = dim // n_subspaces
+    return [
+        [vec[m * sub:(m + 1) * sub] for vec in full]
+        for m in range(n_subspaces)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MAP-ONLY PQ encode: adds ``code_0..code_{M-1}`` int columns —
+    per subspace, the id of the nearest (squared-L2) sub-centroid,
+    ties to the lowest id (struct-min is lexicographic: min distance,
+    then min id)."""
+    sub = len(codebooks[0][0])
+    out = df
+    for m, cb in enumerate(codebooks):
+        slice_expr = f"slice({vec_col}, {m * sub + 1}, {sub})"
+        elems = ", ".join(
+            f"struct({_sq_l2_spark(slice_expr, c)} AS d, {cid} AS cid)"
+            for cid, c in enumerate(cb)
+        )
+        out = out.withColumn(
+            f"code_{m}", F.expr(f"array_min(array({elems})).cid")
+        )
+    return out
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: encode the corpus (map-only), score
+    each row as the sum of LUT[m][code_m] where LUT holds the squared-L2
+    distance from the query's m-th subvector to each sub-centroid
+    (computed driver-side in the same left-fold order, so values are
+    bit-identical to an in-engine fold), then TakeOrdered by (distance,
+    id). The LUT is M×K literals — model state, not data."""
+    from ..functions import dround
+    from pyspark.sql.window import Window
+
+    sub = len(codebooks[0][0])
+    m_count = len(codebooks)
+    lut: list[list[float]] = []
+    for m in range(m_count):
+        q_sub = query_vec[m * sub:(m + 1) * sub]
+        row = []
+        for c in codebooks[m]:
+            acc = 0.0
+            for x, y in zip(q_sub, c):
+                acc += (x - y) * (x - y)
+            row.append(acc)
+        lut.append(row)
+
+    encoded = pq_encode(df, codebooks, vec_col)
+    terms = [
+        f"element_at({_literal_array_spark(lut[m])}, code_{m} + 1)"
+        for m in range(m_count)
+    ]
+    total = " + ".join(f"({t})" for t in terms)  # left-to-right fold
+    scored = encoded.select(
+        F.col(id_col),
+        dround(F.expr(total), 6).alias("approx_dist"),
+    )
+    topk = scored.orderBy(F.asc("approx_dist"), F.asc(id_col)).limit(k)
+    w = Window.partitionBy(F.lit(0)).orderBy(
+        F.asc("approx_dist"), F.asc(id_col)
+    )
+    return topk.withColumn("rank", F.row_number().over(w))

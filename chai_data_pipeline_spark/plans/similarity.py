@@ -390,3 +390,98 @@ def embedding_kmeans_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
     codebook = kmeans_fit(emb, k=_KM_K, iters=0)
     return kmeans_summary(emb, codebook)
+
+
+# --------------------------------------------------------------------------
+# Product quantization ANN (the IVF-PQ compression path): map-only
+# encode against per-subspace codebooks, asymmetric-distance top-k via
+# an M×K lookup table. Codebooks are the deterministic first-k init
+# (kmeans_fit iters=0 posture, per subspace), so the WHOLE pipeline —
+# codebook derivation → per-subspace nearest-centroid codes (ties to
+# lowest id) → LUT scoring → top-k — is reproduced in the DuckDB
+# oracle with identical left-fold arithmetic. Production trains the
+# sub-codebooks with kmeans_fit instead; encode/score plans are
+# identical. Scale: codes are M small ints per vector (32× compression
+# at M=8 vs 64 float32), encode and scoring are map-only, the finisher
+# is TakeOrdered — zero shuffles in the hot path.
+# --------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (64-dim -> 8 dims each)
+_PQ_K = 16  # sub-centroids per subspace
+_PQ_SUB = DIM // _PQ_M
+
+
+def _pq_checked_oracle() -> str:
+    sq = (
+        "list_sum(list_transform(range(1, {n} + 1), "
+        "i -> (({a}[i]) - ({b}[i])) * (({a}[i]) - ({b}[i]))))"
+    )
+    sub_slice = (
+        "list_transform(list_slice({v}, m.m * {s} + 1, m.m * {s} + {s}), "
+        "x -> CAST(x AS DOUBLE))"
+    ).format(v="{v}", s=_PQ_SUB)
+    return f"""
+WITH ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+cents AS (
+    SELECT embedding AS cvec,
+           ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+    FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+),
+csub AS (
+    SELECT cid, m.m AS m, {sub_slice.format(v='cvec')} AS c
+    FROM cents, ms m
+),
+vsub AS (
+    SELECT vec_id, m.m AS m, {sub_slice.format(v='embedding')} AS v
+    FROM embeddings, ms m
+),
+dists AS (
+    SELECT vec_id, s.m, c.cid,
+           {sq.format(n=_PQ_SUB, a='s.v', b='c.c')} AS d
+    FROM vsub s JOIN csub c ON s.m = c.m
+),
+codes AS (
+    SELECT vec_id, m, cid AS code
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY vec_id, m ORDER BY d ASC, cid ASC) AS rn
+          FROM dists)
+    WHERE rn = 1
+),
+qsub AS (
+    SELECT m.m AS m, {sub_slice.format(v='embedding')} AS v
+    FROM embeddings, ms m WHERE vec_id = 0
+),
+qlut AS (
+    SELECT c.m, c.cid, {sq.format(n=_PQ_SUB, a='q.v', b='c.c')} AS d
+    FROM csub c JOIN qsub q ON c.m = q.m
+),
+tot AS (
+    SELECT codes.vec_id,
+           {sql_dround('list_sum(list(qlut.d ORDER BY codes.m))', 6)}
+               AS approx_dist
+    FROM codes JOIN qlut ON qlut.m = codes.m AND qlut.cid = codes.code
+    GROUP BY codes.vec_id
+),
+ranked AS (
+    SELECT vec_id, approx_dist,
+           ROW_NUMBER() OVER (ORDER BY approx_dist ASC, vec_id) AS rank
+    FROM tot
+)
+SELECT vec_id, approx_dist, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+@query("similarity_ann_pq_checked", oracle=_pq_checked_oracle())
+def similarity_ann_pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_codebooks, pq_topk
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    codebooks = pq_codebooks(emb, _PQ_M, _PQ_K)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0][0]
+    ]
+    return pq_topk(emb, codebooks, qv, k=10)

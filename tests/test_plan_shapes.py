@@ -212,3 +212,12 @@ def test_tpch_q18_semi_join_broadcasts_having_set(spark, sf_dir):
     assert "SortMergeJoin LeftSemi" not in plan
     assert "ShuffledHashJoin LeftSemi" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_pq_encode_and_score_map_only(spark, sf_dir):
+    """PQ ANN hot path must be shuffle-free: encode is an in-row argmin
+    against literal codebooks, scoring is a literal-LUT sum, and the
+    finisher is TakeOrdered — no hash exchange anywhere."""
+    plan = _plan(spark, "similarity_ann_pq_checked", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
