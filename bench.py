@@ -111,6 +111,7 @@ HEADLINE = [
     "quantile_length_trim_approx",
     "sequence_packing_sharded",
     "medallion_pipeline_summary",
+    "streaming_upsert_latest",
 ]
 
 

@@ -117,7 +117,7 @@ _FRONT = [
     "dedup_simhash_checked", "similarity_ann_ivf_checked",
     "embedding_kmeans_checked", "quantile_length_trim_approx",
     "sequence_packing_sharded", "medallion_pipeline_summary",
-    "similarity_ann_pq_checked",
+    "similarity_ann_pq_checked", "streaming_upsert_latest",
     # never-checked, rows-only (first driver row still valuable)
     "multimodal_features", "approx_distinct_users",
     # regression re-checks (fill remaining cap slots)

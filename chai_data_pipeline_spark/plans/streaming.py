@@ -194,3 +194,33 @@ def streaming_dedup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_stream_dedup",
         output_mode="append",
     )
+
+
+# --------------------------------------------------------------------------
+# foreachBatch idempotent upsert (CDC-apply sink): the stream stages the
+# SAME events file twice with maxFilesPerTrigger=1 — an at-least-once
+# source redelivering everything across two micro-batches — and the
+# sink's latest-by-event-time merge recovers exactly-once state. The
+# oracle is the batch latest-event-per-user, which the final target
+# must equal REGARDLESS of batch split or redelivery.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_upsert_latest",
+    oracle="""
+SELECT user_id, event_id, event_type,
+       (FLOOR(value * 10000 + 0.5) / 10000.0) AS value
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+    ) AS rn
+    FROM events
+)
+WHERE rn = 1
+""",
+)
+def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.upsert import streaming_upsert_latest as run
+
+    return run(spark, sf_dir)

@@ -30,7 +30,10 @@ from pyspark.sql import functions as F
 
 
 def _events_stream(
-    spark: SparkSession, sf_dir: str, duplicate_delivery: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    duplicate_delivery: bool = False,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-backed events stream with the same ns→µs conversion as the
     batch reader (session.load_tables).
@@ -75,9 +78,13 @@ def _events_stream(
             os.remove(link)
         os.symlink(src, link)
 
-    stream = (
-        spark.readStream.schema(batch.schema).format("parquet").load(stage)
-    )
+    reader = spark.readStream.schema(batch.schema).format("parquet")
+    if max_files_per_trigger is not None:
+        # bound each micro-batch to N files — the lever that turns the
+        # duplicate-delivery staging into MULTIPLE micro-batches (one
+        # per file) for exercising cross-batch semantics
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.load(stage)
     # ts must be an INSTANT here (withWatermark rejects TIMESTAMP_NTZ);
     # the UTC session pin above makes window bucketing deterministic,
     # and aggregate outputs cast their window labels to NTZ so

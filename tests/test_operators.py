@@ -456,3 +456,34 @@ def test_kmeans_summary_counts(spark, sf_dir):
     total = load_tables(spark, sf_dir, "embeddings")["embeddings"].count()
     assert sum(r.n_members for r in rows) == total
     assert all(-1.0 <= r.mean_sim <= 1.0 for r in rows)
+
+
+def test_streaming_upsert_is_multi_batch_and_idempotent(spark, sf_dir):
+    """The foreachBatch upsert sink must actually see MULTIPLE
+    micro-batches (the duplicate-delivery staging + maxFilesPerTrigger=1
+    = a full redelivery in a second batch), and the final state must
+    equal the batch latest-event-per-user regardless — the
+    exactly-once-from-at-least-once claim."""
+    from chai_data_pipeline_spark.session import load_tables
+    from chai_data_pipeline_spark.streaming.upsert import (
+        streaming_upsert_latest,
+    )
+
+    from pyspark.sql.window import Window
+
+    seen: list[int] = []
+    out = streaming_upsert_latest(spark, sf_dir, on_batch=seen.append)
+    rows = {r.user_id: r.event_id for r in out.collect()}
+    assert len(seen) >= 2, seen  # redelivery happened in its own batch
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    expect = {
+        r.user_id: r.event_id
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert rows == expect
