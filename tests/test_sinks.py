@@ -94,3 +94,8 @@ def test_merge_into_parquet_round_trips(spark, tmp_path):
     # idempotent re-merge of the same delta
     merge_into(spark, tgt, delta, ["id"])
     assert spark.read.parquet(tgt).count() == 4
+    # a successful merge leaves no swap debris: no recovery marker, no
+    # stranded __old/__merge dirs
+    import glob as _glob
+
+    assert not _glob.glob(tgt + "__*")
