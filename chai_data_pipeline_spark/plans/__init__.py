@@ -118,7 +118,7 @@ _FRONT = [
     "embedding_kmeans_checked", "quantile_length_trim_approx",
     "sequence_packing_sharded", "medallion_pipeline_summary",
     "similarity_ann_pq_checked", "streaming_upsert_latest",
-    "incremental_daily_refresh",
+    "incremental_daily_refresh", "segment_dedup_stats",
     # never-checked, rows-only (first driver row still valuable)
     "multimodal_features", "approx_distinct_users",
     # regression re-checks (fill remaining cap slots)

@@ -400,3 +400,87 @@ def doc_unigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("freq") <= 2) * 1.0 / F.count("*"), 4
         ).alias("rare_word_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sub-document (segment-level) dedup stats — the C4/RefinedWeb-style
+# line/paragraph dedup, over fixed 8-word segments (the synthetic corpus
+# has no line structure; with real text the splitter is '\n' and the
+# rest of the pipeline is unchanged). Corpus-wide segment counts flag
+# boilerplate: a doc whose segments mostly appear elsewhere is template
+# spam even when no WHOLE document duplicates it.
+#
+# Scale: segments explode in-row; the count shuffle carries sha256
+# segment hashes (64 hex chars), never the text; the count table joins
+# back on the same hash. Same posture as exact dedup — no quadratic
+# stage, output is one row per document.
+# --------------------------------------------------------------------------
+
+_SEG_WORDS = 8
+
+
+@query(
+    "segment_dedup_stats",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+    FROM documents
+),
+segs AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(0, CAST(CEIL(len(w) / {_SEG_WORDS}.0) AS BIGINT)),
+               i -> array_to_string(
+                   list_slice(w, i * {_SEG_WORDS} + 1,
+                              i * {_SEG_WORDS} + {_SEG_WORDS}), ' ')
+           )) AS seg
+    FROM toks
+),
+nonempty AS (SELECT doc_id, seg FROM segs WHERE seg <> ''),
+counts AS (SELECT seg, COUNT(*) AS c FROM nonempty GROUP BY seg),
+per_doc AS (
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           COUNT(*) FILTER (WHERE c > 1) AS n_dup_segments
+    FROM nonempty JOIN counts USING (seg)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_segments, n_dup_segments,
+       {sql_dround('n_dup_segments * 1.0 / n_segments', 4)} AS dup_fraction
+FROM per_doc
+""",
+)
+def segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "doc_id",
+        F.expr("split(lower(trim(text)), '\\\\s+')").alias("w"),
+    )
+    seg_expr = (
+        f"transform(sequence(0, cast(ceil(size(w) / {_SEG_WORDS}.0) AS int) - 1),"
+        f" i -> array_join(slice(w, i * {_SEG_WORDS} + 1, {_SEG_WORDS}), ' '))"
+    )
+    segs = (
+        toks.select("doc_id", F.explode(F.expr(seg_expr)).alias("seg"))
+        .filter(F.col("seg") != "")
+        # shuffle the HASH, not the text (the segment string itself
+        # never crosses an exchange at scale)
+        .select("doc_id", F.sha2("seg", 256).alias("h"))
+    )
+    counts = segs.groupBy("h").agg(F.count("*").alias("c"))
+    per_doc = (
+        segs.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.count_if(F.col("c") > 1).alias("n_dup_segments"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_segments",
+        "n_dup_segments",
+        dround(F.col("n_dup_segments") * 1.0 / F.col("n_segments"), 4).alias(
+            "dup_fraction"
+        ),
+    )

@@ -190,6 +190,43 @@ def merge_into(
         shutil.move(tmp, target_dir)
 
 
+def recover_merge(target_dir: str) -> str:  # noqa: C901
+    """Apply a crashed merge_into's marker file: restore a readable
+    target and clear debris. Returns what was done ('clean' | 'kept
+    target' | 'restored old'). Safe to call unconditionally before
+    reading a merge target — a no-op when the last merge completed.
+
+    Policy: if the target EXISTS, the swap either finished (old dir is
+    debris) or never started (tmp is debris) — keep the target, drop
+    debris. If the target is MISSING, the crash hit the two-rename
+    window — move the pre-merge ``old`` copy back (never lost: the new
+    copy was durable in tmp before the first rename, but ``old`` is the
+    state we can PROVE complete) and leave ``tmp`` for inspection.
+    """
+    import os
+    import shutil
+
+    marker = f"{target_dir}__merge_marker"
+    if not os.path.exists(marker):
+        return "clean"
+    with open(marker) as fh:
+        fields = dict(
+            line.split("=", 1)
+            for line in fh.read().splitlines()
+            if "=" in line
+        )
+    old, tmp = fields["old"], fields["tmp"]
+    if os.path.exists(target_dir):
+        for d in (old, tmp):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        os.remove(marker)
+        return "kept target"
+    shutil.move(old, target_dir)
+    os.remove(marker)
+    return "restored old"
+
+
 def compact(
     spark: SparkSession,
     path: str,

@@ -99,3 +99,41 @@ def test_merge_into_parquet_round_trips(spark, tmp_path):
     import glob as _glob
 
     assert not _glob.glob(tgt + "__*")
+
+
+def test_recover_merge_restores_crashed_swap(spark, tmp_path):
+    """Simulated crash inside merge_into's two-rename window: target
+    missing, marker + __old present. recover_merge must restore a
+    readable target from the pre-merge copy; on a healthy dir it is a
+    no-op; with target present it clears debris."""
+    import os
+    import shutil
+
+    from chai_data_pipeline_spark.sources.writers import (
+        merge_into,
+        recover_merge,
+    )
+
+    tgt = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    merge_into(spark, tgt, df, ["id"])
+    assert recover_merge(tgt) == "clean"
+
+    # fabricate the crash window exactly as merge_into would leave it
+    old = tgt + "__old_deadbeef"
+    tmp = tgt + "__merge_deadbeef"
+    shutil.copytree(tgt, tmp)
+    shutil.move(tgt, old)
+    with open(tgt + "__merge_marker", "w") as fh:
+        fh.write(f"in-flight merge_into swap\nold={old}\ntmp={tmp}\ntarget={tgt}\n")
+    assert recover_merge(tgt) == "restored old"
+    assert spark.read.parquet(tgt).count() == 1
+    assert not os.path.exists(tgt + "__merge_marker")
+
+    # crash AFTER the swap (target present, old dir + marker left over)
+    shutil.move(tmp, old)  # reuse the copy as fake debris
+    with open(tgt + "__merge_marker", "w") as fh:
+        fh.write(f"in-flight merge_into swap\nold={old}\ntmp={tmp}\ntarget={tgt}\n")
+    assert recover_merge(tgt) == "kept target"
+    assert not os.path.exists(old) and not os.path.exists(tmp)
+    assert spark.read.parquet(tgt).count() == 1
