@@ -513,3 +513,39 @@ def pq_topk(
         F.asc("approx_dist"), F.asc(id_col)
     )
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def pq_codebooks_trained(
+    df: DataFrame,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Production PQ codebooks: per subspace, a k-means codebook trained
+    with the fixed-point-deterministic Lloyd trainer (operators/kmeans).
+    Each subspace trains independently on its slice — M bounded-state
+    trainings whose per-iteration driver state is k×(dim/M) floats.
+    Same return shape as :func:`pq_codebooks`; encode/score paths are
+    shared. Bit-reproducible across partitionings for the same reasons
+    kmeans_fit is (exact integer partial sums)."""
+    from .kmeans import kmeans_fit
+
+    sub_dim = None
+    books = []
+    for m in range(n_subspaces):
+        if sub_dim is None:
+            dim = len(df.select(vec_col).first()[0])
+            sub_dim = dim // n_subspaces
+        sliced = df.select(
+            F.col(id_col),
+            F.expr(
+                f"slice({vec_col}, {m * sub_dim + 1}, {sub_dim})"
+            ).alias(vec_col),
+        )
+        books.append(
+            kmeans_fit(sliced, k=n_centroids, iters=iters, vec_col=vec_col,
+                       id_col=id_col)
+        )
+    return books

@@ -487,3 +487,48 @@ def test_streaming_upsert_is_multi_batch_and_idempotent(spark, sf_dir):
         .collect()
     }
     assert rows == expect
+
+
+def test_pq_query_vector_is_always_rank_one(spark, sf_dir):
+    """ADC(v) = Σ_m d(q_m, centroid(v_m)); for v = q each term picks
+    q's own nearest sub-centroid, which MINIMIZES that term over the
+    codebook — so the query vector's ADC is the global minimum and (id
+    tiebreak) it must rank 1. A broken encode/LUT alignment breaks this
+    immediately."""
+    from chai_data_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_topk,
+    )
+    from chai_data_pipeline_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    books = pq_codebooks(emb)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding").collect()[0][0]
+    ]
+    top = pq_topk(emb, books, qv, k=3).collect()
+    assert top[0].vec_id == 0 and top[0].rank == 1
+
+
+def test_pq_trained_codebooks_deterministic_and_compatible(spark, sf_dir):
+    """kmeans-trained sub-codebooks: identical across runs (fixed-point
+    trainer) and drop-in compatible with the shared encode/score path."""
+    from chai_data_pipeline_spark.operators.similarity import (
+        pq_codebooks_trained,
+        pq_topk,
+    )
+    from chai_data_pipeline_spark.session import load_tables
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    b1 = pq_codebooks_trained(emb, iters=2)
+    b2 = pq_codebooks_trained(emb, iters=2)
+    assert b1 == b2
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding").collect()[0][0]
+    ]
+    top = pq_topk(emb, b1, qv, k=3).collect()
+    assert top[0].vec_id == 0  # self is still the ADC minimum
