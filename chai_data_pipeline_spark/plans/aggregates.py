@@ -413,3 +413,78 @@ def except_inactive_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_users = t["events"].select(F.col("user_id")).distinct()
     order_users = t["orders"].select(F.col("o_custkey").alias("user_id")).distinct()
     return ev_users.exceptAll(order_users).agg(F.count("*").alias("n_inactive"))
+
+
+# --------------------------------------------------------------------------
+# Single-pass table profiling — the dq-engine companion every pipeline
+# ships: per-column row/null/distinct counts + min/max, computed in ONE
+# scan (the N-distinct Expand is the standard profiling trade: k
+# projections of one pass beat k separate scans; same fusion story as
+# dq_single_pass). Value formatting is engine-proofed: timestamps
+# profile as dates, doubles as integer cents (floor(x*100) — min/max
+# are monotone, so cents-of-extreme == extreme-of-cents), so the
+# cross-engine string comparison can never hit float-format or
+# rounding-mode drift.
+# --------------------------------------------------------------------------
+
+_PROFILE_COLS: list[tuple[str, str, str]] = [
+    # (label, spark value expr, duckdb value expr)
+    ("o_orderkey", "cast(o_orderkey AS string)", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "cast(o_custkey AS string)", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority"),
+    (
+        "o_orderdate",
+        "cast(cast(o_orderdate AS date) AS string)",
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR)",
+    ),
+    (
+        "o_totalprice_cents",
+        "cast(cast(floor(o_totalprice * 100) AS bigint) AS string)",
+        "CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
+    ),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for label, _, dexpr in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{label}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({dexpr}) AS n_nulls,
+       COUNT(DISTINCT {dexpr}) AS n_distinct,
+       MIN({dexpr}) AS min_value,
+       MAX({dexpr}) AS max_value
+FROM orders""")
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("profile_orders", oracle=_profile_oracle())
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    aggs = [F.count("*").alias("n_rows")]
+    for label, sexpr, _ in _PROFILE_COLS:
+        v = F.expr(sexpr)
+        aggs += [
+            F.count_if(v.isNull()).alias(f"{label}__nulls"),
+            F.countDistinct(v).alias(f"{label}__distinct"),
+            F.min(v).alias(f"{label}__min"),
+            F.max(v).alias(f"{label}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{label}', {label}__nulls, {label}__distinct, "
+        f"{label}__min, {label}__max"
+        for label, _, _ in _PROFILE_COLS
+    )
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, n_distinct, min_value, max_value)"
+        ),
+    ).select(
+        "column_name", "n_rows", "n_nulls", "n_distinct",
+        "min_value", "max_value",
+    )
