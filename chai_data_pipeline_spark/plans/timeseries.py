@@ -306,3 +306,120 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(wv).alias("valid_to"),
         "n_events",
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel conversion (view → click → purchase): per user, a step
+# counts only if it happens AFTER the previous step — min event time per
+# step, chained strictly-greater comparisons. ONE aggregation over
+# events (conditional mins fuse into a single grouped pass), then a
+# funnel-sized rollup: the standard product-analytics op, and the
+# single-pass shape is exactly how it must run at 100 TB (no
+# self-joins, no per-step scans).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events
+    GROUP BY user_id
+),
+flags AS (
+    SELECT user_id,
+           (t_view IS NOT NULL) AS s1,
+           (t_view IS NOT NULL AND t_click > t_view) AS s2,
+           (t_view IS NOT NULL AND t_click > t_view
+            AND t_purchase > t_click) AS s3
+    FROM per_user
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(*) FILTER (WHERE s1) AS viewed,
+       COUNT(*) FILTER (WHERE s2) AS clicked_after_view,
+       COUNT(*) FILTER (WHERE s3) AS purchased_after_click
+FROM flags
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count_if(s1).alias("viewed"),
+        F.count_if(s2).alias("clicked_after_view"),
+        F.count_if(s3).alias("purchased_after_click"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Retention cohorts: users grouped by first-seen week, activity counted
+# per subsequent week offset — the (cohort_week, week_offset) retention
+# matrix. Two grouped passes (first-seen per user, then user-week
+# activity joined to cohorts) — both shuffle on user_id so the
+# exchange is reused; output is matrix-sized, not data-sized.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id,
+           date_trunc('week', MIN(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+    FROM events
+)
+SELECT f.cohort_week,
+       CAST((a.week - f.cohort_week) / 7 AS BIGINT) AS week_offset,
+       COUNT(*) AS n_active_users
+FROM firsts f JOIN activity a USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import epoch_seconds
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    # date_trunc returns an INSTANT even on NTZ input — cast straight
+    # to DATE (never emit instant columns: collect() converts them via
+    # the host OS zone; DuckDB's date_trunc('week') is a DATE already)
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    return (
+        firsts.join(activity, "user_id")
+        .select(
+            "cohort_week",
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+    )
