@@ -423,3 +423,113 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count("*").alias("n_active_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Gap filling by LINEAR INTERPOLATION (the pandas interpolate analog;
+# gap_fill_daily's zero-fill sibling for continuous measures): dense
+# calendar per series, missing days get prev + (next-prev)·w where w is
+# the integer-day fraction — one window pass each direction
+# (last_value/first_value IGNORE NULLS), identical IEEE arithmetic in
+# both engines. Edge days with no neighbor on one side keep the
+# neighbor they have. Per-series windows partition by event_type — no
+# global sort; the dense calendar is bounded by (series × days), not
+# event count.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "gap_fill_interpolate",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           {sql_dround(sql_dsum('value'))} AS v
+    FROM events GROUP BY 1, 2
+), bounds AS (
+    SELECT event_type, MIN(d) AS lo, MAX(d) AS hi FROM daily GROUP BY 1
+), calendar AS (
+    SELECT event_type,
+           CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+    FROM bounds
+), joined AS (
+    SELECT c.event_type, c.d, daily.v
+    FROM calendar c LEFT JOIN daily
+      ON c.event_type = daily.event_type AND c.d = daily.d
+), ctx AS (
+    SELECT event_type, d, v,
+           LAST_VALUE(v IGNORE NULLS) OVER w_prev AS pv,
+           LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER w_prev AS pd,
+           FIRST_VALUE(v IGNORE NULLS) OVER w_next AS nv,
+           FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+               OVER w_next AS nd
+    FROM joined
+    WINDOW
+      w_prev AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      w_next AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, d,
+       {sql_dround('''CASE
+           WHEN v IS NOT NULL THEN v
+           WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * ((d - pd) * 1.0 / (nd - pd))
+           ELSE COALESCE(pv, nv) END''')} AS v_filled,
+       (v IS NULL) AS was_gap
+FROM ctx
+""",
+)
+def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(dround(dsum("value")).alias("v"))
+    bounds = daily.groupBy("event_type").agg(
+        F.min("d").alias("lo"), F.max("d").alias("hi")
+    )
+    calendar = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
+    )
+    joined = calendar.join(daily, ["event_type", "d"], "left")
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    known_d = F.when(F.col("v").isNotNull(), F.col("d"))
+    ctx = joined.select(
+        "event_type",
+        "d",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(known_d, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(known_d, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff(F.col("d"), F.col("pd"))
+        * 1.0
+        / F.datediff(F.col("nd"), F.col("pd"))
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
+        )
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return ctx.select(
+        "event_type",
+        "d",
+        dround(filled).alias("v_filled"),
+        F.col("v").isNull().alias("was_gap"),
+    )
