@@ -103,3 +103,68 @@ def top_k_per_group(
     return df.withColumn(rank_col, F.row_number().over(w)).filter(
         F.col(rank_col) <= k
     )
+
+
+def interpolate_daily(
+    df: DataFrame,
+    series_col: str,
+    date_col: str,
+    value_col: str,
+    out_col: str = "v_filled",
+) -> DataFrame:
+    """Dense daily calendar per series + linear interpolation of missing
+    days (the pandas ``interpolate`` analog). Missing days get
+    prev + (next-prev)·(day-fraction); edge days with one neighbor keep
+    that neighbor. One IGNORE NULLS window pass per direction,
+    per-series partitions (no global sort); the dense calendar is
+    bounded by series×span, not row count. Returns (series, date,
+    out_col, was_gap)."""
+    from pyspark.sql.window import Window as _W
+
+    bounds = df.groupBy(series_col).agg(
+        F.min(date_col).alias("lo"), F.max(date_col).alias("hi")
+    )
+    calendar = bounds.select(
+        series_col,
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias(
+            date_col
+        ),
+    )
+    joined = calendar.join(df, [series_col, date_col], "left")
+    w_prev = (
+        _W.partitionBy(series_col)
+        .orderBy(date_col)
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    w_next = (
+        _W.partitionBy(series_col)
+        .orderBy(date_col)
+        .rowsBetween(0, _W.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    known_d = F.when(v.isNotNull(), F.col(date_col))
+    ctx = joined.select(
+        series_col,
+        date_col,
+        value_col,
+        F.last(value_col, ignorenulls=True).over(w_prev).alias("__pv"),
+        F.last(known_d, ignorenulls=True).over(w_prev).alias("__pd"),
+        F.first(value_col, ignorenulls=True).over(w_next).alias("__nv"),
+        F.first(known_d, ignorenulls=True).over(w_next).alias("__nd"),
+    )
+    interp = F.col("__pv") + (F.col("__nv") - F.col("__pv")) * (
+        F.datediff(F.col(date_col), F.col("__pd"))
+        * 1.0
+        / F.datediff(F.col("__nd"), F.col("__pd"))
+    )
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(F.col("__pv").isNotNull() & F.col("__nv").isNotNull(), interp)
+        .otherwise(F.coalesce("__pv", "__nv"))
+    )
+    return ctx.select(
+        series_col,
+        date_col,
+        filled.alias(out_col),
+        v.isNull().alias("was_gap"),
+    )

@@ -481,55 +481,13 @@ FROM ctx
 """,
 )
 def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from ..operators.windows import interpolate_daily
 
     events = load_tables(spark, sf_dir, "events")["events"]
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(dround(dsum("value")).alias("v"))
-    bounds = daily.groupBy("event_type").agg(
-        F.min("d").alias("lo"), F.max("d").alias("hi")
-    )
-    calendar = bounds.select(
-        "event_type",
-        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d"),
-    )
-    joined = calendar.join(daily, ["event_type", "d"], "left")
-    w_prev = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_next = (
-        Window.partitionBy("event_type")
-        .orderBy("d")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    known_d = F.when(F.col("v").isNotNull(), F.col("d"))
-    ctx = joined.select(
-        "event_type",
-        "d",
-        "v",
-        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
-        F.last(known_d, ignorenulls=True).over(w_prev).alias("pd"),
-        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
-        F.first(known_d, ignorenulls=True).over(w_next).alias("nd"),
-    )
-    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
-        F.datediff(F.col("d"), F.col("pd"))
-        * 1.0
-        / F.datediff(F.col("nd"), F.col("pd"))
-    )
-    filled = (
-        F.when(F.col("v").isNotNull(), F.col("v"))
-        .when(
-            F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp
-        )
-        .otherwise(F.coalesce("pv", "nv"))
-    )
-    return ctx.select(
-        "event_type",
-        "d",
-        dround(filled).alias("v_filled"),
-        F.col("v").isNull().alias("was_gap"),
+    out = interpolate_daily(daily, "event_type", "d", "v")
+    return out.select(
+        "event_type", "d", dround("v_filled").alias("v_filled"), "was_gap"
     )

@@ -532,3 +532,32 @@ def test_pq_trained_codebooks_deterministic_and_compatible(spark, sf_dir):
     ]
     top = pq_topk(emb, b1, qv, k=3).collect()
     assert top[0].vec_id == 0  # self is still the ADC minimum
+
+
+def test_interpolate_daily_planted_gaps(spark):
+    """Interior gaps get exact linear interpolation; edge gaps keep the
+    single available neighbor. (The registered query's events data is
+    calendar-dense at sf0.01, so this pins the interp branch.)"""
+    from chai_data_pipeline_spark.operators.windows import interpolate_daily
+
+    rows = [
+        ("a", "2024-01-02", 10.0),
+        # 2024-01-03 .. 04 missing -> 1/3 and 2/3 of the way to 16
+        ("a", "2024-01-05", 16.0),
+        ("b", "2024-01-01", 5.0),
+        ("b", "2024-01-03", 9.0),  # 01-02 missing -> midpoint 7
+    ]
+    df = spark.createDataFrame(rows, ["s", "d_str", "v"]).select(
+        "s", F.col("d_str").cast("date").alias("d"), "v"
+    )
+    out = {
+        (r.s, str(r.d)): (r.v_filled, r.was_gap)
+        for r in interpolate_daily(df, "s", "d", "v").collect()
+    }
+    assert out[("a", "2024-01-02")] == (10.0, False)
+    assert out[("a", "2024-01-03")] == (12.0, True)
+    assert out[("a", "2024-01-04")] == (14.0, True)
+    assert out[("a", "2024-01-05")] == (16.0, False)
+    assert out[("b", "2024-01-02")] == (7.0, True)
+    # calendar spans only [min, max] per series: no edge extrapolation
+    assert ("a", "2024-01-01") not in out and ("b", "2024-01-04") not in out
