@@ -491,3 +491,64 @@ def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "d", dround("v_filled").alias("v_filled"), "was_gap"
     )
+
+
+# --------------------------------------------------------------------------
+# Daily anomaly detection (3σ-style monitoring): per-series z-scores of
+# daily counts against the series' own mean/variance. All moments come
+# from exact integer sums (Σn, Σn² as BIGINT — associative, any
+# partitioning), divided once at the end in a fixed expression order,
+# so z is bit-identical cross-engine. Stats are group-bounded (one row
+# per series) and broadcast back over the daily table — at 100 TB the
+# daily rollup is matview-sized and this is a map-only second pass.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "anomaly_days_zscore",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(n) AS BIGINT) AS sn,
+           CAST(SUM(n * n) AS BIGINT) AS sn2
+    FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.d, d.n,
+       {sql_dround('''(d.n - s.sn * 1.0 / s.cnt)
+        / sqrt((s.cnt * s.sn2 - s.sn * s.sn) * 1.0
+               / (s.cnt * (s.cnt - 1.0)))''')} AS z,
+       ABS((d.n - s.sn * 1.0 / s.cnt)
+        / sqrt((s.cnt * s.sn2 - s.sn * s.sn) * 1.0
+               / (s.cnt * (s.cnt - 1.0)))) > 2.0 AS is_anomaly
+FROM daily d JOIN stats s USING (event_type)
+""",
+)
+def anomaly_days_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("sn2"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    mean = F.col("sn") * 1.0 / F.col("cnt")
+    var = (
+        (F.col("cnt") * F.col("sn2") - F.col("sn") * F.col("sn")) * 1.0
+        / (F.col("cnt") * (F.col("cnt") - 1.0))
+    )
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return j.select(
+        "event_type",
+        "d",
+        "n",
+        dround(z).alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    )
