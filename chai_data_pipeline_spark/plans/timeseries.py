@@ -552,3 +552,82 @@ def anomaly_days_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(z).alias("z"),
         (F.abs(z) > 2.0).alias("is_anomaly"),
     )
+
+
+# --------------------------------------------------------------------------
+# Event-type co-occurrence with lift (market-basket over the 5-type
+# domain): which behaviors travel together across users. Pairs generate
+# IN-ROW from each user's sorted distinct-type array (≤ k²/2 per user,
+# map-side after one distinct agg — no self-join of the user-type table,
+# whose shuffle would carry every user twice at 100 TB); the type-level
+# marginals are a broadcast dim. lift = P(a∧b)/(P(a)·P(b)) from exact
+# integer counts, one double division in fixed order.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "event_type_cooccurrence",
+    oracle=f"""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+),
+tot AS (SELECT COUNT(DISTINCT user_id) AS nu FROM events),
+singles AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+co AS (
+    SELECT type_a, type_b, COUNT(*) AS n_both
+    FROM pairs GROUP BY 1, 2
+)
+SELECT co.type_a, co.type_b, co.n_both,
+       {sql_dround('(co.n_both * tot.nu * 1.0) / (sa.n * sb.n)', 6)} AS lift
+FROM co
+JOIN singles sa ON sa.event_type = co.type_a
+JOIN singles sb ON sb.event_type = co.type_b
+CROSS JOIN tot
+""",
+)
+def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per_user = events.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pair_expr = (
+        "flatten(transform(types, (a, i) -> "
+        "transform(slice(types, i + 2, size(types)), b -> struct(a, b))))"
+    )
+    pairs = per_user.select(
+        F.explode(F.expr(pair_expr)).alias("p")
+    ).select(F.col("p.a").alias("type_a"), F.col("p.b").alias("type_b"))
+    co = pairs.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n_both")
+    )
+    singles = (
+        events.select("user_id", "event_type")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = events.agg(F.countDistinct("user_id").alias("nu"))
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("na")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("nb")
+    )
+    return (
+        co.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            dround(
+                (F.col("n_both") * F.col("nu") * 1.0)
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
