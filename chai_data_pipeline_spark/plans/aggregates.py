@@ -488,3 +488,28 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "column_name", "n_rows", "n_nulls", "n_distinct",
         "min_value", "max_value",
     )
+
+
+# --------------------------------------------------------------------------
+# Salted (two-stage) aggregation, driver-checked: the explicit skew
+# fallback for groupBy keys too hot even for AQE — stage 1 counts on
+# (key, salt) so a hot key spreads across 16 reducers, stage 2 combines
+# the 16 partials per key. Result is exactly GROUP BY (the oracle), so
+# the skew machinery itself sits under the value-hash gate. The salt is
+# derived from a per-row id, never from data values — membership is
+# irrelevant, only spread matters.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "salted_event_counts",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_count
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return salted_count(events, "event_type")

@@ -221,3 +221,21 @@ def test_pq_encode_and_score_map_only(spark, sf_dir):
     plan = _plan(spark, "similarity_ann_pq_checked", sf_dir)
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_cooccurrence_has_no_usertable_self_join(spark, sf_dir):
+    """Pairs must generate in-row from each user's type array — a
+    self-join of the user-type table would shuffle every user twice
+    and is the shape this plan exists to avoid. One distinct agg, one
+    pair count, broadcast marginals."""
+    plan = _plan(spark, "event_type_cooccurrence", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_anomaly_stats_broadcast_back(spark, sf_dir):
+    """Per-series stats are group-bounded — they must broadcast over
+    the daily rollup, never shuffle it."""
+    plan = _plan(spark, "anomaly_days_zscore", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
