@@ -631,3 +631,75 @@ def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Funnel WITHIN session — operator composition (sessionize ∘ funnel):
+# the per-session conversion metric product teams actually track. Same
+# single-pass shape as funnel_conversion, keyed by (user, session)
+# instead of user; the session ids come from the shared sessionize
+# operator, so the lag-gap boundary rule ('>' splits, exact-gap merges)
+# is pinned here too.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "session_funnel_conversion",
+    oracle="""
+WITH e AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) AS session_id
+    FROM e
+), per_session AS (
+    SELECT user_id, session_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM s GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_sessions,
+       COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS viewed,
+       COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view)
+           AS clicked_after_view,
+       COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                          AND t_purchase > t_click)
+           AS purchased_full_funnel
+FROM per_session
+""",
+)
+def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import sessionize
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    s = sessionize(
+        events, user_col="user_id", ts_col="ts", gap_seconds=1800,
+        order_tiebreak="event_id",
+    )
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    return per_session.agg(
+        F.count("*").alias("n_sessions"),
+        F.count_if(s1).alias("viewed"),
+        F.count_if(s2).alias("clicked_after_view"),
+        F.count_if(s3).alias("purchased_full_funnel"),
+    )
