@@ -513,3 +513,83 @@ def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_tables(spark, sf_dir, "events")["events"]
     return salted_count(events, "event_type")
+
+
+# --------------------------------------------------------------------------
+# Pareto (cumulative-contribution) analysis: nation revenue share and
+# running share in descending-revenue order — "which 20% of markets
+# carry 80%". The base aggregation shuffles once on nation; the share
+# math runs over the NATION-CARDINALITY result (25 rows): the
+# unpartitioned cumulative window is bounded by the dimension, never
+# the fact table, and the grand total rides a broadcast 1-row join.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "revenue_pareto_by_nation",
+    oracle=f"""
+WITH rev AS (
+    SELECT n_name AS nation,
+           {sql_dround(sql_dsum('l_extendedprice * (1 - l_discount)', 4), 2)}
+               AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1
+),
+tot AS (SELECT {sql_dsum('revenue', 2)} AS t FROM rev),
+ranked AS (
+    SELECT nation, revenue,
+           {sql_dround('revenue / tot.t * 100.0')} AS pct,
+           {sql_dround('''CAST(SUM(CAST(revenue AS DECIMAL(27,2))) OVER (
+               ORDER BY revenue DESC, nation
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot.t * 100.0''')}
+               AS cum_pct
+    FROM rev CROSS JOIN tot
+)
+SELECT nation, revenue, pct, cum_pct FROM ranked
+""",
+)
+def revenue_pareto_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    rev = (
+        t["lineitem"]
+        .join(
+            t["supplier"].select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dround(
+                dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4),
+                2,
+            ).alias("revenue")
+        )
+    )
+    tot = rev.agg(dsum("revenue", 2).alias("t"))
+    # decimal running sum over the 25-row dimension result: exact and
+    # order-pinned (revenue DESC, nation tiebreak)
+    w = (
+        Window.orderBy(F.desc("revenue"), F.asc("nation"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        F.sum(F.col("revenue").cast("decimal(27,2)"))
+        .over(w)
+        .cast("double")
+    )
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            "revenue",
+            dround(F.col("revenue") / F.col("t") * 100.0).alias("pct"),
+            dround(cum / F.col("t") * 100.0).alias("cum_pct"),
+        )
+    )
