@@ -236,7 +236,15 @@ def incremental_daily_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(27,4)")).alias("qsum"),
         )
 
-    base = partial(events.filter(F.col("ts") < F.lit(_REFRESH_CUTOFF)))
+    # NULL-ts rows route into the BASE side (ts < cutoff is NULL-false,
+    # which would drop them from both partials while the oracle's full
+    # GROUP BY keeps a NULL-date group). Current testdata has no NULL
+    # ts, but the maintenance identity must not depend on that.
+    base = partial(
+        events.filter(
+            (F.col("ts") < F.lit(_REFRESH_CUTOFF)) | F.col("ts").isNull()
+        )
+    )
     delta = partial(events.filter(F.col("ts") >= F.lit(_REFRESH_CUTOFF)))
     b = base.alias("b")
     dl = delta.alias("dl")

@@ -52,7 +52,13 @@ UNION ALL
 SELECT 'bronze_covid', COUNT(*)
 FROM read_csv('{_FIXTURES}/covid_*.csv', header=true)
 UNION ALL
-SELECT 'silver_users', COUNT(DISTINCT id)
+SELECT 'silver_users',
+       -- dedup_by_key keeps a survivor row for a NULL-id group too;
+       -- COUNT(DISTINCT id) alone ignores NULLs, so add the NULL-id
+       -- group back explicitly (fixture currently has none — the
+       -- oracle must not depend on that)
+       COUNT(DISTINCT id)
+         + CAST(COUNT(*) FILTER (WHERE id IS NULL) > 0 AS BIGINT)
 FROM read_json_auto('{_FIXTURES}/users_*.json')
 UNION ALL
 SELECT 'users_valid_email',

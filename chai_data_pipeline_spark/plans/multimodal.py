@@ -70,8 +70,24 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("multimodal_features")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only by nature (float32 numpy math), but the OUTPUT must be
+    canonicalizer-safe: the driver's harness pandas-sorts every column,
+    and a raw ``array<float>`` column crashes it (``TypeError:
+    unhashable type: 'list'`` — CORRECTNESS_r03). Project scalar stats
+    plus a deterministic digest of the ``round(x, 4)``-mapped vector
+    instead; the raw-vector operator stays in
+    ``operators.multimodal.extract_features`` for library users."""
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    return extract_features(attach_fake_payload(docs))
+    feats = extract_features(attach_fake_payload(docs))
+    rounded = F.transform("feature", lambda x: F.round(x.cast("double"), 4))
+    return feats.select(
+        "asset_id",
+        F.size("feature").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate(rounded, F.lit(0.0), lambda acc, x: acc + x * x)), 2
+        ).alias("l2_norm_approx"),
+        F.substring(F.sha2(F.to_json(rounded), 256), 1, 16).alias("feature_digest"),
+    )
 
 
 @query(

@@ -519,12 +519,14 @@ stats AS (
     FROM daily GROUP BY 1
 )
 SELECT d.event_type, d.d, d.n,
+       CASE WHEN s.cnt > 1 AND s.cnt * s.sn2 - s.sn * s.sn > 0 THEN
        {sql_dround('''(d.n - s.sn * 1.0 / s.cnt)
         / sqrt((s.cnt * s.sn2 - s.sn * s.sn) * 1.0
-               / (s.cnt * (s.cnt - 1.0)))''')} AS z,
+               / (s.cnt * (s.cnt - 1.0)))''')} END AS z,
+       CASE WHEN s.cnt > 1 AND s.cnt * s.sn2 - s.sn * s.sn > 0 THEN
        ABS((d.n - s.sn * 1.0 / s.cnt)
         / sqrt((s.cnt * s.sn2 - s.sn * s.sn) * 1.0
-               / (s.cnt * (s.cnt - 1.0)))) > 2.0 AS is_anomaly
+               / (s.cnt * (s.cnt - 1.0)))) > 2.0 END AS is_anomaly
 FROM daily d JOIN stats s USING (event_type)
 """,
 )
@@ -545,12 +547,19 @@ def anomaly_days_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("cnt") * (F.col("cnt") - 1.0))
     )
     z = (F.col("n") - mean) / F.sqrt(var)
+    # Degenerate series (single day, or zero variance) are explicit NULL
+    # on BOTH engines — never lean on x/0 semantics: DuckDB >= 1.1
+    # defaults ieee_floating_point_ops=true (1.0/0.0 -> inf), so a
+    # driver-side DuckDB upgrade would silently flip those rows.
+    defined = (F.col("cnt") > 1) & (
+        F.col("cnt") * F.col("sn2") - F.col("sn") * F.col("sn") > 0
+    )
     return j.select(
         "event_type",
         "d",
         "n",
-        dround(z).alias("z"),
-        (F.abs(z) > 2.0).alias("is_anomaly"),
+        F.when(defined, dround(z)).alias("z"),
+        F.when(defined, F.abs(z) > 2.0).alias("is_anomaly"),
     )
 
 

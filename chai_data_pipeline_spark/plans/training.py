@@ -295,16 +295,19 @@ GROUP BY lang
 """,
 )
 def quantile_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drop the shortest and longest length-decile per language.
+    """EXACT reference variant — do NOT use at scale.
 
-    The classic outlier trim before training. ntile (deterministic
-    under the (n_chars, doc_id) total order) makes the bucket
-    boundaries engine-exact, unlike interpolated percentiles whose
-    float cutoffs can flip membership between engines. Window
-    partitions by language — per-partition sort, no global sort. At
-    100 TB, swap ntile for approxQuantile-derived cutoffs per
-    language (two scans, no per-language sort); semantics then become
-    approximate, which a trim tolerates.
+    This is the semantic reference for the trim: ntile per language is
+    a single sort task per language partition, which at 100 TB means
+    one straggler task sorting an entire language's corpus. **Scale
+    users must use ``quantile_length_trim_approx``** (registered,
+    driver-green): histogram-exact percentile cutoffs from a bounded
+    two-pass aggregate, no per-language sort, same trim semantics.
+
+    Kept registered because exactness is what makes it a cross-engine
+    oracle: ntile under the (n_chars, doc_id) total order is
+    engine-exact, unlike interpolated percentiles whose float cutoffs
+    can flip membership between engines.
     """
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     w = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
@@ -418,16 +421,19 @@ GROUP BY lang, seq_id
 """,
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign documents to fixed-budget training sequences (2048
-    tokens) by chunked concatenation: docs are laid out in a
-    deterministic order (lang, doc_id) and cut into chunks wherever
-    the running token total crosses the budget — how pretraining
-    corpora are actually packed, minus the tokenizer.
+    """EXACT reference variant — do NOT use at scale.
 
-    All integer arithmetic over a running-sum window — exact on any
-    engine. Partitioned by lang: per-partition sort only, no global
-    sort; at scale the order key would be (shard, position) with the
-    same plan shape.
+    The running-sum window partitions only by lang, so each language is
+    ONE sort task — at 100 TB that is a straggler sorting the whole
+    English corpus on a single core. **Scale users must use
+    ``sequence_packing_sharded``** (registered, driver-green): re-keyed
+    by (lang, sha256-shard) into 16 independent windows per language,
+    same packing semantics per shard.
+
+    Kept registered as the semantic reference: docs laid out in a
+    deterministic (lang, doc_id) order, cut wherever the running token
+    total crosses the 2048 budget — how pretraining corpora are packed,
+    minus the tokenizer. All integer arithmetic — exact on any engine.
     """
     from ..operators import text as T
 

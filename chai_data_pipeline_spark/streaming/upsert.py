@@ -49,9 +49,25 @@ def streaming_upsert_latest(
     from .windows import _events_stream
 
     base = "chai_stream_upsert"
-    stale_re = re.compile(rf"{base}_[0-9a-f]{{8}}(_chk)?$")
+    # Sweep covers the live dirs AND a crashed merge_into's debris
+    # (target__old_<hex>, target__merge_<hex>, target__merge_marker) —
+    # without the extra alternatives those leaked in /tmp forever. Any
+    # matched target is first run through recover_merge so a marker-file
+    # crash state resolves to a consistent dir before removal.
+    from ..sources.writers import recover_merge
+
+    stale_re = re.compile(
+        rf"{base}_[0-9a-f]{{8}}"
+        rf"(_chk|__old_[0-9a-f]+|__merge_[0-9a-f]+|__merge_marker)?$"
+    )
     for stale in glob.glob(os.path.join(tempfile.gettempdir(), f"{base}_*")):
-        if stale_re.search(os.path.basename(stale)):
+        name = os.path.basename(stale)
+        if stale_re.search(name):
+            if re.fullmatch(rf"{base}_[0-9a-f]{{8}}", name):
+                try:
+                    recover_merge(stale)
+                except Exception:
+                    pass
             shutil.rmtree(stale, ignore_errors=True)
     target = os.path.join(
         tempfile.gettempdir(), f"{base}_{uuid.uuid4().hex[:8]}"
