@@ -112,6 +112,17 @@ HEADLINE = [
     "sequence_packing_sharded",
     "medallion_pipeline_summary",
     "streaming_upsert_latest",
+    # round 4 additions: the product-analytics set + the gold/latin-1
+    # medallion leg
+    "salted_event_counts",
+    "revenue_pareto_by_nation",
+    "anomaly_days_zscore",
+    "event_type_cooccurrence",
+    "session_funnel_conversion",
+    "funnel_conversion",
+    "retention_cohorts",
+    "gap_fill_interpolate",
+    "medallion_gold_summary",
 ]
 
 

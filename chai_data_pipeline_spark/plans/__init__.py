@@ -123,7 +123,8 @@ _FRONT = [
     "salted_event_counts", "revenue_pareto_by_nation",
     "anomaly_days_zscore", "event_type_cooccurrence",
     "session_funnel_conversion",
-    # new round-4 queries get inserted here as they land
+    # new round-4 queries
+    "medallion_gold_summary",
     # first-ever rows-only driver rows
     "multimodal_features",
     "group_quantiles_approx", "dedup_minhash_lsh", "dedup_simhash",

@@ -101,3 +101,249 @@ def medallion_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(valid)
     )
     return out
+
+
+@query(
+    "medallion_gold_summary",
+    oracle=f"""
+WITH telco AS (
+    SELECT * FROM read_csv(
+        '{_FIXTURES}/oracle_twins/churn_utf8_twin.csv', header=true)
+),
+covid AS (
+    -- replicate the bronze normalization: blanks_to_null on province
+    -- (the fixture has a whitespace-only Province/State that Spark
+    -- folds into the NULL-province series) and numeric coercion with 0
+    -- default (an empty Confirmed cell becomes 0, not NULL)
+    SELECT "Date" AS record_date, "Country/Region" AS country,
+           NULLIF(TRIM("Province/State"), '') AS province,
+           COALESCE(Confirmed, 0) AS confirmed,
+           COALESCE(Deaths, 0) AS deaths
+    FROM read_csv('{_FIXTURES}/covid_*.csv', header=true)
+),
+daily_cases AS (
+    -- grouped_diff fills the first row of each series with 0
+    SELECT *,
+           COALESCE(confirmed - LAG(confirmed) OVER (
+               PARTITION BY country, province ORDER BY record_date
+           ), 0) AS dnc
+    FROM covid
+),
+country_daily AS (
+    SELECT record_date, country, SUM(dnc) AS dnc,
+           SUM(confirmed) AS confirmed
+    FROM daily_cases GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY country ORDER BY record_date DESC) AS rn
+    FROM country_daily
+),
+trends AS (
+    SELECT country,
+           AVG(CASE WHEN rn <= 7 THEN dnc END) AS recent_avg,
+           AVG(CASE WHEN rn > 7 THEN dnc END) AS earlier_avg
+    FROM ranked GROUP BY 1
+),
+trend_label AS (
+    SELECT country,
+           CASE WHEN earlier_avg IS NULL OR earlier_avg = 0 THEN 'STABLE'
+                WHEN recent_avg > earlier_avg * 1.1 THEN 'INCREASING'
+                WHEN recent_avg < earlier_avg * 0.9 THEN 'DECREASING'
+                ELSE 'STABLE' END AS trend
+    FROM trends
+),
+global_daily AS (
+    SELECT record_date, SUM(confirmed) AS confirmed,
+           COUNT(DISTINCT country) AS countries
+    FROM covid GROUP BY 1
+),
+global_latest AS (
+    SELECT confirmed
+           - COALESCE(LAG(confirmed, 1) OVER (ORDER BY record_date), 0)
+               AS day_delta,
+           confirmed
+           - COALESCE(LAG(confirmed, 7) OVER (ORDER BY record_date), 0)
+               AS week_delta,
+           countries
+    FROM global_daily
+    QUALIFY record_date = MAX(record_date) OVER ()
+),
+top1 AS (
+    SELECT country FROM (
+        SELECT country, SUM(confirmed) AS c FROM covid GROUP BY 1
+    ) ORDER BY c DESC, country ASC LIMIT 1
+)
+SELECT 'telco_rows' AS metric, CAST(COUNT(*) AS DOUBLE) AS value_num,
+       CAST(NULL AS VARCHAR) AS value_str
+FROM telco
+UNION ALL
+SELECT 'telco_senor_rows', CAST(
+    COUNT(*) FILTER (WHERE gender = 'Señor') AS DOUBLE), NULL
+FROM telco
+UNION ALL
+SELECT 'telco_churned', CAST(
+    COUNT(*) FILTER (WHERE Churn = 'Yes') AS DOUBLE), NULL
+FROM telco
+UNION ALL
+SELECT 'telco_monthly_x100', CAST(SUM(CAST(
+    CAST(MonthlyCharges AS DECIMAL(27,2)) * 100 AS BIGINT)) AS DOUBLE),
+    NULL
+FROM telco
+UNION ALL
+SELECT 'telco_total_x100', CAST(SUM(CAST(
+    CAST(COALESCE(TotalCharges, 0.0) AS DECIMAL(27,2)) * 100
+    AS BIGINT)) AS DOUBLE), NULL
+FROM telco
+UNION ALL
+SELECT 'covid_days', CAST(COUNT(DISTINCT record_date) AS DOUBLE), NULL
+FROM covid
+UNION ALL
+SELECT 'covid_total_confirmed', CAST(SUM(confirmed) AS DOUBLE), NULL
+FROM covid
+UNION ALL
+SELECT 'covid_countries_max', CAST(MAX(countries) AS DOUBLE), NULL
+FROM global_daily
+UNION ALL
+SELECT 'trend_increasing', CAST(
+    COUNT(*) FILTER (WHERE trend = 'INCREASING') AS DOUBLE), NULL
+FROM trend_label
+UNION ALL
+SELECT 'trend_decreasing', CAST(
+    COUNT(*) FILTER (WHERE trend = 'DECREASING') AS DOUBLE), NULL
+FROM trend_label
+UNION ALL
+SELECT 'trend_stable', CAST(
+    COUNT(*) FILTER (WHERE trend = 'STABLE') AS DOUBLE), NULL
+FROM trend_label
+UNION ALL
+SELECT 'global_day_delta', CAST(day_delta AS DOUBLE), NULL
+FROM global_latest
+UNION ALL
+SELECT 'global_week_delta', CAST(week_delta AS DOUBLE), NULL
+FROM global_latest
+UNION ALL
+SELECT 'global_top1_country', NULL, country FROM top1
+""",
+)
+def medallion_gold_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver→gold (M4 view outputs) + the S5 latin-1 CSV path, reduced
+    to a deterministic metric table.
+
+    S5: the telco fixture is latin-1-encoded ('Señor' carries a 0xF1
+    byte that is invalid UTF-8); the Spark side reads it through the
+    byte-probe encoding fallback in ``sources.readers.read_csv``, while
+    the oracle reads a UTF-8 re-encoding of the SAME bytes
+    (``tests/fixtures/oracle_twins/churn_utf8_twin.csv``, generated
+    once by latin-1→utf-8 transcode) — equality of the 'Señor' row
+    count and the money sums proves the fallback decoded, not mojibake.
+    (This DuckDB build has no CSV encoding option, so the oracle cannot
+    read the latin-1 original directly.)
+
+    M4: the covid gold views (``daily_covid_summary``,
+    ``covid_country_trends``, ``covid_global_summary`` — the
+    reference's matviews, model_gold.py:106-116,243-401,440-509) are
+    computed by the REAL gold functions and summarized; the oracle
+    re-derives trend labels / deltas / top-1 from the raw fixture in
+    SQL. Covid metrics are dedup-survivor-independent (the fixture has
+    no duplicate (date,country,province) keys), unlike the users gold
+    views whose survivor depends on a Spark-internal row hash.
+
+    Money sums ride DECIMAL(27,2)*100 → BIGINT (exact, associative —
+    functions/numeric.py); all other metrics are integer counts or
+    strings, so the only doubles in the output are exact integers.
+    """
+    from ..medallion.bronze import load_bronze
+    from ..medallion.gold import (
+        covid_country_trends,
+        covid_global_summary,
+        daily_covid_summary,
+    )
+    from ..medallion.silver import transform_covid, transform_telco
+
+    br = load_bronze(spark, _FIXTURES)
+    telco = transform_telco(br.tables["telco"], AS_OF)
+    covid = transform_covid(br.tables["covid"], AS_OF)
+    gold_daily = daily_covid_summary(covid)
+    gold_trends = covid_country_trends(covid)
+    gold_global = covid_global_summary(covid)
+
+    nul = F.lit(None).cast("string")
+
+    def metric(name: str, df: DataFrame, num) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("metric"),
+            num.cast("double").alias("value_num"),
+            nul.alias("value_str"),
+        )
+
+    cents = lambda c: F.sum(  # noqa: E731
+        (F.col(c).cast("decimal(27,2)") * 100).cast("bigint")
+    )
+    out = (
+        metric("telco_rows", telco, F.count("*"))
+        .unionByName(
+            metric(
+                "telco_senor_rows",
+                telco,
+                F.count_if(F.col("gender") == "Señor"),
+            )
+        )
+        .unionByName(metric("telco_churned", telco, F.count_if("churned")))
+        .unionByName(
+            metric("telco_monthly_x100", telco, cents("monthly_charges"))
+        )
+        .unionByName(
+            metric("telco_total_x100", telco, cents("total_charges"))
+        )
+        .unionByName(metric("covid_days", gold_daily, F.count("*")))
+        .unionByName(
+            metric(
+                "covid_total_confirmed", gold_daily, F.sum("total_confirmed")
+            )
+        )
+        .unionByName(
+            metric(
+                "covid_countries_max",
+                gold_daily,
+                F.max("countries_reporting"),
+            )
+        )
+        .unionByName(
+            metric(
+                "trend_increasing",
+                gold_trends,
+                F.count_if(F.col("trend_direction") == "INCREASING"),
+            )
+        )
+        .unionByName(
+            metric(
+                "trend_decreasing",
+                gold_trends,
+                F.count_if(F.col("trend_direction") == "DECREASING"),
+            )
+        )
+        .unionByName(
+            metric(
+                "trend_stable",
+                gold_trends,
+                F.count_if(F.col("trend_direction") == "STABLE"),
+            )
+        )
+        .unionByName(
+            metric("global_day_delta", gold_global, F.max("day_delta"))
+        )
+        .unionByName(
+            metric("global_week_delta", gold_global, F.max("week_delta"))
+        )
+        .unionByName(
+            gold_global.select(
+                F.lit("global_top1_country").alias("metric"),
+                F.lit(None).cast("double").alias("value_num"),
+                F.get_json_object(
+                    "top_5_countries", "$[0].country"
+                ).alias("value_str"),
+            )
+        )
+    )
+    return out
