@@ -123,6 +123,12 @@ HEADLINE = [
     "retention_cohorts",
     "gap_fill_interpolate",
     "medallion_gold_summary",
+    "key_frequency_histogram",
+    "out_of_order_profile",
+    "table_diff_reconcile",
+    "rolling_distinct_users_7d",
+    "asof_forward_attribution",
+    "minmax_normalize_lengths",
 ]
 
 

@@ -89,3 +89,91 @@ def asof_join(
         *[F.col(f"__l.{c}").alias(c) for c in left_cols],
         *[F.col(f"__v.{c}").alias(c) for c in value_cols],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance_seconds: int | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the EARLIEST right row with
+    ``right[right_ts] >= left[left_ts]`` within the same ``on`` key
+    (pandas ``merge_asof(direction="forward")``) — the attribution
+    join: "the next purchase after this click".
+
+    Same union+window shape as :func:`asof_join`, time-reversed: order
+    DESC and carry the last right row seen, which at any left row is
+    the nearest FUTURE one. With ``tolerance_seconds``, matches farther
+    than the tolerance are nulled out (the whole struct at once, so
+    columns never mix between rows). Right ties on (key, ts) reduce to
+    min(tiebreak) — the earliest deterministic winner.
+
+    One shuffle on the key + one per-key sort, identical cost to the
+    backward join; no candidate-pair materialization.
+    """
+    from pyspark.sql import types as T
+
+    r = right
+    if tiebreak:
+        w_tb = Window.partitionBy(on, right_ts).orderBy(F.asc(tiebreak))
+        r = (
+            r.withColumn("__tb", F.row_number().over(w_tb))
+            .filter(F.col("__tb") == 1)
+            .drop("__tb")
+        )
+
+    left_cols = left.columns
+    val_fields = [
+        T.StructField(c, right.schema[c].dataType) for c in value_cols
+    ]
+    val_type = T.StructType(
+        val_fields + [T.StructField("__rts", right.schema[right_ts].dataType)]
+    )
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left_cols).alias("__l"),
+        F.lit(None).cast(val_type).alias("__v"),
+    )
+    r_tagged = r.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
+        F.struct(
+            *[F.col(c) for c in value_cols],
+            F.col(right_ts).alias("__rts"),
+        ).alias("__v"),
+    )
+    # DESC time, right rows first at equal ts: forward asof is >=, so a
+    # right row at exactly left_ts is eligible
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.desc("__t"), F.asc("__is_left"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "__is_left",
+        "__l",
+        F.col("__t").alias("__lt"),
+        F.last("__v", ignorenulls=True).over(w).alias("__v"),
+    )
+    if tolerance_seconds is not None:
+        within = F.col("__v.__rts") <= F.col("__lt") + F.expr(
+            f"INTERVAL {int(tolerance_seconds)} SECOND"
+        )
+        carried = carried.withColumn(
+            "__v", F.when(within, F.col("__v"))
+        )
+    return carried.filter(F.col("__is_left") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in left_cols],
+        *[F.col(f"__v.{c}").alias(c) for c in value_cols],
+        F.col("__v.__rts").alias("__matched_ts"),
+    ).drop("__matched_ts")

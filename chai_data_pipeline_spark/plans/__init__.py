@@ -23,6 +23,7 @@ from . import tpch2  # noqa: F401,E402
 from . import tpch3  # noqa: F401,E402
 from . import tpch4  # noqa: F401,E402
 from . import medallion  # noqa: F401,E402
+from . import diagnostics  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration ORDER is part of the driver contract: the per-round
@@ -124,7 +125,10 @@ _FRONT = [
     "anomaly_days_zscore", "event_type_cooccurrence",
     "session_funnel_conversion",
     # new round-4 queries
-    "medallion_gold_summary",
+    "medallion_gold_summary", "key_frequency_histogram",
+    "out_of_order_profile", "table_diff_reconcile",
+    "rolling_distinct_users_7d", "asof_forward_attribution",
+    "minmax_normalize_lengths",
     # first-ever rows-only driver rows
     "multimodal_features",
     "group_quantiles_approx", "dedup_minhash_lsh", "dedup_simhash",

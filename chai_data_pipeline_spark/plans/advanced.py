@@ -474,3 +474,79 @@ def trend_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         classify,
         "event_type string, recent_avg double, earlier_avg double, trend string",
     )
+
+
+# --------------------------------------------------------------------------
+# FORWARD as-of with tolerance (attribution): each click attaches the
+# next purchase by the same user within 24 h. Union+window time-reversed
+# (operators/asof.asof_join_forward) — one key shuffle + per-key sort,
+# no candidate pairs. Oracle: DuckDB native ASOF with the inequality
+# flipped. Output is day-grain so the check is robust to the join's
+# carried columns while still hashing the attribution decisions.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "asof_forward_attribution",
+    oracle=f"""
+WITH clicks AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT user_id, ts, event_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, ts ORDER BY event_id
+           ) AS rn
+    FROM events WHERE event_type = 'purchase'
+),
+pd AS (SELECT user_id, ts, event_id FROM p WHERE rn = 1),
+att AS (
+    SELECT c.event_id, c.ts AS click_ts, pd.ts AS purchase_ts
+    FROM clicks c ASOF LEFT JOIN pd
+      ON c.user_id = pd.user_id AND c.ts <= pd.ts
+)
+SELECT CAST(click_ts AS DATE) AS d,
+       COUNT(*) AS n_clicks,
+       COUNT(*) FILTER (
+           WHERE purchase_ts IS NOT NULL
+             AND purchase_ts <= click_ts + INTERVAL 24 HOUR
+       ) AS n_attributed,
+       {sql_dround('''COUNT(*) FILTER (
+           WHERE purchase_ts IS NOT NULL
+             AND purchase_ts <= click_ts + INTERVAL 24 HOUR
+       ) * 1.0 / COUNT(*)''')} AS attribution_rate
+FROM att
+GROUP BY 1
+""",
+)
+def asof_forward_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_forward
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    j = asof_join_forward(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_event", "purchase_ts"],
+        tolerance_seconds=24 * 3600,
+        tiebreak="purchase_event",
+    )
+    attributed = F.col("purchase_event").isNotNull()
+    return j.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("n_clicks"),
+        F.count_if(attributed).alias("n_attributed"),
+        dround(F.count_if(attributed) * 1.0 / F.count("*")).alias(
+            "attribution_rate"
+        ),
+    )

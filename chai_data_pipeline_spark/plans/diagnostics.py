@@ -1,0 +1,217 @@
+"""Pipeline-operations diagnostics: key-skew profiling, event-time
+disorder measurement, and snapshot reconciliation.
+
+These are the queries an operator of a 100-TB pipeline runs BEFORE
+picking partitioning/watermark/merge strategies:
+
+- ``key_frequency_histogram`` — count-of-counts skew profile. Whether a
+  join/agg key needs salting is a function of its frequency
+  distribution; the power-of-two histogram is bounded (~64 rows) no
+  matter how many distinct keys exist.
+- ``out_of_order_profile`` — how disordered event time is relative to
+  arrival order, per event type. This is THE input to choosing a
+  streaming watermark delay (reference analog: none — the reference is
+  batch-only; this feeds our streaming/windows watermarks).
+- ``table_diff_reconcile`` — two-snapshot diff (removed / changed /
+  unchanged + exact value delta), the idempotency/audit check run
+  after every incremental load. The reference's data_hash idempotency
+  posture (ingest_bronze.py:52-54) is this, made a set operation.
+
+All three are shuffle-bounded: per-key aggregates fold map-side first,
+and every output is group-cardinality (buckets, event types, diff
+statuses), never row-cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dround, sql_dround
+from ..session import load_tables
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Key-skew profile: count events per user, then bucket users by
+# floor(log2(count)). Exact on both engines: log2 of a power of two is
+# exact in IEEE doubles and every other count lands strictly inside a
+# bucket, so floor never straddles an engine difference.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "key_frequency_histogram",
+    oracle="""
+WITH per_key AS (
+    SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+)
+SELECT CAST(FLOOR(LOG2(n)) AS BIGINT) AS freq_bucket,
+       COUNT(*) AS n_keys,
+       CAST(MIN(n) AS BIGINT) AS min_n,
+       CAST(MAX(n) AS BIGINT) AS max_n,
+       CAST(SUM(n) AS BIGINT) AS total_events
+FROM per_key
+GROUP BY 1
+""",
+)
+def key_frequency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-of-counts skew diagnostic on the events join key.
+
+    Two map-combining shuffles: (user) then (bucket); the second input
+    is one row per distinct user carrying only (bucket, n), and the
+    output is <= 64 rows at any scale. This is what decides whether
+    ``operators.skew.salted_agg`` is needed for a given key.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per_key = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    return per_key.groupBy(
+        F.floor(F.log2("n")).cast("bigint").alias("freq_bucket")
+    ).agg(
+        F.count("*").alias("n_keys"),
+        F.min("n").alias("min_n"),
+        F.max("n").alias("max_n"),
+        F.sum("n").alias("total_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-time disorder: within each user's ARRIVAL order (event_id is
+# the monotone ingest sequence), count adjacent pairs whose event time
+# runs backwards, and the worst backwards jump. Aggregated per event
+# type. The lag window partitions by user — no global sort — and the
+# disorder summary is event-type-cardinality.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "out_of_order_profile",
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, event_type, ts,
+           LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_ts
+    FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE ts < prev_ts) AS n_inversions,
+       {sql_dround("COUNT(*) FILTER (WHERE ts < prev_ts) * 1.0 / COUNT(*)")}
+           AS inversion_rate,
+       CAST(COALESCE(MAX(CASE WHEN ts < prev_ts
+                     THEN date_diff('second', ts, prev_ts) END), 0) AS BIGINT)
+           AS max_backwards_s
+FROM seq
+GROUP BY event_type
+""",
+)
+def out_of_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How late/disordered event time is vs arrival order, per type.
+
+    The number that sets a Structured Streaming watermark delay: if
+    max_backwards_s is 90 s, ``withWatermark(.., "2 minutes")`` is
+    safe; if inversions are zero the source is in-order and state can
+    be evicted aggressively. Lag partitions by user (arrival sequences
+    are per-producer); the aggregate is map-side combined into an
+    event-type-sized result.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = events.select(
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    inverted = F.col("ts") < F.col("prev_ts")
+    # timestampdiff works directly on TIMESTAMP_NTZ (a cast to long
+    # does not — Spark refuses NTZ→numeric)
+    backwards_s = F.expr("timestampdiff(SECOND, ts, prev_ts)")
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_if(inverted).alias("n_inversions"),
+        dround(F.count_if(inverted) * 1.0 / F.count("*")).alias(
+            "inversion_rate"
+        ),
+        F.coalesce(
+            F.max(F.when(inverted, backwards_s)), F.lit(0)
+        ).cast("bigint").alias("max_backwards_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot reconciliation: today's load vs yesterday's, as a single
+# full-outer join on the business key producing removed / changed /
+# unchanged counts and the exact money delta. The "new" snapshot is
+# derived deterministically from orders so both engines see the same
+# pair: keys divisible by 97 are dropped (deletes) and keys divisible
+# by 89 get +10.00 on o_totalprice (updates).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "table_diff_reconcile",
+    oracle="""
+WITH snap_a AS (
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(27,2)) AS price
+    FROM orders
+),
+snap_b AS (
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DECIMAL(27,2))
+           + CASE WHEN o_orderkey % 89 = 0 THEN CAST(10.00 AS DECIMAL(27,2))
+                  ELSE CAST(0 AS DECIMAL(27,2)) END AS price
+    FROM orders WHERE o_orderkey % 97 <> 0
+),
+diff AS (
+    SELECT CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.price <> b.price THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           COALESCE(b.price, CAST(0 AS DECIMAL(27,2)))
+           - COALESCE(a.price, CAST(0 AS DECIMAL(27,2))) AS delta
+    FROM snap_a a LEFT JOIN snap_b b USING (o_orderkey)
+)
+SELECT status, COUNT(*) AS n_rows,
+       CAST(SUM(delta) * 100 AS BIGINT) AS delta_cents
+FROM diff
+GROUP BY status
+""",
+)
+def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-snapshot table diff: removed/changed/unchanged + exact delta.
+
+    One co-partitioned join on the business key (both sides shuffle on
+    o_orderkey — AQE can plan SMJ or shuffled hash; neither side is
+    broadcast at 100 TB) followed by a status-cardinality aggregate.
+    Money deltas ride DECIMAL(27,2) end-to-end and are emitted as
+    integer cents — associative, engine-exact. Production would add a
+    row-hash over all columns (sources.readers.with_audit_columns'
+    data_hash); the price column stands in for it here because the
+    synthetic delta only touches price.
+    """
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    price = F.col("o_totalprice").cast("decimal(27,2)")
+    snap_a = orders.select("o_orderkey", price.alias("price"))
+    snap_b = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        (
+            price
+            + F.when(
+                F.col("o_orderkey") % 89 == 0, F.lit(10.00)
+            ).otherwise(F.lit(0.00)).cast("decimal(27,2)")
+        ).alias("price"),
+    )
+    a = snap_a.alias("a")
+    b = snap_b.alias("b")
+    joined = a.join(b, "o_orderkey", "left").select(
+        F.when(F.col("b.price").isNull(), "removed")
+        .when(F.col("a.price") != F.col("b.price"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        (
+            F.coalesce(F.col("b.price"), F.lit(0).cast("decimal(27,2)"))
+            - F.coalesce(F.col("a.price"), F.lit(0).cast("decimal(27,2)"))
+        ).alias("delta"),
+    )
+    return joined.groupBy("status").agg(
+        F.count("*").alias("n_rows"),
+        (F.sum("delta") * 100).cast("bigint").alias("delta_cents"),
+    )

@@ -712,3 +712,50 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(s2).alias("clicked_after_view"),
         F.count_if(s3).alias("purchased_full_funnel"),
     )
+
+
+# --------------------------------------------------------------------------
+# Trailing-window distinct count (7-day rolling active users): COUNT
+# DISTINCT is not window-frameable in either engine, so the rolling
+# set is materialized as a bounded fan-out — each (day, user) activity
+# pair contributes to the 7 calendar days it remains "active" for,
+# then one distinct-count per target day. Fan-out is map-side (x7,
+# before any shuffle), the contributing pairs are deduped FIRST (one
+# row per user-day, not per event), and target days are clipped to
+# the observed calendar via a broadcast semi-join. At 100 TB: shuffle
+# 1 dedups to user-day grain, shuffle 2 counts per day — both
+# map-combined; no self-join of the raw event table.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rolling_distinct_users_7d",
+    oracle="""
+WITH pairs AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM pairs)
+SELECT t.d, COUNT(DISTINCT p.user_id) AS users_7d
+FROM days t JOIN pairs p ON p.d BETWEEN t.d - 6 AND t.d
+GROUP BY t.d
+""",
+)
+def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    pairs = events.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = pairs.select("d").distinct().withColumnRenamed("d", "cal_d")
+    fanned = pairs.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add("d", 6))
+        ).alias("target_d"),
+        "user_id",
+    )
+    return (
+        fanned.join(
+            F.broadcast(days), fanned.target_d == days.cal_d, "left_semi"
+        )
+        .groupBy(F.col("target_d").alias("d"))
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+    )

@@ -774,3 +774,44 @@ def sequence_packing_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-group min-max feature normalization (the standard ML feature
+# scaling pass): group stats are a lang-cardinality aggregate broadcast
+# back over the table — map-only second pass, no window, no sort.
+# Degenerate groups (max == min) are explicit NULL on both engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "minmax_normalize_lengths",
+    oracle=f"""
+WITH stats AS (
+    SELECT lang, MIN(n_chars) AS mn, MAX(n_chars) AS mx
+    FROM documents GROUP BY 1
+)
+SELECT d.doc_id, d.lang, d.n_chars,
+       CASE WHEN s.mx > s.mn THEN
+       {sql_dround('(d.n_chars - s.mn) * 1.0 / (s.mx - s.mn)', 6)}
+       END AS norm_length
+FROM documents d JOIN stats s USING (lang)
+""",
+)
+def minmax_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    stats = docs.groupBy("lang").agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    j = docs.join(F.broadcast(stats), "lang")
+    norm = (F.col("n_chars") - F.col("mn")) * 1.0 / (
+        F.col("mx") - F.col("mn")
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.when(F.col("mx") > F.col("mn"), dround(norm, 6)).alias(
+            "norm_length"
+        ),
+    )
