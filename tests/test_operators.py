@@ -561,3 +561,50 @@ def test_interpolate_daily_planted_gaps(spark):
     assert out[("b", "2024-01-02")] == (7.0, True)
     # calendar spans only [min, max] per series: no edge extrapolation
     assert ("a", "2024-01-01") not in out and ("b", "2024-01-04") not in out
+
+
+def test_asof_forward_tolerance_and_ties(spark):
+    """Forward asof: earliest future right row wins; matches beyond the
+    tolerance are nulled out ATOMICALLY; right ties on (key, ts) reduce
+    to min(tiebreak); a right row at exactly left_ts is eligible."""
+    from chai_data_pipeline_spark.operators.asof import asof_join_forward
+
+    right = spark.createDataFrame(
+        [
+            # two rows at the same ts -> min(eid) must win
+            (1, "2024-01-01 01:00:00", 7, "dup_hi"),
+            (1, "2024-01-01 01:00:00", 3, "dup_lo"),
+            (1, "2024-01-02 12:00:00", 9, "far"),
+            (2, "2024-01-01 00:00:00", 5, "exact"),
+        ],
+        ["k", "ts_str", "eid", "tag"],
+    ).select(
+        "k", F.col("ts_str").cast("timestamp").alias("rts"), "eid", "tag"
+    )
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),  # next = dup_lo (min eid)
+            (1, "2024-01-02 00:00:00"),  # next = far, 12h away > 11h tol
+            (2, "2024-01-01 00:00:00"),  # exact-ts right row eligible
+            (3, "2024-01-01 00:00:00"),  # no right rows at all
+        ],
+        ["k", "ts_str"],
+    ).select("k", F.col("ts_str").cast("timestamp").alias("lts"))
+
+    out = {
+        (r.k, str(r.lts)): (r.eid, r.tag)
+        for r in asof_join_forward(
+            left,
+            right,
+            on="k",
+            left_ts="lts",
+            right_ts="rts",
+            value_cols=["eid", "tag"],
+            tolerance_seconds=11 * 3600,
+            tiebreak="eid",
+        ).collect()
+    }
+    assert out[(1, "2024-01-01 00:00:00")] == (3, "dup_lo")
+    assert out[(1, "2024-01-02 00:00:00")] == (None, None)  # past tolerance
+    assert out[(2, "2024-01-01 00:00:00")] == (5, "exact")
+    assert out[(3, "2024-01-01 00:00:00")] == (None, None)
