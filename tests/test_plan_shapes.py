@@ -239,3 +239,38 @@ def test_anomaly_stats_broadcast_back(spark, sf_dir):
     plan = _plan(spark, "anomaly_days_zscore", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rolling_distinct_calendar_is_broadcast_semi(spark, sf_dir):
+    plan = _plan(spark, "rolling_distinct_users_7d", sf_dir)
+    # the observed-days clip must be a broadcast semi-join (calendar is
+    # bounded), never a shuffled join of the fanned-out pair table
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_minmax_normalize_stats_broadcast_back(spark, sf_dir):
+    plan = _plan(spark, "minmax_normalize_lengths", sf_dir)
+    # lang-cardinality stats broadcast over the doc table: map-only
+    # second pass, no sort-merge join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_table_diff_joins_on_key_without_broadcast(spark, sf_dir):
+    # both snapshots are table-sized: nothing in the query may FORCE a
+    # broadcast — with size-based broadcast off (emulating 100-TB size
+    # stats) the planner must fall back to a co-partitioned join. (At
+    # test SF the auto-broadcast it picks instead is also correct.)
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "table_diff_reconcile", sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_out_of_order_window_partitions_by_user(spark, sf_dir):
+    plan = _plan(spark, "out_of_order_profile", sf_dir)
+    assert "windowspecdefinition(user_id" in plan
