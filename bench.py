@@ -129,6 +129,7 @@ HEADLINE = [
     "rolling_distinct_users_7d",
     "asof_forward_attribution",
     "minmax_normalize_lengths",
+    "fk_integrity_profile",
 ]
 
 

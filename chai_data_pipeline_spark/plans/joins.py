@@ -297,3 +297,89 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
     return apply_cdc(cust, changes, ["c_custkey"]).select(*cols)
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity profile: EVERY foreign-key edge of the schema
+# audited in one result table — the whole-warehouse version of the J1
+# orphan check (reference: validate_silver.py:164-169 checks one edge;
+# a production DQ run checks them all). Per edge: one left join against
+# the DISTINCT parent keys (key-only shuffle — the parent's payload
+# never moves; bounded dims broadcast), one count. Output is
+# edge-cardinality.
+# --------------------------------------------------------------------------
+
+_FK_ORPHAN_SQL = """
+SELECT '{name}' AS fk, COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE NOT EXISTS (
+           SELECT 1 FROM {parent} p WHERE p.{pkey} = c.{ckey}
+       )) AS n_orphans
+FROM {child} c
+"""
+
+
+@query(
+    "fk_integrity_profile",
+    oracle=" UNION ALL ".join(
+        _FK_ORPHAN_SQL.format(
+            name=name, child=child, ckey=ckey, parent=parent, pkey=pkey
+        )
+        for name, child, ckey, parent, pkey in [
+            ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+            ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+            ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+            ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+            ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ]
+    ),
+)
+def fk_integrity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark,
+        sf_dir,
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    )
+
+    def edge(
+        name: str,
+        child: DataFrame,
+        ckey: str,
+        parent: DataFrame,
+        pkey: str,
+        broadcast_parent: bool,
+    ) -> DataFrame:
+        pk = parent.select(pkey).distinct()
+        if broadcast_parent:
+            pk = F.broadcast(pk)
+        j = child.select(F.col(ckey).alias("__k")).join(
+            pk, F.col("__k") == F.col(pkey), "left"
+        )
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count("*").alias("n_rows"),
+            F.count_if(F.col(pkey).isNull()).alias("n_orphans"),
+        )
+
+    # bounded dims broadcast; table-sized parents (customer, orders,
+    # part) co-partition — their distinct-key side is key-only
+    edges = [
+        edge("orders->customer", t["orders"], "o_custkey", t["customer"], "c_custkey", False),
+        edge("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey", True),
+        edge("nation->region", t["nation"], "n_regionkey", t["region"], "r_regionkey", True),
+        edge("lineitem->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey", False),
+        edge("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey", False),
+        edge("lineitem->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey", True),
+        edge("supplier->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey", True),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
