@@ -34,6 +34,10 @@ _FIXTURES = os.path.join(
     "tests",
     "fixtures",
 )
+# Oracle-only fixtures live OUTSIDE the landing dir: load_bronze globs
+# tests/fixtures recursively, and anything unrouted there shows up in
+# the journal's unknown_files (test_bronze_routing_and_counts pins []).
+_ORACLE_FIXTURES = os.path.join(os.path.dirname(_FIXTURES), "oracle_fixtures")
 
 # silver.EMAIL_RE, shared verbatim by the oracle (RE2 and Java agree on
 # this ASCII-class pattern; anchors make partial-match == full-match)
@@ -108,7 +112,7 @@ def medallion_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH telco AS (
     SELECT * FROM read_csv(
-        '{_FIXTURES}/oracle_twins/churn_utf8_twin.csv', header=true)
+        '{_ORACLE_FIXTURES}/churn_utf8_twin.csv', header=true)
 ),
 covid AS (
     -- replicate the bronze normalization: blanks_to_null on province
@@ -234,7 +238,7 @@ def medallion_gold_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte that is invalid UTF-8); the Spark side reads it through the
     byte-probe encoding fallback in ``sources.readers.read_csv``, while
     the oracle reads a UTF-8 re-encoding of the SAME bytes
-    (``tests/fixtures/oracle_twins/churn_utf8_twin.csv``, generated
+    (``tests/oracle_fixtures/churn_utf8_twin.csv``, generated
     once by latin-1→utf-8 transcode) — equality of the 'Señor' row
     count and the money sums proves the fallback decoded, not mojibake.
     (This DuckDB build has no CSV encoding option, so the oracle cannot
