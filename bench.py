@@ -130,6 +130,7 @@ HEADLINE = [
     "asof_forward_attribution",
     "minmax_normalize_lengths",
     "fk_integrity_profile",
+    "token_budget_allocation",
 ]
 
 

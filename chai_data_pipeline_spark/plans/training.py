@@ -815,3 +815,67 @@ def minmax_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "norm_length"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Token-budget allocation (mixture planning): given per-language token
+# inventories, a global training budget, and a per-language cap,
+# compute each language's allocation — the planning step that PRODUCES
+# the weights mixture_weighted_sample consumes. All integer arithmetic
+# (bigint products + integral division, never a double ratio), so the
+# plan is bit-identical cross-engine; single proportional pass, no
+# iterative surplus redistribution (documented — planners re-run with
+# an adjusted budget instead, keeping the op one aggregate deep).
+# Shuffles: one (lang)-keyed partial-combined agg; the allocation math
+# runs on the lang-cardinality result with a broadcast 1-row total.
+# --------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 500_000
+_LANG_CAP = 150_000
+
+
+@query(
+    "token_budget_allocation",
+    oracle=f"""
+WITH toks AS (
+    SELECT lang,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_tokens
+    FROM documents
+),
+per_lang AS (
+    SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+    FROM toks GROUP BY 1
+),
+total AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens FROM per_lang)
+SELECT lang, lang_tokens,
+       {sql_dround('lang_tokens * 1.0 / total_tokens', 6)} AS share,
+       CAST(LEAST({_LANG_CAP},
+                  ({_TOKEN_BUDGET} * lang_tokens) // total_tokens)
+            AS BIGINT) AS allocation,
+       (({_TOKEN_BUDGET} * lang_tokens) // total_tokens) > {_LANG_CAP}
+           AS capped
+FROM per_lang CROSS JOIN total
+""",
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    per_lang = (
+        docs.select("lang", T.token_count("text").alias("n_tokens"))
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").alias("lang_tokens"))
+    )
+    total = per_lang.agg(F.sum("lang_tokens").alias("total_tokens"))
+    j = per_lang.crossJoin(F.broadcast(total))
+    prop = F.expr(f"({_TOKEN_BUDGET} * lang_tokens) div total_tokens")
+    return j.select(
+        "lang",
+        "lang_tokens",
+        dround(F.col("lang_tokens") * 1.0 / F.col("total_tokens"), 6).alias(
+            "share"
+        ),
+        F.least(F.lit(_LANG_CAP).cast("bigint"), prop).alias("allocation"),
+        (prop > _LANG_CAP).alias("capped"),
+    )
