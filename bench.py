@@ -131,6 +131,8 @@ HEADLINE = [
     "minmax_normalize_lengths",
     "fk_integrity_profile",
     "token_budget_allocation",
+    "percent_rank_cume_dist",
+    "deterministic_mode",
 ]
 
 

@@ -129,7 +129,8 @@ _FRONT = [
     "out_of_order_profile", "table_diff_reconcile",
     "rolling_distinct_users_7d", "asof_forward_attribution",
     "minmax_normalize_lengths", "fk_integrity_profile",
-    "token_budget_allocation",
+    "token_budget_allocation", "percent_rank_cume_dist",
+    "deterministic_mode",
     # first-ever rows-only driver rows
     "multimodal_features",
     "group_quantiles_approx", "dedup_minhash_lsh", "dedup_simhash",

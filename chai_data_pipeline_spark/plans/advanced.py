@@ -550,3 +550,83 @@ def asof_forward_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attribution_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Relative-rank windows (percent_rank / cume_dist): the remaining two
+# ranking functions of the window inventory. Both are closed-form over
+# (rank, count) — (r-1)/(n-1) and peers/n, one double division each in
+# fixed order — so cross-engine exact without dround... but rounded
+# anyway for hash stability on repeating decimals. Partitioned by
+# nation: per-partition sort only.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "percent_rank_cume_dist",
+    oracle=f"""
+SELECT c_custkey, c_nationkey,
+       {sql_dround('PERCENT_RANK() OVER w', 6)} AS pct_rank,
+       {sql_dround('CUME_DIST() OVER w', 6)} AS cume,
+       CAST(RANK() OVER w AS BIGINT) AS rnk
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+""",
+)
+def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        dround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        dround(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic MODE: per-user most-frequent event type. Spark's and
+# DuckDB's native mode() both return an ARBITRARY value on ties, so
+# neither is oracle-able; the portable form is count + rank with an
+# explicit (count DESC, value ASC) tiebreak — same shuffle cost as
+# mode (one (key,value) agg) plus a key-partitioned top-1.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "deterministic_mode",
+    oracle="""
+WITH counts AS (
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY n DESC, event_type ASC
+    ) AS rn
+    FROM counts
+)
+SELECT user_id, event_type AS mode_event_type, n AS mode_count
+FROM ranked WHERE rn = 1
+""",
+)
+def deterministic_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_event_type"),
+            F.col("n").alias("mode_count"),
+        )
+    )
