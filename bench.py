@@ -133,6 +133,8 @@ HEADLINE = [
     "token_budget_allocation",
     "percent_rank_cume_dist",
     "deterministic_mode",
+    "string_agg_segments",
+    "user_event_bitmask",
 ]
 
 

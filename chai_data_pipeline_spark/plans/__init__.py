@@ -130,7 +130,7 @@ _FRONT = [
     "rolling_distinct_users_7d", "asof_forward_attribution",
     "minmax_normalize_lengths", "fk_integrity_profile",
     "token_budget_allocation", "percent_rank_cume_dist",
-    "deterministic_mode",
+    "deterministic_mode", "string_agg_segments", "user_event_bitmask",
     # first-ever rows-only driver rows
     "multimodal_features",
     "group_quantiles_approx", "dedup_minhash_lsh", "dedup_simhash",

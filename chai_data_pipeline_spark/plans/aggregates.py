@@ -593,3 +593,86 @@ def revenue_pareto_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(cum / F.col("t") * 100.0).alias("cum_pct"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG/STRING_AGG): unordered on many
+# engines and arbitrary under parallel combine — the portable form
+# sorts INSIDE the aggregate (array_sort(collect_list) / STRING_AGG
+# ORDER BY), so the concatenation is reshard-stable. Market segments
+# per nation: dimension-bounded output.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "string_agg_segments",
+    oracle="""
+SELECT c_nationkey,
+       STRING_AGG(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+           AS segments,
+       COUNT(DISTINCT c_mktsegment) AS n_segments
+FROM customer
+GROUP BY 1
+""",
+)
+def string_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    return cust.groupBy("c_nationkey").agg(
+        F.concat_ws(
+            ",", F.array_sort(F.collect_set("c_mktsegment"))
+        ).alias("segments"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bitwise aggregation: each user's set of seen event types folded into
+# one integer bitmask via BIT_OR of fixed per-type powers of two —
+# exact, associative, order-independent (the cheapest possible "which
+# behaviors has this user shown" encoding: 5 types = 5 bits, vs a
+# collect_set of strings). The combo census groups the user-cardinality
+# mask table into <= 2^5 rows.
+# --------------------------------------------------------------------------
+
+_TYPE_BITS = {
+    "click": 1,
+    "error": 2,
+    "purchase": 4,
+    "signup": 8,
+    "view": 16,
+}
+
+
+@query(
+    "user_event_bitmask",
+    oracle=f"""
+WITH masks AS (
+    SELECT user_id,
+           CAST(BIT_OR(CASE event_type
+               WHEN 'click' THEN 1 WHEN 'error' THEN 2
+               WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+               WHEN 'view' THEN 16 ELSE 0 END) AS BIGINT) AS mask
+    FROM events GROUP BY 1
+)
+SELECT mask, COUNT(*) AS n_users,
+       CAST(mask = 31 AS BOOLEAN) AS all_types
+FROM masks
+GROUP BY 1
+""",
+)
+def user_event_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    expr = None
+    for t, b in _TYPE_BITS.items():
+        case = F.when(F.col("event_type") == t, b)
+        expr = case if expr is None else expr.when(
+            F.col("event_type") == t, b
+        )
+    expr = expr.otherwise(0)
+    masks = events.groupBy("user_id").agg(
+        F.bit_or(expr).cast("bigint").alias("mask")
+    )
+    return masks.groupBy("mask").agg(
+        F.count("*").alias("n_users"),
+        (F.col("mask") == 31).alias("all_types"),
+    )
