@@ -135,6 +135,7 @@ HEADLINE = [
     "deterministic_mode",
     "string_agg_segments",
     "user_event_bitmask",
+    "peak_concurrency_daily",
 ]
 
 

@@ -393,3 +393,118 @@ def range_window_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("day_value").over(w)).alias("value_7d"),
         F.count("*").over(w).cast("int").alias("active_days_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sweep-line peak concurrency: how many sessions were active at once,
+# per day. Sessions (the pinned 1800 s lag-gap rule) become ±1
+# boundary events, day-clipped so every day is an independent
+# partition; deltas are NET-SUMMED per distinct (day, ts) BEFORE the
+# sweep — one map-combined shuffle that shrinks the sweep input to
+# distinct boundary timestamps — then one running sum + max per day.
+# Concurrency is therefore measured just after each distinct boundary
+# instant (a start and an end at the same microsecond net to zero,
+# the standard sampled-interval-count semantic). At extreme scale the
+# remaining per-day sort is bounded by coarsening boundaries to second
+# grain (≤ 2×86400 rows/day) — same plan, one extra date_trunc.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "peak_concurrency_daily",
+    oracle="""
+WITH e AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT *, SUM(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+    ) AS session_id
+    FROM e
+), sess AS (
+    SELECT user_id, session_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+    FROM s GROUP BY 1, 2
+), spans AS (
+    SELECT CAST(unnest(generate_series(
+               CAST(s_start AS DATE), CAST(s_end AS DATE),
+               INTERVAL 1 DAY)) AS DATE) AS d,
+           s_start, s_end
+    FROM sess
+), clipped AS (
+    SELECT d,
+           GREATEST(s_start, CAST(d AS TIMESTAMP)) AS cs,
+           LEAST(s_end, CAST(d + 1 AS TIMESTAMP)) AS ce
+    FROM spans
+), bounds AS (
+    SELECT d, ts, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+        SELECT d, cs AS ts, 1 AS delta FROM clipped
+        UNION ALL
+        SELECT d, ce, -1 FROM clipped
+    ) GROUP BY 1, 2
+), run AS (
+    SELECT d, SUM(delta) OVER (
+        PARTITION BY d ORDER BY ts ROWS UNBOUNDED PRECEDING
+    ) AS c
+    FROM bounds
+), active AS (
+    SELECT d, COUNT(*) AS n_active FROM clipped GROUP BY 1
+)
+SELECT r.d, CAST(MAX(r.c) AS BIGINT) AS peak_concurrent,
+       CAST(MAX(a.n_active) AS BIGINT) AS n_active_sessions
+FROM run r JOIN active a USING (d)
+GROUP BY r.d
+""",
+)
+def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import sessionize
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    s = sessionize(
+        events, user_col="user_id", ts_col="ts", gap_seconds=1800,
+        order_tiebreak="event_id",
+    )
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    spans = sess.select(
+        F.explode(
+            F.sequence(F.to_date("s_start"), F.to_date("s_end"))
+        ).alias("d"),
+        "s_start",
+        "s_end",
+    )
+    clipped = spans.select(
+        "d",
+        F.greatest("s_start", F.col("d").cast("timestamp_ntz")).alias("cs"),
+        F.least(
+            "s_end", F.date_add("d", 1).cast("timestamp_ntz")
+        ).alias("ce"),
+    )
+    starts = clipped.select("d", F.col("cs").alias("ts"), F.lit(1).alias("delta"))
+    ends = clipped.select("d", F.col("ce").alias("ts"), F.lit(-1).alias("delta"))
+    bounds = (
+        starts.unionByName(ends)
+        .groupBy("d", "ts")
+        .agg(F.sum("delta").alias("delta"))
+    )
+    w = (
+        Window.partitionBy("d")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = bounds.select("d", F.sum("delta").over(w).alias("c"))
+    active = clipped.groupBy("d").agg(F.count("*").alias("n_active"))
+    return (
+        run.groupBy("d")
+        .agg(F.max("c").alias("peak_concurrent"))
+        .join(active, "d")
+        .select(
+            "d",
+            "peak_concurrent",
+            F.col("n_active").alias("n_active_sessions"),
+        )
+    )
