@@ -136,6 +136,8 @@ HEADLINE = [
     "string_agg_segments",
     "user_event_bitmask",
     "peak_concurrency_daily",
+    "event_transition_matrix",
+    "time_to_conversion_cohorts",
 ]
 
 

@@ -131,7 +131,8 @@ _FRONT = [
     "minmax_normalize_lengths", "fk_integrity_profile",
     "token_budget_allocation", "percent_rank_cume_dist",
     "deterministic_mode", "string_agg_segments", "user_event_bitmask",
-    "peak_concurrency_daily",
+    "peak_concurrency_daily", "event_transition_matrix",
+    "time_to_conversion_cohorts",
     # first-ever rows-only driver rows
     "multimodal_features",
     "group_quantiles_approx", "dedup_minhash_lsh", "dedup_simhash",

@@ -759,3 +759,129 @@ def rolling_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("target_d").alias("d"))
         .agg(F.count_distinct("user_id").alias("users_7d"))
     )
+
+
+# --------------------------------------------------------------------------
+# Event transition matrix (path analysis): P(next event type | current)
+# per user journey. One lag window per user (arrival order pinned by
+# (ts, event_id)), then pair counts — the Markov-chain view of product
+# flows. Transition cardinality is k² (≤25 here) regardless of scale;
+# the row-probability denominator is a broadcast-sized marginal.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "event_transition_matrix",
+    oracle=f"""
+WITH seq AS (
+    SELECT event_type AS from_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_type
+    FROM events
+),
+pairs AS (
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM seq WHERE to_type IS NOT NULL
+    GROUP BY 1, 2
+),
+marg AS (
+    SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+    FROM pairs GROUP BY 1
+)
+SELECT p.from_type, p.to_type, p.n,
+       {sql_dround('p.n * 1.0 / m.row_total', 6)} AS p_transition
+FROM pairs p JOIN marg m USING (from_type)
+""",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    pairs = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+    marg = pairs.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(marg), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            dround(F.col("n") * 1.0 / F.col("row_total"), 6).alias(
+                "p_transition"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-to-conversion by signup cohort (survival-lite): per user, first
+# signup and first subsequent purchase from ONE grouped pass
+# (conditional mins — no self-join); cohort = signup week. Conversion
+# delay stats ride exact integer seconds; the one division per cohort
+# row is dround'ed. Cohort table is weeks-cardinality.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "time_to_conversion_cohorts",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_first_purchase
+    FROM events GROUP BY 1
+),
+conv AS (
+    SELECT user_id,
+           CAST(date_trunc('week', t_signup) AS DATE) AS cohort_week,
+           CASE WHEN t_first_purchase > t_signup
+                THEN CAST(epoch(t_first_purchase) - epoch(t_signup) AS BIGINT)
+           END AS delay_s
+    FROM per_user WHERE t_signup IS NOT NULL
+)
+SELECT cohort_week,
+       COUNT(*) AS n_signups,
+       COUNT(delay_s) AS n_converted,
+       {sql_dround('COUNT(delay_s) * 1.0 / COUNT(*)')} AS conversion_rate,
+       {sql_dround('SUM(delay_s) * 1.0 / COUNT(delay_s) / 3600.0', 2)}
+           AS avg_hours_to_convert
+FROM conv
+GROUP BY 1
+""",
+)
+def time_to_conversion_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("t_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_first_purchase"),
+    )
+    conv = per_user.filter(F.col("t_signup").isNotNull()).select(
+        F.date_trunc("week", "t_signup").cast("date").alias("cohort_week"),
+        F.when(
+            F.col("t_first_purchase") > F.col("t_signup"),
+            F.expr("timestampdiff(SECOND, t_signup, t_first_purchase)"),
+        ).cast("bigint").alias("delay_s"),
+    )
+    return conv.groupBy("cohort_week").agg(
+        F.count("*").alias("n_signups"),
+        F.count("delay_s").alias("n_converted"),
+        dround(F.count("delay_s") * 1.0 / F.count("*")).alias(
+            "conversion_rate"
+        ),
+        dround(
+            F.sum("delay_s") * 1.0 / F.count("delay_s") / 3600.0, 2
+        ).alias("avg_hours_to_convert"),
+    )
