@@ -138,6 +138,8 @@ HEADLINE = [
     "peak_concurrency_daily",
     "event_transition_matrix",
     "time_to_conversion_cohorts",
+    "range_partition_planner",
+    "zorder_layout_audit",
 ]
 
 

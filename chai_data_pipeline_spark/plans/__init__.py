@@ -24,6 +24,7 @@ from . import tpch3  # noqa: F401,E402
 from . import tpch4  # noqa: F401,E402
 from . import medallion  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
+from . import layout  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration ORDER is part of the driver contract: the per-round
@@ -133,6 +134,7 @@ _FRONT = [
     "deterministic_mode", "string_agg_segments", "user_event_bitmask",
     "peak_concurrency_daily", "event_transition_matrix",
     "time_to_conversion_cohorts",
+    "range_partition_planner", "zorder_layout_audit",
     # first-ever rows-only driver rows
     "multimodal_features",
     "group_quantiles_approx", "dedup_minhash_lsh", "dedup_simhash",

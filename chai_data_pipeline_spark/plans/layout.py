@@ -1,0 +1,223 @@
+"""Physical-layout planning: range-partition boundary planning and
+Z-order (Morton-curve) layout auditing.
+
+At 100 TB the dominant cost is how much data a scan can SKIP, and both
+queries here are the planner side of that:
+
+- ``range_partition_planner`` — equi-depth boundary computation over a
+  deterministic hash sample, i.e. what Spark's ``RangePartitioner``
+  does before a ``repartitionByRange``/global sort, surfaced as a
+  first-class query so the cutoffs are inspectable and reusable (write
+  them once, range-partition every downstream job with the same
+  boundaries). The full-data equi-depth computation is a global sort;
+  the production form NEVER does that — it sorts a bounded sample,
+  exactly like the engine's own partitioner.
+- ``zorder_layout_audit`` — measures data-skipping effectiveness of a
+  Morton-interleaved two-dimensional sort key versus a single-column
+  (linear) sort, using only file/row-group min-max spans — the same
+  statistic parquet footers give a scan planner. The Z-value is pure
+  integer bit arithmetic, identical on every engine.
+
+The write-side twin is :func:`chai_data_pipeline_spark.sources.writers.
+write_zordered`, which lays parquet files out along the curve
+(repartitionByRange on the Z-value + sortWithinPartitions) so footer
+min/max stats actually narrow; tests/test_sinks.py verifies the
+row-group span shrinkage on real files.
+
+Reference analog: none — the reference loads into Postgres and relies
+on B-tree indexes (database.py:40-58); on an object-store lakehouse the
+equivalent access-path design is range boundaries + multi-dim
+clustering, which is what these implement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import dround, sql_dround
+from ..session import load_tables
+from .registry import query
+from .training import hash_bucket, sql_hash_bucket
+
+# --------------------------------------------------------------------------
+# Equi-depth range boundaries from a deterministic sample.
+#
+# Sample rate is 1/16 here (test scale); at petabyte scale the same
+# query runs with a 1e-5 bucket rate — the knob is the bucket count,
+# the plan shape (map-only filter -> bounded sort) is unchanged. The
+# sample is sha256-selected so both engines (and any future re-run on
+# re-partitioned data) pick the SAME rows.
+# --------------------------------------------------------------------------
+
+_SAMPLE_BUCKETS = 16
+_N_RANGES = 32
+
+
+@query(
+    "range_partition_planner",
+    oracle=f"""
+WITH sample AS (
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE {sql_hash_bucket('o_orderkey', _SAMPLE_BUCKETS)} = 0
+),
+tiled AS (
+    SELECT o_totalprice,
+           ntile({_N_RANGES})
+               OVER (ORDER BY o_totalprice, o_orderkey) AS range_id
+    FROM sample
+)
+SELECT range_id,
+       COUNT(*) AS n_sample,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM tiled
+GROUP BY range_id
+""",
+)
+def range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth range boundaries for o_totalprice from a hash sample.
+
+    This is the planner feeding ``repartitionByRange``: 32 cutoffs that
+    give balanced partitions for a subsequent range layout or global
+    sort. The ntile sort runs over the SAMPLE only (map-only sha256
+    filter first), which is the scale posture — Spark's own
+    RangePartitioner reservoir-samples ~20 rows per partition and sorts
+    those on the driver; here the sample sort stays distributed and the
+    fraction is the knob. Ties are broken by o_orderkey so the tiling
+    is total-order deterministic; min/max per tile are comparisons, not
+    arithmetic, hence engine-exact on doubles.
+    """
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    sample = orders.filter(
+        hash_bucket(F.col("o_orderkey"), _SAMPLE_BUCKETS) == 0
+    ).select("o_orderkey", "o_totalprice")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    tiled = sample.select(
+        "o_totalprice", F.ntile(_N_RANGES).over(w).alias("range_id")
+    )
+    return tiled.groupBy("range_id").agg(
+        F.count("*").alias("n_sample"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Morton (Z-order) interleave in pure integer arithmetic. 8 bits per
+# dimension -> 16-bit Z-value; each output bit is disjoint so the
+# bit-OR fold can be written as a plain sum, which both engines
+# evaluate exactly in int64.
+# --------------------------------------------------------------------------
+
+_Z_BITS = 8
+
+
+def zvalue(x: Column, y: Column, bits: int = _Z_BITS) -> Column:
+    """Morton-interleave two ``bits``-wide non-negative ints (Spark side)."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z
+
+
+def sql_zvalue(x: str, y: str, bits: int = _Z_BITS) -> str:
+    """The same Morton interleave as a portable SQL expression."""
+    terms = []
+    for i in range(bits):
+        # parenthesize each shift: << binds looser than + in DuckDB
+        terms.append(f"(((({x}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+# Dims under audit: user bucket (0..255) x day-of-epoch bucket (0..255).
+# These are the two predicates a 100-TB events table is actually probed
+# by (user lookups, date ranges).
+_SQL_X = "(user_id & 255)"
+_SQL_Y = "(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) & 255)"
+
+
+@query(
+    "zorder_layout_audit",
+    oracle=f"""
+WITH dims AS (
+    SELECT {_SQL_X} AS x, {_SQL_Y} AS y FROM events
+),
+assigned AS (
+    SELECT x, y,
+           {sql_zvalue('x', 'y')} >> 10 AS z_file,
+           x >> 2 AS linear_file
+    FROM dims
+),
+per_file AS (
+    SELECT 'zorder' AS layout, z_file AS file_id,
+           COUNT(*) AS n,
+           (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS span_area
+    FROM assigned GROUP BY z_file
+    UNION ALL
+    SELECT 'linear_x' AS layout, linear_file AS file_id,
+           COUNT(*) AS n,
+           (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS span_area
+    FROM assigned GROUP BY linear_file
+)
+SELECT layout,
+       COUNT(*) AS n_files,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(span_area) AS BIGINT) AS total_span_area,
+       {sql_dround('SUM(span_area) * 1.0 / COUNT(*)', 4)} AS avg_span_area
+FROM per_file
+GROUP BY layout
+""",
+)
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit: Z-order vs single-column file layout.
+
+    Buckets every event into a "file" two ways — top-6-bits of the
+    16-bit Morton code versus top-6-bits of the user dimension alone —
+    and reports the min/max bounding-box area per file (the exact
+    statistic a scan planner reads from parquet footers to prune).
+    Z-order keeps BOTH dimensions' spans narrow, so a point/range
+    predicate on either dimension prunes most files; the linear layout
+    leaves the second dimension's span at full width. Entirely
+    map-side until the two bounded (<=64-file) aggregates; the Z-value
+    is bit arithmetic — no UDF, engine-exact.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    x = F.col("user_id").bitwiseAND(F.lit(255))
+    y = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).bitwiseAND(F.lit(255))
+    dims = events.select(x.alias("x"), y.alias("y"))
+    assigned = dims.select(
+        "x",
+        "y",
+        F.shiftright(zvalue(F.col("x"), F.col("y")), 10).alias("z_file"),
+        F.shiftright(F.col("x"), 2).alias("linear_file"),
+    )
+
+    def _per_file(df: DataFrame, file_col: str, label: str) -> DataFrame:
+        return df.groupBy(F.col(file_col).alias("file_id")).agg(
+            F.count("*").alias("n"),
+            (
+                (F.max("x") - F.min("x") + 1)
+                * (F.max("y") - F.min("y") + 1)
+            ).alias("span_area"),
+        ).select(F.lit(label).alias("layout"), "file_id", "n", "span_area")
+
+    per_file = _per_file(assigned, "z_file", "zorder").unionAll(
+        _per_file(assigned, "linear_file", "linear_x")
+    )
+    return per_file.groupBy("layout").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n").alias("n_rows"),
+        F.sum("span_area").alias("total_span_area"),
+        dround(F.sum("span_area") * 1.0 / F.count("*")).alias(
+            "avg_span_area"
+        ),
+    )

@@ -258,3 +258,44 @@ def compact(
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 16,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order (Morton-curve) clustered parquet layout for two columns.
+
+    Computes a ``2*bits``-wide interleaved Z-value over the two
+    (bucketed, non-negative) dimensions and lays files out along the
+    curve: ``repartitionByRange`` on the Z-value gives each output file
+    a contiguous curve segment, and ``sortWithinPartitions`` orders
+    rows inside it so row-group min/max footer stats narrow too. A scan
+    with a predicate on EITHER column can then prune most files from
+    footer stats alone — the lake-native replacement for the
+    reference's multi-column B-tree indexes (database.py:40-58). The
+    Z-column is dropped before write; plans/layout.zorder_layout_audit
+    is the read-side audit of the resulting spans.
+    """
+    from ..plans.layout import zvalue
+    from pyspark.sql import functions as F
+
+    mask = (1 << bits) - 1
+    z = zvalue(
+        F.col(x_col).bitwiseAND(F.lit(mask)),
+        F.col(y_col).bitwiseAND(F.lit(mask)),
+        bits,
+    )
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -137,3 +137,62 @@ def test_recover_merge_restores_crashed_swap(spark, tmp_path):
     assert recover_merge(tgt) == "kept target"
     assert not os.path.exists(old) and not os.path.exists(tmp)
     assert spark.read.parquet(tgt).count() == 1
+
+
+def test_write_zordered_narrows_rowgroup_spans(spark, sf_dir, tmp_path):
+    """Z-order layout must shrink per-file (x,y) bounding boxes vs an
+    unclustered write — the parquet-footer statistic a scan planner
+    prunes on."""
+    import pyarrow.parquet as pq
+
+    from chai_data_pipeline_spark.session import load_tables
+    from chai_data_pipeline_spark.sources.writers import write_zordered
+
+    events = load_tables(spark, str(sf_dir), "events")["events"]
+    dims = events.select(
+        F.col("user_id").bitwiseAND(F.lit(255)).alias("x"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+        ).bitwiseAND(F.lit(255)).alias("y"),
+    )
+
+    zpath = str(tmp_path / "zordered")
+    plain = str(tmp_path / "plain")
+    write_zordered(dims, zpath, "x", "y", n_files=8)
+    dims.repartition(8).write.mode("overwrite").parquet(plain)
+
+    def avg_span_area(path: str) -> float:
+        areas = []
+        import pathlib
+
+        for f in pathlib.Path(path).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            lo = {"x": None, "y": None}
+            hi = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    st = col.statistics
+                    if name in lo and st is not None:
+                        lo[name] = (
+                            st.min if lo[name] is None
+                            else min(lo[name], st.min)
+                        )
+                        hi[name] = (
+                            st.max if hi[name] is None
+                            else max(hi[name], st.max)
+                        )
+            if lo["x"] is not None and lo["y"] is not None:
+                areas.append(
+                    (hi["x"] - lo["x"] + 1) * (hi["y"] - lo["y"] + 1)
+                )
+        assert areas
+        return sum(areas) / len(areas)
+
+    z_area = avg_span_area(zpath)
+    p_area = avg_span_area(plain)
+    # round-robin repartition leaves every file at (almost) full-span;
+    # the curve layout must cut the average bounding box materially.
+    assert z_area < p_area * 0.7, (z_area, p_area)
