@@ -140,6 +140,11 @@ HEADLINE = [
     "time_to_conversion_cohorts",
     "range_partition_planner",
     "zorder_layout_audit",
+    "dup_cluster_size_histogram",
+    "corpus_overlap_sources",
+    "psi_value_drift",
+    "mad_robust_outliers",
+    "rfm_segmentation",
 ]
 
 

@@ -135,6 +135,8 @@ _FRONT = [
     "peak_concurrency_daily", "event_transition_matrix",
     "time_to_conversion_cohorts",
     "range_partition_planner", "zorder_layout_audit",
+    "dup_cluster_size_histogram", "corpus_overlap_sources",
+    "psi_value_drift", "mad_robust_outliers", "rfm_segmentation",
     # first-ever rows-only driver rows
     "multimodal_features",
     "group_quantiles_approx", "dedup_minhash_lsh", "dedup_simhash",

@@ -723,3 +723,53 @@ def dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= _SIMHASH_CHK_HAM)
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup observability: the size distribution of exact-duplicate
+# clusters. This is the number a curation run reports BEFORE deleting
+# anything — how much of the corpus is redundant and whether
+# duplication is a long tail of pairs or a few megaclusters (the
+# latter changes strategy: megaclusters are boilerplate/templates, not
+# crawl dupes). Two hash-keyed map-combining aggregates; the output is
+# distinct-cluster-size cardinality (tiny at any corpus size).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dup_cluster_size_histogram",
+    oracle="""
+WITH clusters AS (
+    SELECT sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+               AS content_hash,
+           COUNT(*) AS n
+    FROM documents
+    GROUP BY 1
+)
+SELECT n AS cluster_size,
+       COUNT(*) AS n_clusters,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_redundant
+FROM clusters
+GROUP BY n
+""",
+)
+def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup cluster-size census over normalized content hashes.
+
+    The companion report to ``dedup_exact_content``: per cluster size,
+    how many clusters and how many redundant docs deleting would
+    reclaim. The text never shuffles — only (hash) leaves the map
+    side — and both aggregates combine partially, so the cost at
+    100 TB is one hash-keyed exchange of 32-byte keys.
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    clusters = docs.select(F.sha2(norm, 256).alias("content_hash")).groupBy(
+        "content_hash"
+    ).agg(F.count("*").alias("n"))
+    return clusters.groupBy(F.col("n").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("n").alias("n_docs"),
+        (F.sum("n") - F.count("*")).alias("n_redundant"),
+    )

@@ -215,3 +215,179 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         (F.sum("delta") * 100).cast("bigint").alias("delta_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distribution-drift monitor: Population Stability Index of the event
+# value distribution, first half of the window vs second half, per
+# event type. PSI = Σ_bins (p−q)·ln(p/q) with Laplace smoothing so an
+# empty bin never produces ln(0). Everything up to the per-bin term is
+# exact integer counting; the term is rounded to a 6-decimal DECIMAL
+# before the final sum, which makes the cross-bin reduction
+# order-independent (functions/numeric.py rules — ln results are not
+# finite decimals, so round-then-decimal-sum, never raw double sums).
+# --------------------------------------------------------------------------
+
+_PSI_CUTOFF = "2024-01-16 00:00:00"
+_PSI_BINS = 10
+_PSI_BINW = 25.0  # events.value spans [0, ~330); clamp to 10 bins
+
+
+@query(
+    "psi_value_drift",
+    oracle=f"""
+WITH binned AS (
+    SELECT event_type,
+           LEAST(CAST(FLOOR(value / {_PSI_BINW}) AS BIGINT), {_PSI_BINS - 1})
+               AS bin,
+           CASE WHEN ts < TIMESTAMP '{_PSI_CUTOFF}' THEN 1 ELSE 0 END AS half
+    FROM events
+),
+counts AS (
+    SELECT event_type, bin,
+           COUNT(*) FILTER (WHERE half = 1) AS c_a,
+           COUNT(*) FILTER (WHERE half = 0) AS c_b
+    FROM binned GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type,
+           SUM(c_a) AS t_a, SUM(c_b) AS t_b
+    FROM counts GROUP BY 1
+),
+terms AS (
+    SELECT c.event_type,
+           {sql_dround(
+               "((c.c_a + 0.5) / (t.t_a + 5.0) - (c.c_b + 0.5) / (t.t_b + 5.0))"
+               " * ln(((c.c_a + 0.5) / (t.t_a + 5.0))"
+               "      / ((c.c_b + 0.5) / (t.t_b + 5.0)))", 6)} AS term
+    FROM counts c JOIN tot t USING (event_type)
+)
+SELECT t.event_type,
+       CAST(tt.t_a AS BIGINT) AS n_first,
+       CAST(tt.t_b AS BIGINT) AS n_second,
+       CAST(SUM(CAST(t.term AS DECIMAL(27,6))) AS DOUBLE) AS psi
+FROM terms t JOIN tot tt USING (event_type)
+GROUP BY 1, 2, 3
+""",
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift of the value distribution between window halves.
+
+    The monitoring query a production pipeline runs on every load to
+    catch upstream distribution shifts before they poison training
+    data. Shuffle-bounded: one (type, bin) count (map-side combined,
+    ≤ types×10 rows), then type-cardinality reductions. The smoothed
+    shares and ln run on ≤50 rows; the bin counting is the only
+    full-scan work.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    binned = events.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / _PSI_BINW).cast("bigint"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+        F.when(
+            F.col("ts") < F.lit(_PSI_CUTOFF).cast("timestamp_ntz"), 1
+        ).otherwise(0).alias("half"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.count_if(F.col("half") == 1).alias("c_a"),
+        F.count_if(F.col("half") == 0).alias("c_b"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b")
+    )
+    p = (F.col("c_a") + 0.5) / (F.col("t_a") + 5.0)
+    q = (F.col("c_b") + 0.5) / (F.col("t_b") + 5.0)
+    terms = counts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "t_a",
+        "t_b",
+        dround((p - q) * F.log(p / q), 6).alias("term"),
+    )
+    return terms.groupBy(
+        "event_type",
+        F.col("t_a").cast("bigint").alias("n_first"),
+        F.col("t_b").cast("bigint").alias("n_second"),
+    ).agg(
+        F.sum(F.col("term").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("psi")
+    )
+
+
+# --------------------------------------------------------------------------
+# Robust outlier detection: median/MAD instead of mean/stddev. The
+# z-score monitor (timeseries.anomaly_days_zscore) is itself distorted
+# by the outliers it hunts; median absolute deviation is not. Daily
+# count series are event-type-cardinality × days — tiny — so the two
+# exact medians are cheap; at 100 TB the day-count aggregation is the
+# only full-scan stage and it map-combines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mad_robust_outliers",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+med AS (
+    SELECT event_type, median(n) AS med_daily FROM daily GROUP BY 1
+),
+mad AS (
+    SELECT d.event_type, m.med_daily,
+           median(ABS(d.n - m.med_daily)) AS mad_daily
+    FROM daily d JOIN med m USING (event_type)
+    GROUP BY 1, 2
+)
+SELECT d.event_type,
+       COUNT(*) AS n_days,
+       MAX(m.med_daily) AS med_daily,
+       MAX(m.mad_daily) AS mad_daily,
+       COUNT(*) FILTER (
+           WHERE m.mad_daily > 0
+             AND ABS(d.n - m.med_daily) > 3 * m.mad_daily
+       ) AS n_outlier_days
+FROM daily d JOIN mad m USING (event_type)
+GROUP BY 1
+""",
+)
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier days per event type.
+
+    Two-pass exact medians over the (type, day) count series with the
+    3-MAD rule; degenerate series (MAD = 0) flag nothing, by explicit
+    guard rather than div-by-zero semantics (ADVICE r3: engines
+    diverge on float division edge cases across versions). Median
+    interpolation ((a+b)/2) is a single IEEE op — engine-exact.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.median("n").alias("med_daily")
+    )
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med_daily")
+        .agg(
+            F.median(F.abs(F.col("n") - F.col("med_daily"))).alias(
+                "mad_daily"
+            )
+        )
+    )
+    flagged = daily.join(F.broadcast(mad), "event_type")
+    outlier = (F.col("mad_daily") > 0) & (
+        F.abs(F.col("n") - F.col("med_daily"))
+        > 3 * F.col("mad_daily")
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.max("med_daily").alias("med_daily"),
+        F.max("mad_daily").alias("mad_daily"),
+        F.count_if(outlier).alias("n_outlier_days"),
+    )

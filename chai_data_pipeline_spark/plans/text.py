@@ -484,3 +484,100 @@ def segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_fraction"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-level source overlap: exact pairwise 3-gram Jaccard between
+# SOURCES (not documents). This is the corpus-mixing diagnostic run
+# before weighting sources in a training mixture — two crawls with 0.9
+# overlap should not both get full weight. Implementation is an
+# inverted index: distinct (source, gram) postings, pair-counted by
+# gram. Per-gram pair fan-out is bounded by S² (S = #sources, a
+# config-scale constant), so the join never explodes no matter how
+# many documents there are; the gram postings themselves shuffle as
+# (3-char key, small source id). At very large S, swap the exact
+# postings for per-source MinHash sketches (operators/dedup.py) — same
+# query shape, sketch-sized state.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "corpus_overlap_sources",
+    oracle=f"""
+WITH g AS (
+    SELECT DISTINCT source, g
+    FROM (
+        SELECT source,
+               unnest(list_distinct(list_transform(
+                   range(1, GREATEST(LENGTH(text) - 2, 0) + 1),
+                   i -> text[i : i + 2]
+               ))) AS g
+        FROM documents
+    )
+),
+counts AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1),
+pairs AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_common
+    FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT p.source_a, p.source_b, ca.n AS n_a, cb.n AS n_b, p.n_common,
+       {sql_dround('p.n_common * 1.0 / (ca.n + cb.n - p.n_common)', 6)}
+           AS jaccard
+FROM pairs p
+JOIN counts ca ON ca.source = p.source_a
+JOIN counts cb ON cb.source = p.source_b
+""",
+)
+def corpus_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-level 3-gram Jaccard via an inverted index.
+
+    Distinct (source, gram) postings → per-gram self-pairing (bounded
+    S² fan-out) → source-pair counts joined to per-source gram counts.
+    The source-count table is S rows — broadcast. Output is S·(S-1)/2
+    rows regardless of corpus size.
+    """
+    from ..operators.dedup import shingles
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    g = (
+        docs.select("source", F.explode(shingles("text", 3)).alias("g"))
+        .distinct()
+    )
+    counts = g.groupBy("source").agg(F.count("*").alias("n"))
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = F.broadcast(counts.withColumnRenamed("source", "source_a")
+                     .withColumnRenamed("n", "n_a"))
+    cb = F.broadcast(counts.withColumnRenamed("source", "source_b")
+                     .withColumnRenamed("n", "n_b"))
+    return (
+        pairs.join(ca, "source_a")
+        .join(cb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            dround(
+                F.col("n_common")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -885,3 +885,112 @@ def time_to_conversion_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("delay_s") * 1.0 / F.count("delay_s") / 3600.0, 2
         ).alias("avg_hours_to_convert"),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation — the classic customer-value grid, built the
+# scale-correct way: quintile CUTOFFS are computed once as a 12-value
+# aggregate, broadcast back, and every customer is scored by plain
+# comparisons. No ntile: ntile over customers is an unpartitioned
+# global sort (one task holding every customer); the cutoff-broadcast
+# form is a map-only second pass. Cutoffs are dround(6)-pinned on both
+# engines before comparing so boundary assignment is deterministic.
+# --------------------------------------------------------------------------
+
+_RFM_REF_DATE = "2001-09-01"
+
+
+def _rfm_sql_cuts(metric: str, tag: str) -> str:
+    return ", ".join(
+        sql_dround(f"quantile_cont({metric}, {p})", 6) + f" AS {tag}{i + 1}"
+        for i, p in enumerate((0.2, 0.4, 0.6, 0.8))
+    )
+
+
+@query(
+    "rfm_segmentation",
+    oracle=f"""
+WITH per_cust AS (
+    SELECT o_custkey,
+           date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                     DATE '{_RFM_REF_DATE}') AS r_days,
+           COUNT(*) AS f_orders,
+           {sql_dsum('o_totalprice', 2)} AS m_value
+    FROM orders GROUP BY 1
+),
+cuts AS (
+    SELECT {_rfm_sql_cuts('r_days', 'rc')},
+           {_rfm_sql_cuts('f_orders', 'fc')},
+           {_rfm_sql_cuts('m_value', 'mc')}
+    FROM per_cust
+),
+scored AS (
+    SELECT p.o_custkey, p.m_value,
+           1 + CAST(p.r_days > c.rc1 AS INT) + CAST(p.r_days > c.rc2 AS INT)
+             + CAST(p.r_days > c.rc3 AS INT) + CAST(p.r_days > c.rc4 AS INT)
+               AS r_bucket,
+           1 + CAST(p.f_orders > c.fc1 AS INT) + CAST(p.f_orders > c.fc2 AS INT)
+             + CAST(p.f_orders > c.fc3 AS INT) + CAST(p.f_orders > c.fc4 AS INT)
+               AS f_bucket,
+           1 + CAST(p.m_value > c.mc1 AS INT) + CAST(p.m_value > c.mc2 AS INT)
+             + CAST(p.m_value > c.mc3 AS INT) + CAST(p.m_value > c.mc4 AS INT)
+               AS m_bucket
+    FROM per_cust p CROSS JOIN cuts c
+)
+SELECT r_bucket, f_bucket, m_bucket,
+       COUNT(*) AS n_customers,
+       {sql_dround(sql_dsum('m_value', 2) + ' / COUNT(*)', 4)}
+           AS avg_monetary
+FROM scored
+GROUP BY 1, 2, 3
+""",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary quintile grid over ordering customers.
+
+    Plan: one grouped pass builds (R, F, M) per customer; a 12-number
+    cutoff row (exact quintiles, dround(6)-pinned) is broadcast back;
+    scoring is comparison arithmetic — map-only. The segment grid is
+    ≤125 rows. At 100 TB swap the exact percentile aggregate for
+    approx_percentile (group_quantiles_approx pattern); the rest of
+    the plan is unchanged.
+    """
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(_RFM_REF_DATE).cast("date"),
+            F.max("o_orderdate").cast("date"),
+        ).alias("r_days"),
+        F.count("*").alias("f_orders"),
+        dsum("o_totalprice", 2).alias("m_value"),
+    )
+
+    def _cuts(metric: str, tag: str):
+        return [
+            dround(F.expr(f"percentile({metric}, {p})"), 6).alias(
+                f"{tag}{i + 1}"
+            )
+            for i, p in enumerate((0.2, 0.4, 0.6, 0.8))
+        ]
+
+    cuts = per_cust.agg(
+        *_cuts("r_days", "rc"), *_cuts("f_orders", "fc"),
+        *_cuts("m_value", "mc")
+    )
+
+    def _bucket(metric: str, tag: str):
+        s = F.lit(1)
+        for i in range(1, 5):
+            s = s + (F.col(metric) > F.col(f"{tag}{i}")).cast("int")
+        return s
+
+    scored = per_cust.crossJoin(F.broadcast(cuts)).select(
+        "m_value",
+        _bucket("r_days", "rc").alias("r_bucket"),
+        _bucket("f_orders", "fc").alias("f_bucket"),
+        _bucket("m_value", "mc").alias("m_bucket"),
+    )
+    return scored.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count("*").alias("n_customers"),
+        dround(dsum("m_value", 2) / F.count("*"), 4).alias("avg_monetary"),
+    )
