@@ -145,6 +145,10 @@ HEADLINE = [
     "psi_value_drift",
     "mad_robust_outliers",
     "rfm_segmentation",
+    "zipf_slope_by_lang",
+    "transition_dwell_times",
+    "daily_value_percentile_bands",
+    "split_leakage_audit",
 ]
 
 

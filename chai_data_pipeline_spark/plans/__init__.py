@@ -137,6 +137,8 @@ _FRONT = [
     "range_partition_planner", "zorder_layout_audit",
     "dup_cluster_size_histogram", "corpus_overlap_sources",
     "psi_value_drift", "mad_robust_outliers", "rfm_segmentation",
+    "zipf_slope_by_lang", "transition_dwell_times",
+    "daily_value_percentile_bands", "split_leakage_audit",
     # first-ever rows-only driver rows
     "multimodal_features",
     "group_quantiles_approx", "dedup_minhash_lsh", "dedup_simhash",

@@ -581,3 +581,94 @@ def corpus_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf slope per language — the corpus-health scalar. Natural text has
+# rank-frequency slope ≈ −1; template/boilerplate-heavy or synthetic
+# corpora drift toward flatter/steeper fits, so the slope is a cheap
+# screen for "is this source real language". The OLS regression runs
+# in FIXED-POINT: ln(rank) and ln(freq) are snapped to exact integers
+# (×1e6, half-up) so every Σx, Σy, Σxy, Σx² is exact integer
+# arithmetic — associative, order-independent, identical on any
+# engine — and the slope is a single final division. This is the
+# numeric.py round-then-exact-sum rule taken to its logical end.
+# --------------------------------------------------------------------------
+
+_ZIPF_TOP = 200
+
+
+@query(
+    "zipf_slope_by_lang",
+    oracle=f"""
+WITH w AS (
+    SELECT lang, unnest(string_split_regex(TRIM(text), '\\s+')) AS word
+    FROM documents
+),
+vocab AS (
+    SELECT lang, word, COUNT(*) AS freq FROM w GROUP BY 1, 2
+),
+ranked AS (
+    SELECT lang, freq,
+           row_number() OVER (
+               PARTITION BY lang ORDER BY freq DESC, word
+           ) AS rnk
+    FROM vocab
+),
+fixed AS (
+    SELECT lang,
+           CAST(FLOOR(ln(rnk) * 1000000 + 0.5) AS BIGINT) AS xi,
+           CAST(FLOOR(ln(freq) * 1000000 + 0.5) AS BIGINT) AS yi
+    FROM ranked WHERE rnk <= {_ZIPF_TOP}
+)
+SELECT lang,
+       COUNT(*) AS n_terms,
+       {sql_dround(
+           "CAST(COUNT(*) * SUM(xi * yi) - SUM(xi) * SUM(yi) AS DOUBLE)"
+           " / CAST(COUNT(*) * SUM(xi * xi) - SUM(xi) * SUM(xi) AS DOUBLE)",
+           6)} AS zipf_slope
+FROM fixed
+GROUP BY lang
+""",
+)
+def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS Zipf slope over each language's top-200 rank-frequency curve.
+
+    Vocabulary counting map-combines; the per-lang ranking window sorts
+    the VOCABULARY (≪ corpus) and is cut to 200 rows before the
+    regression, whose moments are exact ×1e6 fixed-point integers. At
+    100 TB the only full-scan stage is the (lang, word) count.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    w = docs.select("lang", F.explode(T.words("text")).alias("word"))
+    vocab = w.groupBy("lang", "word").agg(F.count("*").alias("freq"))
+    win = Window.partitionBy("lang").orderBy(
+        F.col("freq").desc(), F.col("word")
+    )
+    ranked = vocab.select(
+        "lang", "freq", F.row_number().over(win).alias("rnk")
+    ).filter(F.col("rnk") <= _ZIPF_TOP)
+    fixed = ranked.select(
+        "lang",
+        F.floor(F.log(F.col("rnk")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("xi"),
+        F.floor(F.log(F.col("freq")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("yi"),
+    )
+    n = F.count("*")
+    sx = F.sum("xi")
+    sy = F.sum("yi")
+    sxy = F.sum(F.col("xi") * F.col("yi"))
+    sxx = F.sum(F.col("xi") * F.col("xi"))
+    return fixed.groupBy("lang").agg(
+        n.alias("n_terms"),
+        dround(
+            (n * sxy - sx * sy).cast("double")
+            / (n * sxx - sx * sx).cast("double"),
+            6,
+        ).alias("zipf_slope"),
+    )

@@ -994,3 +994,92 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         dround(dsum("m_value", 2) / F.count("*"), 4).alias("avg_monetary"),
     )
+
+
+# --------------------------------------------------------------------------
+# Transition dwell times: the time-dimension companion to
+# event_transition_matrix — for each (prev_type -> type) edge, how
+# long users linger before making that transition. Exact median/p90
+# over integer second gaps; the group space is k² (≤25 rows), so the
+# percentile state is trivially bounded even though the lag window
+# scans everything (partitioned by user — no global sort).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "transition_dwell_times",
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, event_type, ts,
+           LAG(event_type) OVER w AS prev_type,
+           LAG(ts) OVER w AS prev_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT prev_type, event_type,
+       COUNT(*) AS n_transitions,
+       {sql_dround('quantile_cont(date_diff('
+                   "'microsecond', prev_ts, ts), 0.5) / 1e6", 4)}
+           AS median_gap_s,
+       {sql_dround('quantile_cont(date_diff('
+                   "'microsecond', prev_ts, ts), 0.9) / 1e6", 4)}
+           AS p90_gap_s
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/p90 dwell before each event-type transition."""
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        "ts",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).filter(F.col("prev_type").isNotNull())
+    # microsecond diff, not SECOND: DuckDB's date_diff('second') counts
+    # second-BOUNDARY crossings while Spark truncates the real interval;
+    # at full µs resolution the two definitions coincide exactly.
+    return seq.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n_transitions"),
+        dround(F.expr(
+            "percentile(timestampdiff(MICROSECOND, prev_ts, ts), 0.5)"
+        ) / 1e6, 4).alias("median_gap_s"),
+        dround(F.expr(
+            "percentile(timestampdiff(MICROSECOND, prev_ts, ts), 0.9)"
+        ) / 1e6, 4).alias("p90_gap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Daily value percentile bands — the p50/p90/p99 ops dashboard. Exact
+# percentiles per (day) group: the per-group state is that day's
+# values, fine at daily grain; the approx_percentile swap is the
+# knob if a single day stops fitting (group_quantiles_approx pattern).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "daily_value_percentile_bands",
+    oracle=f"""
+SELECT CAST(ts AS DATE) AS d,
+       COUNT(*) AS n_events,
+       {sql_dround('quantile_cont(value, 0.5)', 4)} AS p50,
+       {sql_dround('quantile_cont(value, 0.9)', 4)} AS p90,
+       {sql_dround('quantile_cont(value, 0.99)', 4)} AS p99
+FROM events
+GROUP BY 1
+""",
+)
+def daily_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    return events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").alias("n_events"),
+        dround(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        dround(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+        dround(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+    )

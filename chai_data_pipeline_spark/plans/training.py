@@ -879,3 +879,65 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(_LANG_CAP).cast("bigint"), prop).alias("allocation"),
         (prop > _LANG_CAP).alias("capped"),
     )
+
+
+# --------------------------------------------------------------------------
+# Split-leakage audit: doc-id-hash splits are reshard-stable, but
+# EXACT-DUPLICATE CONTENT can still straddle train/valid/test — the
+# classic eval-contamination bug (memorized test answers). This audit
+# joins the split assignment to the normalized content hash and counts,
+# per split, how many distinct contents also appear in another split.
+# Run it after every split re-cut; nonzero leaked counts mean dedup
+# must run BEFORE splitting (curation_end_to_end does it in that
+# order). Shuffles carry only (32-byte hash, split) pairs.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+WITH h AS (
+    SELECT {_SPLIT_SQL} AS split,
+           sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+               AS content_hash
+    FROM documents
+),
+spread AS (
+    SELECT content_hash, COUNT(DISTINCT split) AS n_splits
+    FROM h GROUP BY 1
+)
+SELECT h.split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT h.content_hash) AS n_contents,
+       COUNT(DISTINCT CASE WHEN s.n_splits > 1 THEN h.content_hash END)
+           AS n_leaked_contents
+FROM h JOIN spread s USING (content_hash)
+GROUP BY 1
+""",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split duplicate-content contamination check.
+
+    Same sha256 split rule as ``train_test_split`` and same content
+    normalization as ``dedup_exact_content``, so the three queries
+    compose into one auditable story: split → dedup → leak count.
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    b = hash_bucket("doc_id")
+    split = (
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    h = docs.select(
+        split.alias("split"), F.sha2(norm, 256).alias("content_hash")
+    )
+    spread = h.groupBy("content_hash").agg(
+        F.count_distinct("split").alias("n_splits")
+    )
+    return h.join(spread, "content_hash").groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("content_hash").alias("n_contents"),
+        F.count_distinct(
+            F.when(F.col("n_splits") > 1, F.col("content_hash"))
+        ).alias("n_leaked_contents"),
+    )
