@@ -149,6 +149,9 @@ HEADLINE = [
     "transition_dwell_times",
     "daily_value_percentile_bands",
     "split_leakage_audit",
+    "eval_set_fixed_k",
+    "decontaminate_bloom",
+    "scd2_point_in_time_join",
 ]
 
 

@@ -139,6 +139,7 @@ _FRONT = [
     "psi_value_drift", "mad_robust_outliers", "rfm_segmentation",
     "zipf_slope_by_lang", "transition_dwell_times",
     "daily_value_percentile_bands", "split_leakage_audit",
+    "eval_set_fixed_k", "decontaminate_bloom", "scd2_point_in_time_join",
     # first-ever rows-only driver rows
     "multimodal_features",
     "group_quantiles_approx", "dedup_minhash_lsh", "dedup_simhash",

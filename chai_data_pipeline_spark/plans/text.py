@@ -508,10 +508,10 @@ WITH g AS (
     SELECT DISTINCT source, g
     FROM (
         SELECT source,
-               unnest(list_distinct(list_transform(
-                   range(1, GREATEST(LENGTH(text) - 2, 0) + 1),
-                   i -> text[i : i + 2]
-               ))) AS g
+               unnest(list_transform(
+                   range(1, GREATEST(len(string_split_regex(TRIM(text), '\\s+')) - 1, 0) + 1),
+                   i -> list_aggregate(string_split_regex(TRIM(text), '\\s+')[i : i + 1], 'string_agg', ' ')
+               )) AS g
         FROM documents
     )
 ),
@@ -538,11 +538,13 @@ def corpus_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     The source-count table is S rows — broadcast. Output is S·(S-1)/2
     rows regardless of corpus size.
     """
-    from ..operators.dedup import shingles
+    from ..operators.dedup import word_shingles
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # word BIGRAMS, not char trigrams: ~6x fewer posting rows through
+    # the distinct shuffle for the same overlap signal
     g = (
-        docs.select("source", F.explode(shingles("text", 3)).alias("g"))
+        docs.select("source", F.explode(word_shingles("text", 2)).alias("g"))
         .distinct()
     )
     counts = g.groupBy("source").agg(F.count("*").alias("n"))

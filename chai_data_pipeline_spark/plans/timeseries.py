@@ -1083,3 +1083,107 @@ def daily_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
         dround(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2 point-in-time join: facts against a validity-interval dimension
+# (valid_from <= t < valid_to, NULL = open tail) — the lakehouse query
+# every "state of the customer when X happened" report needs. The dim
+# here is the user's browsing-state history (non-purchase eras built
+# with the same run-length construction as scd2_history); facts are
+# purchases. The join is an equi-join on user_id with the interval
+# predicate evaluated inside the matched user's (bounded) version
+# list — never a cross join; at 100 TB both sides shuffle on user_id
+# once, and the final rollup is state-cardinality.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scd2_point_in_time_join",
+    oracle=f"""
+WITH nonp AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS is_change
+    FROM events WHERE event_type <> 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT user_id, event_type, ts,
+           SUM(is_change) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+           ) AS version
+    FROM nonp
+),
+dim AS (
+    SELECT user_id, event_type AS state, version,
+           MIN(ts) AS valid_from
+    FROM runs GROUP BY 1, 2, 3
+),
+dim2 AS (
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, version
+           ) AS valid_to
+    FROM dim
+),
+joined AS (
+    SELECT d.state, f.value
+    FROM events f JOIN dim2 d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    WHERE f.event_type = 'purchase'
+)
+SELECT state,
+       COUNT(*) AS n_purchases,
+       {sql_dsum('value', 2)} AS total_value
+FROM joined
+GROUP BY 1
+""",
+)
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases joined to the user state valid at purchase time."""
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nonp = events.filter(F.col("event_type") != "purchase").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+        ).otherwise(0).alias("is_change"),
+    )
+    runs = nonp.withColumn(
+        "version",
+        F.sum("is_change").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    dim = runs.groupBy(
+        "user_id", F.col("event_type").alias("state"), "version"
+    ).agg(F.min("ts").alias("valid_from"))
+    wd = Window.partitionBy("user_id").orderBy("valid_from", "version")
+    dim2 = dim.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(wd).alias("valid_to"),
+    )
+    facts = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("f_user"),
+        F.col("ts").alias("f_ts"),
+        "value",
+    )
+    joined = facts.join(
+        dim2,
+        (F.col("f_user") == dim2["user_id"])
+        & (F.col("f_ts") >= dim2["valid_from"])
+        & (dim2["valid_to"].isNull() | (F.col("f_ts") < dim2["valid_to"])),
+    )
+    return joined.groupBy("state").agg(
+        F.count("*").alias("n_purchases"),
+        dsum("value", 2).alias("total_value"),
+    )

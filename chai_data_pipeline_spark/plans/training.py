@@ -941,3 +941,191 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_splits") > 1, F.col("content_hash"))
         ).alias("n_leaked_contents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fixed-k stratified eval-set carve-out: exactly k docs per language,
+# chosen by smallest sha256 key — reshard-stable (the same k docs come
+# out no matter how the corpus is partitioned or re-loaded) and
+# content-independent. This is how a held-out eval set should be cut:
+# proportional sampling drifts with corpus growth, but fixed-k by hash
+# order is a stable named set. The per-lang ranking window sorts only
+# within language partitions, and at 100 TB the pre-filter
+# `hash_bucket < P` (cheap overshoot: keep ~4k candidates, rank those)
+# bounds the sort input — the same two-phase trick as TakeOrdered.
+# --------------------------------------------------------------------------
+
+_EVAL_K = 25
+
+
+@query(
+    "eval_set_fixed_k",
+    oracle=f"""
+WITH keyed AS (
+    SELECT lang, doc_id, n_chars,
+           CAST(concat('0x', substring(sha256(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) AS hkey
+    FROM documents
+),
+ranked AS (
+    SELECT lang, doc_id, n_chars,
+           row_number() OVER (
+               PARTITION BY lang ORDER BY hkey, doc_id
+           ) AS rnk
+    FROM keyed
+)
+SELECT lang, doc_id, n_chars, rnk
+FROM ranked WHERE rnk <= {_EVAL_K}
+""",
+)
+def eval_set_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k docs per language by sha256 order — a stable eval set.
+
+    Membership is a pure function of doc_id, so re-cutting after any
+    repartition/reload yields the identical set (the property
+    tests/test_properties.py pins for the split/sample family).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    hkey = F.conv(
+        F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = docs.select("lang", "doc_id", "n_chars", hkey.alias("hkey"))
+    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    return (
+        keyed.select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _EVAL_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination — the path when the benchmark set is
+# too big to broadcast as an exact hash set. The filter is built from
+# PURE COLUMN EXPRESSIONS: the 64-hex sha256 content hash already
+# contains eight independent 32-bit words, and seven of them (mod m)
+# are the bloom positions; the bit array is a (word_idx, bit_or)
+# aggregate of m/32 rows, broadcast back, and membership is "all 7
+# probed bits set". Everything is integer arithmetic — deterministic
+# on any engine — so unlike a native bloom sketch this one has a FULL
+# DuckDB oracle, false positives included, bit for bit. One-sided
+# error: in_benchmark=False is guaranteed correct (no contaminated doc
+# is missed); the tiny True subset gets an exact re-check in a real
+# pipeline (decontaminate_exact on the flagged rows).
+# m = 400_000 bits ≈ 1.2 bits-per-key at sf0.01 scale; the 12500-row
+# bitmap (32-bit words: DuckDB overflow-checks 1 << 63) replaces a
+# broadcast of every benchmark hash.
+# --------------------------------------------------------------------------
+
+_BLOOM_M = 400_000  # bits; multiple of 32
+_BLOOM_K = 7
+
+
+@query(
+    "decontaminate_bloom",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, source,
+           sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+               AS content_hash
+    FROM documents
+),
+bench_pos AS (
+    SELECT DISTINCT
+           CAST(concat('0x', substring(b.content_hash, 1 + j.j * 8, 8))
+                AS BIGINT) % {_BLOOM_M} AS p
+    FROM (SELECT DISTINCT content_hash FROM h WHERE source = 'src0') b
+    CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS j) j
+),
+bitmap AS (
+    SELECT p // 32 AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT))
+               AS word
+    FROM bench_pos GROUP BY 1
+),
+cand_pos AS (
+    SELECT c.doc_id, c.content_hash,
+           CAST(concat('0x', substring(c.content_hash, 1 + j.j * 8, 8))
+                AS BIGINT) % {_BLOOM_M} AS p
+    FROM h c CROSS JOIN (SELECT unnest(range(0, {_BLOOM_K})) AS j) j
+    WHERE c.source <> 'src0'
+),
+probed AS (
+    SELECT cp.doc_id, cp.content_hash,
+           COALESCE((bm.word & (CAST(1 AS BIGINT)
+                                << CAST(cp.p % 32 AS INT))) <> 0, FALSE)
+               AS bit_set
+    FROM cand_pos cp LEFT JOIN bitmap bm ON bm.w = cp.p // 32
+)
+SELECT doc_id, content_hash,
+       (COUNT(*) FILTER (WHERE bit_set) = {_BLOOM_K}) AS in_benchmark
+FROM probed
+GROUP BY 1, 2
+""",
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expression-built bloom filter membership vs the benchmark source.
+
+    Build: benchmark hashes → 7 positions each (the sha256 hex's own
+    32-bit words mod m) → (word_idx, bit_or) bitmap of m/32 rows,
+    map-side combined. Probe: candidates explode to 7 positions and
+    left-join the BROADCAST bitmap; a doc is flagged iff all 7 bits
+    are set. At 100 TB the bitmap stays {_BLOOM_M}/32 rows no matter
+    how large the benchmark grows (raise m for FP budget — still tiny
+    next to an exact hash-set broadcast), and the probe side is
+    map-only. tests/test_operators.py pins the no-false-negative
+    superset property against decontaminate_exact.
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    h = docs.select(
+        "doc_id", "source", F.sha2(norm, 256).alias("content_hash")
+    )
+
+    def positions(df: DataFrame) -> DataFrame:
+        pos = F.expr(
+            "transform(sequence(0, {k}), j -> pmod(CAST(conv(substring("
+            "content_hash, 1 + j * 8, 8), 16, 10) AS BIGINT), {m}))".format(
+                k=_BLOOM_K - 1, m=_BLOOM_M
+            )
+        )
+        return df.select(
+            "doc_id", "content_hash", F.explode(pos).alias("p")
+        )
+
+    bench_pos = (
+        positions(h.filter(F.col("source") == "src0"))
+        .select("p")
+        .distinct()
+    )
+    bitmap = bench_pos.select(
+        F.expr("p DIV 32").alias("w"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(p, 32) AS INT))")
+        .alias("mask"),
+    ).groupBy("w").agg(F.bit_or("mask").alias("word"))
+
+    cand_pos = positions(h.filter(F.col("source") != "src0"))
+    probed = (
+        cand_pos.withColumn("w", F.expr("p DIV 32"))
+        .join(F.broadcast(bitmap), "w", "left")
+        .select(
+            "doc_id",
+            "content_hash",
+            F.coalesce(
+                F.expr(
+                    "(word & shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(pmod(p, 32) AS INT))) <> 0"
+                ),
+                F.lit(False),
+            ).alias("bit_set"),
+        )
+    )
+    return probed.groupBy("doc_id", "content_hash").agg(
+        (F.count_if("bit_set") == _BLOOM_K).alias("in_benchmark")
+    )

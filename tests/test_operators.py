@@ -608,3 +608,45 @@ def test_asof_forward_tolerance_and_ties(spark):
     assert out[(1, "2024-01-02 00:00:00")] == (None, None)  # past tolerance
     assert out[(2, "2024-01-01 00:00:00")] == (5, "exact")
     assert out[(3, "2024-01-01 00:00:00")] == (None, None)
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir, tmp_path):
+    """Bloom flags must be a superset of exact hits (no false
+    negatives), with a planted cross-source duplicate to make the
+    property non-vacuous, and a bounded false-positive rate."""
+    import pyarrow.parquet as pq
+
+    from chai_data_pipeline_spark import plans
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+    d = tbl.to_pydict()
+    # plant: copy a src0 doc's text onto the first non-src0 doc
+    src0_i = next(i for i, s in enumerate(d["source"]) if s == "src0")
+    cand_i = next(i for i, s in enumerate(d["source"]) if s != "src0")
+    d["text"][cand_i] = d["text"][src0_i]
+    planted_id = d["doc_id"][cand_i]
+    import pyarrow as pa
+
+    pq.write_table(pa.table(d), str(tmp_path / "documents.parquet"))
+
+    bloom = {
+        r.doc_id: r.in_benchmark
+        for r in plans.QUERIES["decontaminate_bloom"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    exact = {
+        r.doc_id: r.in_benchmark
+        for r in plans.QUERIES["decontaminate_exact"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert exact[planted_id] is True
+    assert bloom[planted_id] is True
+    false_neg = [i for i, hit in exact.items() if hit and not bloom[i]]
+    assert false_neg == []
+    n_clean = sum(1 for hit in exact.values() if not hit)
+    n_fp = sum(
+        1 for i, hit in exact.items() if not hit and bloom[i]
+    )
+    assert n_fp <= max(2, 0.05 * n_clean), (n_fp, n_clean)
