@@ -274,3 +274,46 @@ def test_table_diff_joins_on_key_without_broadcast(spark, sf_dir):
 def test_out_of_order_window_partitions_by_user(spark, sf_dir):
     plan = _plan(spark, "out_of_order_profile", sf_dir)
     assert "windowspecdefinition(user_id" in plan
+
+
+def test_rfm_cutoffs_broadcast_back(spark, sf_dir):
+    # the 12-number quintile row must broadcast (nested-loop on a
+    # 1-row side), never shuffle customers against it
+    plan = _plan(spark, "rfm_segmentation", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # and no ntile: scoring is comparisons, not a global sort rank
+    # (\b keeps "percentile(" from matching)
+    import re
+
+    assert not re.search(r"\bntile\(", plan)
+
+
+def test_bloom_bitmap_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, "decontaminate_bloom", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # probe side stays map-only up to the final per-doc aggregate:
+    # exactly the bitmap build's shuffle + the final group's
+    # ("Exchange" alone would also count BroadcastExchange nodes)
+    assert plan.count("hashpartitioning(") <= 2
+
+
+def test_scd2_pit_join_is_keyed_not_cartesian(spark, sf_dir):
+    plan = _plan(spark, "scd2_point_in_time_join", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_overlap_counts_broadcast(spark, sf_dir):
+    plan = _plan(spark, "corpus_overlap_sources", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2  # the two S-row count sides
+
+
+def test_zorder_audit_partial_aggregates(spark, sf_dir):
+    plan = _plan(spark, "zorder_layout_audit", sf_dir)
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_eval_set_rank_partitions_by_lang(spark, sf_dir):
+    plan = _plan(spark, "eval_set_fixed_k", sf_dir)
+    assert "windowspecdefinition(lang" in plan
