@@ -117,9 +117,20 @@ def _load_telco(spark: SparkSession, paths: list[str]) -> DataFrame:
     return with_audit_columns(df, "telco")
 
 
-def load_bronze(spark: SparkSession, landing_dir: str) -> BronzeResult:
+def load_bronze(
+    spark: SparkSession,
+    landing_dir: str,
+    datasets: set[str] | None = None,
+    lineage: bool = True,
+) -> BronzeResult:
     """Route every landed file and load each dataset (reference:
-    load_bronze.py:381-423 run())."""
+    load_bronze.py:381-423 run()).
+
+    ``datasets`` restricts loading to the named subset (plan
+    construction for unused datasets is pure overhead — a consumer
+    that only needs covid+telco skips the users/posts JSON relations);
+    ``lineage=False`` skips the lineage aggregate for the same reason.
+    """
     import glob
 
     paths = sorted(
@@ -130,7 +141,8 @@ def load_bronze(spark: SparkSession, landing_dir: str) -> BronzeResult:
     routed, unknown = route_bronze_files(paths)
     by_ds: dict[str, list[RoutedFile]] = {}
     for r in routed:
-        by_ds.setdefault(r.dataset, []).append(r)
+        if datasets is None or r.dataset in datasets:
+            by_ds.setdefault(r.dataset, []).append(r)
 
     tables: dict[str, DataFrame] = {}
     if "users" in by_ds:
@@ -145,7 +157,9 @@ def load_bronze(spark: SparkSession, landing_dir: str) -> BronzeResult:
     # lineage records (reference: ingest_bronze.py:151-162 metadata JSON):
     # one small aggregate per dataset — rows/dataset counts, not per-file
     # driver loops
-    lineage = None
+    if not lineage:
+        return BronzeResult(tables=tables, lineage=None, unknown_files=unknown)
+    lineage_df = None
     if tables:
         parts = [
             df.agg(
@@ -156,7 +170,9 @@ def load_bronze(spark: SparkSession, landing_dir: str) -> BronzeResult:
             )
             for name, df in tables.items()
         ]
-        lineage = parts[0]
+        lineage_df = parts[0]
         for p in parts[1:]:
-            lineage = lineage.unionByName(p)
-    return BronzeResult(tables=tables, lineage=lineage, unknown_files=unknown)
+            lineage_df = lineage_df.unionByName(p)
+    return BronzeResult(
+        tables=tables, lineage=lineage_df, unknown_files=unknown
+    )

@@ -538,15 +538,19 @@ def corpus_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     The source-count table is S rows — broadcast. Output is S·(S-1)/2
     rows regardless of corpus size.
     """
-    from ..operators.dedup import word_shingles
-
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     # word BIGRAMS, not char trigrams: ~6x fewer posting rows through
-    # the distinct shuffle for the same overlap signal
-    g = (
-        docs.select("source", F.explode(word_shingles("text", 2)).alias("g"))
-        .distinct()
+    # the distinct shuffle for the same overlap signal. The token array
+    # is materialized as a column FIRST — a split() inside the shingle
+    # lambda would re-run the regex once per position (O(words²)).
+    toks = docs.select(
+        "source", F.split(F.trim("text"), r"\s+").alias("w")
     )
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(w) - 1, 0)),"
+        " i -> concat_ws(' ', slice(w, i, 2)))"
+    )
+    g = toks.select("source", F.explode(bigrams).alias("g")).distinct()
     counts = g.groupBy("source").agg(F.count("*").alias("n"))
     a = g.alias("a")
     b = g.alias("b")
