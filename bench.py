@@ -152,6 +152,8 @@ HEADLINE = [
     "eval_set_fixed_k",
     "decontaminate_bloom",
     "scd2_point_in_time_join",
+    "sink_partitioned_roundtrip",
+    "sink_append_roundtrip",
 ]
 
 

@@ -25,6 +25,7 @@ from . import tpch4  # noqa: F401,E402
 from . import medallion  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import layout  # noqa: F401,E402
+from . import sinks  # noqa: F401,E402
 
 # ---------------------------------------------------------------------------
 # Registration ORDER is part of the driver contract: the per-round
@@ -140,6 +141,7 @@ _FRONT = [
     "zipf_slope_by_lang", "transition_dwell_times",
     "daily_value_percentile_bands", "split_leakage_audit",
     "eval_set_fixed_k", "decontaminate_bloom", "scd2_point_in_time_join",
+    "sink_partitioned_roundtrip", "sink_append_roundtrip",
     # first-ever rows-only driver rows
     "multimodal_features",
     "group_quantiles_approx", "dedup_minhash_lsh", "dedup_simhash",

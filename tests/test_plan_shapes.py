@@ -317,3 +317,11 @@ def test_zorder_audit_partial_aggregates(spark, sf_dir):
 def test_eval_set_rank_partitions_by_lang(spark, sf_dir):
     plan = _plan(spark, "eval_set_fixed_k", sf_dir)
     assert "windowspecdefinition(lang" in plan
+
+
+def test_sink_roundtrip_partition_pruning(spark, sf_dir):
+    # the read-back scan must prune by partition directory, not filter
+    # rows post-scan: PartitionFilters carries the status predicate
+    plan = _plan(spark, "sink_partitioned_roundtrip", sf_dir)
+    pf = [l for l in plan.split("\n") if "PartitionFilters" in l]
+    assert pf and "o_orderstatus" in pf[0]
