@@ -223,3 +223,53 @@ def test_split_membership_stable_across_partitionings_and_engines(
         ).fetchall()
     )
     assert one == duck
+
+
+def test_zvalue_is_a_bijection_on_the_grid(spark):
+    """Morton interleave must be a bijection of the 8-bit × 8-bit grid
+    — any collision would merge unrelated (x, y) cells into one
+    curve position and silently break layout locality."""
+    from pyspark.sql import functions as F
+
+    from chai_data_pipeline_spark.plans.layout import zvalue
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+    )
+    n = (
+        grid.select(zvalue(F.col("x"), F.col("y")).alias("z"))
+        .distinct()
+        .count()
+    )
+    assert n == 256 * 256
+
+
+def test_eval_set_membership_stable_across_partitionings(spark, sf_dir):
+    """The fixed-k eval set must be a pure function of doc_id: cutting
+    it from a repartitioned/shuffled copy of the corpus yields the
+    identical membership (the reshard-stability contract of the whole
+    sampling family)."""
+    import os
+    import tempfile
+    import shutil
+
+    from chai_data_pipeline_spark import plans
+
+    base = {
+        (r.lang, r.doc_id)
+        for r in plans.QUERIES["eval_set_fixed_k"](spark, sf_dir).collect()
+    }
+    tmp = tempfile.mkdtemp(prefix="chai_evalset_")
+    try:
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        docs.repartition(13).write.mode("overwrite").parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        shuffled = {
+            (r.lang, r.doc_id)
+            for r in plans.QUERIES["eval_set_fixed_k"](spark, tmp).collect()
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert base == shuffled
