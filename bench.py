@@ -154,6 +154,9 @@ HEADLINE = [
     "scd2_point_in_time_join",
     "sink_partitioned_roundtrip",
     "sink_append_roundtrip",
+    "asof_nearest_event",
+    "sessionized_bounce_rate",
+    "inventory_running_balance",
 ]
 
 

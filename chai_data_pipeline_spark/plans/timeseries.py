@@ -1187,3 +1187,427 @@ def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_purchases"),
         dsum("value", 2).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval coalescing (gaps-and-islands over INTERVALS): each event
+# projects a [ts, ts+5min) activity interval; overlapping/touching
+# intervals merge into maximal islands. Distinct from sessionization
+# (a gap rule over points): this is the operator for merging validity
+# windows, on-call shifts, maintenance windows. Boundary rule: an
+# interval STARTING exactly at the running max end MERGES (> starts a
+# new island), mirroring the pinned session-gap semantics.
+# --------------------------------------------------------------------------
+
+_ISLAND_PAD_S = 300
+
+
+@query(
+    "interval_coalesce_user_activity",
+    oracle=f"""
+WITH iv AS (
+    SELECT user_id, ts AS s, ts + INTERVAL {_ISLAND_PAD_S} SECOND AS e,
+           event_id
+    FROM events
+),
+marked AS (
+    SELECT user_id, s, e,
+           CASE WHEN s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                THEN 1 ELSE 0 END AS new_island
+    FROM iv
+),
+islands AS (
+    SELECT user_id, s, e,
+           SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS island_id
+    FROM marked
+),
+per_island AS (
+    SELECT user_id, island_id,
+           CAST(date_diff('microsecond', MIN(s), MAX(e)) AS BIGINT)
+               AS span_us,
+           COUNT(*) AS n_events
+    FROM islands GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_islands,
+       CAST(SUM(span_us) // 1000000 AS BIGINT) AS covered_s,
+       CAST(MAX(span_us) // 1000000 AS BIGINT) AS max_island_s,
+       CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM per_island
+GROUP BY 1
+""",
+)
+def interval_coalesce_user_activity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Merge per-user activity intervals into maximal islands.
+
+    One user_id shuffle serves both windows (running max end → island
+    id); island and user rollups are per-user-bounded. The ordering
+    key includes event_id so duplicate timestamps are totally ordered
+    on both engines.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    iv = events.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr(f"ts + INTERVAL {_ISLAND_PAD_S} SECOND").alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            (F.col("s") > F.max("e").over(w_prev))
+            | F.max("e").over(w_prev).isNull(),
+            1,
+        ).otherwise(0).alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = marked.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(w_run).alias("island_id"),
+    )
+    per_island = islands.groupBy("user_id", "island_id").agg(
+        F.expr("timestampdiff(MICROSECOND, MIN(s), MAX(e))").alias(
+            "span_us"
+        ),
+        F.count("*").alias("n_events"),
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.expr("CAST(SUM(span_us) DIV 1000000 AS BIGINT)").alias(
+            "covered_s"
+        ),
+        F.expr("CAST(MAX(span_us) DIV 1000000 AS BIGINT)").alias(
+            "max_island_s"
+        ),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Nearest as-of join — completes the as-of family (backward:
+# asof_join_last_signup; forward: asof_forward_attribution). For each
+# purchase, the nearest signup in EITHER direction within a tolerance,
+# tie broken toward the earlier (backward) side. Built as one merged
+# per-user timeline with IGNORE NULLS window navigation — no join at
+# all, so both "directions" come from the same single user_id shuffle.
+# --------------------------------------------------------------------------
+
+_NEAREST_TOL_S = 6 * 3600
+
+
+@query(
+    "asof_nearest_event",
+    oracle=f"""
+WITH tl AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN event_type = 'signup' THEN ts END AS sig_ts
+    FROM events WHERE event_type IN ('signup', 'purchase')
+),
+nav AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAST_VALUE(sig_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS back_ts,
+           FIRST_VALUE(sig_ts IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+           ) AS fwd_ts
+    FROM tl
+),
+picked AS (
+    SELECT user_id, event_id,
+           date_diff('microsecond', back_ts, ts) AS back_us,
+           date_diff('microsecond', ts, fwd_ts) AS fwd_us,
+           CASE
+             WHEN back_ts IS NOT NULL
+                  AND date_diff('microsecond', back_ts, ts)
+                      <= CAST({_NEAREST_TOL_S} AS BIGINT) * 1000000
+                  AND (fwd_ts IS NULL
+                       OR date_diff('microsecond', ts, fwd_ts)
+                          > CAST({_NEAREST_TOL_S} AS BIGINT) * 1000000
+                       OR date_diff('microsecond', back_ts, ts)
+                          <= date_diff('microsecond', ts, fwd_ts))
+               THEN 'backward'
+             WHEN fwd_ts IS NOT NULL
+                  AND date_diff('microsecond', ts, fwd_ts)
+                      <= CAST({_NEAREST_TOL_S} AS BIGINT) * 1000000
+               THEN 'forward'
+             ELSE 'none'
+           END AS matched
+    FROM nav WHERE event_type = 'purchase'
+)
+SELECT matched,
+       COUNT(*) AS n_purchases,
+       CAST(COALESCE(SUM(CASE WHEN matched = 'backward' THEN back_us
+                              WHEN matched = 'forward' THEN fwd_us
+                         END) // 1000000, 0) AS BIGINT) AS total_gap_s
+FROM picked
+GROUP BY 1
+""",
+)
+def asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-signup attribution per purchase (either direction,
+    6 h tolerance, ties prefer backward), joinlessly from one
+    user-partitioned timeline."""
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    tl = events.filter(
+        F.col("event_type").isin("signup", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "signup", F.col("ts")).alias(
+            "sig_ts"
+        ),
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nav = tl.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last("sig_ts", ignorenulls=True)
+        .over(base.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("back_ts"),
+        F.first("sig_ts", ignorenulls=True)
+        .over(base.rowsBetween(1, Window.unboundedFollowing))
+        .alias("fwd_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    back_us = F.expr("timestampdiff(MICROSECOND, back_ts, ts)")
+    fwd_us = F.expr("timestampdiff(MICROSECOND, ts, fwd_ts)")
+    tol_us = F.lit(_NEAREST_TOL_S * 1_000_000)
+    matched = (
+        F.when(
+            F.col("back_ts").isNotNull()
+            & (back_us <= tol_us)
+            & (
+                F.col("fwd_ts").isNull()
+                | (fwd_us > tol_us)
+                | (back_us <= fwd_us)
+            ),
+            "backward",
+        )
+        .when(F.col("fwd_ts").isNotNull() & (fwd_us <= tol_us), "forward")
+        .otherwise("none")
+    )
+    picked = nav.select(
+        matched.alias("matched"),
+        back_us.alias("back_us"),
+        fwd_us.alias("fwd_us"),
+    )
+    gap = F.when(F.col("matched") == "backward", F.col("back_us")).when(
+        F.col("matched") == "forward", F.col("fwd_us")
+    )
+    return picked.groupBy("matched").agg(
+        F.count("*").alias("n_purchases"),
+        F.coalesce(
+            F.expr(
+                "CAST(SUM(CASE WHEN matched = 'backward' THEN back_us "
+                "WHEN matched = 'forward' THEN fwd_us END) DIV 1000000 "
+                "AS BIGINT)"
+            ),
+            F.lit(0),
+        ).alias("total_gap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped 2-D skyline (Pareto frontier): per nation, the orders no
+# other order in that nation dominates (cheaper AND at-least-as-recent
+# / more recent AND at-least-as-cheap). Computed with the classic
+# sort-scan: collapse to per-price best date, then keep prices whose
+# best date strictly beats the running best over all cheaper prices.
+# Partitioning by nation keeps every window bounded by one market —
+# the distributed skyline generalization (local skyline per partition,
+# then skyline-of-skylines merge) has the same plan shape.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "skyline_cheapest_latest_per_nation",
+    oracle="""
+WITH o AS (
+    SELECT n.n_name AS nation,
+           CAST(o.o_totalprice AS DECIMAL(27,2)) AS price,
+           CAST(o.o_orderdate AS DATE) AS d
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+per_price AS (
+    SELECT nation, price, MAX(d) AS best_d
+    FROM o GROUP BY 1, 2
+),
+scanned AS (
+    SELECT nation, price, best_d,
+           MAX(best_d) OVER (
+               PARTITION BY nation ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS best_d_cheaper
+    FROM per_price
+)
+SELECT nation,
+       COUNT(*) AS frontier_size,
+       MIN(price) AS cheapest,
+       MAX(best_d) AS latest
+FROM scanned
+WHERE best_d_cheaper IS NULL OR best_d > best_d_cheaper
+GROUP BY 1
+""",
+)
+def skyline_cheapest_latest_per_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pareto frontier of (cheap, recent) orders per nation."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    o = (
+        t["orders"]
+        .join(
+            F.broadcast(
+                t["customer"].select("c_custkey", "c_nationkey")
+            ),
+            t["orders"]["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_totalprice").cast("decimal(27,2)").alias("price"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+    )
+    per_price = o.groupBy("nation", "price").agg(F.max("d").alias("best_d"))
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scanned = per_price.select(
+        "nation",
+        "price",
+        "best_d",
+        F.max("best_d").over(w).alias("best_d_cheaper"),
+    )
+    frontier = scanned.filter(
+        F.col("best_d_cheaper").isNull()
+        | (F.col("best_d") > F.col("best_d_cheaper"))
+    )
+    return frontier.groupBy("nation").agg(
+        F.count("*").alias("frontier_size"),
+        F.min("price").alias("cheapest"),
+        F.max("best_d").alias("latest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Session bounce rate — composes the PINNED session-gap rule (strictly
+# greater than 30 min splits; see sessionization) into the classic
+# product metric: share of single-event sessions per day (by session
+# start). One user_id shuffle for the lag, then day-sized rollups.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sessionized_bounce_rate",
+    oracle=f"""
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                     > CAST(1800 AS BIGINT) * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id,
+           ts
+    FROM marked
+),
+per_sess AS (
+    SELECT user_id, session_id,
+           CAST(MIN(ts) AS DATE) AS d,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY 1, 2
+)
+SELECT d,
+       COUNT(*) AS n_sessions,
+       COUNT(*) FILTER (WHERE n_events = 1) AS n_bounces,
+       {sql_dround('COUNT(*) FILTER (WHERE n_events = 1) * 1.0 / COUNT(*)', 4)}
+           AS bounce_rate
+FROM per_sess
+GROUP BY 1
+""",
+)
+def sessionized_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (gap_us > F.lit(1800 * 1_000_000)),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").cast("date").alias("d"),
+        F.count("*").alias("n_events"),
+    )
+    bounce = F.count_if(F.col("n_events") == 1)
+    return per_sess.groupBy("d").agg(
+        F.count("*").alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        dround(bounce * 1.0 / F.count("*"), 4).alias("bounce_rate"),
+    )
