@@ -157,6 +157,7 @@ HEADLINE = [
     "asof_nearest_event",
     "sessionized_bounce_rate",
     "inventory_running_balance",
+    "embedding_centroid_drift",
 ]
 
 

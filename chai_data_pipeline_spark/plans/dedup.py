@@ -773,3 +773,60 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n_docs"),
         (F.sum("n") - F.count("*")).alias("n_redundant"),
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup-graph degree census: the structural profile of the near-dup
+# graph BEFORE clustering collapses it. Degree distribution answers
+# "is duplication pairwise (degree 1-2) or hub-shaped (template pages
+# with hundreds of near-copies)?" — hubs mean the canonical-keep rule
+# matters and LSH bucket caps will bite. Same capped edge rule as
+# dedup_ngram_jaccard / dedup_cluster_components; output is
+# degree-cardinality plus one isolated-docs row (degree 0).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_graph_degree_census",
+    oracle=f"""
+WITH {_JACCARD_BLOCK_SQL},
+edges AS (
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+         AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+          / (len(a.grams) + len(b.grams)
+             - len(list_intersect(a.grams, b.grams))) >= 0.5
+),
+sym AS (
+    SELECT src AS doc_id FROM edges
+    UNION ALL SELECT dst FROM edges
+),
+deg AS (SELECT doc_id, COUNT(*) AS degree FROM sym GROUP BY 1)
+SELECT degree, COUNT(*) AS n_docs FROM deg GROUP BY 1
+UNION ALL
+SELECT CAST(0 AS BIGINT) AS degree,
+       (SELECT COUNT(*) FROM documents)
+       - (SELECT COUNT(*) FROM deg) AS n_docs
+""",
+)
+def dedup_graph_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the near-dup graph (+ degree-0 row)."""
+    edges = _jaccard_edges(spark, sf_dir)
+    sym = edges.select(F.col("src").alias("doc_id")).unionAll(
+        edges.select(F.col("dst").alias("doc_id"))
+    )
+    deg = sym.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    hist = deg.groupBy("degree").agg(F.count("*").alias("n_docs"))
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    n_total = docs.agg(F.count("*").alias("n"))
+    n_matched = deg.agg(F.count("*").alias("m"))
+    isolated = (
+        n_total.crossJoin(F.broadcast(n_matched))
+        .select(
+            F.lit(0).cast("bigint").alias("degree"),
+            (F.col("n") - F.col("m")).alias("n_docs"),
+        )
+    )
+    return hist.unionAll(isolated)

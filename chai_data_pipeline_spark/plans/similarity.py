@@ -485,3 +485,84 @@ def similarity_ann_pq_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0][0]
     ]
     return pq_topk(emb, codebooks, qv, k=10)
+
+
+# --------------------------------------------------------------------------
+# Centroid drift: pairwise squared-L2 distance between label centroids
+# — the embedding-space separation monitor (labels collapsing toward
+# each other = representation drift / training-data contamination
+# between classes). Centroid sums ride the SAME ×2^20 exact float32
+# quantization as embedding_centroids, so each centroid coordinate is
+# identical on both engines; per-dim squared-diff terms are
+# dround(12)-snapped and decimal-summed (numeric.py rule) so the
+# dim-reduction is order-independent.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+WITH flat AS (
+    SELECT label, UNNEST(embedding) AS val,
+           generate_subscripts(embedding, 1) - 1 AS dim
+    FROM embeddings
+),
+cent AS (
+    SELECT label, dim,
+           (CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1048576) AS BIGINT))
+                 AS DOUBLE) / (1048576.0 * COUNT(*))) AS c
+    FROM flat GROUP BY 1, 2
+),
+terms AS (
+    SELECT a.label AS label_a, b.label AS label_b,
+           (FLOOR((a.c - b.c) * (a.c - b.c) * 1000000000000 + 0.5)
+            / 1000000000000.0) AS t
+    FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+)
+SELECT label_a, label_b,
+       COUNT(*) AS n_dims,
+       (FLOOR(CAST(SUM(CAST(t AS DECIMAL(27,12))) AS DOUBLE) * 100000000
+              + 0.5) / 100000000.0) AS dist_sq
+FROM terms
+GROUP BY 1, 2
+""",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise label-centroid squared distances (exact cross-engine).
+
+    Everything heavy is the (label, dim) centroid aggregate — the
+    pair join runs over labels×dims rows (model-sized). At 100 TB the
+    only full-scan stage is the posexplode + quantized partial sum.
+    """
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    flat = emb.select("label", F.posexplode("embedding").alias("dim", "val"))
+    q = F.floor(F.col("val").cast("double") * 1048576).cast("long")
+    cent = flat.groupBy("label", "dim").agg(
+        (F.sum(q).cast("double") / (1048576.0 * F.count("*"))).alias("c")
+    )
+    a = cent.alias("a")
+    b = cent.alias("b")
+    diff = F.col("a.c") - F.col("b.c")
+    term = F.floor(diff * diff * F.lit(1000000000000.0) + 0.5) / F.lit(
+        1000000000000.0
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.dim") == F.col("b.dim"))
+        & (F.col("a.label") < F.col("b.label")),
+    ).select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        term.alias("t"),
+    )
+    return pairs.groupBy("label_a", "label_b").agg(
+        F.count("*").alias("n_dims"),
+        (
+            F.floor(
+                F.sum(F.col("t").cast("decimal(27,12)")).cast("double")
+                * 100000000
+                + 0.5
+            )
+            / 100000000.0
+        ).alias("dist_sq"),
+    )
