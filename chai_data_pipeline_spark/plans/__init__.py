@@ -142,12 +142,17 @@ _FRONT = [
     "daily_value_percentile_bands", "split_leakage_audit",
     "eval_set_fixed_k", "decontaminate_bloom", "scd2_point_in_time_join",
     "sink_partitioned_roundtrip", "sink_append_roundtrip",
+    "interval_coalesce_user_activity", "asof_nearest_event",
+    "skyline_cheapest_latest_per_nation", "sessionized_bounce_rate",
+    "inventory_running_balance", "dedup_graph_degree_census",
+    "embedding_centroid_drift",
+    # oracle/plan changed THIS round → re-check (ahead of the rows-only
+    # block: a changed-plan green is worth more than a rows-only row)
+    "incremental_daily_refresh", "medallion_pipeline_summary",
     # first-ever rows-only driver rows
     "multimodal_features",
     "group_quantiles_approx", "dedup_minhash_lsh", "dedup_simhash",
     "similarity_ann_lsh", "similarity_ann_ivf", "embedding_kmeans",
-    # oracle/plan changed THIS round → re-check
-    "medallion_pipeline_summary", "incremental_daily_refresh",
     # r3-changed oracles, one more green under unchanged definitions
     "streaming_session_window", "sessionization",
     "tpch_q11_important_stock",
