@@ -158,6 +158,8 @@ HEADLINE = [
     "sessionized_bounce_rate",
     "inventory_running_balance",
     "embedding_centroid_drift",
+    "time_weighted_avg_value",
+    "chi_square_type_dow",
 ]
 
 

@@ -676,3 +676,95 @@ def user_event_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_users"),
         (F.col("mask") == 31).alias("all_types"),
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square contingency — is event type independent of day-of-week?
+# The statistical screen behind "is this behavioral difference real".
+# Counts are exact; expected values and per-cell terms are single
+# float ops from exact integers; the cell terms are dround(8)-snapped
+# and decimal-summed so the k×7-cell reduction is order-independent
+# (numeric.py rule).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "chi_square_type_dow",
+    oracle=f"""
+WITH cells AS (
+    SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+margins AS (
+    SELECT event_type, dow, n,
+           SUM(n) OVER (PARTITION BY event_type) AS r,
+           SUM(n) OVER (PARTITION BY dow) AS c,
+           SUM(n) OVER () AS t
+    FROM cells
+),
+terms AS (
+    SELECT {sql_dround(
+        "(n - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE))"
+        " * (n - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE))"
+        " / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(t AS DOUBLE))",
+        8)} AS term,
+           event_type, dow
+    FROM margins
+)
+SELECT COUNT(*) AS n_cells,
+       (SELECT (COUNT(DISTINCT event_type) - 1)
+               * (COUNT(DISTINCT dow) - 1) FROM cells) AS dof,
+       CAST(SUM(CAST(term AS DECIMAL(27,8))) AS DOUBLE) AS chi2
+FROM terms
+""",
+)
+def chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic for event_type × day-of-week independence.
+
+    One (type, dow)-cell aggregate is the only full-scan stage; the
+    margins come from windows over the ≤ k×7-cell table (the
+    unpartitioned total-margin window is cell-cardinality-bounded).
+    Spark numbers dayofweek 1=Sunday, DuckDB 0=Sunday — harmless
+    here: the statistic is invariant to any relabeling of the
+    categories, and the labels are not part of the output.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    cells = events.groupBy(
+        "event_type",
+        F.expr("dayofweek(CAST(ts AS DATE))").alias("dow"),
+    ).agg(F.count("*").alias("n"))
+    margins = cells.select(
+        "event_type",
+        "dow",
+        "n",
+        F.sum("n").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("n").over(Window.partitionBy("dow")).alias("c"),
+        F.sum("n").over(
+            Window.partitionBy()
+        ).alias("t"),
+    )
+    e = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("t").cast("double")
+    )
+    terms = margins.select(
+        "event_type",
+        "dow",
+        dround((F.col("n") - e) * (F.col("n") - e) / e, 8).alias("term"),
+    )
+    dof = cells.agg(
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("dow") - 1)
+        ).alias("dof")
+    )
+    return terms.crossJoin(F.broadcast(dof)).groupBy("dof").agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.col("term").cast("decimal(27,8)"))
+        .cast("double")
+        .alias("chi2"),
+    ).select("n_cells", "dof", "chi2")

@@ -1611,3 +1611,78 @@ def sessionized_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounce.alias("n_bounces"),
         dround(bounce * 1.0 / F.count("*"), 4).alias("bounce_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average — the correct "average sensor/price level"
+# when observations are irregularly spaced (a plain AVG over-weights
+# busy periods). Weight = microseconds until the next observation;
+# the numerator rides exact integer cents×µs products, so the whole
+# reduction is associative bigint arithmetic and the only float op is
+# the final division.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "time_weighted_avg_value",
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, value, ts, event_id,
+           LEAD(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_ts
+    FROM events
+),
+weighted AS (
+    SELECT user_id,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               * date_diff('microsecond', ts, next_ts) AS num,
+           date_diff('microsecond', ts, next_ts) AS dt_us
+    FROM seq WHERE next_ts IS NOT NULL
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(dt_us) // 1000000 AS BIGINT) AS span_s,
+       {sql_dround('CAST(SUM(num) AS DOUBLE)'
+                   ' / (100.0 * CAST(SUM(dt_us) AS DOUBLE))', 6)}
+           AS twa_value
+FROM weighted
+GROUP BY 1
+HAVING SUM(dt_us) > 0
+""",
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average of value (integer-exact weights)."""
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "value",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("next_ts").isNotNull())
+    dt_us = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    weighted = seq.select(
+        "user_id",
+        (F.floor(F.col("value") * 100 + 0.5).cast("bigint") * dt_us).alias(
+            "num"
+        ),
+        dt_us.alias("dt_us"),
+    )
+    return (
+        weighted.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.expr("CAST(SUM(dt_us) DIV 1000000 AS BIGINT)").alias(
+                "span_s"
+            ),
+            dround(
+                F.sum("num").cast("double")
+                / (100.0 * F.sum("dt_us").cast("double")),
+                6,
+            ).alias("twa_value"),
+        )
+        .filter(F.expr("SUM(dt_us)").isNotNull() & (F.expr("SUM(dt_us)") > 0))
+    )
