@@ -160,6 +160,8 @@ HEADLINE = [
     "embedding_centroid_drift",
     "time_weighted_avg_value",
     "chi_square_type_dow",
+    "theil_sen_trend",
+    "autocorrelation_daily",
 ]
 
 

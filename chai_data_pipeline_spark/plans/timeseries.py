@@ -1686,3 +1686,137 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.expr("SUM(dt_us)").isNotNull() & (F.expr("SUM(dt_us)") > 0))
     )
+
+
+# --------------------------------------------------------------------------
+# Theil–Sen robust trend — median of pairwise slopes. The OLS slope
+# (trend_slope) is yanked around by single anomalous days; the median
+# slope ignores them (29% breakdown point). Pair generation is a
+# self-join of the DAILY table — bounded at days² per type, never
+# event-cardinality — and each slope is one exact-int division.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "theil_sen_trend",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.event_type,
+           (b.n - a.n) * 1.0 / date_diff('day', a.d, b.d) AS slope
+    FROM daily a JOIN daily b
+      ON a.event_type = b.event_type AND a.d < b.d
+)
+SELECT event_type,
+       COUNT(*) AS n_pairs,
+       {sql_dround('median(slope)', 6)} AS ts_slope
+FROM pairs
+GROUP BY 1
+""",
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.n") - F.col("a.n"))
+            * 1.0
+            / F.datediff(F.col("b.d"), F.col("a.d"))
+        ).alias("slope"),
+    )
+    return pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        dround(F.median("slope"), 6).alias("ts_slope"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Autocorrelation (ACF at lags 1–3) of the daily series per type —
+# the seasonality/burstiness screen (high lag-7 ACF = weekly cycle;
+# high lag-1 = momentum/bots). Pearson r between the series and its
+# k-shifted self in EXACT integer moments (counts are ints), so the
+# only float ops are one sqrt and one division per (type, lag).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "autocorrelation_daily",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+lagged AS (
+    SELECT a.event_type, k.k, a.n AS x, b.n AS y
+    FROM daily a
+    JOIN (SELECT unnest(range(1, 4)) AS k) k ON TRUE
+    JOIN daily b
+      ON b.event_type = a.event_type
+     AND b.d = a.d + CAST(k.k AS INTEGER) * INTERVAL 1 DAY
+)
+SELECT event_type, k AS lag_days,
+       COUNT(*) AS n_pairs,
+       {sql_dround(
+           "(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))"
+           " / sqrt(CAST((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))"
+           "      * (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y)) AS DOUBLE))",
+           6)} AS acf
+FROM lagged
+GROUP BY 1, 2
+""",
+)
+def autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACF(1..3) per event type over daily counts, integer-exact moments."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    ks = spark.range(1, 4).select(F.col("id").cast("int").alias("k"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    lagged = (
+        a.crossJoin(F.broadcast(ks))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (
+                F.col("b.d")
+                == F.date_add(F.col("a.d"), F.col("k"))
+            ),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("k"),
+            F.col("a.n").alias("x"),
+            F.col("b.n").alias("y"),
+        )
+    )
+    m = F.count("*")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    return lagged.groupBy(
+        "event_type", F.col("k").alias("lag_days")
+    ).agg(
+        m.alias("n_pairs"),
+        dround(
+            (m * sxy - sx * sy)
+            / F.sqrt(
+                ((m * sxx - sx * sx) * (m * syy - sy * sy)).cast("double")
+            ),
+            6,
+        ).alias("acf"),
+    )
