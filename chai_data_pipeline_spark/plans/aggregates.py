@@ -768,3 +768,65 @@ def chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("chi2"),
     ).select("n_cells", "dof", "chi2")
+
+
+# --------------------------------------------------------------------------
+# Order-total consistency — the cross-table invariant audit: does
+# o_totalprice equal the sum of its line items' extendedprice ×
+# (1−discount) × (1+tax)? (TPC-H's own generation invariant.) All
+# money math runs in exact DECIMAL — the 2-dec × 2-dec × 2-dec product
+# is a finite 6-dec decimal — so "mismatch" means the DATA violates
+# the invariant, never that float noise did. The join co-partitions
+# both fact tables on the order key; output is status-cardinality.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_total_consistency",
+    oracle="""
+WITH li AS (
+    SELECT l_orderkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(27,6))
+               * (1 - CAST(l_discount AS DECIMAL(27,2)))
+               * (1 + CAST(l_tax AS DECIMAL(27,2)))) AS derived
+    FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderstatus,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (
+           WHERE ABS(CAST(o.o_totalprice AS DECIMAL(27,6)) - li.derived)
+                 > CAST(0.01 AS DECIMAL(27,6))
+       ) AS n_mismatched,
+       CAST(FLOOR(SUM(CAST(ABS(CAST(o.o_totalprice AS DECIMAL(27,6))
+                         - li.derived) * 100 AS DECIMAL(27,4)))) AS BIGINT)
+           AS total_abs_delta_cents
+FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    li = t["lineitem"].groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(27,6)")
+            * (1 - F.col("l_discount").cast("decimal(27,2)"))
+            * (1 + F.col("l_tax").cast("decimal(27,2)"))
+        ).alias("derived")
+    )
+    joined = t["orders"].join(
+        li, t["orders"]["o_orderkey"] == li["l_orderkey"]
+    )
+    delta = F.abs(
+        F.col("o_totalprice").cast("decimal(27,6)") - F.col("derived")
+    )
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.count_if(delta > F.lit(0.01).cast("decimal(27,6)")).alias(
+            "n_mismatched"
+        ),
+        # explicit FLOOR: decimal->bigint casts truncate on one engine
+        # and round on the other
+        F.floor(F.sum((delta * 100).cast("decimal(27,4)")))
+        .cast("bigint")
+        .alias("total_abs_delta_cents"),
+    )

@@ -1820,3 +1820,61 @@ def autocorrelation_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("acf"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curves — revenue by (first-order cohort month, months
+# since first order). The money companion to retention_cohorts:
+# retention says who comes back, LTV says what they're worth as they
+# age. First-order month comes from one grouped pass; the cell grid
+# is cohorts × ages (bounded by the calendar, never by order count);
+# revenue rides exact decimal cents.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cohort_ltv_curves",
+    oracle="""
+WITH firsts AS (
+    SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS first_d
+    FROM orders GROUP BY 1
+),
+cells AS (
+    SELECT date_trunc('month', f.first_d) AS cohort_month,
+           (EXTRACT(YEAR FROM o.o_orderdate) - EXTRACT(YEAR FROM f.first_d))
+               * 12
+           + (EXTRACT(MONTH FROM o.o_orderdate)
+              - EXTRACT(MONTH FROM f.first_d)) AS age_months,
+           o.o_totalprice AS price,
+           o.o_custkey
+    FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+)
+SELECT CAST(cohort_month AS DATE) AS cohort_month,
+       CAST(age_months AS BIGINT) AS age_months,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(SUM(CAST(price AS DECIMAL(27,2)) * 100) AS BIGINT)
+           AS revenue_cents
+FROM cells
+GROUP BY 1, 2
+""",
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d")
+    )
+    joined = orders.join(firsts, "o_custkey")
+    age = (
+        F.year("o_orderdate") - F.year("first_d")
+    ) * 12 + (F.month("o_orderdate") - F.month("first_d"))
+    return joined.groupBy(
+        F.date_trunc("month", "first_d").cast("date").alias("cohort_month"),
+        age.cast("bigint").alias("age_months"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        (F.sum(F.col("o_totalprice").cast("decimal(27,2)") * 100))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
