@@ -325,3 +325,18 @@ def test_sink_roundtrip_partition_pruning(spark, sf_dir):
     plan = _plan(spark, "sink_partitioned_roundtrip", sf_dir)
     pf = [l for l in plan.split("\n") if "PartitionFilters" in l]
     assert pf and "o_orderstatus" in pf[0]
+
+
+def test_no_query_compiles_to_cartesian_or_row_udf(spark, sf_dir):
+    """Registry-wide invariant: NO query may plan a CartesianProduct or
+    a row-at-a-time Python UDF — the two unconditional 100x-scale
+    killers. (tools/plan_lint.py is the reporting form of this.)"""
+    from chai_data_pipeline_spark.tools.plan_lint import lint_query
+
+    offenders = []
+    for name in sorted(plans.QUERIES):
+        f = lint_query(spark, name, sf_dir)
+        assert f.error is None, f"{name}: {f.error}"
+        if f.cartesian or f.python_row:
+            offenders.append((name, f.cartesian, f.python_row))
+    assert offenders == []
