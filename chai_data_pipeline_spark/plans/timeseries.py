@@ -1878,3 +1878,91 @@ def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Decile migration matrix — where customers MOVED between two eras:
+# spend decile in 1995-1997 vs 1998-2001. Both decile assignments use
+# the rfm_segmentation pattern (exact percentile cutoffs as a
+# broadcast row + comparison scoring — no customer-cardinality ntile
+# sort); the matrix is ≤ 10×10. The churn diagonal test and
+# upgrade/downgrade mass live in this one result.
+# --------------------------------------------------------------------------
+
+_MIG_SPLIT = "1998-01-01"
+
+
+def _mig_sql_cuts(tag: str) -> str:
+    return ", ".join(
+        sql_dround(f"quantile_cont(m, {i / 10})", 6) + f" AS {tag}{i}"
+        for i in range(1, 10)
+    )
+
+
+@query(
+    "decile_migration_matrix",
+    oracle=f"""
+WITH spend AS (
+    SELECT o_custkey,
+           CASE WHEN o_orderdate < TIMESTAMP '{_MIG_SPLIT} 00:00:00'
+                THEN 'a' ELSE 'b' END AS era,
+           {sql_dsum('o_totalprice', 2)} AS m
+    FROM orders GROUP BY 1, 2
+),
+cuts_a AS (SELECT {_mig_sql_cuts('c')} FROM spend WHERE era = 'a'),
+cuts_b AS (SELECT {_mig_sql_cuts('c')} FROM spend WHERE era = 'b'),
+score_a AS (
+    SELECT s.o_custkey,
+           1 + {" + ".join(f"CAST(s.m > c.c{i} AS INT)" for i in range(1, 10))}
+               AS dec_a
+    FROM spend s CROSS JOIN cuts_a c WHERE s.era = 'a'
+),
+score_b AS (
+    SELECT s.o_custkey,
+           1 + {" + ".join(f"CAST(s.m > c.c{i} AS INT)" for i in range(1, 10))}
+               AS dec_b
+    FROM spend s CROSS JOIN cuts_b c WHERE s.era = 'b'
+)
+SELECT a.dec_a, b.dec_b, COUNT(*) AS n_customers
+FROM score_a a JOIN score_b b USING (o_custkey)
+GROUP BY 1, 2
+""",
+)
+def decile_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    # bare string literal: Spark coerces it to the COLUMN's type
+    # (TIMESTAMP_NTZ) — an explicit cast("timestamp") would make an
+    # instant and drag the session zone into the comparison
+    era = F.when(
+        F.col("o_orderdate") < F.lit(_MIG_SPLIT), "a"
+    ).otherwise("b")
+    spend = orders.groupBy(
+        "o_custkey", era.alias("era")
+    ).agg(dsum("o_totalprice", 2).alias("m"))
+
+    def cuts(era_tag: str):
+        return spend.filter(F.col("era") == era_tag).agg(
+            *[
+                dround(F.expr(f"percentile(m, {i / 10})"), 6).alias(
+                    f"c{i}"
+                )
+                for i in range(1, 10)
+            ]
+        )
+
+    def score(era_tag: str, out: str):
+        s = F.lit(1)
+        for i in range(1, 10):
+            s = s + (F.col("m") > F.col(f"c{i}")).cast("int")
+        return (
+            spend.filter(F.col("era") == era_tag)
+            .crossJoin(F.broadcast(cuts(era_tag)))
+            .select("o_custkey", s.alias(out))
+        )
+
+    return (
+        score("a", "dec_a")
+        .join(score("b", "dec_b"), "o_custkey")
+        .groupBy("dec_a", "dec_b")
+        .agg(F.count("*").alias("n_customers"))
+    )
