@@ -152,8 +152,9 @@ HEADLINE = [
     "eval_set_fixed_k",
     "decontaminate_bloom",
     "scd2_point_in_time_join",
-    "sink_partitioned_roundtrip",
-    "sink_append_roundtrip",
+    # sink round-trips are correctness-gated (CORRECTNESS, plan tests)
+    # but stay OUT of the timing suite: write-path entries are the most
+    # I/O-noise-prone and the envelope needs margin, not breadth
     "asof_nearest_event",
     "sessionized_bounce_rate",
     "inventory_running_balance",

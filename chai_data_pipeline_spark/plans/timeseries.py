@@ -1424,9 +1424,6 @@ def asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         back_us.alias("back_us"),
         fwd_us.alias("fwd_us"),
     )
-    gap = F.when(F.col("matched") == "backward", F.col("back_us")).when(
-        F.col("matched") == "forward", F.col("fwd_us")
-    )
     return picked.groupBy("matched").agg(
         F.count("*").alias("n_purchases"),
         F.coalesce(
