@@ -830,3 +830,82 @@ def order_total_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_abs_delta_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gini concentration of customer spend per nation — the inequality
+# scalar behind "do 1% of customers carry this market". Computed from
+# the rank-weighted form G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n with ranks
+# assigned per nation (partition-bounded sort, never global) and all
+# sums in exact integer cents — the division at the end is the only
+# float op.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "gini_by_nation",
+    oracle=f"""
+WITH spend AS (
+    SELECT c.c_nationkey,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,2)) * 100) AS BIGINT)
+               AS cents,
+           o.o_custkey
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1, 3
+),
+ranked AS (
+    SELECT c_nationkey, cents,
+           row_number() OVER (
+               PARTITION BY c_nationkey ORDER BY cents, o_custkey
+           ) AS i
+    FROM spend
+)
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_customers,
+       {sql_dround(
+           "2.0 * CAST(SUM(i * cents) AS DOUBLE)"
+           " / (COUNT(*) * CAST(SUM(cents) AS DOUBLE))"
+           " - (COUNT(*) + 1.0) / COUNT(*)", 6)} AS gini
+FROM ranked r JOIN nation n ON n.n_nationkey = r.c_nationkey
+GROUP BY 1
+""",
+)
+def gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    spend = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            t["orders"]["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(27,2)") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    ranked = spend.select(
+        "c_nationkey", "cents", F.row_number().over(w).alias("i")
+    )
+    n = F.count("*")
+    return (
+        ranked.join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            n.alias("n_customers"),
+            dround(
+                2.0
+                * F.sum(F.col("i") * F.col("cents")).cast("double")
+                / (n * F.sum("cents").cast("double"))
+                - (n + 1.0) / n,
+                6,
+            ).alias("gini"),
+        )
+    )

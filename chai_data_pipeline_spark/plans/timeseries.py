@@ -1963,3 +1963,106 @@ def decile_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dec_a", "dec_b")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+# --------------------------------------------------------------------------
+# New vs returning daily — the growth dashboard's first split. "New"
+# on a user's first-ever active day; window-free: first day per user
+# is one grouped pass, the daily split is a join back on (user, day)
+# grain — both shuffles carry (user, day) pairs only.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "new_vs_returning_daily",
+    oracle="""
+WITH user_days AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+),
+firsts AS (
+    SELECT user_id, MIN(d) AS first_d FROM user_days GROUP BY 1
+)
+SELECT ud.d,
+       COUNT(*) FILTER (WHERE ud.d = f.first_d) AS new_users,
+       COUNT(*) FILTER (WHERE ud.d > f.first_d) AS returning_users,
+       CAST(SUM(ud.n_events) AS BIGINT) AS n_events
+FROM user_days ud JOIN firsts f USING (user_id)
+GROUP BY 1
+""",
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    user_days = events.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.count("*").alias("n_events"))
+    firsts = user_days.groupBy("user_id").agg(
+        F.min("d").alias("first_d")
+    )
+    joined = user_days.join(firsts, "user_id")
+    return joined.groupBy("d").agg(
+        F.count_if(F.col("d") == F.col("first_d")).alias("new_users"),
+        F.count_if(F.col("d") > F.col("first_d")).alias(
+            "returning_users"
+        ),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Longest consecutive-day streak per user — the gaps-and-islands
+# integer trick: within a user's DISTINCT active days ordered by day,
+# (day − row_number) is constant exactly along a consecutive run, so
+# streaks fall out of one grouped pass over that derived key. All
+# integer arithmetic; windows partition by user.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "longest_user_streaks",
+    oracle="""
+WITH days AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+keyed AS (
+    SELECT user_id, d,
+           date_diff('day', DATE '1970-01-01', d)
+           - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS grp
+    FROM days
+),
+streaks AS (
+    SELECT user_id, grp, COUNT(*) AS len
+    FROM keyed GROUP BY 1, 2
+)
+SELECT user_id,
+       COUNT(*) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+       CAST(SUM(len) AS BIGINT) AS active_days
+FROM streaks
+GROUP BY 1
+""",
+)
+def longest_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    keyed = days.select(
+        "user_id",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    streaks = keyed.groupBy("user_id", "grp").agg(
+        F.count("*").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest_streak_days"),
+        F.sum("len").alias("active_days"),
+    )
