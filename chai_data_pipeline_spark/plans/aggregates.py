@@ -909,3 +909,92 @@ def gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket affinity over order line items — the classic frequent-
+# pair mining workload. Pair generation is a self-join WITHIN each
+# order (fan-out bounded by items-per-order², a data-model constant
+# ~7² — never part-cardinality), support comes from one part-count
+# pass, and lift is exact integer counts with one final division. At
+# 100 TB the part-count side co-partitions on part key (it is NOT
+# assumed broadcastable); the min-support filter prunes the pair
+# table before the lift join.
+# --------------------------------------------------------------------------
+
+_BASKET_MIN_SUP = 2
+
+
+@query(
+    "basket_affinity_parts",
+    oracle=f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+pc AS (SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY 1),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           COUNT(*) AS n_both
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_BASKET_MIN_SUP}
+)
+SELECT p.part_a, p.part_b, p.n_both,
+       ca.c AS n_a, cb.c AS n_b,
+       {sql_dround('p.n_both * 1.0 * n.n_orders / (ca.c * cb.c)', 6)}
+           AS lift
+FROM pairs p
+JOIN pc ca ON ca.l_partkey = p.part_a
+JOIN pc cb ON cb.l_partkey = p.part_b
+CROSS JOIN n
+""",
+)
+def basket_affinity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    pc = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= _BASKET_MIN_SUP)
+    )
+    ca = pc.select(
+        F.col("l_partkey").alias("part_a"), F.col("c").alias("n_a")
+    )
+    cb = pc.select(
+        F.col("l_partkey").alias("part_b"), F.col("c").alias("n_b")
+    )
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            dround(
+                F.col("n_both")
+                * 1.0
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

@@ -678,3 +678,140 @@ def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_slope"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lang-ID confusion matrix — the eval view of the lang_id heuristic:
+# labeled × predicted counts plus per-label accuracy. One map-side
+# scoring pass (the same expressions as lang_id) into a ≤ k²-cell
+# aggregate; this is the query that tells you WHICH languages the
+# classifier confuses before you trust its routing at corpus scale.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "langid_confusion_matrix",
+    oracle=f"""
+WITH s AS (
+    SELECT lang AS labeled_lang,
+           {T.lang_scores_sql('text')['en']} AS score_en,
+           {T.lang_scores_sql('text')['es']} AS score_es,
+           {T.lang_scores_sql('text')['de']} AS score_de,
+           {T.lang_scores_sql('text')['fr']} AS score_fr
+    FROM documents
+),
+p AS (
+    SELECT labeled_lang,
+           {T.PREDICT_LANG_SQL.format(en='score_en', es='score_es',
+                                      de='score_de', fr='score_fr')}
+               AS predicted_lang
+    FROM s
+)
+SELECT labeled_lang, predicted_lang,
+       COUNT(*) AS n_docs,
+       {sql_dround('COUNT(*) * 1.0 / SUM(COUNT(*)) OVER '
+                   '(PARTITION BY labeled_lang)', 6)} AS row_share
+FROM p
+GROUP BY 1, 2
+""",
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    scores = T.lang_scores("text")
+    s = docs.select(
+        F.col("lang").alias("labeled_lang"),
+        scores["en"],
+        scores["es"],
+        scores["de"],
+        scores["fr"],
+    )
+    p = s.select(
+        "labeled_lang",
+        T.predict_lang(
+            F.col("score_en"),
+            F.col("score_es"),
+            F.col("score_de"),
+            F.col("score_fr"),
+        ).alias("predicted_lang"),
+    )
+    cells = p.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        dround(
+            F.col("n_docs") * 1.0 / F.sum("n_docs").over(w), 6
+        ).alias("row_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality × duplication calibration — are low-quality docs also the
+# duplicated ones? If yes, quality filtering and dedup are redundant
+# passes and the pipeline can fuse them; if no, both must run. Joins
+# the quality rating (same penalty chain as doc_quality_scores) to
+# the exact-dup cluster size (same normalized hash as
+# dedup_exact_content); only (doc_id, rating) and 32-byte hashes move
+# through the shuffles, and the output is rating-cardinality.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "quality_dup_calibration",
+    oracle=f"""
+WITH q AS (
+    SELECT doc_id,
+           100
+           - CASE WHEN len(string_split_regex(TRIM(text), '\\s+')) < 10
+                  THEN 30 ELSE 0 END
+           - CASE WHEN n_chars < 80 THEN 20 ELSE 0 END
+           - CASE WHEN len(list_distinct(string_split_regex(TRIM(text), '\\s+')))
+                       * 1.0 / len(string_split_regex(TRIM(text), '\\s+')) < 0.5
+                  THEN 20 ELSE 0 END AS quality_score,
+           sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+               AS content_hash
+    FROM documents
+),
+sizes AS (
+    SELECT content_hash, COUNT(*) AS cluster_size FROM q GROUP BY 1
+),
+rated AS (
+    SELECT CASE WHEN q.quality_score >= 90 THEN 'EXCELLENT'
+                WHEN q.quality_score >= 70 THEN 'GOOD'
+                WHEN q.quality_score >= 50 THEN 'FAIR'
+                ELSE 'POOR' END AS quality_rating,
+           s.cluster_size
+    FROM q JOIN sizes s USING (content_hash)
+)
+SELECT quality_rating,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE cluster_size > 1) AS n_duplicated,
+       {sql_dround('COUNT(*) FILTER (WHERE cluster_size > 1) * 1.0'
+                   ' / COUNT(*)', 6)} AS dup_rate
+FROM rated
+GROUP BY 1
+""",
+)
+def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    score = T.quality_score("text", "n_chars")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    q = docs.select(
+        T.quality_rating(score).alias("quality_rating"),
+        F.sha2(norm, 256).alias("content_hash"),
+    )
+    sizes = q.groupBy("content_hash").agg(
+        F.count("*").alias("cluster_size")
+    )
+    rated = q.join(sizes, "content_hash")
+    dup = F.count_if(F.col("cluster_size") > 1)
+    return rated.groupBy("quality_rating").agg(
+        F.count("*").alias("n_docs"),
+        dup.alias("n_duplicated"),
+        dround(dup * 1.0 / F.count("*"), 6).alias("dup_rate"),
+    )
