@@ -391,3 +391,85 @@ def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mad_daily").alias("mad_daily"),
         F.count_if(outlier).alias("n_outlier_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov statistic (binned) — PSI's sibling:
+# PSI weighs bulk shifts, KS catches the single worst ECDF gap. Both
+# halves' binned counts cumulate over the ≤64-bin axis (window over a
+# bounded table), and the statistic is a max of exact-count ratios —
+# one division per bin, then max, dround(6)-pinned.
+# --------------------------------------------------------------------------
+
+_KS_BINW = 5.0
+
+
+@query(
+    "ks_statistic_value_drift",
+    oracle=f"""
+WITH binned AS (
+    SELECT event_type,
+           LEAST(CAST(FLOOR(value / {_KS_BINW}) AS BIGINT), 99) AS bin,
+           COUNT(*) FILTER (WHERE ts < TIMESTAMP '{_PSI_CUTOFF}') AS c_a,
+           COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{_PSI_CUTOFF}') AS c_b
+    FROM events GROUP BY 1, 2
+),
+cum AS (
+    SELECT event_type, bin,
+           SUM(c_a) OVER w AS cum_a,
+           SUM(c_b) OVER w AS cum_b,
+           SUM(c_a) OVER (PARTITION BY event_type) AS tot_a,
+           SUM(c_b) OVER (PARTITION BY event_type) AS tot_b
+    FROM binned
+    WINDOW w AS (PARTITION BY event_type ORDER BY bin
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type,
+       CAST(MAX(tot_a) AS BIGINT) AS n_first,
+       CAST(MAX(tot_b) AS BIGINT) AS n_second,
+       {sql_dround('MAX(ABS(cum_a * 1.0 / tot_a - cum_b * 1.0 / tot_b))',
+                   6)} AS ks_stat
+FROM cum
+GROUP BY 1
+""",
+)
+def ks_statistic_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    cutoff = F.lit(_PSI_CUTOFF).cast("timestamp_ntz")
+    binned = events.groupBy(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / _KS_BINW).cast("bigint"), F.lit(99)
+        ).alias("bin"),
+    ).agg(
+        F.count_if(F.col("ts") < cutoff).alias("c_a"),
+        F.count_if(F.col("ts") >= cutoff).alias("c_b"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("event_type")
+    cum = binned.select(
+        "event_type",
+        F.sum("c_a").over(w).alias("cum_a"),
+        F.sum("c_b").over(w).alias("cum_b"),
+        F.sum("c_a").over(tot).alias("tot_a"),
+        F.sum("c_b").over(tot).alias("tot_b"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("tot_a").alias("n_first"),
+        F.max("tot_b").alias("n_second"),
+        dround(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * 1.0 / F.col("tot_a")
+                    - F.col("cum_b") * 1.0 / F.col("tot_b")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+    )

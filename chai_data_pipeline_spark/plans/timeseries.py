@@ -2066,3 +2066,108 @@ def longest_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak_days"),
         F.sum("len").alias("active_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Session path mining — the full-journey complement of the transition
+# matrix: which exact event-type paths do sessions follow, and how
+# often. Paths are built ORDER-DETERMINISTICALLY: array_sort over
+# (ts, event_id, type) structs before concatenation (collect_list
+# order is partition-dependent; the sort inside the aggregate is the
+# reshard-stable form — same rule as string_agg_segments). Long
+# sessions are truncated to the first 8 steps so the path-string key
+# space stays bounded.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "session_path_frequency",
+    oracle=f"""
+WITH marked AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                     > CAST(1800 AS BIGINT) * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+),
+paths AS (
+    SELECT user_id, session_id,
+           list_aggregate(
+               list_transform(
+                   array_slice(
+                       list_sort(list_zip(
+                           list(ts ORDER BY ts, event_id),
+                           list(event_id ORDER BY ts, event_id),
+                           list(event_type ORDER BY ts, event_id)
+                       )), 1, 8),
+                   x -> x[3]
+               ), 'string_agg', '>'
+           ) AS path,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY 1, 2
+)
+SELECT path,
+       COUNT(*) AS n_sessions,
+       CAST(MIN(n_events) AS BIGINT) AS min_len,
+       CAST(MAX(n_events) AS BIGINT) AS max_len
+FROM paths
+GROUP BY 1
+HAVING COUNT(*) >= 2
+""",
+)
+def session_path_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (gap_us > F.lit(1800 * 1_000_000)),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    sess = marked.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_id"),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.expr(
+            "array_join(transform(slice(array_sort("
+            "collect_list(struct(ts, event_id, event_type))), 1, 8),"
+            " x -> x.event_type), '>')"
+        ).alias("path"),
+        F.count("*").alias("n_events"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.min("n_events").alias("min_len"),
+            F.max("n_events").alias("max_len"),
+        )
+        .filter(F.col("n_sessions") >= 2)
+    )
