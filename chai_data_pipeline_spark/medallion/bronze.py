@@ -93,10 +93,15 @@ def _load_covid(spark: SparkSession, routed: list[RoutedFile]) -> DataFrame:
     frames = []
     csvs = [r.path for r in routed if r.fmt == "csv"]
     parquets = [r.path for r in routed if r.fmt == "parquet"]
+    orcs = [r.path for r in routed if r.fmt == "orc"]
     if csvs:
         frames.append(_normalize_covid(read_csv(spark, csvs, schemas.COVID_RAW)))
     if parquets:
         frames.append(_normalize_covid(read_parquet(spark, parquets)))
+    if orcs:
+        from ..sources.readers import read_orc
+
+        frames.append(_normalize_covid(read_orc(spark, orcs)))
     df = frames[0]
     for f2 in frames[1:]:
         df = df.unionByName(f2)

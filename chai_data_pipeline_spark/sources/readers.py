@@ -124,6 +124,26 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning surface as parquet (ORC is a
+    Spark-native columnar source with predicate pushdown and column
+    projection; footer stats prune like parquet row groups)."""
+    return spark.read.orc(path)
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan, gated: the spark-avro module is an external jar not
+    present in offline deployments — raise a clear error instead of
+    Spark's generic ClassNotFound."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception as exc:  # pragma: no cover - depends on deploy
+        raise RuntimeError(
+            "Avro support requires the spark-avro package "
+            "(org.apache.spark:spark-avro_2.13) on the classpath"
+        ) from exc
+
+
 @dataclass
 class RoutedFile:
     dataset: str
@@ -139,6 +159,7 @@ _ROUTES = [
     (re.compile(r"posts.*\.json$", re.I), "posts", "json"),
     (re.compile(r"covid.*\.csv$", re.I), "covid", "csv"),
     (re.compile(r"covid.*\.parquet$", re.I), "covid", "parquet"),
+    (re.compile(r"covid.*\.orc$", re.I), "covid", "orc"),
     (re.compile(r"telco.*\.csv$", re.I), "telco", "csv"),
 ]
 

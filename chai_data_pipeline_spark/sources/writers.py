@@ -28,11 +28,12 @@ def write_table(
     path: str,
     mode: str = "overwrite",
     partition_by: Sequence[str] | None = None,
+    fmt: str = "parquet",
 ) -> None:
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    w.parquet(path)
+    w.format(fmt).save(path)
 
 
 def overwrite_table(

@@ -196,3 +196,30 @@ def test_write_zordered_narrows_rowgroup_spans(spark, sf_dir, tmp_path):
     # round-robin repartition leaves every file at (almost) full-span;
     # the curve layout must cut the average bounding box materially.
     assert z_area < p_area * 0.7, (z_area, p_area)
+
+
+def test_orc_round_trip_and_bronze_routing(spark, sf_dir, tmp_path):
+    """ORC is a first-class source/sink: write_table(fmt='orc') round
+    trips, and a covid*.orc landing file routes through bronze next to
+    its CSV siblings."""
+    from chai_data_pipeline_spark.sources.readers import (
+        read_orc,
+        route_bronze_files,
+    )
+    from chai_data_pipeline_spark.sources.writers import write_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p = str(tmp_path / "orders_orc")
+    write_table(orders, p, fmt="orc")
+    back = read_orc(spark, p)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+
+    routed, unknown = route_bronze_files(
+        ["/x/covid_2024.orc", "/x/covid_2024.csv", "/x/weird.bin"]
+    )
+    assert [(r.dataset, r.fmt) for r in routed] == [
+        ("covid", "orc"),
+        ("covid", "csv"),
+    ]
+    assert unknown == ["/x/weird.bin"]
