@@ -340,3 +340,42 @@ def test_no_query_compiles_to_cartesian_or_row_udf(spark, sf_dir):
         if f.cartesian or f.python_row:
             offenders.append((name, f.cartesian, f.python_row))
     assert offenders == []
+
+
+def test_dynamic_partition_pruning_on_partitioned_lake(
+    spark, sf_dir, tmp_path_factory
+):
+    """A date-partitioned fact joined to a filtered dim must plan
+    dynamic partition pruning: the fact scan's partition filter is fed
+    at RUNTIME from the dim side, so only matching date directories are
+    read — the mechanism that turns a 100 TB scan into a 2-partition
+    read when the dim filter is selective."""
+    from pyspark.sql import functions as F
+
+    from chai_data_pipeline_spark.session import load_tables
+    from chai_data_pipeline_spark.sources.writers import write_table
+
+    events = load_tables(spark, str(sf_dir), "events")["events"]
+    lake = str(tmp_path_factory.mktemp("dpp") / "events_by_day")
+    write_table(
+        events.withColumn("d", F.col("ts").cast("date")),
+        lake,
+        partition_by=["d"],
+    )
+    fact = spark.read.parquet(lake)
+    # the dim must be INDEPENDENT of the fact scan and carry a filter —
+    # a dim derived from the fact itself does not qualify for DPP
+    days = [r.d for r in fact.select("d").distinct().limit(4).collect()]
+    dim = spark.createDataFrame(
+        [(d, 1 if i < 2 else 0) for i, d in enumerate(days)],
+        "d date, keep int",
+    )
+    joined = (
+        fact.join(dim.filter(F.col("keep") == 1), "d").groupBy("d").count()
+    )
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
