@@ -566,3 +566,62 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100000000.0
         ).alias("dist_sq"),
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding norm hygiene: per-label squared-norm profile + outlier
+# counts. Degenerate vectors (near-zero or exploded norms) poison
+# cosine similarity and k-means alike — this is the screen run before
+# any embedding op. Norms ride the ×2^20 exact quantization: each
+# vector's squared norm is an exact BIGINT, so every statistic except
+# the two medians is integer arithmetic.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_norm_outliers",
+    oracle="""
+WITH norms AS (
+    SELECT label,
+           list_sum(list_transform(
+               embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+                    * CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+           )) AS nsq
+    FROM embeddings
+),
+stats AS (
+    SELECT label, median(nsq) AS med FROM norms GROUP BY 1
+)
+SELECT n.label,
+       COUNT(*) AS n_vectors,
+       CAST(MIN(n.nsq) AS BIGINT) AS min_nsq,
+       CAST(MAX(n.nsq) AS BIGINT) AS max_nsq,
+       COUNT(*) FILTER (WHERE n.nsq > 3 * s.med) AS n_high_outliers,
+       COUNT(*) FILTER (WHERE n.nsq * 3 < s.med) AS n_low_outliers
+FROM norms n JOIN stats s USING (label)
+GROUP BY 1
+""",
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = (
+        "aggregate(transform(embedding, x -> "
+        "CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)"
+        " * CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    norms = emb.select("label", F.expr(q).alias("nsq"))
+    stats = norms.groupBy("label").agg(F.median("nsq").alias("med"))
+    j = norms.join(F.broadcast(stats), "label")
+    return j.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("nsq").alias("min_nsq"),
+        F.max("nsq").alias("max_nsq"),
+        F.count_if(F.col("nsq") > 3 * F.col("med")).alias(
+            "n_high_outliers"
+        ),
+        F.count_if(F.col("nsq") * 3 < F.col("med")).alias(
+            "n_low_outliers"
+        ),
+    )

@@ -815,3 +815,114 @@ def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup.alias("n_duplicated"),
         dround(dup * 1.0 / F.count("*"), 6).alias("dup_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Distinctive vocabulary per language (chi-square keyness): which
+# words are characteristically OVER-represented in each language's
+# corpus vs the rest. The corpus-linguistics complement of
+# tfidf_top_terms (which is per-document). All contingency inputs are
+# exact integers; the chi2 value is computed with the IDENTICAL
+# expression text on both engines (same IEEE op sequence), then
+# dround(6)-snapped BEFORE ranking so near-ties break on the word,
+# not on an engine ulp.
+# --------------------------------------------------------------------------
+
+_KEY_TOP = 10
+_KEY_MIN_COUNT = 5
+
+
+@query(
+    "distinctive_terms_by_lang",
+    oracle=f"""
+WITH w AS (
+    SELECT lang, unnest(string_split_regex(TRIM(text), '\\s+')) AS word
+    FROM documents
+),
+cells AS (
+    SELECT lang, word, COUNT(*) AS a FROM w GROUP BY 1, 2
+),
+word_tot AS (SELECT word, SUM(a) AS wt FROM cells GROUP BY 1),
+lang_tot AS (SELECT lang, SUM(a) AS lt FROM cells GROUP BY 1),
+n AS (SELECT SUM(a) AS n FROM cells),
+scored AS (
+    SELECT c.lang, c.word, c.a,
+           {sql_dround(
+               "(n.n * 1.0) * (c.a * 1.0 * (n.n - w.wt - l.lt + c.a)"
+               " - (w.wt - c.a) * 1.0 * (l.lt - c.a))"
+               " * ((c.a * 1.0 * (n.n - w.wt - l.lt + c.a)"
+               " - (w.wt - c.a) * 1.0 * (l.lt - c.a)))"
+               " / ((l.lt * 1.0) * (n.n - l.lt) * (w.wt * 1.0)"
+               " * (n.n - w.wt))", 6)} AS chi2
+    FROM cells c
+    JOIN word_tot w USING (word)
+    JOIN lang_tot l USING (lang)
+    CROSS JOIN n
+    WHERE c.a >= {_KEY_MIN_COUNT}
+      AND c.a * 1.0 * n.n > l.lt * 1.0 * w.wt
+),
+ranked AS (
+    SELECT lang, word, a, chi2,
+           row_number() OVER (
+               PARTITION BY lang ORDER BY chi2 DESC, word
+           ) AS rnk
+    FROM scored
+)
+SELECT lang, word, CAST(a AS BIGINT) AS n_occurrences, chi2, rnk
+FROM ranked WHERE rnk <= {_KEY_TOP}
+""",
+)
+def distinctive_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 over-represented words per language by chi² keyness.
+
+    The vocabulary count is the only full-scan stage; keyness and
+    ranking run over the (lang, word) cell table with word/lang
+    marginals joined back (the word marginal co-partitions on word;
+    the lang marginal and grand total broadcast). The
+    observed>expected guard keeps only OVER-represented words.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    w = docs.select("lang", F.explode(T.words("text")).alias("word"))
+    cells = w.groupBy("lang", "word").agg(F.count("*").alias("a"))
+    word_tot = cells.groupBy("word").agg(F.sum("a").alias("wt"))
+    lang_tot = cells.groupBy("lang").agg(F.sum("a").alias("lt"))
+    n = cells.agg(F.sum("a").alias("n"))
+    j = (
+        cells.join(word_tot, "word")
+        .join(F.broadcast(lang_tot), "lang")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("a") >= _KEY_MIN_COUNT)
+        .filter(F.col("a") * 1.0 * F.col("n") > F.col("lt") * 1.0 * F.col("wt"))
+    )
+    det = (
+        F.col("a") * 1.0 * (F.col("n") - F.col("wt") - F.col("lt") + F.col("a"))
+        - (F.col("wt") - F.col("a")) * 1.0 * (F.col("lt") - F.col("a"))
+    )
+    chi2 = dround(
+        (F.col("n") * 1.0)
+        * det
+        * det
+        / (
+            (F.col("lt") * 1.0)
+            * (F.col("n") - F.col("lt"))
+            * (F.col("wt") * 1.0)
+            * (F.col("n") - F.col("wt"))
+        ),
+        6,
+    )
+    scored = j.select("lang", "word", "a", chi2.alias("chi2"))
+    win = Window.partitionBy("lang").orderBy(
+        F.col("chi2").desc(), F.col("word")
+    )
+    return (
+        scored.select(
+            "lang",
+            "word",
+            F.col("a").alias("n_occurrences"),
+            "chi2",
+            F.row_number().over(win).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _KEY_TOP)
+    )
