@@ -116,7 +116,7 @@ HEADLINE = [
     "streaming_upsert_latest",
     # Round-4 additions — a CURATED set. The headline is the BASELINE
     # comparison instrument, so its size is a measurement choice, not a
-    # coverage claim: every registered query (201 at r4) is
+    # coverage claim: every registered query is
     # correctness-gated by the driver oracle and the parity suites
     # regardless of bench membership, and
     # `SPARK_GRAFT_BENCH_FULL=1 python bench.py` times the ENTIRE
