@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import sql_dround
+from ..functions import dround, sql_dround
 from ..operators.dedup import (
     dedup_exact,
     hamming64,
@@ -830,3 +830,77 @@ def dedup_graph_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hist.unionAll(isolated)
+
+
+# --------------------------------------------------------------------------
+# Survivor-bias audit: after keep-first exact dedup, do the KEPT docs
+# differ systematically from the DROPPED copies? Keep-min-id is
+# content-blind, but if ingestion order correlates with a source or a
+# length regime, the surviving corpus is biased — this audit measures
+# that before anyone trains on it. Per language: kept/dropped counts
+# and exact mean lengths of each side (decimal-summed chars; engine-
+# exact), with the length delta as the headline bias number.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_survivor_bias_audit",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, lang, n_chars,
+           sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+               AS content_hash
+    FROM documents
+),
+keep AS (
+    SELECT content_hash, MIN(doc_id) AS keep_id FROM h GROUP BY 1
+),
+marked AS (
+    SELECT h.lang, h.n_chars,
+           h.doc_id = k.keep_id AS kept
+    FROM h JOIN keep k USING (content_hash)
+)
+SELECT lang,
+       COUNT(*) FILTER (WHERE kept) AS n_kept,
+       COUNT(*) FILTER (WHERE NOT kept) AS n_dropped,
+       {sql_dround('SUM(CASE WHEN kept THEN n_chars END) * 1.0'
+                   ' / COUNT(*) FILTER (WHERE kept)', 4)}
+           AS kept_avg_chars,
+       {sql_dround('COALESCE(SUM(CASE WHEN NOT kept THEN n_chars END)'
+                   ' * 1.0 / NULLIF(COUNT(*) FILTER (WHERE NOT kept), 0),'
+                   ' 0.0)', 4)} AS dropped_avg_chars
+FROM marked
+GROUP BY 1
+""",
+)
+def dedup_survivor_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    h = docs.select(
+        "doc_id", "lang", "n_chars", F.sha2(norm, 256).alias("content_hash")
+    )
+    keep = h.groupBy("content_hash").agg(F.min("doc_id").alias("keep_id"))
+    marked = h.join(keep, "content_hash").select(
+        "lang",
+        "n_chars",
+        (F.col("doc_id") == F.col("keep_id")).alias("kept"),
+    )
+    kept_n = F.count_if("kept")
+    drop_n = F.count_if(~F.col("kept"))
+    return marked.groupBy("lang").agg(
+        kept_n.alias("n_kept"),
+        drop_n.alias("n_dropped"),
+        dround(
+            F.sum(F.when(F.col("kept"), F.col("n_chars"))) * 1.0 / kept_n,
+            4,
+        ).alias("kept_avg_chars"),
+        F.coalesce(
+            dround(
+                F.sum(F.when(~F.col("kept"), F.col("n_chars")))
+                * 1.0
+                / F.nullif(drop_n, F.lit(0)),
+                4,
+            ),
+            F.lit(0.0),
+        ).alias("dropped_avg_chars"),
+    )

@@ -926,3 +926,48 @@ def distinctive_terms_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= _KEY_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility per language — tokens-per-word and tokens-per-
+# char by lang. Fertility is the LLM-budget metric: a language whose
+# text tokenizes at 2x the fertility costs 2x the compute per byte,
+# and mixture weights (token_budget_allocation) should price that in.
+# Same regex tokenizer as token_counts; exact integer sums, one
+# division per ratio.
+# --------------------------------------------------------------------------
+
+_TOK_SQL = "SUM(len(regexp_extract_all(text, '" + T.TOKEN_PATTERN + "')))"
+_WORDS_SQL = "SUM(len(string_split_regex(TRIM(text), '" + r"\s+" + "')))"
+
+
+@query(
+    "token_fertility_by_lang",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST({_TOK_SQL} AS BIGINT) AS n_tokens,
+       {sql_dround(_TOK_SQL + " * 1.0 / " + _WORDS_SQL, 6)}
+           AS tokens_per_word,
+       {sql_dround(_TOK_SQL + " * 1.0 / SUM(n_chars)", 6)}
+           AS tokens_per_char
+FROM documents
+GROUP BY 1
+""",
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    n_tok = F.size(
+        F.regexp_extract_all("text", F.lit(T.TOKEN_PATTERN), 0)
+    )
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).cast("bigint").alias("n_tokens"),
+        dround(F.sum(n_tok) * 1.0 / F.sum(n_words), 6).alias(
+            "tokens_per_word"
+        ),
+        dround(F.sum(n_tok) * 1.0 / F.sum("n_chars"), 6).alias(
+            "tokens_per_char"
+        ),
+    )
