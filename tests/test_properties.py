@@ -273,3 +273,42 @@ def test_eval_set_membership_stable_across_partitionings(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     assert base == shuffled
+
+
+def test_queries_survive_empty_tables(spark, sf_dir, tmp_path_factory):
+    """A sample of queries across operator families must run (not
+    crash) against ZERO-ROW tables with the production schema — the
+    empty-partition / fresh-lake case every 100-TB pipeline hits on
+    day one. Degenerate-group guards (MAD>0, NULLIF, COALESCE) are
+    what this exercises."""
+    import os
+
+    from chai_data_pipeline_spark import plans
+
+    empty_dir = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        df.limit(0).write.parquet(os.path.join(empty_dir, f"{t}.parquet"))
+
+    sample = [
+        "flagship_daily_event_trends",
+        "tpch_q1_pricing_summary",
+        "mad_robust_outliers",
+        "psi_value_drift",
+        "rfm_segmentation",
+        "inventory_running_balance",
+        "zipf_slope_by_lang",
+        "dedup_survivor_bias_audit",
+        "interval_coalesce_user_activity",
+        "decontaminate_bloom",
+        "sessionization",
+        "gini_by_nation",
+        "time_weighted_avg_value",
+        "token_fertility_by_lang",
+    ]
+    for name in sample:
+        rows = plans.QUERIES[name](spark, empty_dir).count()
+        assert rows == 0, (name, rows)
