@@ -312,3 +312,81 @@ def test_queries_survive_empty_tables(spark, sf_dir, tmp_path_factory):
     for name in sample:
         rows = plans.QUERIES[name](spark, empty_dir).count()
         assert rows == 0, (name, rows)
+
+
+def test_event_queries_correct_under_pathological_skew(
+    spark, duck, sf_dir, tmp_path_factory
+):
+    """Hot-key robustness: with ~40% of all events collapsed onto ONE
+    user, the windowed/sessionized/salted plans must still match the
+    oracle exactly — skew may slow a plan, it must never change its
+    answer (AQE skew handling and salting are rewrites, not
+    approximations)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from chai_data_pipeline_spark import plans
+    from chai_data_pipeline_spark.testing import compare_query, duckdb_connect
+
+    skew_dir = str(tmp_path_factory.mktemp("skew_sf"))
+    tbl = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    d = tbl.to_pydict()
+    n = len(d["user_id"])
+    d["user_id"] = [
+        0 if i % 5 in (0, 1) else u for i, u in enumerate(d["user_id"])
+    ]
+    pq.write_table(pa.table(d), os.path.join(skew_dir, "events.parquet"))
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings",
+    ]:
+        os.symlink(
+            os.path.join(sf_dir, f"{t}.parquet"),
+            os.path.join(skew_dir, f"{t}.parquet"),
+        )
+
+    con = duckdb_connect(skew_dir)
+    try:
+        for name in [
+            "salted_event_counts",
+            "sessionization",
+            "interval_coalesce_user_activity",
+            "inventory_running_balance",
+            "key_frequency_histogram",
+        ]:
+            res = compare_query(
+                spark, con, name, plans.QUERIES[name],
+                plans.ORACLES[name], skew_dir,
+            )
+            assert res.ok, f"{name}: {res.detail}"
+    finally:
+        con.close()
+
+
+def test_bloom_flags_stable_across_partitionings(spark, sf_dir, tmp_path):
+    """decontaminate_bloom's output — false positives included — must
+    be a pure function of content, not of layout: a repartitioned
+    corpus yields the identical flag set."""
+    import os
+
+    from chai_data_pipeline_spark import plans
+
+    base = {
+        (r.doc_id, r.in_benchmark)
+        for r in plans.QUERIES["decontaminate_bloom"](
+            spark, sf_dir
+        ).collect()
+    }
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs.repartition(17).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    shuffled = {
+        (r.doc_id, r.in_benchmark)
+        for r in plans.QUERIES["decontaminate_bloom"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert base == shuffled
