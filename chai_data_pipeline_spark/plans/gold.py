@@ -273,3 +273,57 @@ def incremental_daily_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         dround(F.col("qsum").cast("double")).alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental maintenance of a DISTINCT-based aggregate. Counts and
+# decimal sums merge associatively (incremental_daily_refresh); a
+# "daily NEW users" matview does not — a user is new only on their
+# globally-first day, which a delta cannot know alone. The maintained
+# state that makes it incremental is the per-user first-seen day
+# (user-cardinality, the minimal sufficient state): merging base and
+# delta states is LEAST(first_day), and the view re-derives from the
+# merged state. The driver oracle is the FULL recompute, so the hash
+# match proves the maintenance identity end to end.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "incremental_new_users_refresh",
+    oracle="""
+WITH firsts AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d
+    FROM events GROUP BY 1
+)
+SELECT first_d AS d, COUNT(*) AS new_users
+FROM firsts
+GROUP BY 1
+""",
+)
+def incremental_new_users_refresh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.min(F.col("ts").cast("date")).alias("first_d")
+        )
+
+    base = state(
+        events.filter(
+            (F.col("ts") < F.lit(_REFRESH_CUTOFF)) | F.col("ts").isNull()
+        )
+    )
+    delta = state(events.filter(F.col("ts") >= F.lit(_REFRESH_CUTOFF)))
+    b = base.withColumnRenamed("first_d", "b_d")
+    d = delta.withColumnRenamed("first_d", "d_d")
+    merged = b.join(d, "user_id", "full").select(
+        "user_id",
+        F.least(
+            F.coalesce("b_d", "d_d"), F.coalesce("d_d", "b_d")
+        ).alias("first_d"),
+    )
+    return merged.groupBy(F.col("first_d").alias("d")).agg(
+        F.count("*").alias("new_users")
+    )
