@@ -1129,3 +1129,97 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probed.groupBy("doc_id", "content_hash").agg(
         (F.count_if("bit_set") == _BLOOM_K).alias("in_benchmark")
     )
+
+
+# --------------------------------------------------------------------------
+# PPS (probability-proportional-to-size) systematic sampling — pick
+# ~k docs with inclusion probability proportional to byte weight,
+# DETERMINISTICALLY: lay all weights on a line in doc_id order and
+# take every (total/k)-th point. A doc is selected iff its weight
+# interval contains a stride multiple, which is pure integer
+# arithmetic once cumulative weights exist.
+#
+# The cumulative sum itself is the interesting part at 100 TB: a
+# naive window cumsum is ONE task holding the corpus. This plan does
+# the classic TWO-PHASE distributed prefix sum instead — per-bucket
+# (doc_id-range) cumsums run partition-parallel, bucket totals reduce
+# to a bucket-cardinality running offset, and the final cum is a
+# broadcast-join add. The DuckDB oracle uses the naive single window
+# (fine single-node), so the hash match also proves the two-phase
+# decomposition correct.
+# --------------------------------------------------------------------------
+
+_PPS_K = 50
+_PPS_BUCKET = 256
+
+
+@query(
+    "pps_systematic_sample",
+    oracle=f"""
+WITH cum AS (
+    SELECT doc_id, lang, n_chars,
+           SUM(n_chars) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS c
+    FROM documents
+),
+tot AS (
+    SELECT CAST(SUM(n_chars) AS BIGINT) AS t FROM documents
+)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+       CAST(c AS BIGINT) AS cum_weight
+FROM cum CROSS JOIN tot
+WHERE (t // {_PPS_K}) > 0
+  AND (c - 1) // (t // {_PPS_K})
+      <> (c - n_chars - 1) // (t // {_PPS_K})
+""",
+)
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"].select(
+        "doc_id", "lang", "n_chars"
+    )
+    bucket = F.expr(f"doc_id DIV {_PPS_BUCKET}")
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    in_bucket = docs.withColumn("bucket", bucket).withColumn(
+        "c_local", F.sum("n_chars").over(wb)
+    )
+    totals = in_bucket.groupBy("bucket").agg(
+        F.sum("n_chars").alias("b_total")
+    )
+    wo = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("b_total").over(wo), F.lit(0)).alias("offset"),
+    )
+    cum = in_bucket.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("offset") + F.col("c_local")).alias("c"),
+    )
+    tot = docs.agg(F.sum("n_chars").cast("bigint").alias("t"))
+    step = F.expr(f"t DIV {_PPS_K}")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(step > 0)
+        .filter(
+            F.expr(
+                f"(c - 1) DIV (t DIV {_PPS_K})"
+                f" <> (c - n_chars - 1) DIV (t DIV {_PPS_K})"
+            )
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.col("c").cast("bigint").alias("cum_weight"),
+        )
+    )
