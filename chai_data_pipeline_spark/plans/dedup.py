@@ -904,3 +904,75 @@ def dedup_survivor_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
         ).alias("dropped_avg_chars"),
     )
+
+
+from .registry import ORACLES as ORACLES_REF  # noqa: E402
+
+
+# --------------------------------------------------------------------------
+# LSH recall audit — quantifies the approximate path against exact
+# truth, fully hash-checked: reference pairs come from the blocked
+# exact-Jaccard rule (dedup_ngram_jaccard) and candidates from the
+# md5-deterministic MinHash-LSH (dedup_minhash_lsh_checked); both are
+# already-registered constructions, composed here as CTEs. Reports
+# recall of the LSH path over the blocked truth AND the pairs LSH
+# finds that blocking missed (LSH buckets cross (lang, len) blocks).
+# This is the measurement that justifies "swap blocked-exact for LSH
+# at 100 TB" with a number instead of an assertion.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lsh_recall_audit",
+    oracle=f"""
+WITH truth AS ({ORACLES_REF['dedup_ngram_jaccard']}),
+lsh AS ({ORACLES_REF['dedup_minhash_lsh_checked']}),
+j AS (
+    SELECT COALESCE(t.id_a, l.id_a) AS id_a,
+           COALESCE(t.id_b, l.id_b) AS id_b,
+           t.id_a IS NOT NULL AS in_truth,
+           l.id_a IS NOT NULL AS in_lsh
+    FROM truth t FULL OUTER JOIN lsh l
+      ON t.id_a = l.id_a AND t.id_b = l.id_b
+)
+SELECT COUNT(*) FILTER (WHERE in_truth) AS n_truth_pairs,
+       COUNT(*) FILTER (WHERE in_lsh) AS n_lsh_pairs,
+       COUNT(*) FILTER (WHERE in_truth AND in_lsh) AS n_common,
+       COUNT(*) FILTER (WHERE in_lsh AND NOT in_truth) AS n_lsh_only,
+       {sql_dround('COALESCE(COUNT(*) FILTER (WHERE in_truth AND in_lsh)'
+                   ' * 1.0 / NULLIF(COUNT(*) FILTER (WHERE in_truth), 0),'
+                   ' 1.0)', 6)} AS recall
+FROM j
+""",
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpretation (sf0.01 readout): the 4-band×4-row checked LSH
+    recalls ~50% of blocked-truth pairs at the 0.5-Jaccard threshold
+    (the s-curve P = 1-(1-s⁴)⁴ is ~0.5 there by construction) while
+    surfacing ~10× MORE verified pairs the blocking dropped
+    (oversized blocks, cross-block pairs) — i.e., BOTH methods are
+    partial, in measurable, complementary ways. More bands push
+    recall up at candidate-volume cost; the production xxhash64 path
+    runs 8×4. This query is where that trade-off gets a number."""
+    truth = dedup_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    lsh = dedup_minhash_lsh_checked(spark, sf_dir).select("id_a", "id_b")
+    t = truth.withColumn("in_truth", F.lit(True))
+    l2 = lsh.withColumn("in_lsh", F.lit(True))
+    j = t.join(l2, ["id_a", "id_b"], "full").select(
+        F.coalesce("in_truth", F.lit(False)).alias("in_truth"),
+        F.coalesce("in_lsh", F.lit(False)).alias("in_lsh"),
+    )
+    n_truth = F.count_if("in_truth")
+    n_common = F.count_if(F.col("in_truth") & F.col("in_lsh"))
+    return j.agg(
+        n_truth.alias("n_truth_pairs"),
+        F.count_if("in_lsh").alias("n_lsh_pairs"),
+        n_common.alias("n_common"),
+        F.count_if(F.col("in_lsh") & ~F.col("in_truth")).alias(
+            "n_lsh_only"
+        ),
+        F.coalesce(
+            dround(n_common * 1.0 / F.nullif(n_truth, F.lit(0)), 6),
+            F.lit(1.0),
+        ).alias("recall"),
+    )
