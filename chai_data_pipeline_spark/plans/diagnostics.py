@@ -473,3 +473,84 @@ def ks_statistic_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# Watermark drop audit: for candidate watermark delays, how many
+# events would streaming state eviction actually DROP? An event is
+# dropped when it arrives more than `delay` behind the max event time
+# already seen on its key (per-user arrival order = event_id, as in
+# out_of_order_profile). out_of_order_profile sizes the worst case;
+# this query prices each candidate delay in lost events — the
+# lateness CDF the withWatermark decision should be read off of.
+# --------------------------------------------------------------------------
+
+_WM_DELAYS_S = (1, 30, 60, 300)
+
+
+@query(
+    "watermark_drop_audit",
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, ts, event_id,
+           MAX(ts) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS seen_max
+    FROM events
+),
+late AS (
+    SELECT CASE WHEN seen_max IS NULL OR ts >= seen_max THEN 0
+                ELSE date_diff('microsecond', ts, seen_max) END AS late_us
+    FROM seq
+)
+SELECT d.delay_s,
+       COUNT(*) AS n_events,
+       COUNT(*) FILTER (
+           WHERE late_us > CAST(d.delay_s AS BIGINT) * 1000000
+       ) AS n_dropped,
+       {sql_dround('COUNT(*) FILTER (WHERE late_us >'
+                   ' CAST(d.delay_s AS BIGINT) * 1000000)'
+                   ' * 1.0 / COUNT(*)', 6)} AS drop_rate
+FROM late
+CROSS JOIN (SELECT unnest(ARRAY{list(_WM_DELAYS_S)}) AS delay_s) d
+GROUP BY 1
+""",
+)
+def watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events lost per candidate watermark delay (per-user lateness).
+
+    One user-partitioned running-max window; the delay axis is a
+    4-row broadcast cross join, so the output is delay-cardinality.
+    Read with out_of_order_profile: that query gives the worst
+    backwards jump, this one the full cost curve.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = events.select(
+        "ts", F.max("ts").over(w).alias("seen_max")
+    )
+    late_us = F.when(
+        F.col("seen_max").isNull() | (F.col("ts") >= F.col("seen_max")),
+        F.lit(0).cast("bigint"),
+    ).otherwise(F.expr("timestampdiff(MICROSECOND, ts, seen_max)"))
+    late = seq.select(late_us.alias("late_us"))
+    delays = F.broadcast(
+        late.sparkSession.createDataFrame(
+            [(d,) for d in _WM_DELAYS_S], "delay_s int"
+        )
+    )
+    dropped = F.count_if(
+        F.col("late_us") > F.col("delay_s").cast("bigint") * 1_000_000
+    )
+    return late.crossJoin(delays).groupBy("delay_s").agg(
+        F.count("*").alias("n_events"),
+        dropped.alias("n_dropped"),
+        dround(dropped * 1.0 / F.count("*"), 6).alias("drop_rate"),
+    )
