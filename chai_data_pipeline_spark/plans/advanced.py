@@ -739,3 +739,136 @@ def inventory_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("final_balance_cents"),
         F.count_if(clamped).alias("n_clamps"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hash-checked HyperLogLog. The native approx_count_distinct sketch is
+# engine-internal (rows-only check); this twin derives the SAME
+# algorithm from sha256 so both engines build bit-identical registers:
+# bucket = first 8 hash bits (m=256), rank = leading-zero count of the
+# next 56 bits + 1. The harmonic-mean denominator Σ2^(−rank) is summed
+# EXACTLY as scaled integers (2^(60−rank) is an exact BIGINT; dyadic
+# doubles would round order-dependently), so the estimate — standard
+# small-range linear-counting correction included — is one float
+# division/ln from exact integers. Completes the checked-twin set:
+# MinHash, SimHash, LSH, IVF, PQ, k-means, and now HLL.
+# --------------------------------------------------------------------------
+
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+@query(
+    "approx_distinct_hll_checked",
+    oracle=f"""
+WITH h AS (
+    SELECT substring(sha256(CAST(user_id AS VARCHAR)), 1, 2) AS bhex,
+           substring(sha256(CAST(user_id AS VARCHAR)), 3, 14) AS rest
+    FROM events
+),
+ranked AS (
+    SELECT CAST(concat('0x', bhex) AS BIGINT) AS bucket,
+           LEAST(CAST(57 AS BIGINT),
+           4 * length(regexp_extract(rest, '^0*'))
+           + CASE
+               WHEN length(regexp_extract(rest, '^0*')) >= 14 THEN 0
+               WHEN CAST(concat('0x',
+                    substring(rest, length(regexp_extract(rest, '^0*')) + 1,
+                              1)) AS BIGINT) >= 8 THEN 0
+               WHEN CAST(concat('0x',
+                    substring(rest, length(regexp_extract(rest, '^0*')) + 1,
+                              1)) AS BIGINT) >= 4 THEN 1
+               WHEN CAST(concat('0x',
+                    substring(rest, length(regexp_extract(rest, '^0*')) + 1,
+                              1)) AS BIGINT) >= 2 THEN 2
+               ELSE 3
+             END + 1) AS rank
+    FROM h
+),
+regs AS (
+    SELECT b.bucket, COALESCE(MAX(r.rank), 0) AS reg
+    FROM (SELECT unnest(range(0, {_HLL_M})) AS bucket) b
+    LEFT JOIN ranked r ON r.bucket = b.bucket
+    GROUP BY 1
+),
+s AS (
+    SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST(60 - reg AS INT)) AS DOUBLE)
+               / 1152921504606846976.0 AS harm,
+           COUNT(*) FILTER (WHERE reg = 0) AS v
+    FROM regs
+),
+est AS (
+    SELECT CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M} * {_HLL_M} / harm AS e_raw, v FROM s
+)
+SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact,
+       (FLOOR((CASE WHEN e_raw <= 2.5 * {_HLL_M} AND v > 0
+               THEN {_HLL_M} * ln({_HLL_M} * 1.0 / v)
+               ELSE e_raw END) * 10000 + 0.5) / 10000.0) AS hll_estimate
+FROM est
+""",
+)
+def approx_distinct_hll_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    hexh = F.sha2(F.col("user_id").cast("string"), 256)
+    h = events.select(
+        F.substring(hexh, 1, 2).alias("bhex"),
+        F.substring(hexh, 3, 14).alias("rest"),
+    )
+    zeros = F.length(F.regexp_extract("rest", "^0*", 0))
+    first = F.conv(
+        F.substring(F.col("rest"), zeros + 1, 1), 16, 10
+    ).cast("bigint")
+    extra = (
+        F.when(zeros >= 14, F.lit(0))
+        .when(first >= 8, 0)
+        .when(first >= 4, 1)
+        .when(first >= 2, 2)
+        .otherwise(3)
+    )
+    ranked = h.select(
+        F.conv(F.col("bhex"), 16, 10).cast("bigint").alias("bucket"),
+        F.least(F.lit(57).cast("bigint"), (4 * zeros + extra + 1).cast("bigint")).alias(
+            "rank"
+        ),
+    )
+    buckets = events.sparkSession.range(0, _HLL_M).select(
+        F.col("id").alias("bucket")
+    )
+    regs = (
+        buckets.join(ranked, "bucket", "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.max("rank"), F.lit(0)).alias("reg"))
+    )
+    s = regs.agg(
+        (
+            # DECIMAL(38,0) accumulator: 256 x 2^60 = 2^68 overflows
+            # int64 on the Spark side (DuckDB's SUM auto-promotes to
+            # HUGEINT); the decimal sum is exact and both engines'
+            # final cast of the same exact integer rounds identically
+            F.sum(
+                F.expr(
+                    "CAST(shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(60 - reg AS INT)) AS DECIMAL(38,0))"
+                )
+            ).cast("double")
+            / F.lit(float(1 << 60))
+        ).alias("harm"),
+        F.count_if(F.col("reg") == 0).alias("v"),
+    )
+    e_raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("harm")
+    corrected = F.when(
+        (e_raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+        F.lit(float(_HLL_M)) * F.log(_HLL_M * 1.0 / F.col("v")),
+    ).otherwise(e_raw)
+    exact = events.agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    return exact.crossJoin(
+        F.broadcast(
+            s.select(
+                (F.floor(corrected * 10000 + 0.5) / 10000.0).alias(
+                    "hll_estimate"
+                )
+            )
+        )
+    )
