@@ -554,3 +554,69 @@ def watermark_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dropped.alias("n_dropped"),
         dround(dropped * 1.0 / F.count("*"), 6).alias("drop_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit: fraud/synthetic-data detection over a money
+# column. The digit is extracted from the INTEGER cents string (never
+# via log10 of a double, whose libm rounding could flip the digit of a
+# value sitting exactly on a power of ten), so the distribution is
+# exact; the expected Benford share ln(1+1/d)/ln(10) and the chi-square
+# contribution are identical single expressions per digit row.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "benford_digit_audit",
+    oracle=f"""
+WITH d AS (
+    SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM orders
+    WHERE o_totalprice > 0
+),
+c AS (
+    SELECT digit, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS total
+    FROM d GROUP BY 1
+)
+SELECT digit, n,
+       {sql_dround('n * 1.0 / total', 6)} AS observed_share,
+       {sql_dround('ln(1.0 + 1.0 / digit) / ln(10.0)', 6)} AS benford_share,
+       {sql_dround(
+           '(n - total * (ln(1.0 + 1.0 / digit) / ln(10.0)))'
+           ' * (n - total * (ln(1.0 + 1.0 / digit) / ln(10.0)))'
+           ' / (total * (ln(1.0 + 1.0 / digit) / ln(10.0)))', 6)}
+           AS chi_square_term
+FROM c
+""",
+)
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford.
+
+    Digit-cardinality output (≤9 rows); the only full-scan stage is the
+    narrow digit projection + count, which map-combines. A money column
+    that drifts from Benford after an incremental load is the classic
+    signal of synthetic/duplicated records entering the lake.
+    """
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").cast("string"),
+        1,
+        1,
+    ).cast("bigint")
+    c = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    expected = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0))
+    dev = F.col("n") - F.col("total") * expected
+    return c.select(
+        "digit",
+        "n",
+        dround(F.col("n") * 1.0 / F.col("total"), 6).alias("observed_share"),
+        dround(expected, 6).alias("benford_share"),
+        dround(dev * dev / (F.col("total") * expected), 6).alias("chi_square_term"),
+    )
