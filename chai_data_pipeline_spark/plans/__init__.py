@@ -25,6 +25,7 @@ from . import tpch4  # noqa: F401,E402
 from . import medallion  # noqa: F401,E402
 from . import diagnostics  # noqa: F401,E402
 from . import sketches  # noqa: F401,E402
+from . import retrieval  # noqa: F401,E402
 from . import layout  # noqa: F401,E402
 from . import sinks  # noqa: F401,E402
 

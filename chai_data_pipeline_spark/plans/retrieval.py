@@ -1,0 +1,217 @@
+"""Retrieval-style corpus queries: BM25 ranking and n-gram novelty.
+
+Training-data curation needs retrieval primitives on top of the token
+stats in plans/text.py: BM25 is the standard lexical ranker used to
+mine topical subsets from a crawl (and the baseline any embedding
+retriever is judged against), and first-occurrence n-gram novelty is
+the memorization/diversity signal (how much of a document is new
+relative to everything ingested before it).
+
+Determinism: BM25 term scores are floats, and a per-doc score is a SUM
+of them — summation order across engines would differ, so each term
+score is fixed-pointed to an exact ×1e6 BIGINT first (floor(x*1e6+0.5)
+is a fixed IEEE sequence, identical on both engines); the per-doc sum
+is then exact integer arithmetic and one final division produces the
+reported double. Same ppm trick for novelty shares. This is the
+zipf_slope_by_lang pattern (text.py).
+
+Reference analog: none — the reference has no text retrieval; this
+extends the LLM-pipeline surface (SURVEY §2 north-star items).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as T
+from ..operators.text import word_ngrams, word_ngrams_sql_duckdb
+from ..session import load_tables
+from .registry import query
+
+# Fixed query-term set (pinned literals — no wall-clock/corpus-sniffing
+# dependence; the terms exist in the synthetic corpus vocabulary).
+_BM25_TERMS = ("vector", "stream", "hash")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 10
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@query(
+    "bm25_doc_retrieval",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws FROM documents
+),
+dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+stats AS (
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(ws) AS word FROM d)
+    WHERE word IN ({_TERMS_SQL})
+    GROUP BY 1, 2
+),
+dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT t.doc_id,
+           CAST(FLOOR(
+               ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (t.tf * {_BM25_K1 + 1.0})
+               / (t.tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * l.dl / s.avgdl))
+               * 1000000 + 0.5) AS BIGINT) AS sc
+    FROM tf t
+    JOIN dfreq f USING (word)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+)
+SELECT doc_id,
+       COUNT(*) AS matched_terms,
+       CAST(CAST(SUM(sc) AS BIGINT) AS DOUBLE) / 1000000.0 AS bm25_score
+FROM scored
+GROUP BY 1
+ORDER BY SUM(sc) DESC, doc_id
+LIMIT {_BM25_TOPK}
+""",
+)
+def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k documents for a pinned query-term set.
+
+    Scale: the full-scan stages are the word explode filtered to the
+    query terms (the filter collapses the posting stream to
+    |terms|-bounded fan-in) and the integer doc-length projection. The
+    per-term df table and the (n_docs, avgdl) scalar are broadcast;
+    the finisher is TakeOrdered over docs that matched ≥1 term — never
+    a full corpus sort. At 100 TB the tf table IS the inverted-index
+    posting list for the query, built on demand.
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d = docs.select("doc_id", T.words("text").alias("ws"))
+    dl = d.select("doc_id", F.size("ws").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("word"))
+        .filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    sc = F.floor(
+        idf
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    return (
+        scored.select("doc_id", sc.alias("sc"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("matched_terms"),
+            F.sum("sc").alias("sc_sum"),
+        )
+        .orderBy(F.desc("sc_sum"), "doc_id")
+        .limit(_BM25_TOPK)
+        .select(
+            "doc_id",
+            "matched_terms",
+            (F.col("sc_sum").cast("double") / 1000000.0).alias("bm25_score"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# First-occurrence n-gram novelty: which sources are still contributing
+# new text vs recombining what earlier docs already said. doc_id is the
+# pinned ingestion order; a gram is "novel" in the single doc where it
+# first appears.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ngram_novelty_by_source",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, source,
+           list_distinct({word_ngrams_sql_duckdb('text', 3)}) AS grams
+    FROM documents
+),
+g AS (SELECT doc_id, source, unnest(grams) AS gram FROM d),
+first AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+per_doc AS (
+    SELECT g.doc_id, g.source,
+           COUNT(*) AS n_g,
+           COUNT(*) FILTER (WHERE f.first_doc = g.doc_id) AS n_novel
+    FROM g JOIN first f USING (gram)
+    GROUP BY 1, 2
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_g) AS BIGINT) AS total_grams,
+       CAST(SUM(n_novel) AS BIGINT) AS novel_grams,
+       CAST(CAST(SUM(CAST(FLOOR(n_novel * 1000000.0 / n_g + 0.5) AS BIGINT))
+            AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_novelty_ppm
+FROM per_doc
+GROUP BY 1
+""",
+)
+def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source share of 3-grams first introduced by each document.
+
+    Scale: the gram table is the same inverted index decontamination
+    builds (plans/training.py) — shuffle keyed on the gram hash, never
+    an all-pairs comparison; the first-occurrence table is one MIN per
+    gram (map-side combinable) and joins back on the same key, so the
+    whole plan is two co-partitioned shuffles on `gram`. Docs with
+    fewer than 3 words contribute no grams and drop out (documented
+    semantics, mirrored in the oracle).
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # project the split ONCE in a separate select; word_ngrams references
+    # its input repeatedly (see operators/text.py)
+    d = (
+        docs.select("doc_id", "source", T.words("text").alias("ws"))
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(word_ngrams("ws", 3, presplit=True)).alias("grams"),
+        )
+        .withColumn("gram", F.explode("grams"))
+        .drop("grams")
+    )
+    first = d.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        d.join(first, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_g"),
+            F.count_if(F.col("first_doc") == F.col("doc_id")).alias("n_novel"),
+        )
+    )
+    ppm = F.floor(F.col("n_novel") * 1000000.0 / F.col("n_g") + 0.5).cast("bigint")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_g").alias("total_grams"),
+        F.sum("n_novel").alias("novel_grams"),
+        (F.sum(ppm).cast("double") / F.count("*")).alias("avg_novelty_ppm"),
+    )
