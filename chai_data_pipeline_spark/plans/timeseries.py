@@ -2171,3 +2171,116 @@ def session_path_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_sessions") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# EWMA control chart over the gap-filled daily series. The smoother is
+# the PRIOR-8-day exponentially-weighted mean with alpha = 1/2, computed
+# in exact dyadic arithmetic: weights 2^(8-k) are integers, so both the
+# numerator and the (start-of-series-aware) denominator are exact
+# integer window sums and the EWMA itself is ONE float division —
+# no iterative float state, no summation-order sensitivity. A day is a
+# spike when its count exceeds twice the prior-window EWMA.
+# --------------------------------------------------------------------------
+
+_EWMA_LAGS = 8
+
+
+def _ewma_sql_terms() -> tuple[str, str]:
+    num = " + ".join(
+        f"COALESCE(LAG(n, {k}) OVER w, 0) * {1 << (_EWMA_LAGS - k)}"
+        for k in range(1, _EWMA_LAGS + 1)
+    )
+    den = " + ".join(
+        f"(CASE WHEN LAG(n, {k}) OVER w IS NULL THEN 0"
+        f" ELSE {1 << (_EWMA_LAGS - k)} END)"
+        for k in range(1, _EWMA_LAGS + 1)
+    )
+    return num, den
+
+
+_EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_sql_terms()
+
+
+@query(
+    "ewma_spike_days",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM daily),
+spine AS (
+    SELECT t.event_type, CAST(g.day AS DATE) AS d
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN (
+        SELECT unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS day
+        FROM bounds b
+    ) g
+),
+filled AS (
+    SELECT s.event_type, s.d, COALESCE(dy.n, 0) AS n
+    FROM spine s LEFT JOIN daily dy ON dy.event_type = s.event_type AND dy.d = s.d
+),
+sm AS (
+    SELECT event_type, d, n,
+           {_EWMA_NUM_SQL} AS num,
+           {_EWMA_DEN_SQL} AS den
+    FROM filled
+    WINDOW w AS (PARTITION BY event_type ORDER BY d)
+)
+SELECT event_type, d, n,
+       CASE WHEN den > 0 THEN
+           {sql_dround('CAST(num AS DOUBLE) / den', 6)} END AS ewma_prior,
+       CASE WHEN den > 0 THEN
+           n > 2.0 * (CAST(num AS DOUBLE) / den) END AS is_spike
+FROM sm
+""",
+)
+def ewma_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha=1/2, prior 8 days) spike detection per event type.
+
+    Scale: one bounded shuffle to the (type, day) grain, a broadcast
+    day-spine fill, and a per-type ordered window whose partitions are
+    day-cardinality — identical shape to gap_fill_daily. The exact
+    dyadic weighting means a 1000-executor run reproduces these ewma
+    values bit-for-bit regardless of partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    bounds = daily.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("dmin", "dmax")).alias("d"),
+        )
+    )
+    filled = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    num = None
+    den = None
+    for k in range(1, _EWMA_LAGS + 1):
+        wt = 1 << (_EWMA_LAGS - k)
+        lagk = F.lag("n", k).over(w)
+        num_t = F.coalesce(lagk, F.lit(0)) * wt
+        den_t = F.when(lagk.isNull(), 0).otherwise(wt)
+        num = num_t if num is None else num + num_t
+        den = den_t if den is None else den + den_t
+    sm = filled.select("event_type", "d", "n", num.alias("num"), den.alias("den"))
+    ewma = F.col("num").cast("double") / F.col("den")
+    return sm.select(
+        "event_type",
+        "d",
+        "n",
+        F.when(F.col("den") > 0, dround(ewma, 6)).alias("ewma_prior"),
+        F.when(F.col("den") > 0, F.col("n") > 2.0 * ewma).alias("is_spike"),
+    )

@@ -1223,3 +1223,68 @@ def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").cast("bigint").alias("cum_weight"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+# each doc draws u from its sha256 (an exact 52-bit dyadic fraction)
+# and gets priority key u^(1/weight); the global top-k by key IS a
+# weight-proportional sample without replacement. Fully deterministic
+# and reshard-stable: the key depends only on the row, and selection is
+# a TakeOrdered — the distributed form of reservoir sampling (no
+# sequential reservoir state, which cannot scale out).
+# --------------------------------------------------------------------------
+
+_RSV_K = 20
+_RSV_DENOM = 4503599627370496.0  # 2^52
+
+
+@query(
+    "weighted_sample_priority",
+    oracle=f"""
+WITH k AS (
+    SELECT doc_id, n_chars,
+           pow(CAST(concat('0x', substring(
+                   sha256('rsv' || CAST(doc_id AS VARCHAR)), 1, 13))
+                   AS BIGINT) / {_RSV_DENOM},
+               1.0 / n_chars) AS key
+    FROM documents
+    WHERE n_chars > 0
+)
+SELECT doc_id, n_chars, {sql_dround('key', 6)} AS sample_key
+FROM k ORDER BY key DESC, doc_id LIMIT {_RSV_K}
+""",
+)
+def weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted k-sample without replacement via A-ES priorities.
+
+    Scale: a narrow map-only key projection + TakeOrdered(k) — each
+    partition keeps its local top-k and the driver merges k-sized
+    heaps; nothing resembling a global sort or a sequential reservoir.
+    The same construction with per-stratum windows gives weighted
+    stratified sampling (cf. pps_systematic_sample for the
+    fixed-interval PPS form).
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("rsv"), F.col("doc_id").cast("string")), 256),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(_RSV_DENOM)
+    )
+    k = docs.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "n_chars",
+        F.pow(u, F.lit(1.0) / F.col("n_chars")).alias("key"),
+    )
+    return (
+        k.orderBy(F.desc("key"), "doc_id")
+        .limit(_RSV_K)
+        .select("doc_id", "n_chars", dround("key", 6).alias("sample_key"))
+    )
