@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import dround, epoch_seconds, sql_dround
+from ..functions import dround, dsum, epoch_seconds, sql_dround, sql_dsum
 from ..session import load_tables
 from .registry import query
 
@@ -330,4 +330,63 @@ def regex_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_num_int"
         ),
         F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema-evolution-tolerant union: the ingestion pattern where an old
+# extract lacks columns a newer extract has. unionByName with
+# allowMissingColumns fills the gaps with NULLs (position-independent —
+# a positional UNION would silently misalign); the profile then
+# separates genuinely-missing values from schema-missing ones. DuckDB's
+# UNION ALL BY NAME is the oracle-side equivalent.
+# --------------------------------------------------------------------------
+
+_SCHEMA_ERA_CUTOFF = "2024-02-01 00:00:00"
+
+
+@query(
+    "schema_evolution_union",
+    oracle=f"""
+WITH old_era AS (
+    SELECT event_id, ts, user_id, event_type
+    FROM events WHERE ts < TIMESTAMP '{_SCHEMA_ERA_CUTOFF}'
+),
+new_era AS (
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events WHERE ts >= TIMESTAMP '{_SCHEMA_ERA_CUTOFF}'
+),
+unioned AS (
+    SELECT * FROM old_era UNION ALL BY NAME SELECT * FROM new_era
+)
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE value IS NULL) AS n_schema_missing,
+       {sql_dround(sql_dsum('value'))} AS total_value_new_era
+FROM unioned
+GROUP BY 1
+""",
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union two schema eras by NAME, profiling the filled-in columns.
+
+    Scale: both eras are partition-prunable slices of one scan (the
+    cutoff predicate pushes down); unionByName is a zero-shuffle plan
+    node; the profile is one map-combined aggregation. This is the
+    P3/P4 schema-tolerance surface (medallion/silver.py) as a
+    driver-checkable query.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    cutoff = F.lit(_SCHEMA_ERA_CUTOFF).cast("timestamp_ntz")
+    old_era = events.filter(F.col("ts") < cutoff).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    new_era = events.filter(F.col("ts") >= cutoff).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    unioned = old_era.unionByName(new_era, allowMissingColumns=True)
+    return unioned.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count_if(F.col("value").isNull()).alias("n_schema_missing"),
+        dround(dsum("value")).alias("total_value_new_era"),
     )

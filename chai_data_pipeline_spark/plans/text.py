@@ -971,3 +971,105 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_per_char"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram LM perplexity (the CCNet-style quality filter): score each
+# document by the perplexity of a unigram language model fit on the
+# corpus itself, then profile per language. Per-word log-probs are
+# quantized to ×1e6 integers ONCE (vocab-cardinality work), so each
+# document's surprisal is an exact integer dot product of its term
+# counts with the quantized log-probs — order-independent — and the
+# perplexity is a single identical exp per doc.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "unigram_lm_perplexity",
+    oracle="""
+WITH w AS (
+    SELECT doc_id, lang, unnest(string_split_regex(TRIM(text), '\\s+')) AS word
+    FROM documents
+),
+vocab AS (
+    SELECT word, COUNT(*) AS cnt, SUM(COUNT(*)) OVER () AS total
+    FROM w GROUP BY 1
+),
+lq AS (
+    SELECT word,
+           CAST(FLOOR(ln(cnt * 1.0 / total) * 1000000 + 0.5) AS BIGINT) AS lq
+    FROM vocab
+),
+dw AS (SELECT doc_id, lang, word, COUNT(*) AS c FROM w GROUP BY 1, 2, 3),
+surprisal AS (
+    SELECT d.doc_id, d.lang,
+           CAST(SUM(d.c) AS BIGINT) AS n_words,
+           CAST(SUM(d.c * l.lq) AS BIGINT) AS s_micro
+    FROM dw d JOIN lq l USING (word)
+    GROUP BY 1, 2
+),
+ppl AS (
+    SELECT doc_id, lang,
+           CAST(FLOOR(exp(-(CAST(s_micro AS DOUBLE) / 1000000.0) / n_words)
+                * 10000 + 0.5) AS BIGINT) AS pq
+    FROM surprisal
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(pq) AS BIGINT) * 1.0 / COUNT(*) / 10000.0 AS avg_perplexity,
+       MIN(pq) / 10000.0 AS min_perplexity,
+       MAX(pq) / 10000.0 AS max_perplexity
+FROM ppl GROUP BY 1
+""",
+)
+def unigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language perplexity profile under a corpus-fit unigram LM.
+
+    Scale: two gram-keyed shuffles (vocab count, per-doc term counts)
+    — the same inverted-index shape as tfidf_top_terms; the quantized
+    log-prob table is vocab-sized and broadcast into the dot product.
+    Perplexity filtering is THE standard LLM curation step; the
+    per-doc score here is exactly reproducible across engines and
+    partitionings because every cross-row sum is integer.
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    w = docs.select(
+        "doc_id", "lang", F.explode(T.words("text")).alias("word")
+    )
+    vocab = w.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lq = vocab.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.floor(
+            F.log(F.col("cnt") * 1.0 / F.col("total")) * 1000000 + 0.5
+        )
+        .cast("bigint")
+        .alias("lq"),
+    )
+    dw = w.groupBy("doc_id", "lang", "word").agg(F.count("*").alias("c"))
+    surprisal = (
+        dw.join(F.broadcast(lq), "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("lq")).alias("s_micro"),
+        )
+    )
+    pq = F.floor(
+        F.exp(
+            -(F.col("s_micro").cast("double") / 1000000.0) / F.col("n_words")
+        )
+        * 10000
+        + 0.5
+    ).cast("bigint")
+    return (
+        surprisal.select("lang", pq.alias("pq"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("pq") * 1.0 / F.count("*") / 10000.0).alias(
+                "avg_perplexity"
+            ),
+            (F.min("pq") / 10000.0).alias("min_perplexity"),
+            (F.max("pq") / 10000.0).alias("max_perplexity"),
+        )
+    )

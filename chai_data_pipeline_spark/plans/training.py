@@ -1288,3 +1288,85 @@ def weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RSV_K)
         .select("doc_id", "n_chars", dround("key", 6).alias("sample_key"))
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter quality audit: measured false-positive rate of the
+# decontaminate_bloom construction vs the analytic (1 - e^{-kn/m})^k
+# prediction. Composes the already-registered bloom oracle as a CTE
+# (lsh_recall_audit pattern) and the exact hash-set membership as
+# ground truth, so the audit itself is fully value-hash-checked.
+# --------------------------------------------------------------------------
+
+from .registry import ORACLES as _ORACLES_REF  # noqa: E402
+from .registry import QUERIES  # noqa: E402
+
+
+@query(
+    "bloom_fpp_audit",
+    oracle=f"""
+WITH flags AS ({_ORACLES_REF['decontaminate_bloom']}),
+bench AS (
+    SELECT DISTINCT sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+               AS content_hash
+    FROM documents WHERE source = 'src0'
+),
+probes AS (
+    SELECT f.doc_id, f.in_benchmark,
+           (b.content_hash IS NOT NULL) AS is_member
+    FROM flags f LEFT JOIN bench b USING (content_hash)
+)
+SELECT (SELECT COUNT(*) FROM bench) AS n_bench,
+       COUNT(*) FILTER (WHERE NOT is_member) AS n_nonmembers,
+       COUNT(*) FILTER (WHERE in_benchmark AND NOT is_member) AS n_false_pos,
+       {sql_dround(
+           "COUNT(*) FILTER (WHERE in_benchmark AND NOT is_member) * 1.0"
+           " / COUNT(*) FILTER (WHERE NOT is_member)", 8)} AS measured_fpr,
+       {sql_dround(
+           f"pow(1.0 - exp(-({_BLOOM_K} * 1.0 * (SELECT COUNT(*) FROM bench))"
+           f" / {_BLOOM_M}), {_BLOOM_K})", 8)} AS theoretical_fpr
+FROM probes
+""",
+)
+def bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured vs analytic false-positive rate of the bloom filter.
+
+    Scale: reuses decontaminate_bloom's broadcast-bitmap probe (the
+    candidate side stays map-only) plus ONE exact-membership hash join
+    for ground truth — the truth join exists only to audit; production
+    keeps the bloom fast path. The output is a single calibration row:
+    if measured_fpr drifts above theoretical, the bitmap is undersized
+    for the benchmark's growth (raise m before trusting the decon).
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    flags = QUERIES["decontaminate_bloom"](spark, sf_dir)
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    bench = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.sha2(norm, 256).alias("content_hash"))
+        .distinct()
+    )
+    n_bench = bench.count()  # scalar model state (one count job)
+    probes = flags.join(
+        F.broadcast(bench.withColumn("is_member", F.lit(True))),
+        "content_hash",
+        "left",
+    ).select(
+        "doc_id",
+        "in_benchmark",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+    )
+    n_fp = F.count_if(F.col("in_benchmark") & ~F.col("is_member"))
+    n_non = F.count_if(~F.col("is_member"))
+    theo = F.pow(
+        F.lit(1.0)
+        - F.exp(-(F.lit(_BLOOM_K) * 1.0 * F.lit(n_bench)) / F.lit(_BLOOM_M)),
+        F.lit(_BLOOM_K),
+    )
+    return probes.agg(
+        F.lit(n_bench).cast("bigint").alias("n_bench"),
+        n_non.alias("n_nonmembers"),
+        n_fp.alias("n_false_pos"),
+        dround(n_fp * 1.0 / n_non, 8).alias("measured_fpr"),
+        dround(theo, 8).alias("theoretical_fpr"),
+    )
