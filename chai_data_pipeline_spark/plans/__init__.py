@@ -28,6 +28,7 @@ from . import sketches  # noqa: F401,E402
 from . import retrieval  # noqa: F401,E402
 from . import graph_analytics  # noqa: F401,E402
 from . import spatial  # noqa: F401,E402
+from . import pca  # noqa: F401,E402
 from . import layout  # noqa: F401,E402
 from . import sinks  # noqa: F401,E402
 
