@@ -140,3 +140,206 @@ def cms_heavy_hitters_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") - F.col("n_exact")).alias("overestimate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HLL set algebra: the property that makes HyperLogLog THE distributed
+# distinct-counter is that registers MERGE (bucket-wise max) — union
+# cardinality needs no re-scan, and intersections fall out of
+# inclusion-exclusion. Reuses the approx_distinct_hll_checked register
+# construction (plans/advanced.py) per segment, so the merged estimates
+# are value-hash-checked end to end, alongside the exact answers.
+# --------------------------------------------------------------------------
+
+from pyspark.sql.window import Window  # noqa: E402
+
+from .advanced import _HLL_ALPHA, _HLL_M  # noqa: E402
+
+_SEG_A = "view"
+_SEG_B = "click"
+
+
+def _sql_regs(tag: str, pred: str) -> str:
+    return f"""
+h_{tag} AS (
+    SELECT substring(sha256(CAST(user_id AS VARCHAR)), 1, 2) AS bhex,
+           substring(sha256(CAST(user_id AS VARCHAR)), 3, 14) AS rest
+    FROM events WHERE {pred}
+),
+ranked_{tag} AS (
+    SELECT CAST(concat('0x', bhex) AS BIGINT) AS bucket,
+           LEAST(CAST(57 AS BIGINT),
+           4 * length(regexp_extract(rest, '^0*'))
+           + CASE
+               WHEN length(regexp_extract(rest, '^0*')) >= 14 THEN 0
+               WHEN CAST(concat('0x',
+                    substring(rest, length(regexp_extract(rest, '^0*')) + 1,
+                              1)) AS BIGINT) >= 8 THEN 0
+               WHEN CAST(concat('0x',
+                    substring(rest, length(regexp_extract(rest, '^0*')) + 1,
+                              1)) AS BIGINT) >= 4 THEN 1
+               WHEN CAST(concat('0x',
+                    substring(rest, length(regexp_extract(rest, '^0*')) + 1,
+                              1)) AS BIGINT) >= 2 THEN 2
+               ELSE 3
+             END + 1) AS rank
+    FROM h_{tag}
+),
+regs_{tag} AS (
+    SELECT b.bucket, COALESCE(MAX(r.rank), 0) AS reg
+    FROM (SELECT unnest(range(0, {_HLL_M})) AS bucket) b
+    LEFT JOIN ranked_{tag} r ON r.bucket = b.bucket
+    GROUP BY 1
+)"""
+
+
+def _sql_est(tag: str, regs: str) -> str:
+    return f"""
+s_{tag} AS (
+    SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST(60 - reg AS INT)) AS DOUBLE)
+               / 1152921504606846976.0 AS harm,
+           COUNT(*) FILTER (WHERE reg = 0) AS v
+    FROM {regs}
+),
+e_{tag} AS (
+    SELECT CASE WHEN (CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M} * {_HLL_M} / harm)
+                     <= 2.5 * {_HLL_M} AND v > 0
+                THEN {_HLL_M} * ln({_HLL_M} * 1.0 / v)
+                ELSE CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M} * {_HLL_M} / harm END AS e
+    FROM s_{tag}
+)"""
+
+
+@query(
+    "hll_set_algebra_checked",
+    oracle=f"""
+WITH {_sql_regs('a', f"event_type = '{_SEG_A}'").lstrip()},
+{_sql_regs('b', f"event_type = '{_SEG_B}'").lstrip()},
+regs_u AS (
+    SELECT a.bucket, GREATEST(a.reg, b.reg) AS reg
+    FROM regs_a a JOIN regs_b b USING (bucket)
+),
+{_sql_est('a', 'regs_a').lstrip()},
+{_sql_est('b', 'regs_b').lstrip()},
+{_sql_est('u', 'regs_u').lstrip()},
+x AS (
+    SELECT COUNT(DISTINCT user_id) FILTER (WHERE event_type = '{_SEG_A}') AS xa,
+           COUNT(DISTINCT user_id) FILTER (WHERE event_type = '{_SEG_B}') AS xb,
+           COUNT(DISTINCT user_id) FILTER (
+               WHERE event_type IN ('{_SEG_A}', '{_SEG_B}')) AS xu
+    FROM events
+),
+wide AS (
+    SELECT ea.e AS ea, eb.e AS eb, eu.e AS eu, x.xa, x.xb, x.xu
+    FROM e_a ea CROSS JOIN e_b eb CROSS JOIN e_u eu CROSS JOIN x
+)
+SELECT '{_SEG_A}' AS set_name, (FLOOR(ea * 10000 + 0.5) / 10000.0)
+           AS hll_estimate, xa AS n_exact FROM wide
+UNION ALL
+SELECT '{_SEG_B}', (FLOOR(eb * 10000 + 0.5) / 10000.0), xb FROM wide
+UNION ALL
+SELECT 'union', (FLOOR(eu * 10000 + 0.5) / 10000.0), xu FROM wide
+UNION ALL
+SELECT 'intersection', (FLOOR((ea + eb - eu) * 10000 + 0.5) / 10000.0),
+       xa + xb - xu FROM wide
+""",
+)
+def hll_set_algebra_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HLL union/intersection estimates vs exact counts.
+
+    Scale: each segment's register build is a map-side-combinable max
+    over 256 buckets; the MERGE is a 256-row join (bucket-wise max) —
+    the whole point: union cardinality across shards/segments/days
+    composes from constant-size state with no re-scan, which is why a
+    1000-executor distinct-count pipeline ships registers, not keys.
+    Exact counts ride along purely to check the estimates.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+
+    def regs(pred) -> DataFrame:
+        hexh = F.sha2(F.col("user_id").cast("string"), 256)
+        h = events.filter(pred).select(
+            F.substring(hexh, 1, 2).alias("bhex"),
+            F.substring(hexh, 3, 14).alias("rest"),
+        )
+        zeros = F.length(F.regexp_extract("rest", "^0*", 0))
+        first = F.conv(
+            F.substring(F.col("rest"), zeros + 1, 1), 16, 10
+        ).cast("bigint")
+        extra = (
+            F.when(zeros >= 14, F.lit(0))
+            .when(first >= 8, 0)
+            .when(first >= 4, 1)
+            .when(first >= 2, 2)
+            .otherwise(3)
+        )
+        ranked = h.select(
+            F.conv(F.col("bhex"), 16, 10).cast("bigint").alias("bucket"),
+            F.least(
+                F.lit(57).cast("bigint"), (4 * zeros + extra + 1).cast("bigint")
+            ).alias("rank"),
+        )
+        buckets = spark.range(0, _HLL_M).select(F.col("id").alias("bucket"))
+        return (
+            buckets.join(ranked, "bucket", "left")
+            .groupBy("bucket")
+            .agg(F.coalesce(F.max("rank"), F.lit(0)).alias("reg"))
+        )
+
+    def est(r: DataFrame, name: str) -> DataFrame:
+        s = r.agg(
+            (
+                F.sum(
+                    F.expr(
+                        "CAST(shiftleft(CAST(1 AS BIGINT),"
+                        " CAST(60 - reg AS INT)) AS DECIMAL(38,0))"
+                    )
+                ).cast("double")
+                / F.lit(float(1 << 60))
+            ).alias("harm"),
+            F.count_if(F.col("reg") == 0).alias("v"),
+        )
+        e_raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("harm")
+        e = F.when(
+            (e_raw <= 2.5 * _HLL_M) & (F.col("v") > 0),
+            _HLL_M * F.log(_HLL_M * 1.0 / F.col("v")),
+        ).otherwise(e_raw)
+        return s.select(e.alias(name))
+
+    ra = regs(F.col("event_type") == _SEG_A)
+    rb = regs(F.col("event_type") == _SEG_B)
+    ru = (
+        ra.withColumnRenamed("reg", "ra")
+        .join(rb.withColumnRenamed("reg", "rb"), "bucket")
+        .select("bucket", F.greatest("ra", "rb").alias("reg"))
+    )
+    x = events.agg(
+        F.count_distinct(
+            F.when(F.col("event_type") == _SEG_A, F.col("user_id"))
+        ).alias("xa"),
+        F.count_distinct(
+            F.when(F.col("event_type") == _SEG_B, F.col("user_id"))
+        ).alias("xb"),
+        F.count_distinct(
+            F.when(
+                F.col("event_type").isin(_SEG_A, _SEG_B), F.col("user_id")
+            )
+        ).alias("xu"),
+    )
+    wide = (
+        est(ra, "ea")
+        .crossJoin(est(rb, "eb"))
+        .crossJoin(est(ru, "eu"))
+        .crossJoin(x)
+    )
+    return wide.select(
+        F.expr(
+            f"""stack(4,
+            '{_SEG_A}', FLOOR(ea * 10000 + 0.5) / 10000.0, xa,
+            '{_SEG_B}', FLOOR(eb * 10000 + 0.5) / 10000.0, xb,
+            'union', FLOOR(eu * 10000 + 0.5) / 10000.0, xu,
+            'intersection', FLOOR((ea + eb - eu) * 10000 + 0.5) / 10000.0,
+                xa + xb - xu
+            ) AS (set_name, hll_estimate, n_exact)"""
+        )
+    )

@@ -2284,3 +2284,99 @@ def ewma_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("den") > 0, dround(ewma, 6)).alias("ewma_prior"),
         F.when(F.col("den") > 0, F.col("n") > 2.0 * ewma).alias("is_spike"),
     )
+
+
+# --------------------------------------------------------------------------
+# Classical seasonal decomposition (STL-lite): centered 7-day moving
+# average trend, weekday-mean seasonal component over the detrended
+# series, remainder. All cross-row reductions are exact integers
+# (counts, ×1e6-quantized detrended values); each output float is one
+# division — so the decomposition is partition- and engine-stable.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "seasonal_decompose_daily",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+trended AS (
+    SELECT event_type, d, n,
+           CAST(SUM(n) OVER w AS BIGINT) * 1.0 / COUNT(*) OVER w AS trend
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+detrended AS (
+    SELECT event_type, d, n, trend,
+           CAST((d - DATE '1970-01-01') AS BIGINT) % 7 AS dow,
+           CAST(FLOOR((n - trend) * 1000000 + 0.5) AS BIGINT) AS dq
+    FROM trended
+),
+seasonal AS (
+    SELECT event_type, dow,
+           CAST(FLOOR(CAST(SUM(dq) AS BIGINT) * 1.0 / COUNT(*) + 0.5)
+                AS BIGINT) AS s_micro
+    FROM detrended GROUP BY 1, 2
+)
+SELECT t.event_type, t.d, t.n,
+       {sql_dround('t.trend', 6)} AS trend,
+       s.s_micro / 1000000.0 AS seasonal,
+       (t.dq - s.s_micro) / 1000000.0 AS remainder
+FROM detrended t JOIN seasonal s
+  ON s.event_type = t.event_type AND s.dow = t.dow
+""",
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend / weekday-seasonal / remainder split of daily event counts.
+
+    Scale: one (type, day)-grain shuffle, a per-type ordered window
+    over day-cardinality partitions, and a 7-row-per-type seasonal
+    join (broadcast). The weekday index is computed from epoch-day
+    arithmetic, not engine dayofweek conventions (DuckDB counts from
+    Sunday=0, Spark from Sunday=1).
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    trended = daily.select(
+        "event_type",
+        "d",
+        "n",
+        (F.sum("n").over(w).cast("bigint") * 1.0 / F.count("*").over(w)).alias(
+            "trend"
+        ),
+    )
+    detrended = trended.select(
+        "event_type",
+        "d",
+        "n",
+        "trend",
+        (F.datediff("d", F.lit("1970-01-01")).cast("bigint") % 7).alias("dow"),
+        F.floor((F.col("n") - F.col("trend")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("dq"),
+    )
+    seasonal = detrended.groupBy("event_type", "dow").agg(
+        F.floor(F.sum("dq") * 1.0 / F.count("*") + 0.5)
+        .cast("bigint")
+        .alias("s_micro")
+    )
+    return detrended.join(F.broadcast(seasonal), ["event_type", "dow"]).select(
+        "event_type",
+        "d",
+        "n",
+        dround("trend", 6).alias("trend"),
+        (F.col("s_micro") / 1000000.0).alias("seasonal"),
+        ((F.col("dq") - F.col("s_micro")) / 1000000.0).alias("remainder"),
+    )

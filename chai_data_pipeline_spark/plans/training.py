@@ -1370,3 +1370,72 @@ def bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(n_fp * 1.0 / n_non, 8).alias("measured_fpr"),
         dround(theo, 8).alias("theoretical_fpr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled mixture weights (the multilingual-sampling rule:
+# w_i ∝ n_i^τ, τ<1 upsamples the tail). The per-source pow is quantized
+# to ×1e6 integers before the normalizing sum, so shares are exact-int
+# ratios — no float summation across sources.
+# --------------------------------------------------------------------------
+
+_MIX_TAU = 0.7
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle=f"""
+WITH s AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(FLOOR(pow(COUNT(*), {_MIX_TAU}) * 1000000 + 0.5) AS BIGINT)
+               AS pq
+    FROM documents GROUP BY 1
+),
+t AS (
+    SELECT source, n_docs, pq,
+           CAST(SUM(n_docs) OVER () AS BIGINT) AS total_docs,
+           CAST(SUM(pq) OVER () AS BIGINT) AS total_pq
+    FROM s
+)
+SELECT source, n_docs,
+       {sql_dround('n_docs * 1.0 / total_docs', 8)} AS raw_share,
+       {sql_dround('pq * 1.0 / total_pq', 8)} AS temp_share,
+       {sql_dround('(pq * 1.0 / total_pq) / (n_docs * 1.0 / total_docs)', 6)}
+           AS boost
+FROM t
+""",
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights at temperature τ=0.7 vs raw shares.
+
+    Scale: one source-grain count (map-combined), a source-cardinality
+    window for the normalizers, and per-row identical float ops — the
+    planning step that feeds mixture_weighted_sample's actual draw.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    s = docs.groupBy("source").agg(F.count("*").alias("n_docs")).select(
+        "source",
+        "n_docs",
+        F.floor(F.pow(F.col("n_docs"), F.lit(_MIX_TAU)) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("pq"),
+    )
+    w = Window.partitionBy()
+    t = s.select(
+        "source",
+        "n_docs",
+        "pq",
+        F.sum("n_docs").over(w).cast("bigint").alias("total_docs"),
+        F.sum("pq").over(w).cast("bigint").alias("total_pq"),
+    )
+    raw = F.col("n_docs") * 1.0 / F.col("total_docs")
+    temp = F.col("pq") * 1.0 / F.col("total_pq")
+    return t.select(
+        "source",
+        "n_docs",
+        dround(raw, 8).alias("raw_share"),
+        dround(temp, 8).alias("temp_share"),
+        dround(temp / raw, 6).alias("boost"),
+    )
