@@ -2380,3 +2380,144 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s_micro") / 1000000.0).alias("seasonal"),
         ((F.col("dq") - F.col("s_micro")) / 1000000.0).alias("remainder"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap (range) join: coalesced user-activity islands ×
+# pinned campaign windows → exposure seconds per campaign. The
+# candidate predicate s < ce AND e > cs is the canonical interval
+# intersection test; overlap is measured at MICROSECOND grain and
+# divided once at the end (DuckDB's date_diff('second') counts
+# boundary crossings — CLAUDE.md pitfall).
+# --------------------------------------------------------------------------
+
+_CAMPAIGNS = [
+    ("launch", "2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+    ("retarget", "2024-01-25 00:00:00", "2024-02-05 00:00:00"),
+    ("winback", "2024-02-10 00:00:00", "2024-02-20 00:00:00"),
+]
+
+_CAMPAIGNS_SQL = ", ".join(
+    f"('{n}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for n, s, e in _CAMPAIGNS
+)
+
+
+@query(
+    "campaign_overlap_exposure",
+    oracle=f"""
+WITH iv AS (
+    SELECT user_id, ts AS s, ts + INTERVAL {_ISLAND_PAD_S} SECOND AS e,
+           event_id
+    FROM events
+),
+marked AS (
+    SELECT user_id, s, e,
+           CASE WHEN s > MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                THEN 1 ELSE 0 END AS new_island
+    FROM iv
+),
+islands AS (
+    SELECT user_id, s, e,
+           SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS island_id
+    FROM marked
+),
+spans AS (
+    SELECT user_id, island_id, MIN(s) AS s, MAX(e) AS e
+    FROM islands GROUP BY 1, 2
+),
+campaigns AS (
+    SELECT * FROM (VALUES {_CAMPAIGNS_SQL}) AS t(campaign, cs, ce)
+),
+ov AS (
+    SELECT c.campaign, sp.user_id,
+           CAST(date_diff('microsecond', GREATEST(sp.s, c.cs),
+                          LEAST(sp.e, c.ce)) AS BIGINT) AS ov_us
+    FROM spans sp JOIN campaigns c
+      ON sp.s < c.ce AND sp.e > c.cs
+)
+SELECT campaign,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(ov_us) AS BIGINT) / 1000000.0 AS total_overlap_s
+FROM ov GROUP BY 1
+""",
+)
+def campaign_overlap_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-campaign user exposure via an interval-intersection join.
+
+    Scale: islands reuse interval_coalesce_user_activity's single
+    user-shuffle construction; the range join broadcasts the
+    campaign-cardinality side (a broadcast nested-loop with the
+    interval test — with a big probe side this stays map-only). At
+    calendar scale the campaign table would be bucketed by time range
+    so each span probes only overlapping buckets.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    iv = events.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr(f"ts + INTERVAL {_ISLAND_PAD_S} SECOND").alias("e"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            (F.col("s") > F.max("e").over(w_prev))
+            | F.max("e").over(w_prev).isNull(),
+            1,
+        ).otherwise(0).alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        marked.select(
+            "user_id",
+            "s",
+            "e",
+            F.sum("new_island").over(w_run).alias("island_id"),
+        )
+        .groupBy("user_id", "island_id")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    campaigns = spark.createDataFrame(
+        _CAMPAIGNS, "campaign string, cs string, ce string"
+    ).select(
+        "campaign",
+        F.col("cs").cast("timestamp_ntz").alias("cs"),
+        F.col("ce").cast("timestamp_ntz").alias("ce"),
+    )
+    ov = spans.join(
+        F.broadcast(campaigns),
+        (F.col("s") < F.col("ce")) & (F.col("e") > F.col("cs")),
+    ).select(
+        "campaign",
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, GREATEST(s, cs), LEAST(e, ce))"
+        ).alias("ov_us"),
+    )
+    return ov.groupBy("campaign").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_intervals"),
+        (F.sum("ov_us").cast("bigint") / 1000000.0).alias("total_overlap_s"),
+    )

@@ -390,3 +390,97 @@ def test_bloom_flags_stable_across_partitionings(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert base == shuffled
+
+
+def test_pca_component_stable_across_partitionings(spark, sf_dir):
+    """The power-iteration component must be a pure function of the
+    data, not its layout: every cross-row reduction in the protocol is
+    integer, so a repartitioned copy of the embeddings yields the
+    bit-identical ×1e6 component vector."""
+    import os
+    import shutil
+    import tempfile
+
+    from chai_data_pipeline_spark import plans
+
+    q = plans.QUERIES["pca_power_iteration_checked"]
+    base = sorted(
+        (r.dim, r.component_micro) for r in q(spark, sf_dir).collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="chai_pca_")
+    try:
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        emb.repartition(13).write.mode("overwrite").parquet(
+            os.path.join(tmp, "embeddings.parquet")
+        )
+        shuffled = sorted(
+            (r.dim, r.component_micro) for r in q(spark, tmp).collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert base == shuffled
+    # unit vector in the x1e6 quantization: |sum v^2 - 1e12| small
+    nrm2 = sum(v * v for _, v in base)
+    assert abs(nrm2 - 10**12) < 10**7
+
+
+def test_pagerank_mass_and_reshard_stability(spark, sf_dir):
+    """Rank mass stays within [teleport-only, full] bounds (dangling
+    nations lose damped mass, never gain), and the fixed-point protocol
+    reproduces identical ranks from a repartitioned lineitem copy."""
+    import os
+    import shutil
+    import tempfile
+
+    from chai_data_pipeline_spark import plans
+
+    q = plans.QUERIES["pagerank_trade_graph"]
+    rows = q(spark, sf_dir).collect()
+    total = sum(r.rank_micro for r in rows)
+    assert 0.15 * 10**12 - 10**6 <= total <= 10**12 + 10**6
+    base = sorted((r.nation, r.rank_micro) for r in rows)
+
+    tmp = tempfile.mkdtemp(prefix="chai_pr_")
+    try:
+        for t in ["lineitem", "orders", "customer", "supplier", "nation"]:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            df.repartition(7).write.mode("overwrite").parquet(
+                os.path.join(tmp, f"{t}.parquet")
+            )
+        shuffled = sorted(
+            (r.nation, r.rank_micro) for r in q(spark, tmp).collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert base == shuffled
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """The Count-Min guarantee: every point estimate >= the true count
+    (hash collisions only ADD)."""
+    from chai_data_pipeline_spark import plans
+
+    rows = plans.QUERIES["cms_heavy_hitters_checked"](spark, sf_dir).collect()
+    assert rows, "expected heavy hitters"
+    assert all(r.overestimate >= 0 for r in rows)
+    assert all(r.cms_estimate >= r.n_exact for r in rows)
+
+
+def test_hll_set_algebra_error_bounds(spark, sf_dir):
+    """Merged-register estimates stay within loose HLL error for the
+    base sets and the union (m=256 => ~6.5% typical; assert 25%), and
+    exact counts satisfy inclusion-exclusion."""
+    from chai_data_pipeline_spark import plans
+
+    rows = {
+        r.set_name: r
+        for r in plans.QUERIES["hll_set_algebra_checked"](
+            spark, sf_dir
+        ).collect()
+    }
+    x = {k: rows[k].n_exact for k in rows}
+    assert x["intersection"] == x["view"] + x["click"] - x["union"]
+    for k in ["view", "click", "union"]:
+        if x[k] >= 50:
+            rel = abs(rows[k].hll_estimate - x[k]) / x[k]
+            assert rel < 0.25, (k, rows[k].hll_estimate, x[k])
