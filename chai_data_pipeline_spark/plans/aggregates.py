@@ -998,3 +998,84 @@ def basket_affinity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Rollup-cascade consistency: month aggregates computed FROM daily
+# partials must equal the direct computation — the mergeability
+# property that makes pre-aggregation cubes, map-side combine, and
+# incremental matview maintenance correct. Sums ride exact DECIMAL
+# partials (decimal addition is associative; a double cascade would
+# NOT reproduce bit-for-bit), so the audit both demonstrates and
+# verifies the safe pattern.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rollup_cascade_consistency",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           COUNT(*) AS n,
+           SUM(CAST(value AS DECIMAL(27,4))) AS v
+    FROM events GROUP BY 1, 2
+),
+monthly_cascade AS (
+    SELECT event_type, strftime(d, '%Y-%m') AS month,
+           CAST(SUM(n) AS BIGINT) AS n_cascade,
+           SUM(v) AS v_cascade
+    FROM daily GROUP BY 1, 2
+),
+monthly_direct AS (
+    SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+           COUNT(*) AS n_direct,
+           SUM(CAST(value AS DECIMAL(27,4))) AS v_direct
+    FROM events GROUP BY 1, 2
+)
+SELECT c.event_type, c.month,
+       c.n_cascade AS n_events,
+       CAST(c.v_cascade AS DOUBLE) AS total_value,
+       (c.n_cascade = d.n_direct) AS counts_match,
+       (c.v_cascade = d.v_direct) AS values_match
+FROM monthly_cascade c
+JOIN monthly_direct d
+  ON d.event_type = c.event_type AND d.month = c.month
+""",
+)
+def rollup_cascade_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day→month rollup from partials vs direct, proven equal.
+
+    Scale: the cascade path is how a 100-TB pipeline actually serves
+    month queries — reuse day-grain partials (tiny) instead of
+    re-scanning raw events; this query materializes both paths and
+    emits the equality witness per (type, month). Exact-decimal
+    partials are what make the cascade safe under ANY partitioning.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(27,4)")).alias("v"),
+    )
+    cascade = daily.groupBy(
+        "event_type", F.date_format("d", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum("n").alias("n_cascade"),
+        F.sum("v").alias("v_cascade"),
+    )
+    direct = events.groupBy(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM").alias("month"),
+    ).agg(
+        F.count("*").alias("n_direct"),
+        F.sum(F.col("value").cast("decimal(27,4)")).alias("v_direct"),
+    )
+    return cascade.join(direct, ["event_type", "month"]).select(
+        "event_type",
+        "month",
+        F.col("n_cascade").alias("n_events"),
+        F.col("v_cascade").cast("double").alias("total_value"),
+        (F.col("n_cascade") == F.col("n_direct")).alias("counts_match"),
+        (F.col("v_cascade") == F.col("v_direct")).alias("values_match"),
+    )

@@ -625,3 +625,130 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_low_outliers"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Contrastive training-pair mining: for a hash-sampled query set, the
+# top same-label neighbors (positives) and top DIFFERENT-label
+# neighbors (hard negatives — the pairs that actually teach a
+# contrastive embedding model). Dot products ride the ×2^20 exact
+# integer quantization, so candidate scoring is order-independent and
+# the ranking floats are identical single expressions.
+# --------------------------------------------------------------------------
+
+from .training import hash_bucket, sql_hash_bucket  # noqa: E402
+
+_MINE_TOPK = 3
+_MINE_PCT = 2  # query sample: sha256 bucket < 2 of 100
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS q_id, label AS q_label,
+           list_transform(range(1, 65), i ->
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576)
+                    AS BIGINT)) AS qa
+    FROM embeddings
+    WHERE {sql_hash_bucket('vec_id')} < {_MINE_PCT}
+),
+c AS (
+    SELECT vec_id AS c_id, label AS c_label,
+           list_transform(range(1, 65), i ->
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576)
+                    AS BIGINT)) AS ca
+    FROM embeddings
+),
+scored AS (
+    SELECT q.q_id, c.c_id,
+           CASE WHEN q.q_label = c.c_label
+                THEN 'positive' ELSE 'hard_negative' END AS kind,
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> q.qa[i] * c.ca[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(range(1, 65),
+                  i -> q.qa[i] * q.qa[i])) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(range(1, 65),
+                  i -> c.ca[i] * c.ca[i])) AS DOUBLE))) AS cos
+    FROM q CROSS JOIN c
+    WHERE q.q_id <> c.c_id
+),
+ranked AS (
+    SELECT q_id, c_id, kind, cos,
+           ROW_NUMBER() OVER (
+               PARTITION BY q_id, kind ORDER BY cos DESC, c_id
+           ) AS rnk
+    FROM scored
+)
+SELECT q_id, kind, rnk, c_id AS neighbor_id,
+       {sql_dround('cos', 6)} AS cosine
+FROM ranked WHERE rnk <= {_MINE_TOPK}
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 positives and hard negatives per sampled query vector.
+
+    Scale: the query side is a sha256-sampled sliver (broadcast); the
+    candidate scan is one map-only pass computing exact-integer dots
+    via zip_with — no shuffle until the per-(query, kind) top-k window
+    over |Q|-bounded groups. At corpus scale the candidate pass swaps
+    to the IVF/LSH candidate generators (same scoring expression) —
+    this is the mining loop behind every contrastive-embedding
+    training set.
+    """
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    quant = F.expr(
+        "transform(embedding, x ->"
+        " CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"
+    )
+    q = emb.filter(hash_bucket("vec_id") < _MINE_PCT).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        quant.alias("qa"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        quant.alias("ca"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qa, ca, (a, b) -> a * b),"
+        " CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    nq = F.sqrt(
+        F.expr(
+            "aggregate(transform(qa, a -> a * a),"
+            " CAST(0 AS BIGINT), (s, x) -> s + x)"
+        ).cast("double")
+    )
+    nc = F.sqrt(
+        F.expr(
+            "aggregate(transform(ca, a -> a * a),"
+            " CAST(0 AS BIGINT), (s, x) -> s + x)"
+        ).cast("double")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.when(F.col("q_label") == F.col("c_label"), "positive")
+            .otherwise("hard_negative")
+            .alias("kind"),
+            (dot.cast("double") / (nq * nc)).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id", "kind").orderBy(F.desc("cos"), "c_id")
+    return (
+        scored.select("q_id", "c_id", "kind", "cos", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= _MINE_TOPK)
+        .select(
+            "q_id",
+            "kind",
+            "rnk",
+            F.col("c_id").alias("neighbor_id"),
+            dround("cos", 6).alias("cosine"),
+        )
+    )
