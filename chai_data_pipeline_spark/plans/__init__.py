@@ -154,10 +154,14 @@ _FRONT = [
     # oracle/plan changed THIS round → re-check (ahead of the rows-only
     # block: a changed-plan green is worth more than a rows-only row)
     "incremental_daily_refresh", "medallion_pipeline_summary",
-    # first-ever rows-only driver rows
+    # first-ever rows-only driver row (VERDICT r3 item 2)
     "multimodal_features",
-    "group_quantiles_approx", "dedup_minhash_lsh", "dedup_simhash",
-    "similarity_ann_lsh", "similarity_ann_ivf", "embedding_kmeans",
+    # round-4b flagship additions: never-checked ORACLE-bearing ops
+    # outrank first-ever rows-only rows for sketches whose checked
+    # twins are already green (those six fall back to _NO_ORACLE_LAST)
+    "cms_heavy_hitters_checked", "pca_power_iteration_checked",
+    "pagerank_trade_graph", "hll_set_algebra_checked",
+    "bm25_doc_retrieval", "unigram_lm_perplexity",
     # r3-changed oracles, one more green under unchanged definitions
     "streaming_session_window", "sessionization",
     "tpch_q11_important_stock",
