@@ -976,3 +976,108 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0),
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Asymmetric containment near-dup pairs: |A∩B| / min(|A|,|B|) over
+# 3-gram shingle sets catches subset/quotation relationships that the
+# symmetric Jaccard rule (dedup_ngram_jaccard) under-scores — a short
+# doc fully contained in a long one has tiny Jaccard but containment 1.
+# Candidates come from RARE-shingle posting lists (df 2..3): the pair
+# fan-out per shingle is df(df−1)/2 ≤ 3, so candidate generation is an
+# inverted-index equi-join with a hard per-key bound, never all-pairs.
+# --------------------------------------------------------------------------
+
+from ..operators.text import word_ngrams, word_ngrams_sql_duckdb  # noqa: E402
+
+_CONT_DF_MAX = 3
+_CONT_THRESHOLD = 0.5
+
+
+@query(
+    "doc_containment_pairs",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+           list_distinct({word_ngrams_sql_duckdb('text', 3)}) AS grams
+    FROM documents
+),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM d),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+dfreq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY 1),
+rare AS (SELECT gram FROM dfreq WHERE df BETWEEN 2 AND {_CONT_DF_MAX}),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM g a
+    JOIN rare r ON r.gram = a.gram
+    JOIN g b ON b.gram = a.gram AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT p.id_a, p.id_b, COUNT(*) AS n_shared
+    FROM pairs p
+    JOIN g ga ON ga.doc_id = p.id_a
+    JOIN g gb ON gb.doc_id = p.id_b AND gb.gram = ga.gram
+    GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.n_shared,
+       sa.n AS n_a, sb.n AS n_b,
+       {sql_dround('i.n_shared * 1.0 / LEAST(sa.n, sb.n)', 6)} AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.n_shared * 1.0 / LEAST(sa.n, sb.n) >= {_CONT_THRESHOLD}
+""",
+)
+def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment ≥ 0.5 doc pairs from rare-shingle candidate blocking.
+
+    Scale: the posting-list self-join only fans out on shingles with
+    df ≤ {_CONT_DF_MAX} (bounded pairs per key by construction — the
+    frequent-shingle tail generates no candidates, the opposite of a
+    hot-key join); intersection counting re-joins only CANDIDATE pairs
+    against the gram index on the gram-hash shuffle key. This is the
+    same index decontaminate/novelty use — one build, three consumers.
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d = (
+        docs.select("doc_id", F.expr("split(trim(text), '\\\\s+')").alias("ws"))
+        .select(
+            "doc_id",
+            F.array_distinct(word_ngrams("ws", 3, presplit=True)).alias("grams"),
+        )
+    )
+    g = d.select("doc_id", F.explode("grams").alias("gram"))
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    dfreq = g.groupBy("gram").agg(F.count("*").alias("df"))
+    rare = dfreq.filter(
+        (F.col("df") >= 2) & (F.col("df") <= _CONT_DF_MAX)
+    ).select("gram")
+    ga = g.withColumnRenamed("doc_id", "id_a")
+    gb = g.withColumnRenamed("doc_id", "id_b")
+    pairs = (
+        ga.join(rare, "gram")
+        .join(gb, "gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    inter = (
+        pairs.join(ga, "id_a")
+        .join(gb, ["gram", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    cont = F.col("n_shared") * 1.0 / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .filter(cont >= _CONT_THRESHOLD)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            dround(cont, 6).alias("containment"),
+        )
+    )

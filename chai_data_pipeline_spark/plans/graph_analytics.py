@@ -139,3 +139,136 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pagerank"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Synchronous label propagation (3 supersteps) over the symmetrized
+# trade graph — the cheap community-detection sibling of PageRank.
+# Entirely integer: votes are edge-weight sums, the winner is an
+# argmax with a (votes DESC, label ASC) tiebreak, isolated nodes keep
+# their own label. Deterministic by construction on both engines (no
+# float appears anywhere).
+# --------------------------------------------------------------------------
+
+_LPA_ITERS = 3
+
+_EDGES_SQL = """
+edges0 AS (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+),
+sym AS (
+    SELECT src, dst, w FROM edges0
+    UNION ALL
+    SELECT dst, src, w FROM edges0
+),
+sedges AS (
+    SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM sym GROUP BY 1, 2
+),
+nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation)"""
+
+
+def _sql_lpa_iter(t: int) -> str:
+    p = t - 1
+    return f"""
+v{t} AS (
+    SELECT e.src AS node, l.lbl, CAST(SUM(e.w) AS BIGINT) AS votes
+    FROM sedges e JOIN l{p} l ON l.node = e.dst
+    GROUP BY 1, 2
+),
+r{t} AS (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (
+               PARTITION BY node ORDER BY votes DESC, lbl
+           ) AS rn
+    FROM v{t}
+),
+l{t} AS (
+    SELECT p.node, COALESCE(r.lbl, p.lbl) AS lbl
+    FROM l{p} p LEFT JOIN r{t} r ON r.node = p.node AND r.rn = 1
+)"""
+
+
+@query(
+    "label_propagation_communities",
+    oracle=f"""
+WITH {_EDGES_SQL.lstrip()},
+l0 AS (SELECT node, node AS lbl FROM nodes),
+{_sql_lpa_iter(1).lstrip()},
+{_sql_lpa_iter(2).lstrip()},
+{_sql_lpa_iter(3).lstrip()}
+SELECT na.n_name AS nation, l.lbl AS community,
+       COUNT(*) OVER (PARTITION BY l.lbl) AS community_size
+FROM l{_LPA_ITERS} l JOIN nation na ON na.n_nationkey = l.node
+""",
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade-graph communities after 3 synchronous LPA supersteps.
+
+    Scale: same edge-build as pagerank_trade_graph (the one full-scan
+    stage); each superstep is a broadcast of the node→label map into a
+    weight-summing vote aggregation plus a per-node argmax window over
+    neighbor-cardinality groups. All-integer messages mean no
+    fixed-point protocol is even needed — LPA at web scale is this
+    exact shape with the label map sharded instead of broadcast.
+    """
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    from pyspark.sql.window import Window
+
+    edges0 = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    sym = edges0.select("src", "dst", "w").unionAll(
+        edges0.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    sedges = sym.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    nodes = t["nation"].select(
+        F.col("n_nationkey").cast("bigint").alias("node")
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(_LPA_ITERS):
+        votes = (
+            sedges.join(
+                F.broadcast(
+                    labels.select(
+                        F.col("node").alias("dst"), F.col("lbl")
+                    )
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.sum("w").alias("votes"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("votes"), "lbl")
+        winners = (
+            votes.select("node", "lbl", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        labels = labels.join(winners, "node", "left").select(
+            "node", F.coalesce("new_lbl", "lbl").alias("lbl")
+        )
+    out_w = Window.partitionBy("lbl")
+    return labels.join(
+        F.broadcast(t["nation"]), labels.node == F.col("n_nationkey")
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("lbl").alias("community"),
+        F.count("*").over(out_w).alias("community_size"),
+    )
