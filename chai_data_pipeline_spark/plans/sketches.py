@@ -335,10 +335,11 @@ def hll_set_algebra_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         F.expr(
             f"""stack(4,
-            '{_SEG_A}', FLOOR(ea * 10000 + 0.5) / 10000.0, xa,
-            '{_SEG_B}', FLOOR(eb * 10000 + 0.5) / 10000.0, xb,
-            'union', FLOOR(eu * 10000 + 0.5) / 10000.0, xu,
-            'intersection', FLOOR((ea + eb - eu) * 10000 + 0.5) / 10000.0,
+            '{_SEG_A}', FLOOR(ea * 10000 + 0.5) / CAST(10000 AS DOUBLE), xa,
+            '{_SEG_B}', FLOOR(eb * 10000 + 0.5) / CAST(10000 AS DOUBLE), xb,
+            'union', FLOOR(eu * 10000 + 0.5) / CAST(10000 AS DOUBLE), xu,
+            'intersection',
+                FLOOR((ea + eb - eu) * 10000 + 0.5) / CAST(10000 AS DOUBLE),
                 xa + xb - xu
             ) AS (set_name, hll_estimate, n_exact)"""
         )
