@@ -1079,3 +1079,89 @@ def rollup_cascade_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_cascade") == F.col("n_direct")).alias("counts_match"),
         (F.col("v_cascade") == F.col("v_direct")).alias("values_match"),
     )
+
+
+# --------------------------------------------------------------------------
+# Hierarchical percent-of-total: nation share within region, region
+# share of global — the drill-path decomposition every BI rollup
+# serves. Revenue rides exact integer cents; every share is one float
+# division of exact integers, so the hierarchy is consistent by
+# construction (shares within a region sum to 1 up to rounding).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "hierarchical_revenue_shares",
+    oracle=f"""
+WITH rev AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY 1, 2
+),
+lv AS (
+    SELECT region, nation, cents,
+           CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT)
+               AS region_cents,
+           CAST(SUM(cents) OVER () AS BIGINT) AS global_cents
+    FROM rev
+)
+SELECT region, nation,
+       cents / 100.0 AS revenue,
+       {sql_dround('cents * 1.0 / region_cents', 8)} AS share_in_region,
+       {sql_dround('region_cents * 1.0 / global_cents', 8)}
+           AS region_share_global
+FROM lv
+""",
+)
+def hierarchical_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-within-region and region-within-global revenue shares.
+
+    Scale: one orderkey-side aggregation down to nation grain (dims
+    broadcast), then two window normalizations over the 25-row result
+    — percent-of-total never re-scans facts. Exact-cents sums make the
+    shares identical under any partitioning.
+    """
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation", "region")
+    from pyspark.sql.window import Window
+
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+    rev = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(cents).alias("cents"))
+    )
+    lv = rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.sum("cents").over(Window.partitionBy("region")).cast("bigint").alias(
+            "region_cents"
+        ),
+        F.sum("cents").over(Window.partitionBy()).cast("bigint").alias(
+            "global_cents"
+        ),
+    )
+    return lv.select(
+        "region",
+        "nation",
+        (F.col("cents") / 100.0).alias("revenue"),
+        dround(F.col("cents") * 1.0 / F.col("region_cents"), 8).alias(
+            "share_in_region"
+        ),
+        dround(F.col("region_cents") * 1.0 / F.col("global_cents"), 8).alias(
+            "region_share_global"
+        ),
+    )

@@ -2521,3 +2521,76 @@ def campaign_overlap_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_intervals"),
         (F.sum("ov_us").cast("bigint") / 1000000.0).alias("total_overlap_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# Trailing percentile rank: where does today's volume sit inside its
+# own trailing 28-day distribution, per event type. A window frame
+# cannot compare frame rows against the CURRENT row's value, so the
+# distribution comparison is an explicit bounded range self-join on
+# the day-grain table (≤28 partners per row) — the standard rewrite.
+# --------------------------------------------------------------------------
+
+_TPR_DAYS = 28
+
+
+@query(
+    "trailing_percentile_rank",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT a.event_type, a.d, a.n,
+       COUNT(*) AS n_window,
+       {sql_dround('COUNT(*) FILTER (WHERE b.n <= a.n) * 1.0 / COUNT(*)', 6)}
+           AS pct_rank
+FROM daily a
+JOIN daily b
+  ON b.event_type = a.event_type
+ AND b.d BETWEEN a.d - {_TPR_DAYS - 1} AND a.d
+GROUP BY 1, 2, 3
+""",
+)
+def trailing_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each day's count ranked within its trailing 28-day distribution.
+
+    Scale: the self-join runs on the DAY-GRAIN aggregate (types × days
+    rows, already tiny after the one fact shuffle) with a ≤28-row
+    range fan-out per key — never on raw events. This is the anomaly
+    score that asks "is today unusual for THIS series lately" rather
+    than z-scoring against all history (anomaly_days_zscore).
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    a = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("d").alias("da"),
+        F.col("n").alias("na"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("d").alias("db"),
+        F.col("n").alias("nb"),
+    )
+    return (
+        a.join(b, "et")
+        .filter(
+            F.col("db").between(
+                F.date_sub(F.col("da"), _TPR_DAYS - 1), F.col("da")
+            )
+        )
+        .groupBy(
+            F.col("et").alias("event_type"),
+            F.col("da").alias("d"),
+            F.col("na").alias("n"),
+        )
+        .agg(
+            F.count("*").alias("n_window"),
+            dround(
+                F.count_if(F.col("nb") <= F.col("na")) * 1.0 / F.count("*"), 6
+            ).alias("pct_rank"),
+        )
+    )
