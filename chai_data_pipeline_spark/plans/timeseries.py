@@ -2594,3 +2594,144 @@ def trailing_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pct_rank"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Kaplan–Meier survival curve over user lifetimes with right-censoring
+# (users still active near the as-of instant are censored, not dead).
+# The KM product Π(1 − d_j/n_j) is made order- and engine-exact by
+# summing ×1e9-quantized log factors (exact integer cumsum, one exp
+# per row) — the same fixed-point discipline as the other iterative /
+# multiplicative ops. Survival after a day where everyone at risk dies
+# is pinned to exactly 0 (log would be −inf).
+# --------------------------------------------------------------------------
+
+from .registry import AS_OF_DATE as _KM_AS_OF  # noqa: E402
+
+_KM_CENSOR_DAYS = 7
+
+
+@query(
+    "survival_curve_km",
+    oracle=f"""
+WITH span AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d,
+           MAX(CAST(ts AS DATE)) AS last_d
+    FROM events GROUP BY 1
+),
+subj AS (
+    SELECT user_id,
+           CAST(last_d - first_d AS BIGINT) AS dur,
+           CAST(last_d < DATE '{_KM_AS_OF}' - {_KM_CENSOR_DAYS} AS BIGINT)
+               AS death
+    FROM span
+),
+g AS (
+    SELECT dur, CAST(SUM(death) AS BIGINT) AS deaths, COUNT(*) AS n_at_dur
+    FROM subj GROUP BY 1
+),
+r AS (
+    SELECT dur, deaths, n_at_dur,
+           CAST((SELECT COUNT(*) FROM subj)
+                - COALESCE(SUM(n_at_dur) OVER (
+                      ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS at_risk
+    FROM g
+),
+f AS (
+    SELECT dur, deaths, at_risk,
+           CASE WHEN deaths = at_risk THEN CAST(0 AS BIGINT)
+                ELSE CAST(FLOOR(ln(1.0 - deaths * 1.0 / at_risk)
+                     * 1000000000 + 0.5) AS BIGINT) END AS lq,
+           CASE WHEN deaths = at_risk THEN 1 ELSE 0 END AS wipeout
+    FROM r
+),
+s AS (
+    SELECT dur, deaths, at_risk,
+           CAST(SUM(lq) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_lq,
+           CAST(SUM(wipeout) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum_wipe
+    FROM f
+)
+SELECT dur AS day, deaths, at_risk,
+       CASE WHEN cum_wipe > 0 THEN 0.0
+            ELSE (FLOOR(exp(CAST(cum_lq AS DOUBLE) / 1000000000.0)
+                  * 1000000 + 0.5) / 1000000.0) END AS survival
+FROM s
+WHERE deaths > 0
+""",
+)
+def survival_curve_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-censored Kaplan–Meier survival over user activity spans.
+
+    Scale: one user-grain shuffle builds (duration, death) subjects;
+    everything after runs on the DURATION-grain table (≤ observation
+    window days), whose at-risk counts and log-factor cumsums are
+    single bounded windows. The censoring rule is pinned to the as-of
+    instant, never wall clock.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    span = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_d"),
+        F.max(F.to_date("ts")).alias("last_d"),
+    )
+    censor_cut = F.date_sub(F.lit(_KM_AS_OF).cast("date"), _KM_CENSOR_DAYS)
+    subj = span.select(
+        F.datediff("last_d", "first_d").cast("bigint").alias("dur"),
+        (F.col("last_d") < censor_cut).cast("bigint").alias("death"),
+    )
+    total = subj.agg(F.count("*").alias("n_total"))
+    g = subj.groupBy("dur").agg(
+        F.sum("death").alias("deaths"), F.count("*").alias("n_at_dur")
+    )
+    w_prev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = g.crossJoin(F.broadcast(total)).select(
+        "dur",
+        "deaths",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum("n_at_dur").over(w_prev), F.lit(0).cast("bigint")
+            )
+        )
+        .cast("bigint")
+        .alias("at_risk"),
+    )
+    lq = F.when(
+        F.col("deaths") == F.col("at_risk"), F.lit(0).cast("bigint")
+    ).otherwise(
+        F.floor(
+            F.log(1.0 - F.col("deaths") * 1.0 / F.col("at_risk"))
+            * 1000000000
+            + 0.5
+        ).cast("bigint")
+    )
+    wipe = F.when(F.col("deaths") == F.col("at_risk"), 1).otherwise(0)
+    f = r.select("dur", "deaths", "at_risk", lq.alias("lq"), wipe.alias("wipeout"))
+    w_run = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    s = f.select(
+        "dur",
+        "deaths",
+        "at_risk",
+        F.sum("lq").over(w_run).cast("bigint").alias("cum_lq"),
+        F.sum("wipeout").over(w_run).cast("bigint").alias("cum_wipe"),
+    )
+    survival = F.when(F.col("cum_wipe") > 0, F.lit(0.0)).otherwise(
+        F.floor(
+            F.exp(F.col("cum_lq").cast("double") / 1000000000.0) * 1000000
+            + 0.5
+        )
+        / 1000000.0
+    )
+    return s.filter(F.col("deaths") > 0).select(
+        F.col("dur").alias("day"),
+        "deaths",
+        "at_risk",
+        survival.alias("survival"),
+    )

@@ -308,6 +308,13 @@ def test_queries_survive_empty_tables(spark, sf_dir, tmp_path_factory):
         "gini_by_nation",
         "time_weighted_avg_value",
         "token_fertility_by_lang",
+        # round-4b families
+        "cms_heavy_hitters_checked",
+        "pagerank_trade_graph",
+        "bm25_doc_retrieval",
+        "doc_containment_pairs",
+        "survival_curve_km",
+        "ewma_spike_days",
     ]
     for name in sample:
         rows = plans.QUERIES[name](spark, empty_dir).count()
