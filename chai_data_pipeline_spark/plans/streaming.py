@@ -224,3 +224,34 @@ def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.upsert import streaming_upsert_latest as run
 
     return run(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Streaming mergeable-sketch state: foreachBatch HLL register merge
+# under FULL REDELIVERY. The oracle builds registers from the single
+# batch copy — max-merge idempotence is exactly why the twice-delivered
+# stream must land on the identical registers (and thus the identical
+# estimate and digest). See streaming/sketch.py.
+# --------------------------------------------------------------------------
+
+from .sketches import _sql_est, _sql_regs  # noqa: E402
+
+
+@query(
+    "streaming_hll_distinct",
+    oracle=f"""
+WITH {_sql_regs('x', 'TRUE').lstrip()},
+{_sql_est('x', 'regs_x').lstrip()}
+SELECT (FLOOR(e * 10000 + 0.5) / 10000.0) AS hll_estimate,
+       d.reg_sum, d.nonzero_regs
+FROM e_x CROSS JOIN (
+    SELECT CAST(SUM(reg) AS BIGINT) AS reg_sum,
+           COUNT(*) FILTER (WHERE reg > 0) AS nonzero_regs
+    FROM regs_x
+) d
+""",
+)
+def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.sketch import streaming_hll_merge
+
+    return streaming_hll_merge(spark, sf_dir)

@@ -1,0 +1,84 @@
+"""Streaming mergeable-sketch maintenance: HLL registers as state.
+
+foreachBatch computes a 256-row register table per micro-batch and
+MERGEs it (bucket-wise max) into a persistent state table. Because
+register merge is idempotent AND commutative, an at-least-once source
+redelivering every record (the harness stages a full duplicate as a
+second micro-batch) still converges to exactly the registers a single
+batch pass would build — the delivery guarantee comes from the
+algebra, with no dedup operator, no watermark, and constant-size state
+(m rows regardless of stream length). This is the streaming sibling
+of hll_set_algebra_checked's shard merge.
+
+Scale posture: per micro-batch one map-side-combinable 256-cell
+aggregation + a 256-row merge — the state table never grows; at
+production scale the same shape maintains per-(day, segment) register
+sets for serving distinct-count dashboards without re-scans.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def streaming_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the events stream (with full redelivery) through a
+    foreachBatch HLL-register merge; return the final one-row estimate
+    plus a register digest as a batch DataFrame."""
+    from ..operators.sketch import hll_estimate, hll_registers
+    from ..sources.writers import merge_into, recover_merge
+    from .windows import _events_stream
+
+    base = "chai_stream_hll"
+    stale_re = re.compile(
+        rf"{base}_[0-9a-f]{{8}}"
+        rf"(_chk|__old_[0-9a-f]+|__merge_[0-9a-f]+|__merge_marker)?$"
+    )
+    for stale in glob.glob(os.path.join(tempfile.gettempdir(), f"{base}_*")):
+        name = os.path.basename(stale)
+        if stale_re.search(name):
+            if re.fullmatch(rf"{base}_[0-9a-f]{{8}}", name):
+                try:
+                    recover_merge(stale)
+                except Exception:
+                    pass
+            shutil.rmtree(stale, ignore_errors=True)
+    target = os.path.join(
+        tempfile.gettempdir(), f"{base}_{uuid.uuid4().hex[:8]}"
+    )
+
+    ev = _events_stream(
+        spark, sf_dir, duplicate_delivery=True, max_files_per_trigger=1
+    )
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        sp = bdf.sparkSession
+        regs = hll_registers(bdf, "user_id")
+        if os.path.exists(target):
+            regs = (
+                sp.read.parquet(target)
+                .unionByName(regs)
+                .groupBy("bucket")
+                .agg(F.max("reg").alias("reg"))
+            )
+        merge_into(sp, target, regs, keys=["bucket"])
+
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", target + "_chk")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    return hll_estimate(spark.read.parquet(target))
