@@ -344,3 +344,152 @@ def hll_set_algebra_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             ) AS (set_name, hll_estimate, n_exact)"""
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Checked approximate quantiles: fixed-width histogram (B bins over the
+# per-group [min, max]) → cumulative counts → bin-edge quantile
+# estimate, audited against the exact order-statistic. The native
+# approx_percentile sketch is engine-internal (rows-only check);
+# this twin is the same idea with engine-identical arithmetic, so the
+# estimate AND its error vs exact are value-hash-checked. The
+# histogram build is the scale path (two scans, constant state);
+# the exact side is the audit only (per-group sort).
+# --------------------------------------------------------------------------
+
+_HQ_B = 256
+_HQ_QS = (0.5, 0.9, 0.99)
+
+_HQ_QS_SQL = ", ".join(f"({q})" for q in _HQ_QS)
+
+
+@query(
+    "histogram_quantiles_checked",
+    oracle=f"""
+WITH v AS (SELECT event_type, value FROM events),
+st AS (
+    SELECT event_type, MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n
+    FROM v GROUP BY 1
+),
+b AS (
+    SELECT v.event_type,
+           LEAST(CAST({_HQ_B - 1} AS BIGINT),
+                 CAST(FLOOR((v.value - s.mn)
+                      / ((s.mx - s.mn) / {_HQ_B})) AS BIGINT)) AS bin
+    FROM v JOIN st s USING (event_type)
+    WHERE s.mx > s.mn
+),
+bc AS (SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+cum AS (
+    SELECT event_type, bin,
+           CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM bc
+),
+qs AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES {_HQ_QS_SQL}) t(q)),
+targets AS (
+    SELECT s.event_type, q.q, s.mn, s.mx, s.n,
+           CAST(CEIL(q.q * s.n) AS BIGINT) AS trn
+    FROM st s CROSS JOIN qs q
+    WHERE s.mx > s.mn
+),
+est AS (
+    SELECT t.event_type, t.q, t.n, t.mn, t.mx, MIN(c.bin) AS qbin
+    FROM targets t
+    JOIN cum c ON c.event_type = t.event_type AND c.cum >= t.trn
+    GROUP BY 1, 2, 3, 4, 5
+),
+ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn
+    FROM v
+),
+exact AS (
+    SELECT t.event_type, t.q, r.value AS exact_q
+    FROM targets t
+    JOIN ranked r ON r.event_type = t.event_type AND r.rn = t.trn
+)
+SELECT e.event_type, e.q, e.n,
+       (FLOOR((e.mn + (e.qbin + 1) * ((e.mx - e.mn) / {_HQ_B}))
+        * 1000000 + 0.5) / 1000000.0) AS est_quantile,
+       (FLOOR(x.exact_q * 1000000 + 0.5) / 1000000.0) AS exact_quantile,
+       (FLOOR(((e.mx - e.mn) / {_HQ_B}) * 1000000 + 0.5) / 1000000.0)
+           AS bin_width
+FROM est e JOIN exact x ON x.event_type = e.event_type AND x.q = e.q
+""",
+)
+def histogram_quantiles_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram p50/p90/p99 per event type, audited against exact.
+
+    Scale: two passes — (min, max, n) per group, then a B-cell binned
+    count that map-side combines to ≤ B rows per group; the quantile
+    read-off is a window over the bounded bin axis. Error ≤ one bin
+    width by construction (also emitted). The exact order-statistic
+    side exists only to CHECK the estimate; production uses the
+    histogram (or re-bins the candidate bin for refinement).
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    v = events.select("event_type", "value")
+    st = v.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    stf = st.filter(F.col("mx") > F.col("mn"))
+    width = (F.col("mx") - F.col("mn")) / _HQ_B
+    b = v.join(F.broadcast(stf), "event_type").select(
+        "event_type",
+        F.least(
+            F.lit(_HQ_B - 1).cast("bigint"),
+            F.floor((F.col("value") - F.col("mn")) / width).cast("bigint"),
+        ).alias("bin"),
+    )
+    bc = b.groupBy("event_type", "bin").agg(F.count("*").alias("c"))
+    wcum = Window.partitionBy("event_type").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = bc.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wcum).cast("bigint").alias("cum"),
+    )
+    qs = events.sparkSession.createDataFrame(
+        [(float(q),) for q in _HQ_QS], "q double"
+    )
+    targets = stf.crossJoin(F.broadcast(qs)).select(
+        "event_type",
+        "q",
+        "mn",
+        "mx",
+        "n",
+        F.ceil(F.col("q") * F.col("n")).cast("bigint").alias("trn"),
+    )
+    est = (
+        targets.join(
+            cum.withColumnRenamed("event_type", "et"),
+            (F.col("et") == F.col("event_type"))
+            & (F.col("cum") >= F.col("trn")),
+        )
+        .groupBy("event_type", "q", "n", "mn", "mx")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    wr = Window.partitionBy("event_type").orderBy("value")
+    ranked = v.select(
+        "event_type", "value", F.row_number().over(wr).alias("rn")
+    )
+    exact = targets.join(
+        ranked.withColumnRenamed("event_type", "et"),
+        (F.col("et") == F.col("event_type")) & (F.col("rn") == F.col("trn")),
+    ).select("event_type", "q", F.col("value").alias("exact_q"))
+    fp = lambda c: F.floor(c * 1000000 + 0.5) / F.lit(1000000.0)  # noqa: E731
+    return est.join(exact, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        "n",
+        fp(
+            F.col("mn")
+            + (F.col("qbin") + 1) * ((F.col("mx") - F.col("mn")) / _HQ_B)
+        ).alias("est_quantile"),
+        fp(F.col("exact_q")).alias("exact_quantile"),
+        fp((F.col("mx") - F.col("mn")) / _HQ_B).alias("bin_width"),
+    )

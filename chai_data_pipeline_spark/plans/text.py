@@ -1073,3 +1073,79 @@ def unigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("pq") / 10000.0).alias("max_perplexity"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pinned-weight logistic quality classifier: in-pipeline batch scoring
+# (the fasttext-style quality-model pass every LLM curation stack
+# runs) expressed as pure column math. The sigmoid is one identical
+# IEEE expression per row; scores quantize to ×1e6 ints before the
+# per-source aggregation so the distribution summary is exact.
+# --------------------------------------------------------------------------
+
+_QC_W0 = -2.0
+_QC_W_WC = 0.01
+_QC_W_AWL = 0.3
+_QC_W_DWR = 1.5
+
+
+@query(
+    "quality_classifier_scores",
+    oracle=f"""
+WITH feats AS (
+    SELECT source,
+           len(string_split_regex(TRIM(text), '\\s+')) AS wc,
+           LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS awl,
+           len(list_distinct(string_split_regex(TRIM(text), '\\s+'))) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS dwr
+    FROM documents
+),
+scored AS (
+    SELECT source,
+           CAST(FLOOR(1.0 / (1.0 + exp(-({_QC_W0} + {_QC_W_WC} * wc
+                + {_QC_W_AWL} * awl + {_QC_W_DWR} * dwr)))
+                * 1000000 + 0.5) AS BIGINT) AS sq
+    FROM feats
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(sq) AS BIGINT) * 1.0 / COUNT(*) / 1000000.0 AS avg_score,
+       COUNT(*) FILTER (WHERE sq >= 500000) AS n_keep,
+       {sql_dround('COUNT(*) FILTER (WHERE sq >= 500000) * 1.0 / COUNT(*)', 6)}
+           AS keep_rate
+FROM scored
+GROUP BY 1
+""",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep-rate under a pinned logistic quality model.
+
+    Scale: map-only feature extraction + one source-grain aggregation
+    — the shape of every batch-inference quality pass (swap the pinned
+    weights for a broadcast model vector; with a real model the sigmoid
+    becomes an Arrow-batched pandas UDF, same plan). Scores quantize
+    before aggregation, so keep-rates reproduce exactly at any
+    partitioning.
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ws = T.words("text")
+    wc = F.size(ws)
+    awl = F.length(F.regexp_replace(F.col("text"), r"\s", "")) * 1.0 / F.size(ws)
+    dwr = F.size(F.array_distinct(ws)) * 1.0 / F.size(ws)
+    z = (
+        F.lit(_QC_W0)
+        + F.lit(_QC_W_WC) * wc
+        + F.lit(_QC_W_AWL) * awl
+        + F.lit(_QC_W_DWR) * dwr
+    )
+    sq = F.floor(1.0 / (1.0 + F.exp(-z)) * 1000000 + 0.5).cast("bigint")
+    scored = docs.select("source", sq.alias("sq"))
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("sq") * 1.0 / F.count("*") / 1000000.0).alias("avg_score"),
+        F.count_if(F.col("sq") >= 500000).alias("n_keep"),
+        dround(
+            F.count_if(F.col("sq") >= 500000) * 1.0 / F.count("*"), 6
+        ).alias("keep_rate"),
+    )

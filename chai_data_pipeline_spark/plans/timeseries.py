@@ -2606,6 +2606,7 @@ def trailing_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is pinned to exactly 0 (log would be −inf).
 # --------------------------------------------------------------------------
 
+from .registry import AS_OF  # noqa: E402
 from .registry import AS_OF_DATE as _KM_AS_OF  # noqa: E402
 
 _KM_CENSOR_DAYS = 7
@@ -2734,4 +2735,58 @@ def survival_curve_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deaths",
         "at_risk",
         survival.alias("survival"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exponentially time-decayed user value at the pinned as-of instant —
+# the standard recency-weighted feature (half-life ~21 days at τ=30).
+# Per-event decay is one identical IEEE expression; decayed
+# contributions quantize to ×1e6 ints so the per-user sum is exact.
+# --------------------------------------------------------------------------
+
+_DECAY_TAU_DAYS = 30.0
+
+
+@query(
+    "time_decayed_user_value",
+    oracle=f"""
+WITH q AS (
+    SELECT user_id,
+           CAST(FLOOR(value * exp(-(CAST(date_diff('microsecond', ts,
+                    TIMESTAMP '{AS_OF}') AS BIGINT) / 86400000000.0)
+                    / {_DECAY_TAU_DAYS}) * 1000000 + 0.5) AS BIGINT) AS dq
+    FROM events
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(dq) AS BIGINT) / 1000000.0 AS decayed_value
+FROM q GROUP BY 1
+""",
+)
+def time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Σ value·e^(−age/τ) per user at the pinned as-of instant.
+
+    Scale: map-only decay projection + one user-grain integer sum —
+    the feature-store shape (append-only events in, one narrow
+    shuffle). Age is measured at MICROSECOND grain and divided once
+    (engine date_diff('second') semantics differ — CLAUDE.md).
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    age_days = (
+        F.expr(f"timestampdiff(MICROSECOND, ts, TIMESTAMP '{AS_OF}')").cast(
+            "bigint"
+        )
+        / 86400000000.0
+    )
+    dq = F.floor(
+        F.col("value") * F.exp(-age_days / _DECAY_TAU_DAYS) * 1000000 + 0.5
+    ).cast("bigint")
+    return (
+        events.select("user_id", dq.alias("dq"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("dq").cast("bigint") / 1000000.0).alias("decayed_value"),
+        )
     )
