@@ -752,3 +752,169 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround("cos", 6).alias("cosine"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Retrieval-quality evaluation: NDCG@10 of exact-cosine ranking with
+# same-label relevance, per sampled query. The log2 position discounts
+# are PYTHON-precomputed ×1e6 integers injected into both engines as
+# literals, so DCG/IDCG are pure integer sums — the only runtime float
+# is the final ratio. Complements lsh_recall_audit (candidate recall)
+# with the ranking-quality metric.
+# --------------------------------------------------------------------------
+
+import math as _math  # noqa: E402
+
+_NDCG_K = 10
+_NDCG_GAINS = [
+    int(_math.floor(1_000_000 / _math.log2(i + 1) + 0.5))
+    for i in range(1, _NDCG_K + 1)
+]
+_NDCG_PREFIX = [sum(_NDCG_GAINS[: k + 1]) for k in range(_NDCG_K)]
+
+_GAIN_CASE = "CASE rnk " + " ".join(
+    f"WHEN {i + 1} THEN {g}" for i, g in enumerate(_NDCG_GAINS)
+) + " END"
+_IDCG_CASE = "CASE LEAST(n_rel_total, 10) " + " ".join(
+    f"WHEN {k + 1} THEN {p}" for k, p in enumerate(_NDCG_PREFIX)
+) + " ELSE 0 END"
+
+
+@query(
+    "retrieval_ndcg_audit",
+    oracle=f"""
+WITH q AS (
+    SELECT vec_id AS q_id, label AS q_label,
+           list_transform(range(1, 65), i ->
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576)
+                    AS BIGINT)) AS qa
+    FROM embeddings
+    WHERE {sql_hash_bucket('vec_id')} < {_MINE_PCT}
+),
+c AS (
+    SELECT vec_id AS c_id, label AS c_label,
+           list_transform(range(1, 65), i ->
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576)
+                    AS BIGINT)) AS ca
+    FROM embeddings
+),
+scored AS (
+    SELECT q.q_id, q.q_label, c.c_id, c.c_label,
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> q.qa[i] * c.ca[i])) AS DOUBLE)
+           / (sqrt(CAST(list_sum(list_transform(range(1, 65),
+                  i -> q.qa[i] * q.qa[i])) AS DOUBLE))
+              * sqrt(CAST(list_sum(list_transform(range(1, 65),
+                  i -> c.ca[i] * c.ca[i])) AS DOUBLE))) AS cos
+    FROM q CROSS JOIN c
+    WHERE q.q_id <> c.c_id
+),
+ranked AS (
+    SELECT q_id, q_label, c_label,
+           ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cos DESC, c_id
+           ) AS rnk
+    FROM scored
+),
+labelcnt AS (
+    SELECT label, COUNT(*) AS n_lbl FROM embeddings GROUP BY 1
+),
+dcg AS (
+    SELECT q_id, q_label,
+           CAST(COALESCE(SUM(CASE WHEN c_label = q_label
+                THEN {_GAIN_CASE} END), 0) AS BIGINT) AS dcg_micro
+    FROM ranked WHERE rnk <= {_NDCG_K}
+    GROUP BY 1, 2
+)
+SELECT d.q_id, d.q_label,
+       CAST(LEAST(l.n_lbl - 1, 10) AS BIGINT) AS n_rel_total,
+       d.dcg_micro,
+       CAST((SELECT {_IDCG_CASE} FROM (SELECT l.n_lbl - 1 AS n_rel_total))
+            AS BIGINT) AS idcg_micro,
+       {sql_dround(
+           f"d.dcg_micro * 1.0 / (SELECT {_IDCG_CASE} "
+           "FROM (SELECT l.n_lbl - 1 AS n_rel_total))", 6)} AS ndcg
+FROM dcg d JOIN labelcnt l ON l.label = d.q_label
+""",
+)
+def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of exact-cosine retrieval under same-label relevance.
+
+    Scale: same broadcast-sliver × map-only candidate pass as
+    hard_negative_mining; the metric itself is integer sums of
+    injected positional constants over |Q|-bounded groups. This is the
+    eval loop you run after swapping the exact scorer for IVF/LSH —
+    recall (lsh_recall_audit) says what survived candidate
+    generation, NDCG says whether ordering quality held.
+    """
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    quant = F.expr(
+        "transform(embedding, x ->"
+        " CAST(FLOOR(CAST(x AS DOUBLE) * 1048576) AS BIGINT))"
+    )
+    q = emb.filter(hash_bucket("vec_id") < _MINE_PCT).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        quant.alias("qa"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("c_label"),
+        quant.alias("ca"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qa, ca, (a, b) -> a * b),"
+        " CAST(0 AS BIGINT), (s, x) -> s + x)"
+    )
+    nq = F.sqrt(
+        F.expr(
+            "aggregate(transform(qa, a -> a * a),"
+            " CAST(0 AS BIGINT), (s, x) -> s + x)"
+        ).cast("double")
+    )
+    nc = F.sqrt(
+        F.expr(
+            "aggregate(transform(ca, a -> a * a),"
+            " CAST(0 AS BIGINT), (s, x) -> s + x)"
+        ).cast("double")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "c_id",
+            "c_label",
+            (dot.cast("double") / (nq * nc)).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
+    ranked = scored.select(
+        "q_id", "q_label", "c_label", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= _NDCG_K)
+    gain = F.expr(_GAIN_CASE)
+    dcg = ranked.groupBy("q_id", "q_label").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("c_label") == F.col("q_label"), gain)),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("dcg_micro")
+    )
+    labelcnt = emb.groupBy(F.col("label")).agg(F.count("*").alias("n_lbl"))
+    joined = dcg.join(
+        F.broadcast(labelcnt), dcg.q_label == F.col("label")
+    ).withColumn("n_rel_total", F.col("n_lbl") - 1)
+    idcg = F.expr(_IDCG_CASE)
+    return joined.select(
+        "q_id",
+        "q_label",
+        F.least(F.col("n_lbl") - 1, F.lit(10)).cast("bigint").alias(
+            "n_rel_total"
+        ),
+        "dcg_micro",
+        idcg.cast("bigint").alias("idcg_micro"),
+        dround(F.col("dcg_micro") * 1.0 / idcg, 6).alias("ndcg"),
+    )
