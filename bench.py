@@ -138,6 +138,13 @@ HEADLINE = [
     "decontaminate_bloom",
     "scd2_point_in_time_join",
     "inventory_running_balance",
+    # Round-4b flagships with a perf story: constant-shuffle sketch
+    # (CMS), broadcast-superstep iterative graph (PageRank), and the
+    # on-demand inverted-index posting build (BM25) — each sub-1.5 s
+    # at sf0.1, demonstrating the scale shapes stay cheap.
+    "cms_heavy_hitters_checked",
+    "pagerank_trade_graph",
+    "bm25_doc_retrieval",
 ]
 
 
