@@ -117,11 +117,20 @@ def grid_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("x") * _GRID).cast("bigint").alias("cx"),
         F.floor(F.col("y") * _GRID).cast("bigint").alias("cy"),
     )
-    offsets = spark.createDataFrame(
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    # 9-offset fan-out as a map-side array explode (zero join nodes —
+    # a broadcast cross join would plan a BroadcastNestedLoopJoin)
+    offsets = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"struct(CAST({dx} AS BIGINT) AS dx, CAST({dy} AS BIGINT) AS dy)"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        + "))"
     )
     probes = (
-        cust.crossJoin(F.broadcast(offsets))
+        cust.select("c_custkey", "x", "y", offsets.alias("o"))
+        .select("c_custkey", "x", "y", "o.dx", "o.dy")
         .select(
             "c_custkey",
             "x",

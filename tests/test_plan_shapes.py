@@ -379,3 +379,40 @@ def test_dynamic_partition_pruning_on_partitioned_lake(
         )
     )
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_cms_topk_is_take_ordered(spark, sf_dir):
+    """The exact candidate side of the CMS twin must finish with
+    TakeOrdered (per-partition heaps), never a global sort."""
+    plan = _plan(spark, "cms_heavy_hitters_checked", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_finisher_take_ordered_and_stats_broadcast(spark, sf_dir):
+    plan = _plan(spark, "bm25_doc_retrieval", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_pagerank_iterations_broadcast_rank_vector(spark, sf_dir):
+    """Every superstep joins the 25-row rank vector by broadcast; the
+    dims in the edge build broadcast too — no shuffle grows with
+    iteration count."""
+    plan = _plan(spark, "pagerank_trade_graph", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_grid_nn_candidates_are_equi_join(spark, sf_dir):
+    """Cell-bucketed spatial NN must candidate-generate via an
+    EQUI-join on cell ids — the whole point vs a cross join."""
+    plan = _plan(spark, "grid_nearest_supplier", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_histogram_quantiles_partial_agg(spark, sf_dir):
+    """The binned count must map-side combine (partial_count before
+    the exchange) — the constant-state property of the histogram."""
+    plan = _plan(spark, "histogram_quantiles_checked", sf_dir)
+    assert "partial_count" in plan
