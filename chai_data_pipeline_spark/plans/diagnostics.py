@@ -620,3 +620,60 @@ def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(expected, 6).alias("benford_share"),
         dround(dev * dev / (F.col("total") * expected), 6).alias("chi_square_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# Self-join blowup forecast: the output size of any equi-self-join is
+# exactly Σ_k c(k)² — computable from per-key counts for pennies
+# BEFORE running the join that would melt the shuffle. Pairs with
+# key_frequency_histogram: that query shows the skew shape, this one
+# prices the join it would cause, per event type.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "self_join_blowup_forecast",
+    oracle="""
+WITH per_key AS (
+    SELECT event_type, user_id, COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       COUNT(*) AS n_keys,
+       CAST(SUM(c * c) AS BIGINT) AS forecast_pairs,
+       CAST(MAX(c) * MAX(c) AS BIGINT) AS worst_key_pairs,
+       (FLOOR(CAST(SUM(c * c) AS BIGINT) * 1.0 / CAST(SUM(c) AS BIGINT)
+        * 10000 + 0.5) / 10000.0) AS amplification
+FROM per_key
+GROUP BY 1
+""",
+)
+def self_join_blowup_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type cost forecast of a user-keyed self-join.
+
+    Scale: one per-key count (map-combined) then a type-grain moment
+    aggregation — the forecast costs one narrow shuffle while the
+    forecasted join could cost Σc² rows; run this first, then choose
+    salting (operators/skew.py) when amplification is pathological.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per_key = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("c")
+    )
+    return per_key.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("forecast_pairs"),
+        (F.max("c") * F.max("c")).cast("bigint").alias("worst_key_pairs"),
+        (
+            F.floor(
+                F.sum(F.col("c") * F.col("c")).cast("bigint")
+                * 1.0
+                / F.sum("c").cast("bigint")
+                * 10000
+                + 0.5
+            )
+            / F.lit(10000.0)
+        ).alias("amplification"),
+    )

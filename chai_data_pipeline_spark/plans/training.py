@@ -1439,3 +1439,144 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(temp, 8).alias("temp_share"),
         dround(temp / raw, 6).alias("boost"),
     )
+
+
+# --------------------------------------------------------------------------
+# Quantile normalization across sources (batch-effect correction): map
+# each document's WITHIN-SOURCE length percentile onto the GLOBAL
+# length distribution, so every source ends up with the same length
+# profile. The global inverse-CDF is the 256-bin histogram (constant
+# state, broadcast as 256 half-open cum-count intervals — each target
+# rank matches exactly one), never a global sort; the within-source
+# rank windows are source-bounded.
+# --------------------------------------------------------------------------
+
+_QN_B = 256
+
+
+@query(
+    "quantile_normalize_lengths",
+    oracle=f"""
+WITH st AS (
+    SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx, COUNT(*) AS n
+    FROM documents
+),
+b AS (
+    SELECT LEAST(CAST({_QN_B - 1} AS BIGINT),
+                 CAST(FLOOR((d.n_chars - s.mn) * 1.0
+                      / ((s.mx - s.mn) * 1.0 / {_QN_B})) AS BIGINT)) AS bin
+    FROM documents d CROSS JOIN st s
+),
+bc AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY 1),
+cum AS (
+    SELECT bin,
+           CAST(SUM(c) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+               AS BIGINT) AS cum,
+           CAST(COALESCE(SUM(c) OVER (ORDER BY bin
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_prev
+    FROM bc
+),
+ranked AS (
+    SELECT source, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+           ) AS r,
+           COUNT(*) OVER (PARTITION BY source) AS n_src
+    FROM documents
+),
+mapped AS (
+    SELECT rk.source, rk.n_chars,
+           CAST(FLOOR((s.mn + (c.bin + 1) * ((s.mx - s.mn) * 1.0 / {_QN_B}))
+                * 1000000 + 0.5) AS BIGINT) AS norm_micro
+    FROM ranked rk
+    CROSS JOIN st s
+    JOIN cum c
+      ON CAST(CEIL(rk.r * 1.0 / rk.n_src * s.n) AS BIGINT) > c.cum_prev
+     AND CAST(CEIL(rk.r * 1.0 / rk.n_src * s.n) AS BIGINT) <= c.cum
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) * 1.0 / COUNT(*) AS avg_len_before,
+       CAST(SUM(norm_micro) AS BIGINT) * 1.0 / COUNT(*) / 1000000.0
+           AS avg_len_normalized
+FROM mapped
+GROUP BY 1
+""",
+)
+def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source average length before and after quantile normalization.
+
+    Scale: the inverse-CDF is histogram state (256 broadcast
+    intervals, each doc matches exactly one — a 1:1 range join, not a
+    fan-out); within-source percent ranks are source-partitioned
+    windows. This is the curation step that stops a verbose source
+    from dominating purely through length when mixtures are sampled by
+    quantile-matched budgets.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    st = docs.agg(
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) * 1.0 / _QN_B
+    b = docs.crossJoin(F.broadcast(st)).select(
+        F.least(
+            F.lit(_QN_B - 1).cast("bigint"),
+            F.floor((F.col("n_chars") - F.col("mn")) * 1.0 / width).cast(
+                "bigint"
+            ),
+        ).alias("bin")
+    )
+    bc = b.groupBy("bin").agg(F.count("*").alias("c"))
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = bc.select(
+        "bin",
+        F.sum("c").over(wc).cast("bigint").alias("cum"),
+        F.coalesce(F.sum("c").over(wp), F.lit(0)).cast("bigint").alias(
+            "cum_prev"
+        ),
+    )
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("n_src"),
+    )
+    t = F.ceil(F.col("r") * 1.0 / F.col("n_src") * F.col("n")).cast("bigint")
+    mapped = (
+        ranked.crossJoin(F.broadcast(st))
+        .join(
+            F.broadcast(cum),
+            (t > F.col("cum_prev")) & (t <= F.col("cum")),
+        )
+        .select(
+            "source",
+            "n_chars",
+            F.floor(
+                (
+                    F.col("mn")
+                    + (F.col("bin") + 1)
+                    * ((F.col("mx") - F.col("mn")) * 1.0 / _QN_B)
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("norm_micro"),
+        )
+    )
+    return mapped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars").cast("bigint") * 1.0 / F.count("*")).alias(
+            "avg_len_before"
+        ),
+        (
+            F.sum("norm_micro").cast("bigint") * 1.0 / F.count("*") / 1000000.0
+        ).alias("avg_len_normalized"),
+    )
