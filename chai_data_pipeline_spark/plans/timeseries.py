@@ -2790,3 +2790,279 @@ def time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("dq").cast("bigint") / 1000000.0).alias("decayed_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Markov removal-effect attribution (the data-driven alternative to
+# last-touch): sessions become absorbing-chain paths (channels →
+# conv/drop), and each channel's credit is how much total conversion
+# probability disappears when paths through it are cut. The
+# EXPENSIVE part — counting transitions over all events — is fully
+# distributed; the chain solve runs on the collected ≤(channels+1)²
+# edge matrix (model-sized driver state, the k-means pattern), using
+# the same ×1e9 fixed-point float protocol on BOTH engines, so the
+# Python-side solve and the oracle's unrolled SQL CTEs agree exactly.
+# --------------------------------------------------------------------------
+
+_ATTR_CHANNELS = ("click", "error", "signup", "view")
+_ATTR_ITERS = 8
+_ATTR_SCALE = 1_000_000_000
+
+_ATTR_EDGES_SQL = """
+ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                     > CAST(1800 AS BIGINT) * 1000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM ordered
+),
+pos AS (
+    SELECT user_id, sid, event_type,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id, sid ORDER BY ts, event_id) AS pos
+    FROM sess
+),
+fp AS (
+    SELECT user_id, sid,
+           MIN(CASE WHEN event_type = 'purchase' THEN pos END) AS ppos
+    FROM pos GROUP BY 1, 2
+),
+k2 AS (
+    SELECT p.event_type, p.pos, f.ppos,
+           LEAD(p.event_type) OVER (
+               PARTITION BY p.user_id, p.sid ORDER BY p.pos) AS nxt
+    FROM pos p JOIN fp f ON f.user_id = p.user_id AND f.sid = p.sid
+    WHERE f.ppos IS NULL OR p.pos < f.ppos
+),
+trans AS (
+    SELECT event_type AS src,
+           COALESCE(nxt, CASE WHEN ppos IS NOT NULL
+                              THEN 'conv' ELSE 'drop' END) AS dst
+    FROM k2
+    UNION ALL
+    SELECT 'start', event_type FROM k2 WHERE pos = 1
+    UNION ALL
+    SELECT 'start', 'conv' FROM fp WHERE ppos = 1
+),
+ecnt AS (SELECT src, dst, COUNT(*) AS c FROM trans GROUP BY 1, 2),
+outw AS (SELECT src, CAST(SUM(c) AS BIGINT) AS out_c FROM ecnt GROUP BY 1),
+edges AS (
+    SELECT e.src, e.dst, CAST(e.c AS BIGINT) AS c, o.out_c
+    FROM ecnt e JOIN outw o USING (src)
+)"""
+
+
+def _attr_sql_chain(tag: str, removed: str | None) -> str:
+    """Unrolled fixed-point absorption CTEs for one variant."""
+    flt = (
+        f"AND e.src <> '{removed}' AND e.dst <> '{removed}'"
+        if removed
+        else ""
+    )
+    consts = (
+        f"SELECT 'conv' AS node, CAST({_ATTR_SCALE} AS BIGINT) AS val "
+        "UNION ALL SELECT 'drop', 0"
+    )
+    parts = [
+        f"p{tag}_0 AS (SELECT event_type AS node, CAST(0 AS BIGINT) AS val "
+        f"FROM (SELECT DISTINCT event_type FROM events "
+        f"WHERE event_type <> 'purchase') t)"
+    ]
+    for k in range(1, _ATTR_ITERS + 1):
+        parts.append(f"""p{tag}_{k} AS (
+    SELECT s.node, COALESCE(x.val, 0) AS val
+    FROM p{tag}_0 s LEFT JOIN (
+        SELECT e.src AS node,
+               CAST(SUM(CAST(FLOOR(CAST(p.val AS DOUBLE) * e.c / e.out_c
+                    + 0.5) AS BIGINT)) AS BIGINT) AS val
+        FROM edges e
+        JOIN (SELECT node, val FROM p{tag}_{k - 1} UNION ALL {consts}) p
+          ON p.node = e.dst
+        WHERE e.src <> 'start' {flt}
+        GROUP BY 1
+    ) x ON x.node = s.node
+)""")
+    parts.append(f"""res_{tag} AS (
+    SELECT CAST(COALESCE(SUM(CAST(FLOOR(CAST(p.val AS DOUBLE) * e.c
+                / e.out_c + 0.5) AS BIGINT)), 0) AS BIGINT) AS conv_micro
+    FROM edges e
+    JOIN (SELECT node, val FROM p{tag}_{_ATTR_ITERS} UNION ALL {consts}) p
+      ON p.node = e.dst
+    WHERE e.src = 'start' {flt}
+)""")
+    return ",\n".join(parts)
+
+
+_ATTR_ORACLE = (
+    "WITH "
+    + _ATTR_EDGES_SQL.lstrip()
+    + ",\n"
+    + _attr_sql_chain("b", None)
+    + ",\n"
+    + ",\n".join(
+        _attr_sql_chain(f"r{i}", ch)
+        for i, ch in enumerate(_ATTR_CHANNELS)
+    )
+    + "\nSELECT t.removed_channel,\n"
+    + "       b.conv_micro / 1000000000.0 AS base_conv_prob,\n"
+    + "       t.conv_micro / 1000000000.0 AS removed_conv_prob,\n"
+    + "       (FLOOR((b.conv_micro - t.conv_micro) * 1.0 / b.conv_micro\n"
+    + "        * 1000000 + 0.5) / 1000000.0) AS removal_effect\n"
+    + "FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT '{ch}' AS removed_channel, conv_micro FROM res_r{i}"
+        for i, ch in enumerate(_ATTR_CHANNELS)
+    )
+    + "\n) t CROSS JOIN res_b b\n"
+)
+
+
+@query("markov_attribution_removal", oracle=_ATTR_ORACLE)
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-effect conversion attribution per channel.
+
+    Scale: transition counting is the only event-scale work (one
+    user-shuffle for sessionization + a (src, dst)-grain count that
+    map-combines to ≤ (channels+2)² cells); the absorbing-chain solve
+    collects that model-sized matrix and iterates in exact fixed point
+    on the driver — identical arithmetic to the oracle's unrolled SQL.
+    More channels/iterations grow driver math, never cluster work.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+                    "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+    ordered = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (gap_us > F.lit(1800 * 1_000_000)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sess = ordered.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wp = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    pos = sess.select(
+        "user_id",
+        "sid",
+        "event_type",
+        F.row_number().over(wp).alias("pos"),
+    )
+    fp = pos.groupBy("user_id", "sid").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("pos"))
+        ).alias("ppos")
+    )
+    wk = Window.partitionBy("user_id", "sid").orderBy("pos")
+    k2 = (
+        pos.join(fp, ["user_id", "sid"])
+        .filter(F.col("ppos").isNull() | (F.col("pos") < F.col("ppos")))
+        .select(
+            "user_id",
+            "sid",
+            "event_type",
+            "pos",
+            "ppos",
+            F.lead("event_type").over(wk).alias("nxt"),
+        )
+    )
+    trans = (
+        k2.select(
+            F.col("event_type").alias("src"),
+            F.coalesce(
+                "nxt",
+                F.when(F.col("ppos").isNotNull(), "conv").otherwise("drop"),
+            ).alias("dst"),
+        )
+        .unionAll(
+            k2.filter(F.col("pos") == 1).select(
+                F.lit("start").alias("src"),
+                F.col("event_type").alias("dst"),
+            )
+        )
+        .unionAll(
+            fp.filter(F.col("ppos") == 1).select(
+                F.lit("start").alias("src"), F.lit("conv").alias("dst")
+            )
+        )
+    )
+    ecnt = trans.groupBy("src", "dst").agg(F.count("*").alias("c"))
+    outw = ecnt.groupBy("src").agg(F.sum("c").alias("out_c"))
+    edges = [
+        (r.src, r.dst, int(r.c), int(r.out_c))
+        for r in ecnt.join(outw, "src").collect()
+    ]  # model-sized: <= (channels+2)^2 rows
+    channels = sorted(
+        {s for s, _, _, _ in edges if s not in ("start",)}
+        | {d for _, d, _, _ in edges if d not in ("conv", "drop")}
+    )
+
+    def solve(removed: str | None) -> int:
+        p = {ch: 0 for ch in channels}
+        for _ in range(_ATTR_ITERS):
+            nxt = {}
+            for ch in channels:
+                total = 0
+                for s, d, c, out_c in edges:
+                    if s != ch or s == "start":
+                        continue
+                    if removed and (s == removed or d == removed):
+                        continue
+                    val = (
+                        _ATTR_SCALE
+                        if d == "conv"
+                        else (0 if d == "drop" else p[d])
+                    )
+                    total += int(math.floor(float(val) * c / out_c + 0.5))
+                nxt[ch] = total
+            p = nxt
+        conv = 0
+        for s, d, c, out_c in edges:
+            if s != "start":
+                continue
+            if removed and d == removed:
+                continue
+            val = (
+                _ATTR_SCALE if d == "conv" else (0 if d == "drop" else p.get(d, 0))
+            )
+            conv += int(math.floor(float(val) * c / out_c + 0.5))
+        return conv
+
+    base = solve(None)
+    rows = []
+    for ch in _ATTR_CHANNELS:
+        rem = solve(ch)
+        rows.append(
+            (
+                ch,
+                base / 1000000000.0,
+                rem / 1000000000.0,
+                math.floor((base - rem) * 1.0 / base * 1000000 + 0.5)
+                / 1000000.0,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "removed_channel string, base_conv_prob double,"
+        " removed_conv_prob double, removal_effect double",
+    )
