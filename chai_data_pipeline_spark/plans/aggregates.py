@@ -1165,3 +1165,127 @@ def hierarchical_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
             "region_share_global"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Multiset set operations: EXCEPT ALL / INTERSECT ALL keep
+# MULTIPLICITY (bag semantics) — a user with 5 January events and 2
+# February events survives EXCEPT ALL 3 times, where distinct EXCEPT
+# keeps or drops them outright. The distinct variants are covered by
+# except_inactive_users / intersect_users; this closes the bag-
+# semantics corner both engines implement per the SQL standard.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "multiset_except_intersect",
+    oracle="""
+WITH jan AS (
+    SELECT user_id FROM events
+    WHERE CAST(ts AS DATE) < DATE '2024-02-01'
+),
+feb AS (
+    SELECT user_id FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-02-01'
+),
+ea AS (
+    SELECT 'except_all' AS set_op, user_id, COUNT(*) AS n FROM (
+        SELECT user_id FROM jan EXCEPT ALL SELECT user_id FROM feb
+    ) GROUP BY 2
+),
+ia AS (
+    SELECT 'intersect_all' AS set_op, user_id, COUNT(*) AS n FROM (
+        SELECT user_id FROM jan INTERSECT ALL SELECT user_id FROM feb
+    ) GROUP BY 2
+)
+SELECT * FROM ea UNION ALL SELECT * FROM ia
+""",
+)
+def multiset_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics EXCEPT ALL / INTERSECT ALL of monthly activity.
+
+    Scale: exceptAll/intersectAll plan as a count-aggregate + replicate
+    (one shuffle on the value), not a join explosion; the per-user
+    grouping after them is the same shuffle key, so AQE coalesces the
+    exchanges. Multiplicities encode "how much MORE active in January"
+    — information the distinct variants throw away.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    cutoff = F.lit("2024-02-01").cast("date")
+    jan = events.filter(F.to_date("ts") < cutoff).select("user_id")
+    feb = events.filter(F.to_date("ts") >= cutoff).select("user_id")
+    ea = (
+        jan.exceptAll(feb)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("set_op"), "user_id", "n")
+    )
+    ia = (
+        jan.intersectAll(feb)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("set_op"), "user_id", "n")
+    )
+    return ea.unionAll(ia)
+
+
+# --------------------------------------------------------------------------
+# NULL-semantics conformance: one row per classic NULL trap, both
+# engines must agree because each implements the SQL standard —
+# = never matches NULL, IS NOT DISTINCT FROM does, NOT IN against a
+# set containing NULL matches NOTHING, aggregates skip NULLs, and
+# COUNT(DISTINCT) excludes them. Run as literal SQL on BOTH engines
+# (the Spark side is spark.sql over the registered temp view) so the
+# checks audit engine semantics, not expression-builder translation.
+# --------------------------------------------------------------------------
+
+_NULLSEM_SQL = """
+WITH t AS (
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_orderpriority END AS p
+    FROM orders
+),
+checks AS (
+    SELECT 'eq_join_matches' AS check_name,
+           (SELECT COUNT(*) FROM t a JOIN t b ON a.k = b.k AND a.p = b.p)
+               AS val
+    UNION ALL
+    SELECT 'null_safe_join_matches',
+           (SELECT COUNT(*) FROM t a JOIN t b
+            ON a.k = b.k AND a.p IS NOT DISTINCT FROM b.p)
+    UNION ALL
+    SELECT 'not_in_set_with_null',
+           (SELECT COUNT(*) FROM t
+            WHERE p NOT IN (SELECT p FROM t WHERE k <= 14))
+    UNION ALL
+    SELECT 'in_set_with_null',
+           (SELECT COUNT(*) FROM t
+            WHERE p IN (SELECT p FROM t WHERE k <= 14))
+    UNION ALL
+    SELECT 'count_star', (SELECT COUNT(*) FROM t)
+    UNION ALL
+    SELECT 'count_col_skips_null', (SELECT COUNT(p) FROM t)
+    UNION ALL
+    SELECT 'count_distinct_excludes_null',
+           (SELECT COUNT(DISTINCT p) FROM t)
+    UNION ALL
+    SELECT 'null_rows', (SELECT COUNT(*) FROM t WHERE p IS NULL)
+)
+SELECT check_name, CAST(val AS BIGINT) AS val FROM checks
+"""
+
+
+@query("null_semantics_conformance", oracle=_NULLSEM_SQL)
+def null_semantics_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic NULL traps, checked value-for-value across engines.
+
+    Scale: each check is one aggregate over a narrow projection; the
+    join legs are key-equi joins (the p predicate only filters). The
+    value of this row is CONTRACTUAL — it pins that the engine pair
+    agrees on the standard's three-valued logic, so every other
+    query's NULL handling rests on verified ground.
+    """
+    t = load_tables(spark, sf_dir, "orders")["orders"]
+    t.createOrReplaceTempView("orders")
+    return spark.sql(_NULLSEM_SQL)
