@@ -221,3 +221,94 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_span_area"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Partition-sizing advisor: per-table logical byte estimates (typed
+# widths + exact string/array byte sums) → recommended shuffle
+# partition count at the 128 MiB target and a broadcastability flag at
+# the 10 MiB threshold. This is the piece of capacity planning that
+# decides spark.sql.shuffle.partitions / files.maxPartitionBytes /
+# autoBroadcastJoinThreshold BEFORE a job runs — derived from one
+# narrow aggregation per table.
+# --------------------------------------------------------------------------
+
+# (table, fixed typed-width bytes, utf-8-counted string columns).
+# DuckDB's octet_length needs BLOB input (encode()); Spark's takes the
+# string directly — both count utf-8 bytes, so values agree.
+_ADVISOR_TABLES = [
+    ("lineitem", 44, ["l_returnflag", "l_linestatus"]),
+    ("orders", 28, ["o_orderstatus", "o_orderpriority"]),
+    ("events", 28, ["event_type", "props"]),
+    ("documents", 16, ["text", "lang", "source"]),
+    ("customer", 16, ["c_name", "c_mktsegment"]),
+    ("supplier", 16, ["s_name"]),
+    ("part", 16, ["p_name", "p_brand", "p_type"]),
+    ("embeddings", 12 + 4 * 64, []),
+]
+
+_MB = 1024 * 1024
+
+
+def _bytes_expr(fixed, cols, duck):
+    parts = [str(fixed)] + [
+        (f"octet_length(encode({c}))" if duck else f"octet_length({c})")
+        for c in cols
+    ]
+    return " + ".join(parts)
+
+
+def _advisor_leg_sql(table: str, expr: str) -> str:
+    return f"""
+SELECT '{table}' AS table_name,
+       COUNT(*) AS n_rows,
+       CAST(SUM({expr}) AS BIGINT) AS est_bytes,
+       GREATEST(CAST(1 AS BIGINT),
+                CAST(CEIL(CAST(SUM({expr}) AS BIGINT)
+                     / ({128 * _MB} * 1.0)) AS BIGINT))
+           AS rec_shuffle_partitions,
+       (CAST(SUM({expr}) AS BIGINT) < {10 * _MB}) AS broadcastable
+FROM {table}"""
+
+
+@query(
+    "partition_sizing_advisor",
+    oracle="\nUNION ALL\n".join(
+        _advisor_leg_sql(t, _bytes_expr(fx, cols, duck=True))
+        for t, fx, cols in _ADVISOR_TABLES
+    ),
+)
+def partition_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bytes, recommended shuffle partitions, and broadcastability per table.
+
+    Scale: one map-combined aggregation per table over a narrow
+    projection; at 100 TB these numbers come from the same scan the
+    first pipeline stage already does (or table-format statistics),
+    and they are exactly what sizes shuffle partitions so each task's
+    state fits executor memory (SCALING.md global posture).
+    """
+    tables = load_tables(spark, sf_dir, *[t for t, _, _ in _ADVISOR_TABLES])
+    legs = []
+    for t, fx, cols in _ADVISOR_TABLES:
+        df = tables[t]
+        bytes_col = F.expr(_bytes_expr(fx, cols, duck=False))
+        legs.append(
+            df.agg(
+                F.lit(t).alias("table_name"),
+                F.count("*").alias("n_rows"),
+                F.sum(bytes_col).cast("bigint").alias("est_bytes"),
+                F.greatest(
+                    F.lit(1).cast("bigint"),
+                    F.ceil(
+                        F.sum(bytes_col).cast("bigint") / (128 * _MB * 1.0)
+                    ).cast("bigint"),
+                ).alias("rec_shuffle_partitions"),
+                (F.sum(bytes_col).cast("bigint") < 10 * _MB).alias(
+                    "broadcastable"
+                ),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
