@@ -272,3 +272,128 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("lbl").alias("community"),
         F.count("*").over(out_w).alias("community_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting + local clustering coefficients, completing the
+# graph family (components, PageRank, label propagation). The a<b<c
+# ordered 3-way self-join enumerates each triangle exactly once; all
+# counting is integer and the coefficient is one ratio per node.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "triangle_count_trade_graph",
+    oracle=f"""
+WITH {_EDGES_SQL.lstrip()},
+und AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM sedges WHERE src <> dst
+),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+node_tri AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ) GROUP BY 1
+),
+deg AS (
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM und UNION ALL SELECT b FROM und
+    ) GROUP BY 1
+)
+SELECT na.n_name AS nation, d.degree,
+       COALESCE(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2 THEN
+           (FLOOR(2.0 * COALESCE(t.n_triangles, 0)
+            / (d.degree * (d.degree - 1)) * 1000000 + 0.5) / 1000000.0)
+       END AS clustering_coeff
+FROM deg d
+LEFT JOIN node_tri t USING (node)
+JOIN nation na ON na.n_nationkey = d.node
+""",
+)
+def triangle_count_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle participation and clustering coefficient.
+
+    Scale: the ordered (a<b<c) join is the standard distributed
+    triangle enumeration — each edge list is shuffled by its join key
+    and every triangle is produced exactly once; on power-law graphs
+    the production form adds degree-ordering (orient edges low→high
+    degree) to bound the join fan-out, which the a<b orientation
+    approximates here. Node grain stays nation-cardinality.
+    """
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    edges0 = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+    )
+    und = (
+        edges0.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = und
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")),
+        )
+        .select("a", "b", "c")
+    )
+    node_tri = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    cc = F.when(
+        F.col("degree") >= 2,
+        F.floor(
+            2.0
+            * F.coalesce(F.col("n_triangles"), F.lit(0))
+            / (F.col("degree") * (F.col("degree") - 1))
+            * 1000000
+            + 0.5
+        )
+        / F.lit(1000000.0),
+    )
+    return (
+        deg.join(node_tri, "node", "left")
+        .join(F.broadcast(t["nation"]), F.col("node") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0).cast("bigint")).alias(
+                "n_triangles"
+            ),
+            cc.alias("clustering_coeff"),
+        )
+    )

@@ -3066,3 +3066,94 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "removed_channel string, base_conv_prob double,"
         " removed_conv_prob double, removal_effect double",
     )
+
+
+# --------------------------------------------------------------------------
+# Complex-event-processing pattern over the daily series: three
+# consecutive strict rises followed by a fall (the "blow-off top"
+# MATCH_RECOGNIZE shape, expressed as lag comparisons over the
+# gap-filled spine so "consecutive" means consecutive CALENDAR days).
+# Pure integer comparisons — no float anywhere.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cep_rise_fall_patterns",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM daily),
+spine AS (
+    SELECT t.event_type, CAST(g.day AS DATE) AS d
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN (
+        SELECT unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS day
+        FROM bounds b
+    ) g
+),
+filled AS (
+    SELECT s.event_type, s.d, COALESCE(dy.n, 0) AS n
+    FROM spine s LEFT JOIN daily dy
+      ON dy.event_type = s.event_type AND dy.d = s.d
+),
+lagged AS (
+    SELECT event_type, d, n,
+           LAG(n, 1) OVER w AS n1, LAG(n, 2) OVER w AS n2,
+           LAG(n, 3) OVER w AS n3
+    FROM filled
+    WINDOW w AS (PARTITION BY event_type ORDER BY d)
+)
+SELECT event_type, d AS fall_day, n3, n2, n1, n AS n_fall
+FROM lagged
+WHERE n3 IS NOT NULL AND n3 < n2 AND n2 < n1 AND n < n1
+""",
+)
+def cep_rise_fall_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three strict rises then a fall, per event type and calendar day.
+
+    Scale: one (type, day)-grain shuffle + a per-type lag window over
+    day-cardinality partitions — the CEP pattern a MATCH_RECOGNIZE
+    engine compiles to exactly this lag-comparison form when the
+    pattern has fixed length. Variable-length patterns go to
+    applyInPandasWithState (streaming/) instead.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    bounds = daily.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("dmin", "dmax")).alias("d"))
+    )
+    filled = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = filled.select(
+        "event_type",
+        "d",
+        "n",
+        F.lag("n", 1).over(w).alias("n1"),
+        F.lag("n", 2).over(w).alias("n2"),
+        F.lag("n", 3).over(w).alias("n3"),
+    )
+    return lagged.filter(
+        F.col("n3").isNotNull()
+        & (F.col("n3") < F.col("n2"))
+        & (F.col("n2") < F.col("n1"))
+        & (F.col("n") < F.col("n1"))
+    ).select(
+        "event_type",
+        F.col("d").alias("fall_day"),
+        "n3",
+        "n2",
+        "n1",
+        F.col("n").alias("n_fall"),
+    )
