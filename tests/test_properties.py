@@ -496,3 +496,35 @@ def test_hll_set_algebra_error_bounds(spark, sf_dir):
         if x[k] >= 50:
             rel = abs(rows[k].hll_estimate - x[k]) / x[k]
             assert rel < 0.25, (k, rows[k].hll_estimate, x[k])
+
+
+def test_attribution_and_normalization_reshard_stable(spark, sf_dir):
+    """markov_attribution_removal (driver-side fixed-point solve) and
+    quantile_normalize_lengths (rank + histogram inverse-CDF) must be
+    pure functions of table CONTENT: a repartitioned copy yields
+    byte-identical outputs."""
+    import os
+    import shutil
+    import tempfile
+
+    from chai_data_pipeline_spark import plans
+
+    names = ["markov_attribution_removal", "quantile_normalize_lengths"]
+    base = {
+        n: sorted(map(tuple, plans.QUERIES[n](spark, sf_dir).collect()))
+        for n in names
+    }
+    tmp = tempfile.mkdtemp(prefix="chai_reshard_")
+    try:
+        for t in ["events", "documents"]:
+            df = spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+            df.repartition(11).write.mode("overwrite").parquet(
+                os.path.join(tmp, f"{t}.parquet")
+            )
+        for n in names:
+            shuffled = sorted(
+                map(tuple, plans.QUERIES[n](spark, tmp).collect())
+            )
+            assert base[n] == shuffled, n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
