@@ -918,3 +918,117 @@ def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         idcg.cast("bigint").alias("idcg_micro"),
         dround(F.col("dcg_micro") * 1.0 / idcg, 6).alias("ndcg"),
     )
+
+
+# --------------------------------------------------------------------------
+# PQ reconstruction-error audit: how much of each label's signal the
+# 32× product-quantization compression destroys. Per subspace the
+# reconstruction error IS the min distance to the codebook (a numeric
+# MIN — order-independent, no argmax tiebreak even needed); per-vector
+# totals fold the 8 subspace minima in fixed m-order, quantize ×1e6,
+# and aggregate exactly per label. Pairs with
+# similarity_ann_pq_checked (ranking fidelity) by measuring the other
+# failure mode: representation fidelity.
+# --------------------------------------------------------------------------
+
+
+def _pq_recon_oracle() -> str:
+    sq = (
+        "list_sum(list_transform(range(1, {n} + 1), "
+        "i -> (({a}[i]) - ({b}[i])) * (({a}[i]) - ({b}[i]))))"
+    )
+    sub_slice = (
+        "list_transform(list_slice({v}, m.m * {s} + 1, m.m * {s} + {s}), "
+        "x -> CAST(x AS DOUBLE))"
+    ).format(v="{v}", s=_PQ_SUB)
+    return f"""
+WITH ms AS (SELECT unnest(range(0, {_PQ_M})) AS m),
+cents AS (
+    SELECT embedding AS cvec,
+           ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+    FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+),
+csub AS (
+    SELECT cid, m.m AS m, {sub_slice.format(v='cvec')} AS c
+    FROM cents, ms m
+),
+vsub AS (
+    SELECT vec_id, m.m AS m, {sub_slice.format(v='embedding')} AS v
+    FROM embeddings, ms m
+),
+best AS (
+    SELECT s.vec_id, s.m,
+           MIN({sq.format(n=_PQ_SUB, a='s.v', b='c.c')}) AS dmin
+    FROM vsub s JOIN csub c ON s.m = c.m
+    GROUP BY 1, 2
+),
+per_vec AS (
+    SELECT vec_id,
+           CAST(FLOOR(list_sum(list(dmin ORDER BY m)) * 1000000 + 0.5)
+               AS BIGINT) AS rq
+    FROM best GROUP BY 1
+),
+norms AS (
+    SELECT vec_id, label,
+           CAST(FLOOR(list_sum(list_transform(range(1, {DIM} + 1),
+                i -> CAST(embedding[i] AS DOUBLE)
+                     * CAST(embedding[i] AS DOUBLE))) * 1000000 + 0.5)
+               AS BIGINT) AS nq
+    FROM embeddings
+)
+SELECT n.label,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(p.rq) AS BIGINT) * 1.0 / COUNT(*) / 1000000.0
+           AS avg_recon_mse,
+       CAST(SUM(n.nq) AS BIGINT) * 1.0 / COUNT(*) / 1000000.0
+           AS avg_norm_sq,
+       {sql_dround(
+           'CAST(SUM(p.rq) AS BIGINT) * 1.0 / CAST(SUM(n.nq) AS BIGINT)', 6)}
+           AS rel_error
+FROM per_vec p JOIN norms n USING (vec_id)
+GROUP BY 1
+"""
+
+
+@query("pq_reconstruction_error", oracle=_pq_recon_oracle())
+def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label PQ reconstruction MSE, absolute and norm-relative.
+
+    Scale: map-only — each row computes its 8 subspace minima against
+    the broadcast codebook literals and folds them in fixed order; the
+    only shuffle is the label-grain aggregate of quantized integers.
+    The audit that says whether _PQ_K sub-centroids are enough before
+    trusting ADC distances at corpus scale.
+    """
+    from ..operators.similarity import _sq_l2_spark, pq_codebooks
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    codebooks = pq_codebooks(emb, _PQ_M, _PQ_K)
+    sub = _PQ_SUB
+    dmins = []
+    for m, cb in enumerate(codebooks):
+        slice_expr = f"slice(embedding, {m * sub + 1}, {sub})"
+        arr = ", ".join(_sq_l2_spark(slice_expr, c) for c in cb)
+        dmins.append(f"array_min(array({arr}))")
+    total = " + ".join(f"({d})" for d in dmins)  # fixed m-order fold
+    norm_sq = (
+        "aggregate(transform(embedding, x -> cast(x AS double)"
+        " * cast(x AS double)), cast(0 AS double), (acc, v) -> acc + v)"
+    )
+    q = emb.select(
+        "label",
+        F.floor(F.expr(total) * 1000000 + 0.5).cast("bigint").alias("rq"),
+        F.floor(F.expr(norm_sq) * 1000000 + 0.5).cast("bigint").alias("nq"),
+    )
+    return q.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        (F.sum("rq").cast("bigint") * 1.0 / F.count("*") / 1000000.0).alias(
+            "avg_recon_mse"
+        ),
+        (F.sum("nq").cast("bigint") * 1.0 / F.count("*") / 1000000.0).alias(
+            "avg_norm_sq"
+        ),
+        dround(
+            F.sum("rq").cast("bigint") * 1.0 / F.sum("nq").cast("bigint"), 6
+        ).alias("rel_error"),
+    )
