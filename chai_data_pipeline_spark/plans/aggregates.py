@@ -1289,3 +1289,140 @@ def null_semantics_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "orders")["orders"]
     t.createOrReplaceTempView("orders")
     return spark.sql(_NULLSEM_SQL)
+
+
+# --------------------------------------------------------------------------
+# Bounded-error audits for the ENGINE-NATIVE sketches. The raw outputs
+# of approx_percentile / approx_count_distinct are engine-internal
+# (DuckDB cannot reproduce them — those queries stay rows-only), but
+# their ERROR BOUNDS are checkable: emit the exact answer plus a
+# boolean "within tolerance", and let the oracle assert the boolean.
+# If a Spark upgrade ever ships a sketch that violates its accuracy
+# contract, the value hash flips — the rows-only gap closed from the
+# other side.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "approx_quantile_error_bounded",
+    oracle="""
+WITH st AS (
+    SELECT event_type, MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n
+    FROM events GROUP BY 1
+),
+ranked AS (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn
+    FROM events
+),
+ex AS (
+    SELECT r.event_type,
+           MAX(CASE WHEN r.rn = CAST(CEIL(0.5 * s.n) AS BIGINT)
+               THEN r.value END) AS exact_p50,
+           MAX(CASE WHEN r.rn = CAST(CEIL(0.9 * s.n) AS BIGINT)
+               THEN r.value END) AS exact_p90
+    FROM ranked r JOIN st s USING (event_type)
+    GROUP BY 1
+)
+SELECT e.event_type,
+       (FLOOR(e.exact_p50 * 10000 + 0.5) / 10000.0) AS exact_p50,
+       (FLOOR(e.exact_p90 * 10000 + 0.5) / 10000.0) AS exact_p90,
+       TRUE AS p50_within_tol,
+       TRUE AS p90_within_tol
+FROM ex e
+""",
+)
+def approx_quantile_error_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native approx_percentile audited against its accuracy contract.
+
+    The booleans compare Spark's sketch output to the exact order
+    statistic within 2% of the value range; the oracle asserts them
+    TRUE, so the sketch's contract is part of the value hash. Scale:
+    the approx side is the production path (bounded sketch state);
+    the exact side is audit-only.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    from pyspark.sql.window import Window
+
+    st = events.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("value")
+    ranked = events.select(
+        "event_type", "value", F.row_number().over(wr).alias("rn")
+    )
+    ex = (
+        ranked.join(st, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(0.5 * F.col("n")).cast("bigint"),
+                    F.col("value"),
+                )
+            ).alias("exact_p50"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(0.9 * F.col("n")).cast("bigint"),
+                    F.col("value"),
+                )
+            ).alias("exact_p90"),
+        )
+    )
+    ap = events.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9], 10000).alias("ap")
+    )
+    joined = ex.join(ap, "event_type").join(st, "event_type")
+    tol = (F.col("mx") - F.col("mn")) * 0.02
+    return joined.select(
+        "event_type",
+        (F.floor(F.col("exact_p50") * 10000 + 0.5) / F.lit(10000.0)).alias(
+            "exact_p50"
+        ),
+        (F.floor(F.col("exact_p90") * 10000 + 0.5) / F.lit(10000.0)).alias(
+            "exact_p90"
+        ),
+        (F.abs(F.col("ap")[0] - F.col("exact_p50")) <= tol).alias(
+            "p50_within_tol"
+        ),
+        (F.abs(F.col("ap")[1] - F.col("exact_p90")) <= tol).alias(
+            "p90_within_tol"
+        ),
+    )
+
+
+@query(
+    "approx_distinct_error_bounded",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_exact,
+       TRUE AS within_tol
+FROM events GROUP BY 1
+""",
+)
+def approx_distinct_error_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native approx_count_distinct audited against its rsd contract.
+
+    Per event type: the HLL++ estimate (rsd 0.02) must land within 5×
+    the declared relative error of the exact count — asserted TRUE by
+    the oracle, so it participates in the value hash.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    agg = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("n_approx"),
+    )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.greatest(
+                F.lit(1.0), 0.10 * F.col("n_exact").cast("double")
+            )
+        ).alias("within_tol"),
+    )
