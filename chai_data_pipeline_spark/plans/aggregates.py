@@ -1426,3 +1426,70 @@ def approx_distinct_error_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("within_tol"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pythagorean means with exact cross-engine protocols: the geometric
+# mean rides ×1e9-quantized logs (exact integer sum, one exp), the
+# harmonic mean rides ×1e12-quantized reciprocals — so all three means
+# are partition-independent. Geometric/harmonic means are the right
+# location statistics for rates and multiplicative quantities, where
+# the arithmetic mean overstates.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pythagorean_means_by_type",
+    oracle="""
+WITH q AS (
+    SELECT event_type,
+           value,
+           CAST(FLOOR(ln(value) * 1000000000 + 0.5) AS BIGINT) AS lq,
+           CAST(FLOOR(1000000000000.0 / value + 0.5) AS BIGINT) AS rq
+    FROM events WHERE value > 0
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       (FLOOR(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*)
+        * 10000 + 0.5) / 10000.0) AS arithmetic_mean,
+       (FLOOR(exp(CAST(SUM(lq) AS BIGINT) * 1.0 / COUNT(*) / 1000000000.0)
+        * 10000 + 0.5) / 10000.0) AS geometric_mean,
+       (FLOOR(COUNT(*) * 1000000000000.0 / CAST(SUM(rq) AS BIGINT)
+        * 10000 + 0.5) / 10000.0) AS harmonic_mean
+FROM q
+GROUP BY 1
+""",
+)
+def pythagorean_means_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic / geometric / harmonic means of event value per type.
+
+    Scale: one map-combined aggregation; each mean's cross-row
+    reduction is exact (decimal cents, integer log-sums, integer
+    reciprocal-sums), so results are identical at any partitioning —
+    the AM ≥ GM ≥ HM inequality holds in the output by construction.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    q = events.filter(F.col("value") > 0).select(
+        "event_type",
+        "value",
+        F.floor(F.log("value") * 1000000000 + 0.5).cast("bigint").alias("lq"),
+        F.floor(1000000000000.0 / F.col("value") + 0.5)
+        .cast("bigint")
+        .alias("rq"),
+    )
+    fp = lambda c: F.floor(c * 10000 + 0.5) / F.lit(10000.0)  # noqa: E731
+    return q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        fp(
+            F.sum(F.col("value").cast("decimal(27,4)")).cast("double")
+            / F.count("*")
+        ).alias("arithmetic_mean"),
+        fp(
+            F.exp(
+                F.sum("lq").cast("bigint") * 1.0 / F.count("*") / 1000000000.0
+            )
+        ).alias("geometric_mean"),
+        fp(
+            F.count("*") * 1000000000000.0 / F.sum("rq").cast("bigint")
+        ).alias("harmonic_mean"),
+    )
