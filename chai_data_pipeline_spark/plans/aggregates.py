@@ -1493,3 +1493,125 @@ def pythagorean_means_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*") * 1000000000000.0 / F.sum("rq").cast("bigint")
         ).alias("harmonic_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUPED experiment analysis: hash-assigned A/B arms over the post
+# period, variance-reduced by the pre-period covariate (θ = cov(x,y)/
+# var(x), adjusted y' = y − θ(x − x̄)). All moments are exact integer
+# cents (wide-integer products: DECIMAL(38) on Spark ≡ HUGEINT in
+# DuckDB), θ and x̄ are single identical divisions, per-user adjusted
+# values quantize ×1e3 before the per-arm aggregation. The
+# experimentation-platform op: same decision numbers on every rerun.
+# --------------------------------------------------------------------------
+
+from .training import sql_hash_bucket as _sql_hb  # noqa: E402
+
+_CUPED_CUTOFF = "2024-02-01 00:00:00"
+
+
+@query(
+    "cuped_ab_analysis",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS x,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+m AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+           CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+    FROM per_user
+),
+theta AS (
+    SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS th,
+           CAST(sx AS DOUBLE) / n AS xbar
+    FROM m
+),
+adj AS (
+    SELECT u.user_id,
+           CASE WHEN {_sql_hb('user_id')} < 50
+                THEN 'A' ELSE 'B' END AS arm,
+           u.y,
+           CAST(FLOOR((u.y - t.th * (u.x - t.xbar)) * 1000 + 0.5)
+               AS BIGINT) AS yq
+    FROM per_user u CROSS JOIN theta t
+)
+SELECT arm,
+       COUNT(*) AS n_users,
+       CAST(SUM(y) AS BIGINT) * 1.0 / COUNT(*) / 100.0 AS mean_raw,
+       CAST(SUM(yq) AS BIGINT) * 1.0 / COUNT(*) / 100000.0 AS mean_cuped
+FROM adj
+GROUP BY 1
+""",
+)
+def cuped_ab_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm raw vs CUPED-adjusted post-period means.
+
+    Scale: one user-grain conditional aggregation (pre/post in a
+    single pass), a 1-row pooled-moment broadcast for θ/x̄, and a
+    map-only adjustment — no extra scan for the covariate. The θ
+    moments use wide-integer exact products, so the adjustment is
+    identical under any partitioning; CUPED typically cuts the metric
+    variance by cov²/ (var_x·var_y), which is what shrinks experiment
+    runtimes at scale.
+    """
+    from .training import hash_bucket
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp_ntz")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    theta = m.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("th"),
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        F.when(hash_bucket("user_id") < 50, "A").otherwise("B").alias("arm"),
+        "y",
+        F.floor(
+            (F.col("y") - F.col("th") * (F.col("x") - F.col("xbar"))) * 1000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("yq"),
+    )
+    return adj.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        (F.sum("y").cast("bigint") * 1.0 / F.count("*") / 100.0).alias(
+            "mean_raw"
+        ),
+        (F.sum("yq").cast("bigint") * 1.0 / F.count("*") / 100000.0).alias(
+            "mean_cuped"
+        ),
+    )

@@ -3157,3 +3157,118 @@ def cep_rise_fall_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         F.col("n").alias("n_fall"),
     )
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection over the gap-filled daily series. The
+# recursive S_t = max(0, S_{t-1} + x_t) has the closed prefix form
+# S_t = P_t − min(0, min_{k≤t} P_k) (the inventory_running_balance
+# identity, reused here for sequential drift detection), so the whole
+# statistic is two windows over exact ×1e6 integers — no recursion,
+# no iterative state, partition-reproducible.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cusum_change_detection",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM daily),
+spine AS (
+    SELECT t.event_type, CAST(g.day AS DATE) AS d
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN (
+        SELECT unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS day
+        FROM bounds b
+    ) g
+),
+filled AS (
+    SELECT s.event_type, s.d, COALESCE(dy.n, 0) AS n
+    FROM spine s LEFT JOIN daily dy
+      ON dy.event_type = s.event_type AND dy.d = s.d
+),
+base AS (
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT) * 1.0 / COUNT(*) AS mu
+    FROM filled GROUP BY 1
+),
+q AS (
+    SELECT f.event_type, f.d, f.n,
+           CAST(FLOOR((f.n - 1.25 * b.mu) * 1000000 + 0.5) AS BIGINT) AS xq,
+           CAST(FLOOR(2.0 * b.mu * 1000000 + 0.5) AS BIGINT) AS hq
+    FROM filled f JOIN base b USING (event_type)
+),
+pfx0 AS (
+    SELECT event_type, d, n, hq,
+           CAST(SUM(xq) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+    FROM q
+),
+pfx AS (
+    SELECT event_type, d, n, hq, p,
+           CAST(MIN(p) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS minp
+    FROM pfx0
+)
+SELECT event_type, d, n,
+       (FLOOR((p - LEAST(CAST(0 AS BIGINT), minp)) / 1000000.0
+        * 10000 + 0.5) / 10000.0) AS cusum,
+       (p - LEAST(CAST(0 AS BIGINT), minp)) > hq AS is_alarm
+FROM pfx
+""",
+)
+def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift alarm per event type and day.
+
+    Scale: one (type, day)-grain shuffle; the clamped recursion
+    becomes prefix-sum minus running prefix-min — two frames over the
+    SAME window partitioning (one exchange). Slack 1.25μ and threshold
+    2μ are pinned; the exact-integer form means alarms never flicker
+    between runs or partitionings.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    bounds = daily.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("dmin", "dmax")).alias("d"))
+    )
+    filled = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    base = filled.groupBy("event_type").agg(
+        (F.sum("n").cast("bigint") * 1.0 / F.count("*")).alias("mu")
+    )
+    q = filled.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "d",
+        "n",
+        F.floor((F.col("n") - 1.25 * F.col("mu")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("xq"),
+        F.floor(2.0 * F.col("mu") * 1000000 + 0.5).cast("bigint").alias("hq"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = F.sum("xq").over(w).cast("bigint")
+    minp = F.min(F.sum("xq").over(w)).over(w).cast("bigint")
+    s = p - F.least(F.lit(0).cast("bigint"), minp)
+    return q.select(
+        "event_type",
+        "d",
+        "n",
+        (F.floor(s / 1000000.0 * 10000 + 0.5) / F.lit(10000.0)).alias("cusum"),
+        (s > F.col("hq")).alias("is_alarm"),
+    )
