@@ -1615,3 +1615,230 @@ def cuped_ab_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_cuped"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences on the same hash-assigned arms: the causal
+# baseline beside CUPED. Per-user pre/post cents aggregate in one
+# pass; every mean is an exact-integer ratio, and the DiD estimate is
+# a fixed arithmetic expression over those four means.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "difference_in_differences",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN {_sql_hb('user_id')} < 50 THEN 'A' ELSE 'B' END AS arm,
+           CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+                THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS pre_c,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS post_c
+    FROM events GROUP BY 1
+),
+arms AS (
+    SELECT arm, COUNT(*) AS n_users,
+           CAST(SUM(pre_c) AS BIGINT) AS spre,
+           CAST(SUM(post_c) AS BIGINT) AS spost
+    FROM per_user GROUP BY 1
+)
+SELECT a.arm, a.n_users,
+       a.spre * 1.0 / a.n_users / 100.0 AS mean_pre,
+       a.spost * 1.0 / a.n_users / 100.0 AS mean_post,
+       (FLOOR((a.spost * 1.0 / a.n_users / 100.0
+               - a.spre * 1.0 / a.n_users / 100.0) * 10000 + 0.5)
+        / 10000.0) AS delta,
+       (FLOOR(((b.spost * 1.0 / b.n_users / 100.0
+                - b.spre * 1.0 / b.n_users / 100.0)
+              - (ca.spost * 1.0 / ca.n_users / 100.0
+                 - ca.spre * 1.0 / ca.n_users / 100.0)) * 10000 + 0.5)
+        / 10000.0) AS did_estimate
+FROM arms a
+CROSS JOIN (SELECT * FROM arms WHERE arm = 'A') ca
+CROSS JOIN (SELECT * FROM arms WHERE arm = 'B') b
+""",
+)
+def difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm pre/post means and the pooled DiD estimate.
+
+    Scale: one user-grain conditional aggregation + a 2-row arm
+    rollup; the estimate is driver-free arithmetic over exact integer
+    sums, reproducing bit-identically on any cluster layout.
+    """
+    from .training import hash_bucket
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp_ntz")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(0))
+        .cast("bigint")
+        .alias("pre_c"),
+        F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(0))
+        .cast("bigint")
+        .alias("post_c"),
+    ).select(
+        F.when(hash_bucket("user_id") < 50, "A").otherwise("B").alias("arm"),
+        "pre_c",
+        "post_c",
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("pre_c").cast("bigint").alias("spre"),
+        F.sum("post_c").cast("bigint").alias("spost"),
+    )
+    mean = lambda s, n: F.col(s) * 1.0 / F.col(n) / 100.0  # noqa: E731
+    a = arms
+    ca = arms.filter(F.col("arm") == "A").select(
+        F.col("n_users").alias("na"),
+        F.col("spre").alias("sprea"),
+        F.col("spost").alias("sposta"),
+    )
+    b = arms.filter(F.col("arm") == "B").select(
+        F.col("n_users").alias("nb"),
+        F.col("spre").alias("spreb"),
+        F.col("spost").alias("spostb"),
+    )
+    fp = lambda c: F.floor(c * 10000 + 0.5) / F.lit(10000.0)  # noqa: E731
+    delta_b = (
+        F.col("spostb") * 1.0 / F.col("nb") / 100.0
+        - F.col("spreb") * 1.0 / F.col("nb") / 100.0
+    )
+    delta_a = (
+        F.col("sposta") * 1.0 / F.col("na") / 100.0
+        - F.col("sprea") * 1.0 / F.col("na") / 100.0
+    )
+    return (
+        a.crossJoin(F.broadcast(ca))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "arm",
+            "n_users",
+            mean("spre", "n_users").alias("mean_pre"),
+            mean("spost", "n_users").alias("mean_post"),
+            fp(
+                mean("spost", "n_users") - mean("spre", "n_users")
+            ).alias("delta"),
+            fp(delta_b - delta_a).alias("did_estimate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Poisson bootstrap: THE distributed bootstrap. Classical resampling
+# needs global coordination (exactly n draws with replacement); the
+# Poisson(1) approximation gives every (row, replica) an independent
+# weight, so all B replicas compute in ONE map-side pass. Weights are
+# drawn deterministically — a sha256 dyadic fraction through the
+# Poisson inverse CDF with Python-precomputed literal thresholds — so
+# both engines (and every rerun) sample the identical pseudo-replicas.
+# --------------------------------------------------------------------------
+
+_BOOT_B = 16
+_BOOT_T = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+]
+
+
+def _boot_w_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"(CASE {cases} ELSE 5 END)"
+
+
+@query(
+    "poisson_bootstrap_means",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y_cents
+    FROM events GROUP BY 1
+),
+rep AS (
+    SELECT u.user_id, u.y_cents, b.b,
+           (CAST(concat('0x', substring(sha256('bs' || CAST(b.b AS VARCHAR)
+                || ':' || CAST(u.user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+            / 4503599627370496.0) AS urand
+    FROM per_user u
+    CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+),
+w AS (
+    SELECT b, y_cents, {_boot_w_sql('urand')} AS wt FROM rep
+)
+SELECT b AS replica,
+       CAST(SUM(wt) AS BIGINT) AS n_eff,
+       (FLOOR(CAST(SUM(CAST(wt AS BIGINT) * y_cents) AS BIGINT) * 1.0
+              / CAST(SUM(wt) AS BIGINT) / 100.0 * 10000 + 0.5) / 10000.0)
+           AS resampled_mean
+FROM w
+GROUP BY 1
+""",
+)
+def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16 deterministic Poisson-bootstrap replicas of mean user value.
+
+    Scale: one user-grain aggregate, then a map-only ×B fan-out whose
+    weights are pure row functions — every replica's weighted sum
+    map-combines in the same single shuffle to B rows. The spread of
+    `resampled_mean` IS the sampling distribution a CI reads off; no
+    global with-replacement coordination ever happens (the trick that
+    makes bootstrapping possible on a 1000-executor cluster).
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per_user = events.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("y_cents")
+    )
+    rep = per_user.select(
+        "user_id", "y_cents", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.lit("bs"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4503599627370496.0)
+    )
+    wt = F.when(u < _BOOT_T[0], 0)
+    for k, t in enumerate(_BOOT_T[1:], start=1):
+        wt = wt.when(u < t, k)
+    wt = wt.otherwise(5)
+    w = rep.select("b", "y_cents", wt.alias("wt"))
+    return w.groupBy(F.col("b").alias("replica")).agg(
+        F.sum("wt").cast("bigint").alias("n_eff"),
+        (
+            F.floor(
+                F.sum(F.col("wt").cast("bigint") * F.col("y_cents"))
+                .cast("bigint")
+                * 1.0
+                / F.sum("wt").cast("bigint")
+                / 100.0
+                * 10000
+                + 0.5
+            )
+            / F.lit(10000.0)
+        ).alias("resampled_mean"),
+    )
