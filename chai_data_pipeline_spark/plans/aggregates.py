@@ -1842,3 +1842,79 @@ def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("resampled_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# Experiment power planning: minimum detectable effect at α=0.05,
+# power=0.8 from the observed per-user value variance. Moments are
+# wide-integer exact; the z-constant sum (1.959964 + 0.841621) is a
+# Python literal injected into both engines; one sqrt per row.
+# --------------------------------------------------------------------------
+
+_MDE_Z = 2.801585  # z_{0.025} + z_{0.20}
+
+
+@query(
+    "experiment_power_mde",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+    FROM events GROUP BY 1
+),
+m AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(y) AS HUGEINT) AS sy,
+           CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+    FROM per_user
+)
+SELECT n AS n_users,
+       CAST(sy AS DOUBLE) / n / 100.0 AS mean_value,
+       (FLOOR(CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1.0) / 10000.0
+        * 10000 + 0.5) / 10000.0) AS variance,
+       (FLOOR({_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
+            / n / (n - 1.0) / 10000.0) / (n / 2.0)) * 10000 + 0.5)
+        / 10000.0) AS mde_abs,
+       (FLOOR({_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
+            / n / (n - 1.0) / 10000.0) / (n / 2.0))
+        / (CAST(sy AS DOUBLE) / n / 100.0) * 1000000 + 0.5)
+        / 1000000.0) AS mde_rel
+FROM m
+""",
+)
+def experiment_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect for a 50/50 split of current users.
+
+    Scale: one user-grain aggregate + a single-row moment reduction;
+    the number that says whether an experiment is even worth running
+    before burning two weeks of traffic. Variance uses the exact
+    n·Σy²−(Σy)² wide-integer form (units: dollars², scaled from
+    cents²).
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    per_user = events.groupBy("user_id").agg(
+        F.sum(cents).cast("bigint").alias("y")
+    )
+    m = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    var = (
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+        / F.col("n")
+        / (F.col("n") - 1.0)
+        / 10000.0
+    )
+    mde = F.lit(_MDE_Z) * F.sqrt(2.0 * var / (F.col("n") / 2.0))
+    mean = F.col("sy").cast("double") / F.col("n") / 100.0
+    fp = lambda c, k: F.floor(c * k + 0.5) / F.lit(float(k))  # noqa: E731
+    return m.select(
+        F.col("n").alias("n_users"),
+        mean.alias("mean_value"),
+        fp(var, 10000).alias("variance"),
+        fp(mde, 10000).alias("mde_abs"),
+        fp(mde / mean, 1000000).alias("mde_rel"),
+    )

@@ -1081,3 +1081,99 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(cont, 6).alias("containment"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Field-level golden-record merge (MDM survivorship): within each
+# exact-duplicate cluster, each output FIELD can come from a different
+# member row — earliest id as the canonical key, the longest variant's
+# length, the modal language with a (count DESC, lang) tiebreak, and
+# the source spread. Complements dedup_keep_canonical (ROW-level
+# survivor choice) with the column-wise best-of-breed merge an MDM
+# pipeline actually ships.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "golden_record_merge",
+    oracle="""
+WITH h AS (
+    SELECT doc_id, lang, source, n_chars,
+           substring(sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ',
+               'g')))), 1, 16) AS cluster_key
+    FROM documents
+),
+sized AS (
+    SELECT cluster_key FROM h GROUP BY 1 HAVING COUNT(*) >= 2
+),
+members AS (SELECT h.* FROM h JOIN sized USING (cluster_key)),
+lang_counts AS (
+    SELECT cluster_key, lang, COUNT(*) AS c FROM members GROUP BY 1, 2
+),
+lang_mode AS (
+    SELECT cluster_key, lang AS mode_lang FROM (
+        SELECT cluster_key, lang,
+               ROW_NUMBER() OVER (PARTITION BY cluster_key
+                                  ORDER BY c DESC, lang) AS rn
+        FROM lang_counts
+    ) WHERE rn = 1
+)
+SELECT m.cluster_key,
+       COUNT(*) AS n_members,
+       MIN(m.doc_id) AS canonical_id,
+       CAST(MAX(m.n_chars) AS BIGINT) AS best_len,
+       COUNT(DISTINCT m.source) AS n_sources,
+       MAX(lm.mode_lang) AS mode_lang
+FROM members m JOIN lang_mode lm USING (cluster_key)
+GROUP BY 1
+""",
+)
+def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-wise survivorship over exact-duplicate clusters.
+
+    Scale: one content-hash shuffle groups members; every survivorship
+    rule is a bounded per-cluster aggregate or a cluster-partitioned
+    argmax window — no cross-cluster work. The same rules generalize
+    to near-dup clusters by swapping the key for
+    dedup_cluster_components' cluster id.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    h = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.substring(F.sha2(norm, 256), 1, 16).alias("cluster_key"),
+    )
+    sized = (
+        h.groupBy("cluster_key")
+        .agg(F.count("*").alias("cn"))
+        .filter(F.col("cn") >= 2)
+        .select("cluster_key")
+    )
+    members = h.join(sized, "cluster_key")
+    lang_counts = members.groupBy("cluster_key", "lang").agg(
+        F.count("*").alias("c")
+    )
+    wl = Window.partitionBy("cluster_key").orderBy(F.desc("c"), "lang")
+    lang_mode = (
+        lang_counts.select(
+            "cluster_key", "lang", F.row_number().over(wl).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("cluster_key", F.col("lang").alias("mode_lang"))
+    )
+    return (
+        members.join(lang_mode, "cluster_key")
+        .groupBy("cluster_key")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("doc_id").alias("canonical_id"),
+            F.max("n_chars").cast("bigint").alias("best_len"),
+            F.count_distinct("source").alias("n_sources"),
+            F.max("mode_lang").alias("mode_lang"),
+        )
+    )

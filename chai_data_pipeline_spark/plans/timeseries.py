@@ -3272,3 +3272,112 @@ def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(s / 1000000.0 * 10000 + 0.5) / F.lit(10000.0)).alias("cusum"),
         (s > F.col("hq")).alias("is_alarm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Walk-forward forecast backtest: score the two zero-parameter
+# baselines every real forecaster must beat — naive (ŷ_t = y_{t-1})
+# and seasonal-naive (ŷ_t = y_{t-7}) — per event type over the
+# gap-filled spine. Errors are exact integers; MAE/MAPE divide once.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "naive_forecast_backtest",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM daily),
+spine AS (
+    SELECT t.event_type, CAST(g.day AS DATE) AS d
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN (
+        SELECT unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS day
+        FROM bounds b
+    ) g
+),
+filled AS (
+    SELECT s.event_type, s.d, COALESCE(dy.n, 0) AS n
+    FROM spine s LEFT JOIN daily dy
+      ON dy.event_type = s.event_type AND dy.d = s.d
+),
+lagged AS (
+    SELECT event_type, d, n,
+           LAG(n, 1) OVER w AS naive_pred,
+           LAG(n, 7) OVER w AS snaive_pred
+    FROM filled
+    WINDOW w AS (PARTITION BY event_type ORDER BY d)
+),
+scored AS (
+    SELECT event_type,
+           ABS(n - naive_pred) AS e1,
+           ABS(n - snaive_pred) AS e7,
+           n
+    FROM lagged WHERE snaive_pred IS NOT NULL
+)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       CAST(SUM(e1) AS BIGINT) * 1.0 / COUNT(*) AS mae_naive,
+       CAST(SUM(e7) AS BIGINT) * 1.0 / COUNT(*) AS mae_seasonal_naive,
+       (FLOOR(CAST(SUM(e7) AS BIGINT) * 1.0 / CAST(SUM(e1) AS BIGINT)
+        * 10000 + 0.5) / 10000.0) AS seasonal_skill_ratio
+FROM scored
+GROUP BY 1
+""",
+)
+def naive_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAE of naive vs seasonal-naive baselines per event type.
+
+    Scale: the standard spine + per-type lag windows (one shuffle);
+    scoring keeps only days where both baselines exist so the
+    comparison is like-for-like. The skill ratio (<1 = weekly
+    seasonality real) gates whether a heavier forecaster is worth
+    training at all.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    bounds = daily.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("dmin", "dmax")).alias("d"))
+    )
+    filled = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = filled.select(
+        "event_type",
+        "n",
+        F.lag("n", 1).over(w).alias("naive_pred"),
+        F.lag("n", 7).over(w).alias("snaive_pred"),
+    )
+    scored = lagged.filter(F.col("snaive_pred").isNotNull()).select(
+        "event_type",
+        F.abs(F.col("n") - F.col("naive_pred")).alias("e1"),
+        F.abs(F.col("n") - F.col("snaive_pred")).alias("e7"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        (F.sum("e1").cast("bigint") * 1.0 / F.count("*")).alias("mae_naive"),
+        (F.sum("e7").cast("bigint") * 1.0 / F.count("*")).alias(
+            "mae_seasonal_naive"
+        ),
+        (
+            F.floor(
+                F.sum("e7").cast("bigint")
+                * 1.0
+                / F.sum("e1").cast("bigint")
+                * 10000
+                + 0.5
+            )
+            / F.lit(10000.0)
+        ).alias("seasonal_skill_ratio"),
+    )
