@@ -1149,3 +1149,91 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("sq") >= 500000) * 1.0 / F.count("*"), 6
         ).alias("keep_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa over the lang-ID confusion matrix — chance-corrected
+# agreement, composed from the registered langid_confusion_matrix
+# oracle (lsh_recall_audit pattern). All probabilities are exact
+# integer ratios; kappa is one fixed expression over them.
+# --------------------------------------------------------------------------
+
+from .registry import ORACLES as _TEXT_ORACLES  # noqa: E402
+from .registry import QUERIES  # noqa: E402
+
+
+@query(
+    "langid_cohens_kappa",
+    oracle=f"""
+WITH cm AS ({_TEXT_ORACLES['langid_confusion_matrix']}),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cm),
+po AS (
+    SELECT CAST(COALESCE(SUM(n_docs) FILTER (
+        WHERE labeled_lang = predicted_lang), 0) AS BIGINT) AS agree
+    FROM cm
+),
+marg AS (
+    SELECT CAST(COALESCE(SUM(r.rn * c.cn), 0) AS HUGEINT) AS chance_num
+    FROM (SELECT labeled_lang AS k, CAST(SUM(n_docs) AS BIGINT) AS rn
+          FROM cm GROUP BY 1) r
+    JOIN (SELECT predicted_lang AS k, CAST(SUM(n_docs) AS BIGINT) AS cn
+          FROM cm GROUP BY 1) c USING (k)
+)
+SELECT t.n AS n_docs,
+       {sql_dround('p.agree * 1.0 / t.n', 6)} AS observed_agreement,
+       {sql_dround('CAST(m.chance_num AS DOUBLE) / t.n / t.n', 6)}
+           AS chance_agreement,
+       {sql_dround(
+           '(p.agree * 1.0 / t.n - CAST(m.chance_num AS DOUBLE) / t.n / t.n)'
+           ' / (1.0 - CAST(m.chance_num AS DOUBLE) / t.n / t.n)', 6)}
+           AS cohens_kappa
+FROM tot t CROSS JOIN po p CROSS JOIN marg m
+""",
+)
+def langid_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected lang-ID agreement in one audited row.
+
+    Scale: composes the confusion matrix (lang²-bounded) — marginals,
+    diagonal, and kappa are arithmetic over that bounded grid; the
+    classifier-eval statistic that raw accuracy overstates whenever
+    one language dominates.
+    """
+    cm = QUERIES["langid_confusion_matrix"](spark, sf_dir)
+    tot = cm.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    po = cm.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("labeled_lang") == F.col("predicted_lang"),
+                    F.col("n_docs"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("agree")
+    )
+    r = cm.groupBy(F.col("labeled_lang").alias("k")).agg(
+        F.sum("n_docs").cast("bigint").alias("rn")
+    )
+    c = cm.groupBy(F.col("predicted_lang").alias("k")).agg(
+        F.sum("n_docs").cast("bigint").alias("cn")
+    )
+    marg = (
+        r.join(c, "k")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("rn").cast("decimal(38,0)") * F.col("cn")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("chance_num")
+        )
+    )
+    w = tot.crossJoin(po).crossJoin(marg)
+    pobs = F.col("agree") * 1.0 / F.col("n")
+    pchance = F.col("chance_num").cast("double") / F.col("n") / F.col("n")
+    return w.select(
+        F.col("n").alias("n_docs"),
+        dround(pobs, 6).alias("observed_agreement"),
+        dround(pchance, 6).alias("chance_agreement"),
+        dround((pobs - pchance) / (1.0 - pchance), 6).alias("cohens_kappa"),
+    )

@@ -3381,3 +3381,74 @@ def naive_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("seasonal_skill_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Session-gap sensitivity sweep: how many sessions (and how long) each
+# candidate gap threshold produces. The per-user gap column is
+# computed ONCE; each threshold is then a conditional count over the
+# same pass (broadcast threshold axis) — the cost curve behind the
+# pinned 1800 s session rule, the same way watermark_drop_audit prices
+# watermark delays.
+# --------------------------------------------------------------------------
+
+_GAP_CANDIDATES_S = (900, 1800, 3600)
+
+
+@query(
+    "session_gap_sensitivity",
+    oracle=f"""
+WITH gaps AS (
+    SELECT user_id,
+           date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+g AS (SELECT * FROM (VALUES {', '.join(f'({x})' for x in _GAP_CANDIDATES_S)})
+      t(gap_s))
+SELECT g.gap_s,
+       COUNT(*) AS n_events,
+       COUNT(*) FILTER (WHERE gaps.gap_us IS NULL
+           OR gaps.gap_us > CAST(g.gap_s AS BIGINT) * 1000000)
+           AS n_sessions,
+       (FLOOR(COUNT(*) * 1.0 / COUNT(*) FILTER (WHERE gaps.gap_us IS NULL
+            OR gaps.gap_us > CAST(g.gap_s AS BIGINT) * 1000000)
+        * 10000 + 0.5) / 10000.0) AS avg_events_per_session
+FROM gaps CROSS JOIN g
+GROUP BY 1
+""",
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions produced per candidate gap threshold (cost curve).
+
+    Scale: one user-ordered window computes gaps; the 3-row threshold
+    axis broadcasts and each candidate is a conditional count — no
+    re-sessionization per threshold. Uses the pinned strictly-greater
+    split rule (CLAUDE.md session-gap boundary).
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        F.expr(
+            "timestampdiff(MICROSECOND, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+        ).alias("gap_us")
+    )
+    g = F.broadcast(
+        events.sparkSession.createDataFrame(
+            [(x,) for x in _GAP_CANDIDATES_S], "gap_s int"
+        )
+    )
+    new_sess = F.count_if(
+        F.col("gap_us").isNull()
+        | (F.col("gap_us") > F.col("gap_s").cast("bigint") * 1000000)
+    )
+    return gaps.crossJoin(g).groupBy("gap_s").agg(
+        F.count("*").alias("n_events"),
+        new_sess.alias("n_sessions"),
+        (F.floor(F.count("*") * 1.0 / new_sess * 10000 + 0.5) / F.lit(10000.0)).alias(
+            "avg_events_per_session"
+        ),
+    )
