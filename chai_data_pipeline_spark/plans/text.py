@@ -1237,3 +1237,98 @@ def langid_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(pchance, 6).alias("chance_agreement"),
         dround((pobs - pchance) / (1.0 - pchance), 6).alias("cohens_kappa"),
     )
+
+
+# --------------------------------------------------------------------------
+# Reliability diagram for the logistic quality classifier: bin the
+# ×1e6-quantized scores into deciles and report each bin's observed
+# duplicate rate (exact-dup membership as the ground-truth "low
+# quality" label). Exact integers end to end — the calibration curve
+# that says whether a 0.8 score MEANS 80%.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "classifier_reliability_bins",
+    oracle=f"""
+WITH feats AS (
+    SELECT doc_id,
+           sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+               AS content_hash,
+           len(string_split_regex(TRIM(text), '\\s+')) AS wc,
+           LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS awl,
+           len(list_distinct(string_split_regex(TRIM(text), '\\s+'))) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS dwr
+    FROM documents
+),
+scored AS (
+    SELECT doc_id, content_hash,
+           CAST(FLOOR(1.0 / (1.0 + exp(-({_QC_W0} + {_QC_W_WC} * wc
+                + {_QC_W_AWL} * awl + {_QC_W_DWR} * dwr)))
+                * 1000000 + 0.5) AS BIGINT) AS sq
+    FROM feats
+),
+dupflag AS (
+    SELECT s.doc_id, s.sq,
+           (COUNT(*) OVER (PARTITION BY s.content_hash) >= 2) AS is_dup
+    FROM scored s
+)
+SELECT LEAST(CAST(9 AS BIGINT), sq // 100000) AS score_decile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(sq) AS BIGINT) * 1.0 / COUNT(*) / 1000000.0
+           AS mean_score,
+       COUNT(*) FILTER (WHERE is_dup) AS n_dups,
+       {sql_dround('COUNT(*) FILTER (WHERE is_dup) * 1.0 / COUNT(*)', 6)}
+           AS dup_rate
+FROM dupflag
+GROUP BY 1
+""",
+)
+def classifier_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-decile calibration of the quality model against dup truth.
+
+    Scale: map-only scoring + one content-hash window for the truth
+    label + a 10-bin aggregation. Read with quality_dup_calibration:
+    that query relates the penalty-chain rating to dup clusters, this
+    one calibrates the LOGISTIC model's probabilities.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ws = T.words("text")
+    wc = F.size(ws)
+    awl = F.length(F.regexp_replace(F.col("text"), r"\s", "")) * 1.0 / F.size(ws)
+    dwr = F.size(F.array_distinct(ws)) * 1.0 / F.size(ws)
+    z = (
+        F.lit(_QC_W0)
+        + F.lit(_QC_W_WC) * wc
+        + F.lit(_QC_W_AWL) * awl
+        + F.lit(_QC_W_DWR) * dwr
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    scored = docs.select(
+        F.sha2(norm, 256).alias("content_hash"),
+        F.floor(1.0 / (1.0 + F.exp(-z)) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("sq"),
+    )
+    wdup = Window.partitionBy("content_hash")
+    dupflag = scored.select(
+        "sq", (F.count("*").over(wdup) >= 2).alias("is_dup")
+    )
+    return dupflag.groupBy(
+        F.least(
+            F.lit(9).cast("bigint"),
+            (F.col("sq") / 100000).cast("bigint"),
+        ).alias("score_decile")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("sq").cast("bigint") * 1.0 / F.count("*") / 1000000.0).alias(
+            "mean_score"
+        ),
+        F.count_if(F.col("is_dup")).alias("n_dups"),
+        dround(
+            F.count_if(F.col("is_dup")) * 1.0 / F.count("*"), 6
+        ).alias("dup_rate"),
+    )

@@ -3452,3 +3452,68 @@ def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_events_per_session"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Dispersion index (variance-to-mean ratio) of the daily counts — the
+# overdispersion diagnostic that decides Poisson vs negative-binomial
+# modeling (and whether rate alerts need wider bands). Wide-integer
+# exact moments; two divisions per row.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dispersion_index_daily",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+m AS (
+    SELECT event_type,
+           COUNT(*) AS k,
+           CAST(SUM(n) AS BIGINT) AS s1,
+           CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS s2
+    FROM daily GROUP BY 1
+)
+SELECT event_type, k AS n_days,
+       s1 * 1.0 / k AS mean_daily,
+       (FLOOR(CAST(k * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+            / k / (k - 1.0) * 10000 + 0.5) / 10000.0) AS variance_daily,
+       (FLOOR((CAST(k * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+            / k / (k - 1.0)) / (s1 * 1.0 / k) * 10000 + 0.5) / 10000.0)
+           AS dispersion_index
+FROM m
+""",
+)
+def dispersion_index_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/mean of daily counts per type (overdispersion check).
+
+    Scale: day-grain moments after one shuffle; dispersion ≈ 1 means
+    Poisson alerts are honest, ≫1 means bursty arrivals and the
+    anomaly thresholds (anomaly_days_zscore, cusum) should widen.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    m = daily.groupBy("event_type").agg(
+        F.count("*").alias("k"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("s2"),
+    )
+    var = (
+        (F.col("k") * F.col("s2") - F.col("s1").cast("decimal(38,0)") * F.col("s1"))
+        .cast("double")
+        / F.col("k")
+        / (F.col("k") - 1.0)
+    )
+    mean = F.col("s1") * 1.0 / F.col("k")
+    fp = lambda c: F.floor(c * 10000 + 0.5) / F.lit(10000.0)  # noqa: E731
+    return m.select(
+        "event_type",
+        F.col("k").alias("n_days"),
+        mean.alias("mean_daily"),
+        fp(var).alias("variance_daily"),
+        fp(var / mean).alias("dispersion_index"),
+    )
