@@ -1177,3 +1177,120 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mode_lang").alias("mode_lang"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Content-defined chunking (the rsync/LBFS/backup-dedup trick): chunk
+# boundaries are set wherever a polynomial hash of the local 8-char
+# window hits 0 mod 64, so boundaries move WITH content — an insertion
+# shifts one chunk instead of re-aligning every fixed-size block.
+# The boundary hash is pure integer arithmetic (ascii × 31^k — no
+# engine hash in the hot loop); chunk identity is sha256 of the chunk
+# text. Dedup ratio = shared chunks across the corpus.
+# --------------------------------------------------------------------------
+
+_CDC_W = 8
+_CDC_MOD = 64
+_CDC_COEF = [31**k % 1_000_003 for k in range(_CDC_W)]
+
+
+def _cdc_poly(text: str, i: str, engine: str) -> str:
+    """Polynomial window hash at position ``i`` (1-based)."""
+    terms = " + ".join(
+        f"ascii(substring({text}, ({i}) + {k}, 1)) * {c}"
+        for k, c in enumerate(_CDC_COEF)
+    )
+    return f"(({terms}) % {_CDC_MOD})"
+
+
+@query(
+    "content_defined_chunking",
+    oracle=f"""
+WITH b AS (
+    SELECT doc_id, source, text, LENGTH(text) AS len,
+           list_concat(
+               list_concat([0], list_filter(
+                   range(1, GREATEST(1, LENGTH(text) - {_CDC_W - 1}) + 1),
+                   i -> {_cdc_poly('text', 'i', 'duck')} = 0)),
+               [LENGTH(text)]) AS bounds
+    FROM documents
+),
+chunks AS (
+    SELECT doc_id, source,
+           unnest(list_transform(range(2, len(bounds) + 1),
+               j -> substring(text, bounds[j - 1] + 1,
+                              bounds[j] - bounds[j - 1]))) AS chunk
+    FROM b
+),
+hashed AS (
+    SELECT source, LENGTH(chunk) AS clen,
+           substring(sha256(chunk), 1, 16) AS chash
+    FROM chunks WHERE LENGTH(chunk) > 0
+)
+SELECT source,
+       COUNT(*) AS n_chunks,
+       COUNT(DISTINCT chash) AS n_distinct_chunks,
+       CAST(SUM(clen) AS BIGINT) AS total_chars,
+       (FLOOR(CAST(SUM(clen) AS BIGINT) * 1.0 / COUNT(*) * 10000 + 0.5)
+        / 10000.0) AS avg_chunk_len,
+       (FLOOR((1.0 - COUNT(DISTINCT chash) * 1.0 / COUNT(*)) * 1000000
+        + 0.5) / 1000000.0) AS dedup_ratio
+FROM hashed
+GROUP BY 1
+""",
+)
+def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source chunk stats and dedup ratio under CDC boundaries.
+
+    Scale: the boundary scan is map-only integer arithmetic per
+    position (no engine hash until chunk identity); chunk dedup is one
+    sha-keyed distinct. This is the storage-level dedup family —
+    byte-stream chunks instead of token shingles — and the chunk-hash
+    table it produces is what incremental backup/transfer diffs
+    against at 100 TB.
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    poly = _cdc_poly("text", "i", "spark")
+    bounds = F.expr(
+        f"concat(array(0), filter(sequence(1, greatest(1, length(text) - "
+        f"{_CDC_W - 1})), i -> {poly} = 0), array(length(text)))"
+    )
+    b = docs.select("doc_id", "source", "text", bounds.alias("bounds"))
+    chunks = b.select(
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(bounds)), j -> "
+                "substring(text, element_at(bounds, j - 1) + 1, "
+                "element_at(bounds, j) - element_at(bounds, j - 1)))"
+            )
+        ).alias("chunk"),
+    ).filter(F.length("chunk") > 0)
+    hashed = chunks.select(
+        "source",
+        F.length("chunk").alias("clen"),
+        F.substring(F.sha2("chunk", 256), 1, 16).alias("chash"),
+    )
+    return hashed.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_distinct("chash").alias("n_distinct_chunks"),
+        F.sum("clen").cast("bigint").alias("total_chars"),
+        (
+            F.floor(
+                F.sum("clen").cast("bigint") * 1.0 / F.count("*") * 10000
+                + 0.5
+            )
+            / F.lit(10000.0)
+        ).alias("avg_chunk_len"),
+        (
+            F.floor(
+                (
+                    1.0
+                    - F.count_distinct("chash") * 1.0 / F.count("*")
+                )
+                * 1000000
+                + 0.5
+            )
+            / F.lit(1000000.0)
+        ).alias("dedup_ratio"),
+    )

@@ -390,3 +390,70 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("value").isNull()).alias("n_schema_missing"),
         dround(dsum("value")).alias("total_value_new_era"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers: before releasing (or
+# training on) user-adjacent data, count how many (nation, segment)
+# equivalence classes fall below k — each such class's members are
+# re-identifiable. Pure integer counting; the suppression cost is the
+# share of ROWS living in small classes.
+# --------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS class_size
+    FROM customer GROUP BY 1, 2
+)
+SELECT CAST({_KANON_K} AS BIGINT) AS k,
+       COUNT(*) AS n_classes,
+       COUNT(*) FILTER (WHERE class_size < {_KANON_K}) AS n_small_classes,
+       CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(class_size) FILTER (
+           WHERE class_size < {_KANON_K}), 0) AS BIGINT) AS n_rows_at_risk,
+       (FLOOR(CAST(COALESCE(SUM(class_size) FILTER (
+            WHERE class_size < {_KANON_K}), 0) AS BIGINT) * 1.0
+        / CAST(SUM(class_size) AS BIGINT) * 1000000 + 0.5) / 1000000.0)
+           AS suppression_cost,
+       CAST(MIN(class_size) AS BIGINT) AS min_class_size
+FROM classes
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=5 anonymity check over the (nation, segment) quasi-identifier.
+
+    Scale: one quasi-identifier-grain count (map-combined) + a scalar
+    rollup. The release decision row: min_class_size ≥ k means the
+    projection is publishable as-is; otherwise suppression_cost says
+    what generalizing/suppressing small classes would discard. The
+    privacy sibling of pii_redaction (column-level) — this is
+    ROW-pattern re-identifiability.
+    """
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size")
+    )
+    small = F.col("class_size") < _KANON_K
+    risk = F.coalesce(
+        F.sum(F.when(small, F.col("class_size"))), F.lit(0)
+    ).cast("bigint")
+    return classes.agg(
+        F.lit(_KANON_K).cast("bigint").alias("k"),
+        F.count("*").alias("n_classes"),
+        F.count_if(small).alias("n_small_classes"),
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        risk.alias("n_rows_at_risk"),
+        (
+            F.floor(
+                risk * 1.0 / F.sum("class_size").cast("bigint") * 1000000
+                + 0.5
+            )
+            / F.lit(1000000.0)
+        ).alias("suppression_cost"),
+        F.min("class_size").cast("bigint").alias("min_class_size"),
+    )
