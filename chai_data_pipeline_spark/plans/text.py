@@ -1332,3 +1332,109 @@ def classifier_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("is_dup")) * 1.0 / F.count("*"), 6
         ).alias("dup_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# PMI word co-occurrence (window ≤2): the distributional-semantics
+# statistic word2vec/GloVe implicitly factorize. Pair generation is
+# IN-ROW (nested transforms over the materialized word array — the
+# event_type_cooccurrence posture, no self-join); PMI's argument is an
+# exact integer ratio, so the only float is one ln per surviving pair.
+# --------------------------------------------------------------------------
+
+_PMI_WINDOW = 2
+_PMI_MIN_PAIRS = 10
+
+
+@query(
+    "word_pmi_cooccurrence",
+    oracle=f"""
+WITH d AS (
+    SELECT string_split_regex(TRIM(text), '\\s+') AS ws FROM documents
+),
+pairs AS (
+    SELECT unnest(flatten(list_transform(range(1, len(ws)),
+        i -> list_transform(range(1, LEAST({_PMI_WINDOW}, len(ws) - i) + 1),
+            k -> [LEAST(ws[i], ws[i + k]), GREATEST(ws[i], ws[i + k])]))))
+        AS pr
+    FROM d
+),
+pc AS (
+    SELECT pr[1] AS w_a, pr[2] AS w_b, COUNT(*) AS c_ab
+    FROM pairs GROUP BY 1, 2
+),
+uni AS (
+    SELECT word, COUNT(*) AS c FROM (
+        SELECT unnest(ws) AS word FROM d
+    ) GROUP BY 1
+),
+tot AS (
+    SELECT (SELECT CAST(SUM(c_ab) AS BIGINT) FROM pc) AS t,
+           (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS w
+)
+SELECT p.w_a, p.w_b, p.c_ab,
+       {sql_dround(
+           'ln(p.c_ab * 1.0 * tot.w * tot.w / tot.t / ua.c / ub.c)', 6)}
+           AS pmi
+FROM pc p
+JOIN uni ua ON ua.word = p.w_a
+JOIN uni ub ON ub.word = p.w_b
+CROSS JOIN tot
+WHERE p.c_ab >= {_PMI_MIN_PAIRS}
+""",
+)
+def word_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of word pairs within a ±2 window.
+
+    Scale: pair generation is map-only in-row expansion (fan-out ≤
+    2·len per doc) followed by one pair-keyed count that map-combines
+    to vocab²-bounded rows; unigram counts broadcast into the PMI
+    join. The statistic embedding trainers factorize — computed
+    exactly, with min-support pruning before the join.
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d = docs.select(T.words("text").alias("ws"))
+    pair_expr = F.expr(
+        f"flatten(transform(sequence(1, size(ws) - 1), "
+        f"i -> transform(sequence(1, least({_PMI_WINDOW}, size(ws) - i)), "
+        f"k -> array(least(element_at(ws, i), element_at(ws, i + k)), "
+        f"greatest(element_at(ws, i), element_at(ws, i + k))))))"
+    )
+    pairs = d.filter(F.size("ws") >= 2).select(
+        F.explode(pair_expr).alias("pr")
+    )
+    pc = pairs.select(
+        F.element_at("pr", 1).alias("w_a"),
+        F.element_at("pr", 2).alias("w_b"),
+    ).groupBy("w_a", "w_b").agg(F.count("*").alias("c_ab"))
+    uni = d.select(F.explode("ws").alias("word")).groupBy("word").agg(
+        F.count("*").alias("c")
+    )
+    tot = pc.agg(F.sum("c_ab").cast("bigint").alias("t")).crossJoin(
+        uni.agg(F.sum("c").cast("bigint").alias("w"))
+    )
+    ua = uni.select(F.col("word").alias("w_a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("word").alias("w_b"), F.col("c").alias("cb"))
+    return (
+        pc.filter(F.col("c_ab") >= _PMI_MIN_PAIRS)
+        .join(F.broadcast(ua), "w_a")
+        .join(F.broadcast(ub), "w_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w_a",
+            "w_b",
+            "c_ab",
+            dround(
+                F.log(
+                    F.col("c_ab")
+                    * 1.0
+                    * F.col("w")
+                    * F.col("w")
+                    / F.col("t")
+                    / F.col("ca")
+                    / F.col("cb")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
