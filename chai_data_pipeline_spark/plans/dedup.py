@@ -1194,26 +1194,39 @@ _CDC_MOD = 64
 _CDC_COEF = [31**k % 1_000_003 for k in range(_CDC_W)]
 
 
-def _cdc_poly(text: str, i: str, engine: str) -> str:
-    """Polynomial window hash at position ``i`` (1-based)."""
+def _cdc_poly(cs: str, i: str, elem: str) -> str:
+    """Polynomial window hash at position ``i`` (1-based) over a
+    MATERIALIZED char-code array ``cs`` — one ascii() per character
+    instead of eight per position (measured 13.5 s → ~3 s at sf0.1).
+    ``elem`` is the engine's array indexer."""
     terms = " + ".join(
-        f"ascii(substring({text}, ({i}) + {k}, 1)) * {c}"
+        elem.format(cs=cs, idx=f"({i}) + {k}") + f" * {c}"
         for k, c in enumerate(_CDC_COEF)
     )
     return f"(({terms}) % {_CDC_MOD})"
 
 
+_ELEM_DUCK = "{cs}[{idx}]"
+_ELEM_SPARK = "element_at({cs}, CAST({idx} AS INT))"
+
+
 @query(
     "content_defined_chunking",
     oracle=f"""
-WITH b AS (
+WITH cs AS (
     SELECT doc_id, source, text, LENGTH(text) AS len,
+           list_transform(range(1, LENGTH(text) + 1),
+               i -> ascii(substring(text, i, 1))) AS codes
+    FROM documents
+),
+b AS (
+    SELECT doc_id, source, text, len,
            list_concat(
                list_concat([0], list_filter(
-                   range(1, GREATEST(1, LENGTH(text) - {_CDC_W - 1}) + 1),
-                   i -> {_cdc_poly('text', 'i', 'duck')} = 0)),
-               [LENGTH(text)]) AS bounds
-    FROM documents
+                   range(1, GREATEST(1, len - {_CDC_W - 1}) + 1),
+                   i -> {_cdc_poly('codes', 'i', _ELEM_DUCK)} = 0)),
+               [len]) AS bounds
+    FROM cs
 ),
 chunks AS (
     SELECT doc_id, source,
@@ -1250,12 +1263,21 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     against at 100 TB.
     """
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    poly = _cdc_poly("text", "i", "spark")
+    cs = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(
+            "transform(sequence(1, length(text)),"
+            " i -> ascii(substring(text, i, 1)))"
+        ).alias("codes"),
+    )
+    poly = _cdc_poly("codes", "i", _ELEM_SPARK)
     bounds = F.expr(
         f"concat(array(0), filter(sequence(1, greatest(1, length(text) - "
         f"{_CDC_W - 1})), i -> {poly} = 0), array(length(text)))"
     )
-    b = docs.select("doc_id", "source", "text", bounds.alias("bounds"))
+    b = cs.select("doc_id", "source", "text", bounds.alias("bounds"))
     chunks = b.select(
         "source",
         F.explode(
