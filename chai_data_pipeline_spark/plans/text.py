@@ -1438,3 +1438,132 @@ def word_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Mann–Whitney AUC of the quality score against dup truth, with exact
+# tie handling: doubled midranks (min_rank + max_rank per tied score
+# group) keep everything integer; AUC = (Σ2R⁺ − n⁺(n⁺+1)) / (2 n⁺ n⁻)
+# is one division. The threshold-free separability companion to the
+# calibration bins.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "classifier_auc_dup_separation",
+    oracle=f"""
+WITH feats AS (
+    SELECT sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+               AS content_hash,
+           len(string_split_regex(TRIM(text), '\\s+')) AS wc,
+           LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS awl,
+           len(list_distinct(string_split_regex(TRIM(text), '\\s+'))) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS dwr
+    FROM documents
+),
+scored AS (
+    SELECT content_hash,
+           CAST(FLOOR(1.0 / (1.0 + exp(-({_QC_W0} + {_QC_W_WC} * wc
+                + {_QC_W_AWL} * awl + {_QC_W_DWR} * dwr)))
+                * 1000000 + 0.5) AS BIGINT) AS sq
+    FROM feats
+),
+labeled AS (
+    SELECT sq,
+           CASE WHEN COUNT(*) OVER (PARTITION BY content_hash) >= 2
+                THEN 1 ELSE 0 END AS pos
+    FROM scored
+),
+grp AS (
+    SELECT sq, COUNT(*) AS cnt, CAST(SUM(pos) AS BIGINT) AS npos
+    FROM labeled GROUP BY 1
+),
+ranked AS (
+    SELECT sq, cnt, npos,
+           CAST(COALESCE(SUM(cnt) OVER (ORDER BY sq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+    FROM grp
+),
+s AS (
+    SELECT CAST(SUM(npos * (2 * cum_before + cnt + 1)) AS BIGINT) AS r2pos,
+           CAST(SUM(npos) AS BIGINT) AS n1,
+           CAST(SUM(cnt - npos) AS BIGINT) AS n0
+    FROM ranked
+)
+SELECT n1 AS n_dups, n0 AS n_uniques,
+       CASE WHEN n1 > 0 AND n0 > 0 THEN
+       {sql_dround(
+           '(r2pos - n1 * (n1 + 1.0)) / (2.0 * n1 * n0)', 6)} END AS auc
+FROM s
+""",
+)
+def classifier_auc_dup_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-exact AUC of the logistic score separating dups from uniques.
+
+    Scale: after map-only scoring and one content-hash window for
+    truth, everything runs on the DISTINCT-SCORE grain (bounded by the
+    quantization) — doubled midranks via a cumulative window, one
+    final division. AUC ≈ 0.5 says the quality model can't see
+    duplication; far from 0.5 says the two filters overlap and one
+    pass could be dropped.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ws = T.words("text")
+    wc = F.size(ws)
+    awl = F.length(F.regexp_replace(F.col("text"), r"\s", "")) * 1.0 / F.size(ws)
+    dwr = F.size(F.array_distinct(ws)) * 1.0 / F.size(ws)
+    z = (
+        F.lit(_QC_W0)
+        + F.lit(_QC_W_WC) * wc
+        + F.lit(_QC_W_AWL) * awl
+        + F.lit(_QC_W_DWR) * dwr
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    scored = docs.select(
+        F.sha2(norm, 256).alias("content_hash"),
+        F.floor(1.0 / (1.0 + F.exp(-z)) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("sq"),
+    )
+    wdup = Window.partitionBy("content_hash")
+    labeled = scored.select(
+        "sq",
+        F.when(F.count("*").over(wdup) >= 2, 1).otherwise(0).alias("pos"),
+    )
+    grp = labeled.groupBy("sq").agg(
+        F.count("*").alias("cnt"), F.sum("pos").cast("bigint").alias("npos")
+    )
+    wcum = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grp.select(
+        "sq",
+        "cnt",
+        "npos",
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    s = ranked.agg(
+        F.sum(
+            F.col("npos") * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("r2pos"),
+        F.sum("npos").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("npos")).cast("bigint").alias("n0"),
+    )
+    return s.select(
+        F.col("n1").alias("n_dups"),
+        F.col("n0").alias("n_uniques"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0),
+            dround(
+                (F.col("r2pos") - F.col("n1") * (F.col("n1") + 1.0))
+                / (2.0 * F.col("n1") * F.col("n0")),
+                6,
+            ),
+        ).alias("auc"),
+    )
