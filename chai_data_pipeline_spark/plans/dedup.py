@@ -1316,3 +1316,77 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("dedup_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood blocking (SNM): sort by a fuzzy key, compare
+# each record only with its w successors — the record-linkage blocking
+# strategy for TYPO-heavy keys where hash blocking fails (a single
+# character error moves a hash bucket but barely moves a sort
+# position). Completes the blocking family: hash (exact), LSH
+# (minhash), rare-shingle (containment), grid (spatial), and now
+# sort-order windows.
+# --------------------------------------------------------------------------
+
+_SNM_W = 2
+_SNM_MAXD = 3
+
+
+@query(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+WITH ranked AS (
+    SELECT c_custkey, c_name,
+           {" , ".join(
+               f"LEAD(c_name, {k}) OVER w AS nb{k}"
+               for k in range(1, _SNM_W + 1)
+           )}
+    FROM customer
+    WINDOW w AS (ORDER BY c_name, c_custkey)
+),
+cand AS (
+    {" UNION ALL ".join(
+        f"SELECT c_custkey, levenshtein(c_name, nb{k}) AS d "
+        f"FROM ranked WHERE nb{k} IS NOT NULL"
+        for k in range(1, _SNM_W + 1)
+    )}
+)
+SELECT CAST(d AS BIGINT) AS edit_distance,
+       COUNT(*) AS n_pairs
+FROM cand
+WHERE d <= {_SNM_MAXD}
+GROUP BY 1
+""",
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance census of sorted-neighborhood candidate pairs.
+
+    Scale: ONE global sort (range-partitioned at cluster scale — the
+    same machinery as repartitionByRange; window w=2 means each row
+    compares with ≤2 neighbors, so verification cost is 2n regardless
+    of duplicate density. The census says which distance cutoff the
+    match rule should use before running the full linkage.
+    """
+    from pyspark.sql.window import Window
+
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    w = Window.orderBy("c_name", "c_custkey")
+    cols = [
+        F.lead("c_name", k).over(w).alias(f"nb{k}")
+        for k in range(1, _SNM_W + 1)
+    ]
+    ranked = cust.select("c_custkey", "c_name", *cols)
+    legs = [
+        ranked.filter(F.col(f"nb{k}").isNotNull()).select(
+            F.levenshtein("c_name", f"nb{k}").alias("d")
+        )
+        for k in range(1, _SNM_W + 1)
+    ]
+    cand = legs[0]
+    for leg in legs[1:]:
+        cand = cand.unionAll(leg)
+    return (
+        cand.filter(F.col("d") <= _SNM_MAXD)
+        .groupBy(F.col("d").cast("bigint").alias("edit_distance"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
