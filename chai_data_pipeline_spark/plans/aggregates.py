@@ -1918,3 +1918,109 @@ def experiment_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp(mde, 10000).alias("mde_abs"),
         fp(mde / mean, 1000000).alias("mde_rel"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pairwise Pearson correlation matrix over lineitem's numeric columns
+# — manual_correlation's single pair generalized to the full grid via
+# ONE wide moment aggregation (no per-pair scans). Values quantize to
+# exact ×100 integer cents/units so every moment is exact; each
+# correlation is a fixed expression over the wide row.
+# --------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_sql() -> str:
+    aggs = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        q = f"CAST(FLOOR({c} * 100 + 0.5) AS BIGINT)"
+        aggs.append(f"CAST(SUM({q}) AS HUGEINT) AS s_{c}")
+        aggs.append(
+            f"CAST(SUM(CAST({q} AS HUGEINT) * {q}) AS HUGEINT) AS ss_{c}"
+        )
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            qa = f"CAST(FLOOR({a} * 100 + 0.5) AS BIGINT)"
+            qb = f"CAST(FLOOR({b} * 100 + 0.5) AS BIGINT)"
+            aggs.append(
+                f"CAST(SUM(CAST({qa} AS HUGEINT) * {qb}) AS HUGEINT)"
+                f" AS sp_{a}_{b}"
+            )
+    legs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            r = (
+                f"CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+                f" / sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))"
+                f" / sqrt(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE))"
+            )
+            legs.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+                f" (FLOOR(({r}) * 1000000 + 0.5) / 1000000.0) AS pearson_r"
+                f" FROM m"
+            )
+    return (
+        "WITH m AS (SELECT " + ", ".join(aggs) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(legs)
+    )
+
+
+@query("lineitem_correlation_matrix", oracle=_corr_sql())
+def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All six numeric-column correlations from one moment pass.
+
+    Scale: a single wide aggregation computes every first/second/cross
+    moment map-side (14 exact integer accumulators); the six
+    correlations are arithmetic over that one row — the pattern for
+    profiling ANY column set without n² scans.
+    """
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+
+    def q(c):
+        return F.floor(F.col(c) * 100 + 0.5).cast("bigint")
+
+    aggs = [F.count("*").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(q(c).cast("decimal(38,0)")).alias(f"s_{c}"))
+        aggs.append(
+            F.sum(q(c).cast("decimal(38,0)") * q(c)).alias(f"ss_{c}")
+        )
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            aggs.append(
+                F.sum(q(a).cast("decimal(38,0)") * q(b)).alias(f"sp_{a}_{b}")
+            )
+    m = li.agg(*aggs)
+    legs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            r = (
+                (F.col("n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}"))
+                .cast("double")
+                / F.sqrt(
+                    (
+                        F.col("n") * F.col(f"ss_{a}")
+                        - F.col(f"s_{a}") * F.col(f"s_{a}")
+                    ).cast("double")
+                )
+                / F.sqrt(
+                    (
+                        F.col("n") * F.col(f"ss_{b}")
+                        - F.col(f"s_{b}") * F.col(f"s_{b}")
+                    ).cast("double")
+                )
+            )
+            legs.append(
+                m.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    (F.floor(r * 1000000 + 0.5) / F.lit(1000000.0)).alias(
+                        "pearson_r"
+                    ),
+                )
+            )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out

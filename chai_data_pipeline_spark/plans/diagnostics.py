@@ -677,3 +677,69 @@ def self_join_blowup_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("amplification"),
     )
+
+
+# --------------------------------------------------------------------------
+# Functional-dependency discovery (Metanome-style profiling): A → B
+# holds iff no A-group contains two B values, checked exactly by
+# comparing COUNT(DISTINCT A) with COUNT(DISTINCT (A, B)). The
+# candidate list is pinned; each check is one distinct-count pass.
+# FD discovery is what infers primary keys, normalization splits, and
+# which columns are safe partition keys on an undocumented lake.
+# --------------------------------------------------------------------------
+
+# (label, table, lhs expr, rhs expr)
+_FD_CANDIDATES = [
+    ("nation->region", "nation", "n_nationkey", "n_regionkey"),
+    ("nationname->key", "nation", "n_name", "n_nationkey"),
+    ("custkey->segment", "customer", "c_custkey", "c_mktsegment"),
+    ("nationkey->segment", "customer", "c_nationkey", "c_mktsegment"),
+    ("orderkey->status", "orders", "o_orderkey", "o_orderstatus"),
+    ("custkey->status", "orders", "o_custkey", "o_orderstatus"),
+    ("event_user->type", "events", "user_id", "event_type"),
+]
+
+
+def _fd_leg_sql(label: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+SELECT '{label}' AS fd,
+       COUNT(DISTINCT {lhs}) AS n_lhs,
+       COUNT(DISTINCT ({lhs}, {rhs})) AS n_lhs_rhs,
+       (COUNT(DISTINCT {lhs}) = COUNT(DISTINCT ({lhs}, {rhs}))) AS holds
+FROM {table}"""
+
+
+@query(
+    "functional_dependency_discovery",
+    oracle="\nUNION ALL\n".join(
+        _fd_leg_sql(*c) for c in _FD_CANDIDATES
+    ),
+)
+def functional_dependency_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact FD verdicts for a pinned candidate list.
+
+    Scale: each candidate is one distinct-count aggregation over a
+    two-column projection (map-side partial distinct). At profiling
+    scale the same counts come from one pass per table with grouping
+    sets; the candidate generation (lattice pruning) stays driver-side.
+    """
+    tables = load_tables(
+        spark, sf_dir, *sorted({t for _, t, _, _ in _FD_CANDIDATES})
+    )
+    legs = []
+    for label, table, lhs, rhs in _FD_CANDIDATES:
+        df = tables[table]
+        n_lhs = F.count_distinct(F.col(lhs))
+        n_both = F.count_distinct(F.struct(F.col(lhs), F.col(rhs)))
+        legs.append(
+            df.agg(
+                F.lit(label).alias("fd"),
+                n_lhs.alias("n_lhs"),
+                n_both.alias("n_lhs_rhs"),
+                (n_lhs == n_both).alias("holds"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
