@@ -312,3 +312,80 @@ def partition_sizing_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+# --------------------------------------------------------------------------
+# Column-encoding advisor: distinct ratio + byte profile per string
+# column → dictionary-encode or not. Parquet writers decide this per
+# row-group from the same numbers; surfacing them per COLUMN is how a
+# lake operator pins encodings (and spots id-like columns that will
+# blow up dictionary pages) before a 100-TB rewrite.
+# --------------------------------------------------------------------------
+
+_ENC_COLS = [
+    ("events", "event_type"),
+    ("events", "props"),
+    ("documents", "lang"),
+    ("documents", "source"),
+    ("customer", "c_mktsegment"),
+    ("customer", "c_name"),
+    ("orders", "o_orderpriority"),
+    ("part", "p_brand"),
+]
+
+
+def _enc_leg_sql(table: str, col: str) -> str:
+    return f"""
+SELECT '{table}.{col}' AS column_name,
+       COUNT(*) AS n_rows,
+       COUNT(DISTINCT {col}) AS n_distinct,
+       (FLOOR(COUNT(DISTINCT {col}) * 1.0 / COUNT(*) * 1000000 + 0.5)
+        / 1000000.0) AS distinct_ratio,
+       (FLOOR(CAST(SUM(octet_length(encode({col}))) AS BIGINT) * 1.0
+            / COUNT(*) * 100 + 0.5) / 100.0) AS avg_bytes,
+       (COUNT(DISTINCT {col}) * 1.0 / COUNT(*) < 0.1) AS recommend_dict
+FROM {table}"""
+
+
+@query(
+    "encoding_advisor",
+    oracle="\nUNION ALL\n".join(_enc_leg_sql(t, c) for t, c in _ENC_COLS),
+)
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding recommendation per pinned string column.
+
+    Scale: one distinct-count + byte-sum aggregation per column over a
+    single-column projection (map-side partial distinct). The Spark
+    octet_length is utf-8 bytes, matching DuckDB's encode() form.
+    """
+    tables = load_tables(spark, sf_dir, *sorted({t for t, _ in _ENC_COLS}))
+    legs = []
+    for t, c in _ENC_COLS:
+        df = tables[t]
+        nd = F.count_distinct(F.col(c))
+        legs.append(
+            df.agg(
+                F.lit(f"{t}.{c}").alias("column_name"),
+                F.count("*").alias("n_rows"),
+                nd.alias("n_distinct"),
+                (
+                    F.floor(nd * 1.0 / F.count("*") * 1000000 + 0.5)
+                    / F.lit(1000000.0)
+                ).alias("distinct_ratio"),
+                (
+                    F.floor(
+                        F.sum(F.octet_length(F.col(c))).cast("bigint")
+                        * 1.0
+                        / F.count("*")
+                        * 100
+                        + 0.5
+                    )
+                    / F.lit(100.0)
+                ).alias("avg_bytes"),
+                (nd * 1.0 / F.count("*") < 0.1).alias("recommend_dict"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
