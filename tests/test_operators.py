@@ -650,3 +650,78 @@ def test_bloom_decontaminate_superset_of_exact(spark, sf_dir, tmp_path):
         1 for i, hit in exact.items() if not hit and bloom[i]
     )
     assert n_fp <= max(2, 0.05 * n_clean), (n_fp, n_clean)
+
+
+def test_cdc_chunks_reassemble_to_original(spark, sf_dir):
+    """Content-defined chunking must be a PARTITION of the text: the
+    chunks of each document, concatenated in order, are exactly the
+    original string (no gaps, no overlaps) — the invariant that makes
+    chunk-level dedup lossless."""
+    from pyspark.sql import functions as F
+
+    from chai_data_pipeline_spark.plans.dedup import (
+        _CDC_W,
+        _cdc_poly,
+        _ELEM_SPARK,
+    )
+    from chai_data_pipeline_spark.session import load_tables
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    cs = docs.select(
+        "doc_id",
+        "text",
+        F.expr(
+            "transform(sequence(1, length(text)),"
+            " i -> ascii(substring(text, i, 1)))"
+        ).alias("codes"),
+    )
+    poly = _cdc_poly("codes", "i", _ELEM_SPARK)
+    bounds = F.expr(
+        f"concat(array(0), filter(sequence(1, greatest(1, length(text) - "
+        f"{_CDC_W - 1})), i -> {poly} = 0), array(length(text)))"
+    )
+    # localCheckpoint = hard lineage cut: stops the optimizer from
+    # inlining the O(len) bounds/codes expressions into every
+    # element_at reference below (the product query is protected by
+    # its explode Generate node; this concat_ws probe is not — and a
+    # mere repartition gets projected through)
+    withb = cs.select(
+        "doc_id", "text", bounds.alias("bounds")
+    ).localCheckpoint()
+    rejoined = withb.select(
+        "doc_id",
+        "text",
+        F.expr(
+            "concat_ws('', transform(sequence(2, size(bounds)), j -> "
+            "substring(text, element_at(bounds, j - 1) + 1, "
+            "element_at(bounds, j) - element_at(bounds, j - 1))))"
+        ).alias("rejoined"),
+    )
+    bad = rejoined.filter(F.col("rejoined") != F.col("text")).count()
+    assert bad == 0
+
+
+def test_poisson_bootstrap_weight_mass(spark, sf_dir):
+    """Deterministic Poisson(1) draws must average ≈1 weight per row
+    (the property that makes each replica ≈ a full-size resample)."""
+    from chai_data_pipeline_spark import plans
+
+    rows = plans.QUERIES["poisson_bootstrap_means"](spark, sf_dir).collect()
+    assert len(rows) == 16
+    from chai_data_pipeline_spark.session import load_tables
+
+    n_users = (
+        load_tables(spark, sf_dir, "events")["events"]
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    # per-replica n_eff ~ Poisson(n): allow 5-sigma; the MEAN across
+    # replicas must sit tight around n (weights average 1)
+    import math
+
+    slack = 5 * math.sqrt(n_users)
+    for r in rows:
+        assert abs(r.n_eff - n_users) <= slack, (r.replica, r.n_eff)
+    mean_eff = sum(r.n_eff for r in rows) / len(rows)
+    assert abs(mean_eff - n_users) <= 2 * math.sqrt(n_users / 16) + 2
