@@ -743,3 +743,114 @@ def functional_dependency_discovery(spark: SparkSession, sf_dir: str) -> DataFra
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+# --------------------------------------------------------------------------
+# Differential-privacy sensitivity advisor: before adding noise to a
+# released daily-count metric, the contribution of ONE user must be
+# bounded — the clip level and the Gaussian noise scale follow from
+# the observed per-user contribution distribution. The sqrt(2 ln(1.25/δ))
+# constant is Python-injected; everything else is exact integers plus
+# one division chain. Pairs with k_anonymity_audit: that one gates raw
+# release, this one parameterizes noisy release.
+# --------------------------------------------------------------------------
+
+_DP_GAUSS_C = 5.298802526850474  # sqrt(2 ln(1.25/1e-6)), eps = 1
+
+
+@query(
+    "dp_sensitivity_advisor",
+    oracle=f"""
+WITH per_user_day AS (
+    SELECT user_id, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+),
+per_user AS (
+    SELECT user_id, CAST(MAX(n) AS BIGINT) AS m FROM per_user_day GROUP BY 1
+),
+ranked AS (
+    SELECT m, ROW_NUMBER() OVER (ORDER BY m, user_id) AS rn,
+           COUNT(*) OVER () AS nu
+    FROM per_user
+),
+clip AS (
+    SELECT MAX(nu) AS n_users,
+           MAX(CASE WHEN rn = CAST(CEIL(0.99 * nu) AS BIGINT)
+               THEN m END) AS p99
+    FROM ranked
+),
+daily AS (
+    SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n FROM events GROUP BY 1
+),
+avg_daily AS (
+    SELECT CAST(SUM(n) AS BIGINT) * 1.0 / COUNT(*) AS avg_n FROM daily
+)
+SELECT c.n_users,
+       (SELECT CAST(MAX(m) AS BIGINT) FROM per_user) AS max_contribution,
+       c.p99 AS recommended_clip,
+       (FLOOR(c.p99 * {_DP_GAUSS_C} * 10000 + 0.5) / 10000.0)
+           AS gaussian_sigma_eps1,
+       (FLOOR(c.p99 * {_DP_GAUSS_C} / a.avg_n * 1000000 + 0.5) / 1000000.0)
+           AS relative_noise
+FROM clip c CROSS JOIN avg_daily a
+""",
+)
+def dp_sensitivity_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip level and Gaussian noise scale for a DP daily-count release.
+
+    Scale: per-user-day counts shuffle once; the per-user max is
+    user-grain; the p99 order statistic runs over USER-cardinality
+    rows (swap for the histogram inverse-CDF at extreme scale). The
+    relative_noise column is the go/no-go: noise ≫ signal means the
+    release needs coarser grain, not more epsilon.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per_user = (
+        events.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(F.max("n").cast("bigint").alias("m"))
+    )
+    wr = Window.orderBy("m", "user_id")
+    ranked = per_user.select(
+        "m",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("nu"),
+    )
+    clip = ranked.agg(
+        F.max("nu").alias("n_users"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.99 * F.col("nu")).cast("bigint"),
+                F.col("m"),
+            )
+        ).alias("p99"),
+    )
+    mx = per_user.agg(F.max("m").cast("bigint").alias("max_contribution"))
+    avg_daily = (
+        events.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+        .agg((F.sum("n").cast("bigint") * 1.0 / F.count("*")).alias("avg_n"))
+    )
+    return (
+        clip.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(avg_daily))
+        .select(
+            "n_users",
+            "max_contribution",
+            F.col("p99").alias("recommended_clip"),
+            (
+                F.floor(F.col("p99") * _DP_GAUSS_C * 10000 + 0.5)
+                / F.lit(10000.0)
+            ).alias("gaussian_sigma_eps1"),
+            (
+                F.floor(
+                    F.col("p99") * _DP_GAUSS_C / F.col("avg_n") * 1000000
+                    + 0.5
+                )
+                / F.lit(1000000.0)
+            ).alias("relative_noise"),
+        )
+    )
