@@ -2024,3 +2024,83 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+# --------------------------------------------------------------------------
+# Wilson score intervals for per-type conversion rates: the interval
+# that stays inside [0,1] and behaves at small n, unlike the normal
+# approximation dashboards default to. Counts are exact; the interval
+# endpoints are one identical formula per row (z = 1.96 injected).
+# --------------------------------------------------------------------------
+
+_WILSON_Z = 1.96
+_WILSON_Z2 = _WILSON_Z * _WILSON_Z
+
+
+@query(
+    "conversion_rate_wilson_ci",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+    FROM events GROUP BY 1
+),
+m AS (
+    SELECT CAST(SUM(saw) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE saw = 1 AND bought = 1) AS BIGINT)
+               AS k
+    FROM per_user
+)
+SELECT n AS n_exposed, k AS n_converted,
+       (FLOOR(k * 1.0 / n * 1000000 + 0.5) / 1000000.0) AS rate,
+       (FLOOR(((k * 1.0 / n + {_WILSON_Z2} / (2.0 * n)
+            - {_WILSON_Z} * sqrt((k * 1.0 / n) * (1.0 - k * 1.0 / n) / n
+                + {_WILSON_Z2} / (4.0 * n * n)))
+           / (1.0 + {_WILSON_Z2} / n)) * 1000000 + 0.5) / 1000000.0)
+           AS wilson_low,
+       (FLOOR(((k * 1.0 / n + {_WILSON_Z2} / (2.0 * n)
+            + {_WILSON_Z} * sqrt((k * 1.0 / n) * (1.0 - k * 1.0 / n) / n
+                + {_WILSON_Z2} / (4.0 * n * n)))
+           / (1.0 + {_WILSON_Z2} / n)) * 1000000 + 0.5) / 1000000.0)
+           AS wilson_high
+FROM m WHERE n > 0
+""",
+)
+def conversion_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion with a 95% Wilson interval.
+
+    Scale: one user-grain flag aggregation + a single-row formula.
+    The interval every conversion dashboard should print instead of
+    ±1.96√(pq/n), which breaks near 0/1 and at small cells.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("saw"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("bought"),
+    )
+    m = per_user.agg(
+        F.sum("saw").cast("bigint").alias("n"),
+        F.count_if((F.col("saw") == 1) & (F.col("bought") == 1))
+        .cast("bigint")
+        .alias("k"),
+    )
+    p = F.col("k") * 1.0 / F.col("n")
+    halfw = F.lit(_WILSON_Z) * F.sqrt(
+        p * (1.0 - p) / F.col("n")
+        + F.lit(_WILSON_Z2) / (4.0 * F.col("n") * F.col("n"))
+    )
+    center = p + F.lit(_WILSON_Z2) / (2.0 * F.col("n"))
+    denom = 1.0 + F.lit(_WILSON_Z2) / F.col("n")
+    fp = lambda c: F.floor(c * 1000000 + 0.5) / F.lit(1000000.0)  # noqa: E731
+    return m.filter(F.col("n") > 0).select(
+        F.col("n").alias("n_exposed"),
+        F.col("k").alias("n_converted"),
+        fp(p).alias("rate"),
+        fp((center - halfw) / denom).alias("wilson_low"),
+        fp((center + halfw) / denom).alias("wilson_high"),
+    )
