@@ -2104,3 +2104,77 @@ def conversion_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp((center - halfw) / denom).alias("wilson_low"),
         fp((center + halfw) / denom).alias("wilson_high"),
     )
+
+
+# --------------------------------------------------------------------------
+# Capture–recapture (Lincoln–Petersen) population estimation: estimate
+# the total active-user population from the OVERLAP of two pinned
+# days' user sets — the estimator ecologists use when a full census
+# is impossible, which is exactly the position a sampled/partial log
+# pipeline is in. The Chapman correction keeps it finite at zero
+# overlap; exact integer counts, one division; the true census rides
+# along to audit the estimate.
+# --------------------------------------------------------------------------
+
+_CR_DAY1 = "2024-01-15"
+_CR_DAY2 = "2024-02-15"
+
+
+@query(
+    "capture_recapture_users",
+    oracle=f"""
+WITH s1 AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE CAST(ts AS DATE) = DATE '{_CR_DAY1}'
+),
+s2 AS (
+    SELECT DISTINCT user_id FROM events
+    WHERE CAST(ts AS DATE) = DATE '{_CR_DAY2}'
+),
+m AS (
+    SELECT (SELECT COUNT(*) FROM s1) AS n1,
+           (SELECT COUNT(*) FROM s2) AS n2,
+           (SELECT COUNT(*) FROM s1 JOIN s2 USING (user_id)) AS k,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS truth
+)
+SELECT n1 AS day1_users, n2 AS day2_users, k AS recaptured,
+       (FLOOR(((n1 + 1.0) * (n2 + 1.0) / (k + 1.0) - 1.0) * 100 + 0.5)
+        / 100.0) AS chapman_estimate,
+       truth AS true_distinct_users
+FROM m
+""",
+)
+def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman-corrected population estimate from two days' overlap.
+
+    Scale: two day-pruned distinct sets (partition pruning makes each
+    a sliver scan), one semi-join for the overlap, exact integer
+    arithmetic. When logs are sampled or retention-truncated, this is
+    how total population is still estimable — the audit column says
+    how biased the independence assumption is on THIS data.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    d1 = (
+        events.filter(F.to_date("ts") == F.lit(_CR_DAY1).cast("date"))
+        .select("user_id")
+        .distinct()
+    )
+    d2 = (
+        events.filter(F.to_date("ts") == F.lit(_CR_DAY2).cast("date"))
+        .select("user_id")
+        .distinct()
+    )
+    n1 = d1.count()
+    n2 = d2.count()
+    k = d1.join(d2, "user_id").count()
+    truth = events.select("user_id").distinct().count()
+    import math
+
+    est = math.floor(
+        ((n1 + 1.0) * (n2 + 1.0) / (k + 1.0) - 1.0) * 100 + 0.5
+    ) / 100.0
+    return spark.createDataFrame(
+        [(n1, n2, k, est, truth)],
+        "day1_users bigint, day2_users bigint, recaptured bigint,"
+        " chapman_estimate double, true_distinct_users bigint",
+    )

@@ -3517,3 +3517,141 @@ def dispersion_index_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp(var).alias("variance_daily"),
         fp(var / mean).alias("dispersion_index"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interrupted time-series analysis: piecewise OLS around a pinned
+# intervention date — pre/post slopes and the level shift at the
+# break. The causal sibling of difference_in_differences for a GLOBAL
+# change (no control group exists). x is the integer day index and y
+# the integer daily count, so all OLS moments are exact; each
+# slope/intercept is a fixed expression (zipf_slope_by_lang pattern).
+# --------------------------------------------------------------------------
+
+_ITS_BREAK = "2024-02-01"
+
+
+def _its_moments_sql(tag: str, pred: str) -> str:
+    return f"""
+m{tag} AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(x * y) AS BIGINT) AS sxy
+    FROM d WHERE {pred}
+    GROUP BY 1
+)"""
+
+
+_ITS_SLOPE = (
+    "(CAST({m}.n * {m}.sxy - {m}.sx * {m}.sy AS DOUBLE)"
+    " / CAST({m}.n * {m}.sxx - {m}.sx * {m}.sx AS DOUBLE))"
+)
+_ITS_INTERCEPT = (
+    "({m}.sy * 1.0 / {m}.n - " + _ITS_SLOPE + " * {m}.sx / {m}.n)"
+)
+
+
+@query(
+    "interrupted_time_series",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS dd, COUNT(*) AS y
+    FROM events GROUP BY 1, 2
+),
+d AS (
+    SELECT event_type,
+           CAST(dd - DATE '{_ITS_BREAK}' AS BIGINT) AS x, y
+    FROM daily
+),
+{_its_moments_sql('p', 'x < 0').lstrip()},
+{_its_moments_sql('q', 'x >= 0').lstrip()}
+SELECT mp.event_type,
+       (FLOOR({_ITS_SLOPE.format(m='mp')} * 1000000 + 0.5) / 1000000.0)
+           AS slope_pre,
+       (FLOOR({_ITS_SLOPE.format(m='mq')} * 1000000 + 0.5) / 1000000.0)
+           AS slope_post,
+       (FLOOR(({_ITS_INTERCEPT.format(m='mq')}
+            - {_ITS_INTERCEPT.format(m='mp')}) * 10000 + 0.5) / 10000.0)
+           AS level_shift_at_break
+FROM mp JOIN mq ON mq.event_type = mp.event_type
+WHERE mp.n >= 2 AND mq.n >= 2
+""",
+)
+def interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre/post slopes and level shift around the pinned break date.
+
+    Scale: day-grain moments per segment after one shuffle; both
+    regressions are fixed expressions over exact integer sums (x = 0
+    at the break, so the intercept difference IS the level shift).
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    d = (
+        events.groupBy("event_type", F.to_date("ts").alias("dd"))
+        .agg(F.count("*").alias("y"))
+        .select(
+            "event_type",
+            F.datediff("dd", F.lit(_ITS_BREAK).cast("date"))
+            .cast("bigint")
+            .alias("x"),
+            "y",
+        )
+    )
+
+    def moments(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        )
+
+    def slope():
+        return (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+
+    def rename(df, tag):
+        out = df
+        for c in ["n", "sx", "sy", "sxx", "sxy"]:
+            out = out.withColumnRenamed(c, f"{c}_{tag}")
+        return out
+
+    mp = rename(moments(d.filter(F.col("x") < 0)), "p")
+    mq = rename(moments(d.filter(F.col("x") >= 0)), "q")
+
+    def seg(tag):
+        n, sx, sy, sxx, sxy = (
+            F.col(f"n_{tag}"),
+            F.col(f"sx_{tag}"),
+            F.col(f"sy_{tag}"),
+            F.col(f"sxx_{tag}"),
+            F.col(f"sxy_{tag}"),
+        )
+        sl = (n * sxy - sx * sy).cast("double") / (n * sxx - sx * sx).cast(
+            "double"
+        )
+        ic = sy * 1.0 / n - sl * sx / n
+        return sl, ic
+
+    slp, icp = seg("p")
+    slq, icq = seg("q")
+    fp = lambda c, k: F.floor(c * k + 0.5) / F.lit(float(k))  # noqa: E731
+    return (
+        mp.join(mq, "event_type")
+        .filter((F.col("n_p") >= 2) & (F.col("n_q") >= 2))
+        .select(
+            "event_type",
+            fp(slp, 1000000).alias("slope_pre"),
+            fp(slq, 1000000).alias("slope_post"),
+            fp(icq - icp, 10000).alias("level_shift_at_break"),
+        )
+    )
