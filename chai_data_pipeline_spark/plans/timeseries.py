@@ -3655,3 +3655,197 @@ def interrupted_time_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp(icq - icp, 10000).alias("level_shift_at_break"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Lead–lag cross-correlation between the view and purchase daily
+# series (lags −3..+3): does view volume LEAD purchase volume, and by
+# how many days? Pearson r per lag from exact integer moments over
+# the aligned day pairs (autocorrelation_daily's machinery pointed at
+# TWO series) — the statistic that turns "traffic predicts revenue"
+# into a measured lag.
+# --------------------------------------------------------------------------
+
+_XCORR_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+
+@query(
+    "lead_lag_cross_correlation",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS v,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS p
+    FROM events GROUP BY 1
+),
+lags AS (SELECT * FROM (VALUES {', '.join(f'({k})' for k in _XCORR_LAGS)})
+         t(lag)),
+aligned AS (
+    SELECT l.lag, a.v AS x, b.p AS y
+    FROM lags l
+    JOIN daily a ON TRUE
+    JOIN daily b ON b.d = a.d + l.lag
+),
+m AS (
+    SELECT lag, COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+           CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+    FROM aligned GROUP BY 1
+)
+SELECT lag AS lag_days, n AS n_days,
+       (FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+        / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5)
+        / 1000000.0) AS pearson_r
+FROM m
+WHERE n >= 3
+""",
+)
+def lead_lag_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of view vs purchase volume at day lags −3..3.
+
+    Scale: ONE day-grain pivot of both series, then a 7-row lag axis
+    joined by shifted date (≤7 partners per day — bounded range
+    join); moments are exact wide integers. The lag with max r is the
+    conversion latency the forecasters should feature.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count_if(F.col("event_type") == "view").alias("v"),
+        F.count_if(F.col("event_type") == "purchase").alias("p"),
+    )
+    lags = F.broadcast(
+        events.sparkSession.createDataFrame(
+            [(k,) for k in _XCORR_LAGS], "lag int"
+        )
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("v").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("p").alias("y"))
+    aligned = (
+        lags.crossJoin(a)
+        .join(b, F.col("db") == F.expr("date_add(da, lag)"))
+        .select("lag", "x", "y")
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = aligned.groupBy("lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+        F.sum(dec("y") * F.col("y")).alias("syy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+    )
+    r = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        )
+        / F.sqrt(
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            )
+        )
+    )
+    return m.filter(F.col("n") >= 3).select(
+        F.col("lag").alias("lag_days"),
+        F.col("n").alias("n_days"),
+        (F.floor(r * 1000000 + 0.5) / F.lit(1000000.0)).alias("pearson_r"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Intraday seasonality strength: η² = between-hour sum of squares /
+# total sum of squares of per-(day, hour) counts — the one-way-ANOVA
+# effect size for "does hour-of-day explain volume". Exact integer
+# moments per hour bin; two divisions per type.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "intraday_seasonality_strength",
+    oracle="""
+WITH cell AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+           COUNT(*) AS n
+    FROM events GROUP BY 1, 2, 3
+),
+hourly AS (
+    SELECT event_type, h,
+           COUNT(*) AS k,
+           CAST(SUM(n) AS BIGINT) AS s,
+           CAST(SUM(CAST(n AS HUGEINT) * n) AS HUGEINT) AS ss
+    FROM cell GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type,
+           CAST(SUM(k) AS BIGINT) AS kt,
+           CAST(SUM(s) AS BIGINT) AS st,
+           CAST(SUM(ss) AS HUGEINT) AS sst,
+           CAST(SUM(CAST(FLOOR(CAST(CAST(s AS HUGEINT) * s AS DOUBLE) / k
+                * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS between_milli
+    FROM hourly GROUP BY 1
+)
+SELECT event_type,
+       kt AS n_cells,
+       (FLOOR((between_milli / 1000.0 - CAST(st AS DOUBLE) * st / kt)
+        / (CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * st / kt)
+        * 1000000 + 0.5) / 1000000.0) AS eta_squared
+FROM tot
+WHERE CAST(sst AS DOUBLE) - CAST(st AS DOUBLE) * st / kt > 0
+""",
+)
+def intraday_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """η² of hour-of-day on (day, hour) cell volume, per event type.
+
+    Scale: one (type, day, hour)-grain shuffle, a 24-bin moment
+    rollup, one ratio. η² near 0 = flat intraday load (schedule
+    compaction anytime); near 1 = strong diurnal cycle (size
+    streaming capacity to the peak hour, not the mean). The per-hour
+    s²/k term is one identical double division QUANTIZED to ×1000
+    integers before the 24-term sum (cross-row double summation is
+    never order-safe — the house rule), so η² is one ratio of exact
+    reductions.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    cell = events.groupBy(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.hour("ts").cast("bigint").alias("h"),
+    ).agg(F.count("*").alias("n"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    hourly = cell.groupBy("event_type", "h").agg(
+        F.count("*").alias("k"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(dec("n") * F.col("n")).alias("ss"),
+    )
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("k").cast("bigint").alias("kt"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("ss").alias("sst"),
+        F.sum(
+            F.floor(
+                (dec("s") * F.col("s")).cast("double") / F.col("k") * 1000
+                + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("between_milli"),
+    )
+    between = F.col("between_milli") / 1000.0 - F.col("st").cast(
+        "double"
+    ) * F.col("st") / F.col("kt")
+    total_ss = F.col("sst").cast("double") - F.col("st").cast("double") * F.col(
+        "st"
+    ) / F.col("kt")
+    return tot.filter(total_ss > 0).select(
+        "event_type",
+        F.col("kt").alias("n_cells"),
+        (F.floor(between / total_ss * 1000000 + 0.5) / F.lit(1000000.0)).alias(
+            "eta_squared"
+        ),
+    )
