@@ -3849,3 +3849,185 @@ def intraday_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame
             "eta_squared"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Mutual information between event type and weekday — the
+# information-theoretic dependence measure beside chi_square_type_dow's
+# test statistic. Every c·ln(...) term is quantized to ×1e9 integers
+# on the bounded type×weekday grid before the exact sum; MI, the two
+# marginal entropies, and the normalized MI are fixed expressions.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mutual_information_type_dow",
+    oracle="""
+WITH cell AS (
+    SELECT event_type,
+           CAST((CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT) % 7 AS dow,
+           COUNT(*) AS c
+    FROM events GROUP BY 1, 2
+),
+marg AS (
+    SELECT c.event_type, c.dow, c.c,
+           CAST(SUM(c.c) OVER (PARTITION BY c.event_type) AS BIGINT) AS ra,
+           CAST(SUM(c.c) OVER (PARTITION BY c.dow) AS BIGINT) AS cb,
+           CAST(SUM(c.c) OVER () AS BIGINT) AS n
+    FROM cell c
+),
+terms AS (
+    SELECT n,
+           CAST(FLOOR(c * ln(c * 1.0 * n / ra / cb) * 1000000000 + 0.5)
+               AS BIGINT) AS miq,
+           CAST(FLOOR(c * ln(n * 1.0 / ra) * 1000000000 + 0.5)
+               AS BIGINT) AS haq
+    FROM marg
+)
+SELECT MAX(n) AS n_events,
+       (FLOOR(CAST(SUM(miq) AS BIGINT) * 1.0 / MAX(n) / 1000000000.0
+        * 1000000 + 0.5) / 1000000.0) AS mutual_information_nats,
+       (FLOOR(CAST(SUM(miq) AS BIGINT) * 1.0 / CAST(SUM(haq) AS BIGINT)
+        * 1000000 + 0.5) / 1000000.0) AS uncertainty_coefficient
+FROM terms
+""",
+)
+def mutual_information_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI and Theil's U between event type and weekday.
+
+    Scale: one (type, dow)-grain count; marginals are windows over the
+    ≤ types×7 grid; per-cell log terms quantize before the exact sum.
+    The uncertainty coefficient (MI / H(type)) reads as "% of type
+    uncertainty the weekday removes" — feature selection's currency.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    cell = events.groupBy(
+        "event_type",
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01")).cast("bigint") % 7)
+        .alias("dow"),
+    ).agg(F.count("*").alias("c"))
+    marg = cell.select(
+        "c",
+        F.sum("c").over(Window.partitionBy("event_type")).cast("bigint").alias("ra"),
+        F.sum("c").over(Window.partitionBy("dow")).cast("bigint").alias("cb"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    miq = F.floor(
+        F.col("c")
+        * F.log(F.col("c") * 1.0 * F.col("n") / F.col("ra") / F.col("cb"))
+        * 1000000000
+        + 0.5
+    ).cast("bigint")
+    haq = F.floor(
+        F.col("c") * F.log(F.col("n") * 1.0 / F.col("ra")) * 1000000000 + 0.5
+    ).cast("bigint")
+    terms = marg.select("n", miq.alias("miq"), haq.alias("haq"))
+    fp = lambda c: F.floor(c * 1000000 + 0.5) / F.lit(1000000.0)  # noqa: E731
+    return terms.agg(
+        F.max("n").alias("n_events"),
+        fp(
+            F.sum("miq").cast("bigint") * 1.0 / F.max("n") / 1000000000.0
+        ).alias("mutual_information_nats"),
+        fp(
+            F.sum("miq").cast("bigint") * 1.0 / F.sum("haq").cast("bigint")
+        ).alias("uncertainty_coefficient"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Conditional entropy of the next event given the current one —
+# H(next|prev) from within-session transition counts. 0 bits = fully
+# scripted journeys; log2(|types|) = memoryless. Bounded types² grid,
+# quantized log terms, exact sums (pairs with event_transition_matrix,
+# which reports the probabilities this summarizes).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "sequence_conditional_entropy",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LEAD(event_type) OVER w AS nxt,
+           CASE WHEN date_diff('microsecond', ts, LEAD(ts) OVER w)
+                     <= CAST(1800 AS BIGINT) * 1000000
+                THEN 1 ELSE 0 END AS same_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+trans AS (
+    SELECT event_type AS prev, nxt, COUNT(*) AS c
+    FROM ordered WHERE nxt IS NOT NULL AND same_session = 1
+    GROUP BY 1, 2
+),
+marg AS (
+    SELECT t.prev, t.nxt, t.c,
+           CAST(SUM(t.c) OVER (PARTITION BY t.prev) AS BIGINT) AS rp,
+           CAST(SUM(t.c) OVER () AS BIGINT) AS n
+    FROM trans t
+),
+terms AS (
+    SELECT n,
+           CAST(FLOOR(c * ln(rp * 1.0 / c) * 1000000000 + 0.5) AS BIGINT)
+               AS hq
+    FROM marg
+)
+SELECT MAX(n) AS n_transitions,
+       (FLOOR(CAST(SUM(hq) AS BIGINT) * 1.0 / MAX(n) / 1000000000.0
+        / ln(2.0) * 1000000 + 0.5) / 1000000.0)
+           AS conditional_entropy_bits
+FROM terms
+""",
+)
+def sequence_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H(next event | current event) in bits, within sessions.
+
+    Scale: one user-ordered window yields transitions (the same pass
+    the attribution/transition-matrix ops use); entropy terms live on
+    the types² grid. The single number that says whether journey
+    prediction is even worth modeling.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, ts, lead(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id))"
+    )
+    ordered = events.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+        (gap_us <= F.lit(1800 * 1_000_000)).alias("same_session"),
+    )
+    trans = (
+        ordered.filter(F.col("nxt").isNotNull() & F.col("same_session"))
+        .groupBy("prev", "nxt")
+        .agg(F.count("*").alias("c"))
+    )
+    marg = trans.select(
+        "c",
+        F.sum("c").over(Window.partitionBy("prev")).cast("bigint").alias("rp"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    hq = F.floor(
+        F.col("c") * F.log(F.col("rp") * 1.0 / F.col("c")) * 1000000000 + 0.5
+    ).cast("bigint")
+    terms = marg.select("n", hq.alias("hq"))
+    return terms.agg(
+        F.max("n").alias("n_transitions"),
+        (
+            F.floor(
+                F.sum("hq").cast("bigint")
+                * 1.0
+                / F.max("n")
+                / 1000000000.0
+                / F.log(F.lit(2.0))
+                * 1000000
+                + 0.5
+            )
+            / F.lit(1000000.0)
+        ).alias("conditional_entropy_bits"),
+    )
