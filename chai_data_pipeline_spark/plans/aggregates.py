@@ -2178,3 +2178,93 @@ def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day1_users bigint, day2_users bigint, recaptured bigint,"
         " chapman_estimate double, true_distinct_users bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# Price–quantity elasticity per brand: the log-log OLS slope of
+# quantity on unit price — pricing analytics' first number. Both logs
+# quantize to ×1e6 integers per row (the zipf_slope pattern), so the
+# per-brand regression moments are exact and the slope is one fixed
+# expression.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "price_quantity_elasticity",
+    oracle="""
+WITH q AS (
+    SELECT p.p_brand,
+           CAST(FLOOR(ln(l.l_extendedprice / l.l_quantity) * 1000000 + 0.5)
+               AS BIGINT) AS xi,
+           CAST(FLOOR(ln(l.l_quantity) * 1000000 + 0.5) AS BIGINT) AS yi
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+),
+m AS (
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(xi) AS BIGINT) AS sx, CAST(SUM(yi) AS BIGINT) AS sy,
+           CAST(SUM(CAST(xi AS HUGEINT) * xi) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(xi AS HUGEINT) * yi) AS HUGEINT) AS sxy
+    FROM q GROUP BY 1
+)
+SELECT p_brand, n AS n_lines,
+       (FLOOR(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+        / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+        * 1000000 + 0.5) / 1000000.0) AS elasticity
+FROM m
+WHERE n >= 10 AND CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0
+""",
+)
+def price_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ln(qty) on ln(unit price) OLS slope per brand.
+
+    Scale: one fact scan with the part dim broadcast, per-row
+    identical log quantization, brand-grain exact moments. Negative
+    elasticity magnitudes ≫1 mark price-sensitive brands; the exact
+    fixed-point protocol means the number reproduces under any
+    partitioning.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    q = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey")
+        )
+        .filter((F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0))
+        .select(
+            "p_brand",
+            F.floor(
+                F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+                * 1000000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("xi"),
+            F.floor(F.log("l_quantity") * 1000000 + 0.5)
+            .cast("bigint")
+            .alias("yi"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = q.groupBy("p_brand").agg(
+        F.count("*").alias("n"),
+        F.sum("xi").cast("bigint").alias("sx"),
+        F.sum("yi").cast("bigint").alias("sy"),
+        F.sum(dec("xi") * F.col("xi")).alias("sxx"),
+        F.sum(dec("xi") * F.col("yi")).alias("sxy"),
+    )
+    denom = (
+        F.col("n") * F.col("sxx") - dec("sx") * F.col("sx")
+    ).cast("double")
+    slope = (
+        (F.col("n") * F.col("sxy") - dec("sx") * F.col("sy")).cast("double")
+        / denom
+    )
+    return m.filter((F.col("n") >= 10) & (denom > 0)).select(
+        "p_brand",
+        F.col("n").alias("n_lines"),
+        (F.floor(slope * 1000000 + 0.5) / F.lit(1000000.0)).alias(
+            "elasticity"
+        ),
+    )
