@@ -4031,3 +4031,138 @@ def sequence_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("conditional_entropy_bits"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-session handoff matrix: the first event of a user's NEXT
+# session conditioned on the last event of the previous one — the
+# between-visits sibling of event_transition_matrix (which is
+# within-session). "Sessions that end in error restart with view"
+# is a retention insight no within-session statistic can see.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cross_session_transition",
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                     > CAST(1800 AS BIGINT) * 1000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM ordered
+),
+ends AS (
+    SELECT user_id, sid,
+           MAX(CASE WHEN rn_last = 1 THEN event_type END) AS last_ev,
+           MAX(CASE WHEN rn_first = 1 THEN event_type END) AS first_ev
+    FROM (
+        SELECT user_id, sid, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts DESC, event_id DESC) AS rn_last,
+               ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                  ORDER BY ts, event_id) AS rn_first
+        FROM sess
+    )
+    GROUP BY 1, 2
+),
+handoff AS (
+    SELECT last_ev AS prev_session_end,
+           LEAD(first_ev) OVER (PARTITION BY user_id ORDER BY sid)
+               AS next_session_start
+    FROM ends
+)
+SELECT prev_session_end, next_session_start,
+       COUNT(*) AS n_handoffs,
+       (FLOOR(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (
+            PARTITION BY prev_session_end) * 1000000 + 0.5) / 1000000.0)
+           AS row_share
+FROM handoff
+WHERE next_session_start IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def cross_session_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(next session starts with B | previous ended with A).
+
+    Scale: the one user-shuffle serves sessionization, both
+    first/last-of-session windows, and the session-level lead; output
+    is types²-bounded. Pinned 1800 s strictly-greater session rule.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    sess = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (gap_us > F.lit(1800 * 1_000_000)),
+                1,
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    wl = Window.partitionBy("user_id", "sid").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    wf = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    ends = (
+        sess.select(
+            "user_id",
+            "sid",
+            "event_type",
+            F.row_number().over(wl).alias("rn_last"),
+            F.row_number().over(wf).alias("rn_first"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.max(
+                F.when(F.col("rn_last") == 1, F.col("event_type"))
+            ).alias("last_ev"),
+            F.max(
+                F.when(F.col("rn_first") == 1, F.col("event_type"))
+            ).alias("first_ev"),
+        )
+    )
+    ws = Window.partitionBy("user_id").orderBy("sid")
+    handoff = ends.select(
+        F.col("last_ev").alias("prev_session_end"),
+        F.lead("first_ev").over(ws).alias("next_session_start"),
+    ).filter(F.col("next_session_start").isNotNull())
+    grouped = handoff.groupBy(
+        "prev_session_end", "next_session_start"
+    ).agg(F.count("*").alias("n_handoffs"))
+    wr = Window.partitionBy("prev_session_end")
+    return grouped.select(
+        "prev_session_end",
+        "next_session_start",
+        "n_handoffs",
+        (
+            F.floor(
+                F.col("n_handoffs")
+                * 1.0
+                / F.sum("n_handoffs").over(wr)
+                * 1000000
+                + 0.5
+            )
+            / F.lit(1000000.0)
+        ).alias("row_share"),
+    )
