@@ -2154,29 +2154,47 @@ def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     how biased the independence assumption is on THIS data.
     """
     events = load_tables(spark, sf_dir, "events")["events"]
-    d1 = (
-        events.filter(F.to_date("ts") == F.lit(_CR_DAY1).cast("date"))
-        .select("user_id")
-        .distinct()
+    # ONE distributed pass (r4 VERDICT item 6): per-user day flags in a
+    # single groupBy (map-side partial agg), then a 1-row global agg
+    # computing n1/n2/k/truth together — replaces 4 driver actions, 3 of
+    # which re-scanned events.
+    per_user = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                F.to_date("ts") == F.lit(_CR_DAY1).cast("date"), 1
+            ).otherwise(0)
+        ).alias("d1"),
+        F.max(
+            F.when(
+                F.to_date("ts") == F.lit(_CR_DAY2).cast("date"), 1
+            ).otherwise(0)
+        ).alias("d2"),
     )
-    d2 = (
-        events.filter(F.to_date("ts") == F.lit(_CR_DAY2).cast("date"))
-        .select("user_id")
-        .distinct()
+    m = per_user.agg(
+        F.sum("d1").cast("bigint").alias("n1"),
+        F.sum("d2").cast("bigint").alias("n2"),
+        F.sum(F.col("d1") * F.col("d2")).cast("bigint").alias("k"),
+        F.count("*").cast("bigint").alias("truth"),
     )
-    n1 = d1.count()
-    n2 = d2.count()
-    k = d1.join(d2, "user_id").count()
-    truth = events.select("user_id").distinct().count()
-    import math
-
-    est = math.floor(
-        ((n1 + 1.0) * (n2 + 1.0) / (k + 1.0) - 1.0) * 100 + 0.5
-    ) / 100.0
-    return spark.createDataFrame(
-        [(n1, n2, k, est, truth)],
-        "day1_users bigint, day2_users bigint, recaptured bigint,"
-        " chapman_estimate double, true_distinct_users bigint",
+    chapman = (
+        F.floor(
+            (
+                (F.col("n1") + F.lit(1.0))
+                * (F.col("n2") + F.lit(1.0))
+                / (F.col("k") + F.lit(1.0))
+                - F.lit(1.0)
+            )
+            * F.lit(100)
+            + F.lit(0.5)
+        )
+        / F.lit(100.0)
+    )
+    return m.select(
+        F.col("n1").alias("day1_users"),
+        F.col("n2").alias("day2_users"),
+        F.col("k").alias("recaptured"),
+        chapman.alias("chapman_estimate"),
+        F.col("truth").alias("true_distinct_users"),
     )
 
 

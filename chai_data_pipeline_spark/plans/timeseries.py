@@ -1454,27 +1454,27 @@ def asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH o AS (
     SELECT n.n_name AS nation,
-           CAST(o.o_totalprice AS DECIMAL(27,2)) AS price,
+           CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
            CAST(o.o_orderdate AS DATE) AS d
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n ON n.n_nationkey = c.c_nationkey
 ),
 per_price AS (
-    SELECT nation, price, MAX(d) AS best_d
+    SELECT nation, price_cents, MAX(d) AS best_d
     FROM o GROUP BY 1, 2
 ),
 scanned AS (
-    SELECT nation, price, best_d,
+    SELECT nation, price_cents, best_d,
            MAX(best_d) OVER (
-               PARTITION BY nation ORDER BY price
+               PARTITION BY nation ORDER BY price_cents
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
            ) AS best_d_cheaper
     FROM per_price
 )
 SELECT nation,
        COUNT(*) AS frontier_size,
-       MIN(price) AS cheapest,
+       MIN(price_cents) AS cheapest_cents,
        MAX(best_d) AS latest
 FROM scanned
 WHERE best_d_cheaper IS NULL OR best_d > best_d_cheaper
@@ -1484,7 +1484,14 @@ GROUP BY 1
 def skyline_cheapest_latest_per_nation(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Pareto frontier of (cheap, recent) orders per nation."""
+    """Pareto frontier of (cheap, recent) orders per nation.
+
+    Prices are keyed as integer CENTS via the shared deterministic
+    half-up formula ``floor(x*100 + 0.5)`` (functions/numeric.py SCALE
+    RULE): a ``CAST(double AS DECIMAL(27,2))`` is a ROUNDING cast whose
+    result diverges across engines exactly on x.xx5 money boundaries —
+    the r4 hash failure.
+    """
     from pyspark.sql.window import Window
 
     t = load_tables(spark, sf_dir, "orders", "customer", "nation")
@@ -1502,19 +1509,23 @@ def skyline_cheapest_latest_per_nation(
         )
         .select(
             F.col("n_name").alias("nation"),
-            F.col("o_totalprice").cast("decimal(27,2)").alias("price"),
+            F.floor(F.col("o_totalprice") * F.lit(100) + F.lit(0.5))
+            .cast("bigint")
+            .alias("price_cents"),
             F.col("o_orderdate").cast("date").alias("d"),
         )
     )
-    per_price = o.groupBy("nation", "price").agg(F.max("d").alias("best_d"))
+    per_price = o.groupBy("nation", "price_cents").agg(
+        F.max("d").alias("best_d")
+    )
     w = (
         Window.partitionBy("nation")
-        .orderBy("price")
+        .orderBy("price_cents")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     scanned = per_price.select(
         "nation",
-        "price",
+        "price_cents",
         "best_d",
         F.max("best_d").over(w).alias("best_d_cheaper"),
     )
@@ -1524,7 +1535,7 @@ def skyline_cheapest_latest_per_nation(
     )
     return frontier.groupBy("nation").agg(
         F.count("*").alias("frontier_size"),
-        F.min("price").alias("cheapest"),
+        F.min("price_cents").alias("cheapest_cents"),
         F.max("best_d").alias("latest"),
     )
 
