@@ -14,10 +14,11 @@ replacements for the reference's nondeterminism (SURVEY §7.4.1/3):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.numeric import dround
 from ..operators.windows import top_k_per_group
 
 
@@ -135,11 +136,24 @@ def covid_country_trends(clean_covid: DataFrame) -> DataFrame:
     )
 
 
-def covid_global_summary(clean_covid: DataFrame) -> DataFrame:
+def covid_global_summary(
+    clean_covid: DataFrame, data_quality_score: int = 90
+) -> DataFrame:
     """Global summary with day/week deltas + top-5/bottom-5 country
     JSON lists (reference: model_gold.py:243-401). Window lags over a
     country-summed daily frame replace the fanning self-join; top/bottom
-    lists rank on (confirmed DESC/ASC, country) and serialize sorted."""
+    lists rank on (confirmed DESC/ASC, country) and serialize sorted.
+
+    ``global_mortality_rate`` / ``global_recovery_rate`` (declared
+    DECIMAL(10,6), model_gold.py:61-62; populated as
+    AVG(ld.mortality_rate) over the latest day, model_gold.py:277-278)
+    are the average of the latest-day per-series silver rates, computed
+    exactly: the 2-decimal rates become integer cents (exact bigint
+    sum, order-independent), one IEEE division, then the deterministic
+    6-decimal half-up round. ``data_quality_score`` mirrors the
+    reference's validation-score column (hardcoded 90 at
+    model_gold.py:352; the pipeline passes the real computed score).
+    """
     daily = clean_covid.groupBy("record_date").agg(
         F.sum("confirmed").alias("confirmed"),
         F.sum("recovered").alias("recovered"),
@@ -156,6 +170,33 @@ def covid_global_summary(clean_covid: DataFrame) -> DataFrame:
         F.broadcast(daily.agg(F.max("record_date").alias("maxd"))),
         F.col("record_date") == F.col("maxd"),
     ).drop("maxd")
+
+    # Latest-day global rates: avg of the per-series 2-decimal rates.
+    # floor(rate*100+0.5) recovers exact integer cents → bigint sum is
+    # order-independent; one division; dround-6 half-up on both engines.
+    def _avg_rate(col: str) -> Column:
+        cents = F.sum(
+            F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")
+        )
+        raw = cents.cast("double") / (
+            F.lit(100) * F.count(col)
+        ).cast("double")
+        return raw
+
+    latest_rates = (
+        clean_covid.join(
+            F.broadcast(daily.agg(F.max("record_date").alias("maxd2"))),
+            F.col("record_date") == F.col("maxd2"),
+        )
+        .agg(
+            _avg_rate("mortality_rate").alias("_mr_raw"),
+            _avg_rate("recovery_rate").alias("_rr_raw"),
+        )
+        .select(
+            dround(F.col("_mr_raw"), 6).alias("global_mortality_rate"),
+            dround(F.col("_rr_raw"), 6).alias("global_recovery_rate"),
+        )
+    )
 
     by_country = (
         clean_covid.groupBy("country")
@@ -190,12 +231,15 @@ def covid_global_summary(clean_covid: DataFrame) -> DataFrame:
     return (
         latest.crossJoin(F.broadcast(top5))
         .crossJoin(F.broadcast(bottom5))
+        .crossJoin(F.broadcast(latest_rates))
         .select(
             F.col("record_date").alias("summary_date"),
             F.col("confirmed").alias("total_confirmed"),
             F.col("recovered").alias("total_recovered"),
             F.col("deaths").alias("total_deaths"),
             F.col("countries").alias("countries_reporting"),
+            "global_mortality_rate",
+            "global_recovery_rate",
             (F.col("confirmed") - F.coalesce("prev_confirmed", F.lit(0))).alias(
                 "day_delta"
             ),
@@ -204,7 +248,33 @@ def covid_global_summary(clean_covid: DataFrame) -> DataFrame:
             ).alias("week_delta"),
             "top_5_countries",
             "bottom_5_countries",
+            F.lit(int(data_quality_score))
+            .cast("int")
+            .alias("data_quality_score"),
         )
+    )
+
+
+def v_data_completeness(global_summary: DataFrame) -> DataFrame:
+    """``v_data_completeness`` view (reference: aggregate_gold.py:200-218):
+    survival_rate = (confirmed-deaths)/confirmed*100 and
+    recovery_percentage = recovered/confirmed*100 over the global
+    summary, 2-decimal, 0 when confirmed==0 — deterministic half-up
+    round (dround) instead of the reference's ROUND(::DECIMAL, 2)."""
+    c = F.col("total_confirmed")
+
+    def _pct(num: Column) -> Column:
+        return F.when(
+            c > 0, dround(num.cast("double") / c * 100, 2)
+        ).otherwise(0.0)
+
+    return global_summary.select(
+        "summary_date",
+        F.col("countries_reporting").alias("total_countries"),
+        "total_confirmed",
+        "total_deaths",
+        _pct(c - F.col("total_deaths")).alias("survival_rate"),
+        _pct(F.col("total_recovered")).alias("recovery_percentage"),
     )
 
 
@@ -264,3 +334,50 @@ def pipeline_performance_view(lineage: DataFrame, durations: dict[str, float]) -
             ).alias("records_per_second"),
         )
     )
+
+
+def daily_aggregates(spark, journal: dict, asof: str) -> DataFrame:
+    """gold.daily_aggregates (reference: aggregate_gold.py:31-41 schema,
+    83-176 population): one row per pipeline run day with per-layer
+    record counts, total, quality score, and duration.
+
+    The reference re-reads its own Postgres layers with CURRENT_DATE
+    filters to count records; here the run JOURNAL is the metadata
+    source, so the table derives without a second scan of any layer.
+    data_quality_score falls back to 85 exactly like the reference
+    when no quality result exists (aggregate_gold.py:129-133);
+    data_sources_processed is the observed bronze dataset count rather
+    than the reference's hardcoded 4.
+    """
+    layers = journal.get("layers", {})
+
+    def _records(layer: str) -> int:
+        return int(sum(layers.get(layer, {}).get("records", {}).values()))
+
+    b, s, g = _records("bronze"), _records("silver"), _records("gold")
+    dur = sum(
+        float(layers[k].get("duration_seconds", 0.0))
+        for k in ("bronze", "silver", "quality", "gold")
+        if k in layers
+    )
+    q = layers.get("quality", {}).get("quality_score")
+    score = 85 if q is None else int(round(float(q)))
+    row = [
+        (
+            asof.split(" ")[0],
+            len(layers.get("bronze", {}).get("records", {})),
+            b + s + g,
+            b,
+            s,
+            g,
+            score,
+            int(round(dur)),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "aggregate_date string, data_sources_processed int,"
+        " total_records_processed bigint, bronze_records int,"
+        " silver_records int, gold_records int, data_quality_score int,"
+        " processing_duration_seconds int",
+    ).withColumn("aggregate_date", F.col("aggregate_date").cast("date"))

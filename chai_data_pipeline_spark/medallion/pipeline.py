@@ -140,7 +140,12 @@ def run_pipeline(
             cc = silver_tables["clean_covid"]
             gold_tables["daily_covid_summary"] = gold_mod.daily_covid_summary(cc)
             gold_tables["covid_country_trends"] = gold_mod.covid_country_trends(cc)
-            gold_tables["covid_global_summary"] = gold_mod.covid_global_summary(cc)
+            gold_tables["covid_global_summary"] = gold_mod.covid_global_summary(
+                cc, data_quality_score=int(round(score))
+            )
+            gold_tables["v_data_completeness"] = gold_mod.v_data_completeness(
+                gold_tables["covid_global_summary"]
+            )
         if "clean_users" in silver_tables:
             cu = silver_tables["clean_users"]
             gold_tables["user_company_analysis"] = gold_mod.user_company_analysis(cu)
@@ -163,6 +168,14 @@ def run_pipeline(
             "duration_seconds": round(time.perf_counter() - t0, 2),
             "records": g_counts,
         }
+        # daily_aggregates derives FROM the journal (per-layer counts,
+        # quality score, durations) — built after the gold journal
+        # entry so its own row is not self-counted.
+        da = gold_mod.daily_aggregates(spark, journal, asof)
+        if write:
+            overwrite_table(
+                da, os.path.join(lake_dir, "gold", "daily_aggregates")
+            )
     except Exception as exc:  # noqa: BLE001
         return fail("gold", exc)
 

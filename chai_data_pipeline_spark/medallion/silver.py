@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.numeric import dround
 from ..operators import text as TX
 from ..operators.dedup import dedup_by_key
 from ..operators.windows import grouped_diff, rolling_mean
@@ -120,23 +121,31 @@ def transform_covid(bronze_covid: DataFrame, asof: str) -> DataFrame:
             F.col("confirmed") - F.col("recovered") - F.col("deaths"),
         ),
     ).withColumn(
+        # dround (floor(x*100+0.5)/100) instead of F.round: the rate
+        # feeds the oracle-hashed covid_global_summary averages, and
+        # Spark/DuckDB round() diverge on x.xx5 boundaries
+        # (functions/numeric.py SCALE RULE).
         "mortality_rate",
-        F.round(
-            F.when(
-                F.col("confirmed") > 0,
-                F.col("deaths") * 100.0 / F.col("confirmed"),
-            ).otherwise(0.0),
-            2,
-        ),
+        F.when(
+            F.col("confirmed") > 0,
+            dround(
+                F.col("deaths").cast("double")
+                * 100
+                / F.col("confirmed"),
+                2,
+            ),
+        ).otherwise(0.0),
     ).withColumn(
         "recovery_rate",
-        F.round(
-            F.when(
-                F.col("confirmed") > 0,
-                F.col("recovered") * 100.0 / F.col("confirmed"),
-            ).otherwise(0.0),
-            2,
-        ),
+        F.when(
+            F.col("confirmed") > 0,
+            dround(
+                F.col("recovered").cast("double")
+                * 100
+                / F.col("confirmed"),
+                2,
+            ),
+        ).otherwise(0.0),
     )
 
     series = ["country", "province"]

@@ -327,3 +327,130 @@ def incremental_new_users_refresh(
     return merged.groupBy(F.col("first_d").alias("d")).agg(
         F.count("*").alias("new_users")
     )
+
+
+# --------------------------------------------------------------------------
+# gold.weekly_aggregates, pipeline-metadata flavor (reference:
+# aggregate_gold.py:44-56 schema — week_start_date, week_number, year,
+# total_records_processed, avg_daily_records, peak_day_records,
+# avg_quality_score, trend_direction — declared but never populated;
+# daily_aggregates population semantics at aggregate_gold.py:83-176).
+# Each event day stands in for one pipeline run: bronze = rows landed,
+# silver = rows surviving cleaning, gold = distinct users modeled; the
+# daily quality score is the integer silver/bronze percentage (exact
+# integer division on both engines). The weekly trend compares totals
+# against the previous week at ±10% using integer cross-multiplication
+# (total*10 vs prev*11 / prev*9) — no float boundary to diverge on.
+# Scale: one groupBy(day) with map-side partials, then O(weeks) rows
+# through the rollup and the unpartitioned lag window.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_weekly_aggregates",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           COUNT(*) AS bronze_records,
+           COUNT(*) FILTER (WHERE user_id IS NOT NULL
+                            AND event_type IS NOT NULL) AS silver_records,
+           COUNT(DISTINCT user_id) AS gold_records
+    FROM events GROUP BY 1
+),
+scored AS (
+    SELECT d,
+           bronze_records + silver_records + gold_records AS total_records,
+           CAST((silver_records * 100) // bronze_records AS INTEGER)
+               AS quality_score
+    FROM daily
+),
+weekly AS (
+    SELECT CAST(date_trunc('week', d) AS DATE) AS week_start_date,
+           CAST(SUM(total_records) AS BIGINT) AS total_records_processed,
+           {sql_dround('CAST(SUM(total_records) AS DOUBLE) / COUNT(*)', 2)}
+               AS avg_daily_records,
+           CAST(MAX(total_records) AS BIGINT) AS peak_day_records,
+           {sql_dround('CAST(SUM(quality_score) AS DOUBLE) / COUNT(*)', 2)}
+               AS avg_quality_score
+    FROM scored GROUP BY 1
+)
+SELECT week_start_date,
+       CAST(weekofyear(week_start_date) AS INTEGER) AS week_number,
+       CAST(year(week_start_date) AS INTEGER) AS year,
+       total_records_processed,
+       avg_daily_records,
+       peak_day_records,
+       avg_quality_score,
+       CASE WHEN LAG(total_records_processed)
+                     OVER (ORDER BY week_start_date) IS NULL
+                 OR LAG(total_records_processed)
+                     OVER (ORDER BY week_start_date) = 0
+            THEN 'STABLE'
+            WHEN total_records_processed * 10
+                 > LAG(total_records_processed)
+                     OVER (ORDER BY week_start_date) * 11
+            THEN 'INCREASING'
+            WHEN total_records_processed * 10
+                 < LAG(total_records_processed)
+                     OVER (ORDER BY week_start_date) * 9
+            THEN 'DECREASING'
+            ELSE 'STABLE' END AS trend_direction
+FROM weekly
+""",
+)
+def pipeline_weekly_aggregates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly pipeline-throughput rollup over per-day layer counts."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("bronze_records"),
+        F.count_if(
+            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+        ).alias("silver_records"),
+        F.countDistinct("user_id").alias("gold_records"),
+    )
+    scored = daily.select(
+        "d",
+        (
+            F.col("bronze_records")
+            + F.col("silver_records")
+            + F.col("gold_records")
+        ).alias("total_records"),
+        F.expr(
+            "CAST((silver_records * 100) DIV bronze_records AS INT)"
+        ).alias("quality_score"),
+    )
+    weekly = scored.groupBy(
+        F.date_trunc("week", "d").cast("date").alias("week_start_date")
+    ).agg(
+        F.sum("total_records").cast("bigint").alias(
+            "total_records_processed"
+        ),
+        dround(
+            F.sum("total_records").cast("double") / F.count("*"), 2
+        ).alias("avg_daily_records"),
+        F.max("total_records").cast("bigint").alias("peak_day_records"),
+        dround(
+            F.sum("quality_score").cast("double") / F.count("*"), 2
+        ).alias("avg_quality_score"),
+    )
+    w = Window.orderBy("week_start_date")
+    prev = F.lag("total_records_processed").over(w)
+    total = F.col("total_records_processed")
+    trend = (
+        F.when(prev.isNull() | (prev == 0), "STABLE")
+        .when(total * 10 > prev * 11, "INCREASING")
+        .when(total * 10 < prev * 9, "DECREASING")
+        .otherwise("STABLE")
+    )
+    return weekly.select(
+        "week_start_date",
+        F.weekofyear("week_start_date").cast("int").alias("week_number"),
+        F.year("week_start_date").cast("int").alias("year"),
+        "total_records_processed",
+        "avg_daily_records",
+        "peak_day_records",
+        "avg_quality_score",
+        trend.alias("trend_direction"),
+    )

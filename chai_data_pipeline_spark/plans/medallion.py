@@ -122,6 +122,7 @@ covid AS (
     SELECT "Date" AS record_date, "Country/Region" AS country,
            NULLIF(TRIM("Province/State"), '') AS province,
            COALESCE(Confirmed, 0) AS confirmed,
+           COALESCE(Recovered, 0) AS recovered,
            COALESCE(Deaths, 0) AS deaths
     FROM read_csv('{_FIXTURES}/covid_*.csv', header=true)
 ),
@@ -159,11 +160,13 @@ trend_label AS (
 ),
 global_daily AS (
     SELECT record_date, SUM(confirmed) AS confirmed,
+           SUM(recovered) AS recovered, SUM(deaths) AS deaths,
            COUNT(DISTINCT country) AS countries
     FROM covid GROUP BY 1
 ),
 global_latest AS (
-    SELECT confirmed
+    SELECT confirmed, recovered, deaths,
+           confirmed
            - COALESCE(LAG(confirmed, 1) OVER (ORDER BY record_date), 0)
                AS day_delta,
            confirmed
@@ -172,6 +175,32 @@ global_latest AS (
            countries
     FROM global_daily
     QUALIFY record_date = MAX(record_date) OVER ()
+),
+-- latest-day per-series silver rates, exactly as transform_covid
+-- derives them (dround 2 on the double quotient, 0 when confirmed<=0)
+rates_latest AS (
+    SELECT CASE WHEN confirmed > 0 THEN
+               FLOOR((CAST(deaths AS DOUBLE) * 100 / confirmed)
+                     * 100 + 0.5) / 100.0
+           ELSE 0.0 END AS mr,
+           CASE WHEN confirmed > 0 THEN
+               FLOOR((CAST(recovered AS DOUBLE) * 100 / confirmed)
+                     * 100 + 0.5) / 100.0
+           ELSE 0.0 END AS rr
+    FROM covid
+    WHERE record_date = (SELECT MAX(record_date) FROM covid)
+),
+-- integer-cents sum (exact, order-independent), one division, dround 6
+glob_rates AS (
+    SELECT FLOOR((CAST(SUM(CAST(FLOOR(mr * 100 + 0.5) AS BIGINT))
+                       AS DOUBLE)
+                  / CAST(100 * COUNT(*) AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000.0 AS gmr,
+           FLOOR((CAST(SUM(CAST(FLOOR(rr * 100 + 0.5) AS BIGINT))
+                       AS DOUBLE)
+                  / CAST(100 * COUNT(*) AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000.0 AS grr
+    FROM rates_latest
 ),
 top1 AS (
     SELECT country FROM (
@@ -227,6 +256,26 @@ UNION ALL
 SELECT 'global_week_delta', CAST(week_delta AS DOUBLE), NULL
 FROM global_latest
 UNION ALL
+SELECT 'global_mortality_rate', gmr, NULL FROM glob_rates
+UNION ALL
+SELECT 'global_recovery_rate', grr, NULL FROM glob_rates
+UNION ALL
+SELECT 'gold_quality_score', CAST(90 AS DOUBLE), NULL
+UNION ALL
+SELECT 'completeness_survival_rate',
+       CASE WHEN confirmed > 0 THEN
+           FLOOR((CAST(confirmed - deaths AS DOUBLE) / confirmed * 100)
+                 * 100 + 0.5) / 100.0
+       ELSE 0.0 END, NULL
+FROM global_latest
+UNION ALL
+SELECT 'completeness_recovery_pct',
+       CASE WHEN confirmed > 0 THEN
+           FLOOR((CAST(recovered AS DOUBLE) / confirmed * 100)
+                 * 100 + 0.5) / 100.0
+       ELSE 0.0 END, NULL
+FROM global_latest
+UNION ALL
 SELECT 'global_top1_country', NULL, country FROM top1
 """,
 )
@@ -262,6 +311,7 @@ def medallion_gold_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         covid_country_trends,
         covid_global_summary,
         daily_covid_summary,
+        v_data_completeness,
     )
     from ..medallion.silver import transform_covid, transform_telco
 
@@ -290,7 +340,7 @@ def medallion_gold_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def unpivot(df: DataFrame, names: list[str]) -> DataFrame:
-        pairs = ", ".join(f"'{n}', {n}" for n in names)
+        pairs = ", ".join(f"'{n}', CAST({n} AS DOUBLE)" for n in names)
         return df.selectExpr(
             f"stack({len(names)}, {pairs}) AS (metric, value_num)"
         ).select(
@@ -325,6 +375,13 @@ def medallion_gold_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     global_w = gold_global.agg(
         F.max("day_delta").alias("global_day_delta"),
         F.max("week_delta").alias("global_week_delta"),
+        F.max("global_mortality_rate").alias("global_mortality_rate"),
+        F.max("global_recovery_rate").alias("global_recovery_rate"),
+        F.max("data_quality_score").alias("gold_quality_score"),
+    )
+    comp_w = v_data_completeness(gold_global).agg(
+        F.max("survival_rate").alias("completeness_survival_rate"),
+        F.max("recovery_percentage").alias("completeness_recovery_pct"),
     )
     out = (
         unpivot(
@@ -354,7 +411,25 @@ def medallion_gold_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            unpivot(global_w, ["global_day_delta", "global_week_delta"])
+            unpivot(
+                global_w,
+                [
+                    "global_day_delta",
+                    "global_week_delta",
+                    "global_mortality_rate",
+                    "global_recovery_rate",
+                    "gold_quality_score",
+                ],
+            )
+        )
+        .unionByName(
+            unpivot(
+                comp_w,
+                [
+                    "completeness_survival_rate",
+                    "completeness_recovery_pct",
+                ],
+            )
         )
         .unionByName(
             gold_global.select(

@@ -125,6 +125,27 @@ def test_gold_models(spark, journal_and_lake):
     ).collect()
     assert len(glob) == 1
     assert glob[0].top_5_countries.startswith("[{")
+    # reference-declared columns (model_gold.py:61-67): rates are
+    # 0..100 percentages; score is the pipeline's real quality score
+    assert 0.0 <= glob[0].global_mortality_rate <= 100.0
+    assert 0.0 <= glob[0].global_recovery_rate <= 100.0
+    assert 0 < glob[0].data_quality_score < 100
+    comp = spark.read.parquet(
+        os.path.join(lake, "gold", "v_data_completeness")
+    ).collect()
+    assert len(comp) == 1
+    assert 0.0 <= comp[0].survival_rate <= 100.0
+    assert 0.0 <= comp[0].recovery_percentage <= 100.0
+    assert comp[0].total_confirmed == glob[0].total_confirmed
+    da = spark.read.parquet(
+        os.path.join(lake, "gold", "daily_aggregates")
+    ).collect()
+    assert len(da) == 1
+    assert da[0].total_records_processed == (
+        da[0].bronze_records + da[0].silver_records + da[0].gold_records
+    )
+    assert da[0].data_sources_processed >= 3
+    assert 0 < da[0].data_quality_score < 100
     eng = spark.read.parquet(
         os.path.join(lake, "gold", "user_engagement_metrics")
     )
