@@ -1462,9 +1462,13 @@ WITH st AS (
     FROM documents
 ),
 b AS (
-    SELECT LEAST(CAST({_QN_B - 1} AS BIGINT),
-                 CAST(FLOOR((d.n_chars - s.mn) * 1.0
-                      / ((s.mx - s.mn) * 1.0 / {_QN_B})) AS BIGINT)) AS bin
+    -- degenerate-corpus guard (all lengths equal => zero bin width):
+    -- bin 0 on both engines instead of Spark-ANSI DIVIDE_BY_ZERO
+    SELECT CASE WHEN s.mx > s.mn THEN
+               LEAST(CAST({_QN_B - 1} AS BIGINT),
+                     CAST(FLOOR((d.n_chars - s.mn) * 1.0
+                          / ((s.mx - s.mn) * 1.0 / {_QN_B})) AS BIGINT))
+           ELSE CAST(0 AS BIGINT) END AS bin
     FROM documents d CROSS JOIN st s
 ),
 bc AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY 1),
@@ -1523,13 +1527,21 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
     )
     width = (F.col("mx") - F.col("mn")) * 1.0 / _QN_B
+    # degenerate-corpus guard mirroring the oracle: all-equal lengths
+    # make width 0, which under Spark's default ANSI mode is a runtime
+    # DIVIDE_BY_ZERO, not a NULL
     b = docs.crossJoin(F.broadcast(st)).select(
-        F.least(
-            F.lit(_QN_B - 1).cast("bigint"),
-            F.floor((F.col("n_chars") - F.col("mn")) * 1.0 / width).cast(
-                "bigint"
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(_QN_B - 1).cast("bigint"),
+                F.floor(
+                    (F.col("n_chars") - F.col("mn")) * 1.0 / width
+                ).cast("bigint"),
             ),
-        ).alias("bin")
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("bin")
     )
     bc = b.groupBy("bin").agg(F.count("*").alias("c"))
     wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)

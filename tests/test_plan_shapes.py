@@ -416,3 +416,15 @@ def test_histogram_quantiles_partial_agg(spark, sf_dir):
     the exchange) — the constant-state property of the histogram."""
     plan = _plan(spark, "histogram_quantiles_checked", sf_dir)
     assert "partial_count" in plan
+
+
+def test_capture_recapture_single_distributed_pass(spark, sf_dir):
+    """capture_recapture_users must be ONE distributed plan (per-user
+    flag agg -> 1-row global agg) over a single events scan — not the
+    r4 shape of 4 driver actions collected into a LocalTableScan."""
+    plan = _plan(spark, "capture_recapture_users", sf_dir)
+    # one data source (the single events scan), counted via its
+    # Location line to avoid double-counting tree + detail sections
+    assert plan.count("Location:") == 1
+    assert "HashAggregate" in plan
+    assert "LocalTableScan" not in plan
