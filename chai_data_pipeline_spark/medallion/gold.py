@@ -154,11 +154,27 @@ def covid_global_summary(
     reference's validation-score column (hardcoded 90 at
     model_gold.py:352; the pipeline passes the real computed score).
     """
+    # The latest-day global rates ride the SAME per-date aggregate as
+    # the totals (no second scan/join of clean_covid): per-series
+    # 2-decimal rates become exact integer cents — floor(rate*100+0.5)
+    # recovers them losslessly — whose bigint sum is order-independent;
+    # the final select does one division + dround-6 on the latest row.
     daily = clean_covid.groupBy("record_date").agg(
         F.sum("confirmed").alias("confirmed"),
         F.sum("recovered").alias("recovered"),
         F.sum("deaths").alias("deaths"),
         F.countDistinct("country").alias("countries"),
+        F.sum(
+            F.floor(F.col("mortality_rate") * 100 + F.lit(0.5)).cast(
+                "bigint"
+            )
+        ).alias("mr_cents"),
+        F.sum(
+            F.floor(F.col("recovery_rate") * 100 + F.lit(0.5)).cast(
+                "bigint"
+            )
+        ).alias("rr_cents"),
+        F.count("*").alias("n_series_rows"),
     )
     w = Window.orderBy("record_date")
     lagged = daily.select(
@@ -171,32 +187,11 @@ def covid_global_summary(
         F.col("record_date") == F.col("maxd"),
     ).drop("maxd")
 
-    # Latest-day global rates: avg of the per-series 2-decimal rates.
-    # floor(rate*100+0.5) recovers exact integer cents → bigint sum is
-    # order-independent; one division; dround-6 half-up on both engines.
-    def _avg_rate(col: str) -> Column:
-        cents = F.sum(
-            F.floor(F.col(col) * 100 + F.lit(0.5)).cast("bigint")
-        )
-        raw = cents.cast("double") / (
-            F.lit(100) * F.count(col)
+    def _global_rate(cents_col: str) -> Column:
+        raw = F.col(cents_col).cast("double") / (
+            F.lit(100) * F.col("n_series_rows")
         ).cast("double")
-        return raw
-
-    latest_rates = (
-        clean_covid.join(
-            F.broadcast(daily.agg(F.max("record_date").alias("maxd2"))),
-            F.col("record_date") == F.col("maxd2"),
-        )
-        .agg(
-            _avg_rate("mortality_rate").alias("_mr_raw"),
-            _avg_rate("recovery_rate").alias("_rr_raw"),
-        )
-        .select(
-            dround(F.col("_mr_raw"), 6).alias("global_mortality_rate"),
-            dround(F.col("_rr_raw"), 6).alias("global_recovery_rate"),
-        )
-    )
+        return dround(raw, 6)
 
     by_country = (
         clean_covid.groupBy("country")
@@ -231,15 +226,14 @@ def covid_global_summary(
     return (
         latest.crossJoin(F.broadcast(top5))
         .crossJoin(F.broadcast(bottom5))
-        .crossJoin(F.broadcast(latest_rates))
         .select(
             F.col("record_date").alias("summary_date"),
             F.col("confirmed").alias("total_confirmed"),
             F.col("recovered").alias("total_recovered"),
             F.col("deaths").alias("total_deaths"),
             F.col("countries").alias("countries_reporting"),
-            "global_mortality_rate",
-            "global_recovery_rate",
+            _global_rate("mr_cents").alias("global_mortality_rate"),
+            _global_rate("rr_cents").alias("global_recovery_rate"),
             (F.col("confirmed") - F.coalesce("prev_confirmed", F.lit(0))).alias(
                 "day_delta"
             ),

@@ -372,14 +372,20 @@ def medallion_gold_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trend_stable"
         ),
     )
-    global_w = gold_global.agg(
+    # ONE branch for summary + completeness metrics: both frames are
+    # 1-row, so a crossJoin + single wide agg costs one unpivot/union
+    # branch instead of two (driver-side plan construction is the real
+    # cost of this fixture-fanout query — see the r4 stack() note).
+    global_w = gold_global.crossJoin(
+        v_data_completeness(gold_global).select(
+            "survival_rate", "recovery_percentage"
+        )
+    ).agg(
         F.max("day_delta").alias("global_day_delta"),
         F.max("week_delta").alias("global_week_delta"),
         F.max("global_mortality_rate").alias("global_mortality_rate"),
         F.max("global_recovery_rate").alias("global_recovery_rate"),
         F.max("data_quality_score").alias("gold_quality_score"),
-    )
-    comp_w = v_data_completeness(gold_global).agg(
         F.max("survival_rate").alias("completeness_survival_rate"),
         F.max("recovery_percentage").alias("completeness_recovery_pct"),
     )
@@ -419,13 +425,6 @@ def medallion_gold_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "global_mortality_rate",
                     "global_recovery_rate",
                     "gold_quality_score",
-                ],
-            )
-        )
-        .unionByName(
-            unpivot(
-                comp_w,
-                [
                     "completeness_survival_rate",
                     "completeness_recovery_pct",
                 ],
