@@ -375,3 +375,48 @@ def daily_aggregates(spark, journal: dict, asof: str) -> DataFrame:
         " silver_records int, gold_records int, data_quality_score int,"
         " processing_duration_seconds int",
     ).withColumn("aggregate_date", F.col("aggregate_date").cast("date"))
+
+
+def v_trend_analysis(clean_covid: DataFrame) -> DataFrame:
+    """``v_trend_analysis`` view (reference: aggregate_gold.py:221-244):
+    per-(country, date) confirmed cases with lag-1 / lag-7, the daily
+    increase, and the 2-decimal weekly growth percentage (NULL when no
+    positive week-ago base). The reference lags over its
+    covid_country_trends table; here the same per-date country frame
+    derives straight from silver — windows partition by country, so no
+    global shuffle, and the deterministic half-up round replaces
+    ROUND(::DECIMAL, 2)."""
+    daily = clean_covid.groupBy("record_date", "country").agg(
+        F.sum("confirmed").alias("confirmed_cases")
+    )
+    w = Window.partitionBy("country").orderBy("record_date")
+    t = daily.select(
+        F.col("record_date").alias("trend_date"),
+        "country",
+        "confirmed_cases",
+        F.lag("confirmed_cases", 1).over(w).alias("prev_day_cases"),
+        F.lag("confirmed_cases", 7).over(w).alias("prev_week_cases"),
+    )
+    growth = F.when(
+        F.col("prev_week_cases") > 0,
+        dround(
+            (F.col("confirmed_cases") - F.col("prev_week_cases")).cast(
+                "double"
+            )
+            / F.col("prev_week_cases")
+            * 100,
+            2,
+        ),
+    )
+    return t.select(
+        "trend_date",
+        "country",
+        "confirmed_cases",
+        "prev_day_cases",
+        "prev_week_cases",
+        (
+            F.col("confirmed_cases")
+            - F.coalesce("prev_day_cases", F.lit(0))
+        ).alias("daily_increase"),
+        growth.alias("weekly_growth_percent"),
+    )

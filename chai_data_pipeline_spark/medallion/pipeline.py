@@ -146,6 +146,7 @@ def run_pipeline(
             gold_tables["v_data_completeness"] = gold_mod.v_data_completeness(
                 gold_tables["covid_global_summary"]
             )
+            gold_tables["v_trend_analysis"] = gold_mod.v_trend_analysis(cc)
         if "clean_users" in silver_tables:
             cu = silver_tables["clean_users"]
             gold_tables["user_company_analysis"] = gold_mod.user_company_analysis(cu)

@@ -137,6 +137,18 @@ def test_gold_models(spark, journal_and_lake):
     assert 0.0 <= comp[0].survival_rate <= 100.0
     assert 0.0 <= comp[0].recovery_percentage <= 100.0
     assert comp[0].total_confirmed == glob[0].total_confirmed
+    ta = spark.read.parquet(
+        os.path.join(lake, "gold", "v_trend_analysis")
+    )
+    rows = {(r.country, str(r.trend_date)): r for r in ta.collect()}
+    assert len(rows) > 0
+    # lag-1 semantics: daily_increase == confirmed - prev_day where a
+    # previous day exists; first day of each country has NULL prev
+    for r in rows.values():
+        if r.prev_day_cases is not None:
+            assert r.daily_increase == r.confirmed_cases - r.prev_day_cases
+        if r.prev_week_cases is None or r.prev_week_cases <= 0:
+            assert r.weekly_growth_percent is None
     da = spark.read.parquet(
         os.path.join(lake, "gold", "daily_aggregates")
     ).collect()
