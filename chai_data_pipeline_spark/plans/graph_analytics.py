@@ -100,7 +100,10 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
     )
     outw = edges0.groupBy("src").agg(F.sum("w").alias("out_w"))
-    edges = edges0.join(outw, "src")
+    # outw is node-cardinality (model-sized) — broadcast it so the edge
+    # list never shuffles for the normalization join (the plan otherwise
+    # re-plans this as a per-iteration SortMergeJoin)
+    edges = edges0.join(F.broadcast(outw), "src")
     nodes = t["nation"].select(F.col("n_nationkey").cast("bigint").alias("node"))
     ranks = nodes.select("node", F.lit(_PR_R0).cast("bigint").alias("rank_micro"))
     for _ in range(_PR_ITERS):
@@ -123,7 +126,9 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("node")
             .agg(F.sum("contrib").alias("contrib"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        # contrib aggregates to node cardinality — broadcast it into the
+        # rank update so no superstep shuffles the node table
+        ranks = nodes.join(F.broadcast(contrib), "node", "left").select(
             "node",
             (
                 F.lit(_PR_TELEPORT).cast("bigint")

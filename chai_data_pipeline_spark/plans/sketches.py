@@ -308,9 +308,11 @@ def hll_set_algebra_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ra = regs(F.col("event_type") == _SEG_A)
     rb = regs(F.col("event_type") == _SEG_B)
+    # register MERGE: 256-row bucket-wise max — broadcast the right
+    # register set (constant sketch state), never a shuffle join
     ru = (
         ra.withColumnRenamed("reg", "ra")
-        .join(rb.withColumnRenamed("reg", "rb"), "bucket")
+        .join(F.broadcast(rb.withColumnRenamed("reg", "rb")), "bucket")
         .select("bucket", F.greatest("ra", "rb").alias("reg"))
     )
     x = events.agg(
@@ -464,8 +466,12 @@ def histogram_quantiles_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.ceil(F.col("q") * F.col("n")).cast("bigint").alias("trn"),
     )
+    # targets is model-sized (event_types x quantiles) — broadcast it
+    # into both probe joins so neither the 256-bin cum table nor the
+    # corpus-sized ranked table shuffles for the lookup
     est = (
-        targets.join(
+        F.broadcast(targets)
+        .join(
             cum.withColumnRenamed("event_type", "et"),
             (F.col("et") == F.col("event_type"))
             & (F.col("cum") >= F.col("trn")),
@@ -477,12 +483,12 @@ def histogram_quantiles_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = v.select(
         "event_type", "value", F.row_number().over(wr).alias("rn")
     )
-    exact = targets.join(
+    exact = F.broadcast(targets).join(
         ranked.withColumnRenamed("event_type", "et"),
         (F.col("et") == F.col("event_type")) & (F.col("rn") == F.col("trn")),
     ).select("event_type", "q", F.col("value").alias("exact_q"))
     fp = lambda c: F.floor(c * 1000000 + 0.5) / F.lit(1000000.0)  # noqa: E731
-    return est.join(exact, ["event_type", "q"]).select(
+    return est.join(F.broadcast(exact), ["event_type", "q"]).select(
         "event_type",
         "q",
         "n",

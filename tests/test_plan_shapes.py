@@ -401,6 +401,9 @@ def test_pagerank_iterations_broadcast_rank_vector(spark, sf_dir):
     plan = _plan(spark, "pagerank_trade_graph", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # normalization + rank-update joins are all model-sized: no
+    # superstep may shuffle the edge or node table
+    assert "SortMergeJoin" not in plan
 
 
 def test_grid_nn_candidates_are_equi_join(spark, sf_dir):
@@ -428,3 +431,26 @@ def test_capture_recapture_single_distributed_pass(spark, sf_dir):
     assert plan.count("Location:") == 1
     assert "HashAggregate" in plan
     assert "LocalTableScan" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "bm25_doc_retrieval",
+        "unigram_lm_perplexity",
+        "hll_set_algebra_checked",
+        "histogram_quantiles_checked",
+    ],
+)
+def test_flagship_retrieval_sketch_plans_broadcast(spark, sf_dir, name):
+    """The r4b retrieval/sketch flagships must keep their broadcast
+    shapes: posting/statistics sides are broadcast (model-sized), never
+    sort-merge — a SortMergeJoin here means a corpus-wide shuffle that
+    the design specifically avoids."""
+    plan = _plan(spark, name, sf_dir)
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "bm25_doc_retrieval", sf_dir)
+    assert "TakeOrderedAndProject" in plan
