@@ -1361,21 +1361,59 @@ GROUP BY 1
 def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance census of sorted-neighborhood candidate pairs.
 
-    Scale: ONE global sort (range-partitioned at cluster scale — the
-    same machinery as repartitionByRange; window w=2 means each row
-    compares with ≤2 neighbors, so verification cost is 2n regardless
-    of duplicate density. The census says which distance cutoff the
-    match rule should use before running the full linkage.
+    Scale: the sort order is RANGE-PARTITIONED (repartitionByRange) and
+    the neighbor window runs PER RANGE PARTITION — never a
+    single-partition global window over the raw table. Boundary pairs
+    are recovered exactly by borrowing each partition's first w rows
+    into the PREVIOUS partition (range partitioning guarantees borrowed
+    rows sort after all local rows), so every row still sees its true w
+    global successors and the census is identical to the global-sort
+    formulation — the DuckDB oracle keeps the plain global window.
+    Window w=2 means each row compares with ≤2 neighbors: verification
+    cost is 2n regardless of duplicate density. The census says which
+    distance cutoff the match rule should use before running the full
+    linkage.
     """
     from pyspark.sql.window import Window
 
     cust = load_tables(spark, sf_dir, "customer")["customer"]
-    w = Window.orderBy("c_name", "c_custkey")
+    n_parts = spark.sparkContext.defaultParallelism
+    part = cust.repartitionByRange(
+        n_parts, F.col("c_name"), F.col("c_custkey")
+    ).select(
+        "c_custkey", "c_name", F.spark_partition_id().alias("pid")
+    )
+    wp = Window.partitionBy("pid").orderBy("c_name", "c_custkey")
+    rn = part.select("*", F.row_number().over(wp).alias("rn"))
+    # Borrow each partition's true w global successors from the tiny
+    # head-candidate set (first w rows of EVERY partition, w*P rows):
+    # for target partition i, the first w candidates with pid > i in
+    # global order. Robust to partitions holding fewer than w rows —
+    # naive borrow-from-pid+1 would drop boundary pairs there.
+    cand = rn.filter(F.col("rn") <= _SNM_W).select(
+        F.col("pid").alias("cpid"), "c_custkey", "c_name"
+    )
+    targets = rn.select("pid").distinct()
+    wb = Window.partitionBy("pid").orderBy("c_name", "c_custkey")
+    borrowed = (
+        targets.join(F.broadcast(cand), F.col("cpid") > F.col("pid"))
+        .withColumn("brn", F.row_number().over(wb))
+        .filter(F.col("brn") <= _SNM_W)
+        .select(
+            "pid", "c_custkey", "c_name", F.lit(True).alias("borrowed")
+        )
+    )
+    aug = rn.select(
+        "pid", "c_custkey", "c_name", F.lit(False).alias("borrowed")
+    ).unionByName(borrowed)
+    w = Window.partitionBy("pid").orderBy("c_name", "c_custkey")
     cols = [
         F.lead("c_name", k).over(w).alias(f"nb{k}")
         for k in range(1, _SNM_W + 1)
     ]
-    ranked = cust.select("c_custkey", "c_name", *cols)
+    ranked = aug.select("borrowed", "c_custkey", "c_name", *cols).filter(
+        ~F.col("borrowed")
+    )
     legs = [
         ranked.filter(F.col(f"nb{k}").isNotNull()).select(
             F.levenshtein("c_name", f"nb{k}").alias("d")

@@ -454,3 +454,20 @@ def test_flagship_retrieval_sketch_plans_broadcast(spark, sf_dir, name):
 def test_bm25_topk_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, "bm25_doc_retrieval", sf_dir)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sorted_neighborhood_is_range_partitioned(spark, sf_dir):
+    """SNM must range-partition the sort and window per partition with
+    boundary borrowing — a single-partition global window over the raw
+    table is the classic scale trap this formulation exists to avoid.
+    (Exactness vs the global-window oracle is pinned by the parity
+    suite; this pins the SHAPE.)"""
+    plan = _plan(spark, "sorted_neighborhood_pairs", sf_dir)
+    assert "rangepartitioning" in plan
+    # no Exchange may collapse the raw table to one partition; the only
+    # SinglePartition allowed is none at all here
+    import re
+
+    for seg in plan.split("\n\n"):
+        if seg.startswith("(") and seg.split("\n")[0].endswith("Exchange"):
+            assert "SinglePartition" not in seg
