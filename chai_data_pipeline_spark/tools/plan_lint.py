@@ -23,6 +23,7 @@ TESTS pin the specific properties that must never regress.
 
 from __future__ import annotations
 
+import re
 import sys
 from dataclasses import dataclass
 
@@ -42,7 +43,44 @@ class PlanFacts:
     python_arrow: int
     pushed_filters: bool
     partition_filters: bool
+    raw_single_partition: int = 0
     error: str | None = None
+
+
+def _raw_single_partition(plan: str) -> int:
+    """SinglePartition exchanges whose SUBTREE holds no Aggregate or
+    TakeOrdered — i.e., a global funnel over row-cardinality data (the
+    sorted-neighborhood class of scale trap), as opposed to the benign
+    pattern of globally ordering an already-reduced frame (weeks,
+    nations, quantile targets)."""
+    sections = plan.split("\n\n")
+    tree = sections[0]
+    nodes = []  # (depth, node_name, id)
+    for ln in tree.split("\n")[1:]:
+        m = re.search(r"([:+\-\s]*)[+*]- (\S+).*\((\d+)\)", ln)
+        if m:
+            nodes.append((len(m.group(1)), m.group(2), int(m.group(3))))
+    details = {
+        int(re.match(r"\((\d+)\)", s).group(1)): s
+        for s in sections
+        if re.match(r"\(\d+\)", s)
+    }
+    flagged = 0
+    for i, (depth, node, nid) in enumerate(nodes):
+        if node != "Exchange":
+            continue
+        if "SinglePartition" not in details.get(nid, ""):
+            continue
+        subtree = []
+        for d2, n2, _ in nodes[i + 1 :]:
+            if d2 <= depth:
+                break
+            subtree.append(n2)
+        if not any(
+            "Aggregate" in n or "TakeOrdered" in n for n in subtree
+        ):
+            flagged += 1
+    return flagged
 
 
 def lint_plan(name: str, plan: str) -> PlanFacts:
@@ -63,6 +101,7 @@ def lint_plan(name: str, plan: str) -> PlanFacts:
         and "PushedFilters: []" not in plan,
         partition_filters="PartitionFilters: [" in plan
         and "PartitionFilters: []" not in plan,
+        raw_single_partition=_raw_single_partition(plan),
     )
 
 
@@ -78,7 +117,9 @@ def lint_query(spark: SparkSession, name: str, sf_dir: str) -> PlanFacts:
         )
         return lint_plan(name, plan)
     except Exception as exc:  # noqa: BLE001 — report, don't gate
-        return PlanFacts(name, 0, 0, 0, 0, 0, 0, False, False, str(exc)[:120])
+        return PlanFacts(
+            name, 0, 0, 0, 0, 0, 0, False, False, error=str(exc)[:120]
+        )
 
 
 def main(argv: list[str]) -> int:
