@@ -137,16 +137,34 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep at most 20 docs per source (longest first, id tiebreak).
 
     The standard domain-balancing op: prevents one crawl domain from
-    dominating the corpus. One shuffle on `source`; output bounded by
-    cap × n_sources. Skewed sources (one domain = half the corpus)
-    are exactly the case AQE skew-split handles, since rank computation
-    per key is a sort within the key's partition.
+    dominating the corpus. SALTED TWO-PHASE top-k: phase 1 ranks within
+    (source, salt) — 64-way salt bounds every partition even when one
+    domain is half the corpus — and keeps ≤ cap rows per salt; phase 2
+    re-ranks the ≤ cap×64 survivors per source. Exact regardless of
+    salt assignment because the (n_chars DESC, doc_id) order is total.
     """
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    cap = 20
+    salted = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.pmod(F.hash("doc_id"), F.lit(64)).alias("salt"),
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    cand = salted.withColumn("lrn", F.row_number().over(w1)).filter(
+        F.col("lrn") <= cap
+    )
+    w2 = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
     return (
-        docs.select("doc_id", "source", F.row_number().over(w).alias("cap_rank"))
-        .filter(F.col("cap_rank") <= 20)
+        cand.select(
+            "doc_id", "source", F.row_number().over(w2).alias("cap_rank")
+        )
+        .filter(F.col("cap_rank") <= cap)
     )
 
 
@@ -984,6 +1002,10 @@ def eval_set_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     Membership is a pure function of doc_id, so re-cutting after any
     repartition/reload yields the identical set (the property
     tests/test_properties.py pins for the split/sample family).
+
+    Scale: salted two-phase top-k (the per_source_cap pattern) — a
+    language holding most of the corpus never lands in one window
+    partition; phase 2 re-ranks ≤ k×64 survivors per language.
     """
     from pyspark.sql.window import Window
 
@@ -993,14 +1015,24 @@ def eval_set_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    keyed = docs.select("lang", "doc_id", "n_chars", hkey.alias("hkey"))
-    w = Window.partitionBy("lang").orderBy("hkey", "doc_id")
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        hkey.alias("hkey"),
+        F.pmod(F.hash("doc_id"), F.lit(64)).alias("salt"),
+    )
+    w1 = Window.partitionBy("lang", "salt").orderBy("hkey", "doc_id")
+    cand = keyed.withColumn("lrn", F.row_number().over(w1)).filter(
+        F.col("lrn") <= _EVAL_K
+    )
+    w2 = Window.partitionBy("lang").orderBy("hkey", "doc_id")
     return (
-        keyed.select(
+        cand.select(
             "lang",
             "doc_id",
             "n_chars",
-            F.row_number().over(w).alias("rnk"),
+            F.row_number().over(w2).alias("rnk"),
         )
         .filter(F.col("rnk") <= _EVAL_K)
     )
@@ -1513,8 +1545,10 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the inverse-CDF is histogram state (256 broadcast
     intervals, each doc matches exactly one — a 1:1 range join, not a
-    fan-out); within-source percent ranks are source-partitioned
-    windows. This is the curation step that stops a verbose source
+    fan-out); within-source ranks come from a range-partitioned local
+    row_number plus a broadcast per-(partition, source) offset, so a
+    source holding most of the corpus never serializes through one
+    window task. This is the curation step that stops a verbose source
     from dominating purely through length when mixtures are sampled by
     quantile-matched budgets.
     """
@@ -1553,12 +1587,41 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_prev"
         ),
     )
-    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    ranked = docs.select(
+    # Distributed exact per-source ranking (range-partition + offset
+    # stitch): ranks are local row_numbers within (range-partition,
+    # source) plus the count of the source's rows in earlier range
+    # partitions — a hot source spans partitions instead of pinning one
+    # window task. Counts per (pid, source) are model-sized, so the
+    # offset window and the n_src join are broadcast-scale.
+    n_parts = spark.sparkContext.defaultParallelism
+    part = docs.repartitionByRange(
+        n_parts, F.col("source"), F.col("n_chars"), F.col("doc_id")
+    ).select(
+        "source", "n_chars", "doc_id", F.spark_partition_id().alias("pid")
+    )
+    wl = Window.partitionBy("pid", "source").orderBy("n_chars", "doc_id")
+    loc = part.select("*", F.row_number().over(wl).alias("lrn"))
+    cnt = loc.groupBy("pid", "source").agg(F.count("*").alias("c_part"))
+    wo = (
+        Window.partitionBy("source")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = cnt.select(
+        "pid",
         "source",
-        "n_chars",
-        F.row_number().over(ws).alias("r"),
-        F.count("*").over(Window.partitionBy("source")).alias("n_src"),
+        F.coalesce(F.sum("c_part").over(wo), F.lit(0)).alias("off"),
+    )
+    n_src = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    ranked = (
+        loc.join(F.broadcast(off), ["pid", "source"])
+        .join(F.broadcast(n_src), "source")
+        .select(
+            "source",
+            "n_chars",
+            (F.col("lrn") + F.col("off")).alias("r"),
+            "n_src",
+        )
     )
     t = F.ceil(F.col("r") * 1.0 / F.col("n_src") * F.col("n")).cast("bigint")
     mapped = (
