@@ -76,9 +76,18 @@ def _raw_single_partition(plan: str) -> int:
             if d2 <= depth:
                 break
             subtree.append(n2)
-        if not any(
-            "Aggregate" in n or "TakeOrdered" in n for n in subtree
-        ):
+        reduced = any(
+            "Aggregate" in n
+            or "TakeOrdered" in n
+            # cached/reused subtrees are opaque here: an
+            # InMemoryTableScan of an already-aggregated frame or a
+            # ReusedExchange pointing at one elsewhere in the plan
+            # must not read as "raw" (test suites cache small frames)
+            or "InMemory" in n
+            or "ReusedExchange" in n
+            for n in subtree
+        )
+        if not reduced and any(n.startswith("Scan") for n in subtree):
             flagged += 1
     return flagged
 
