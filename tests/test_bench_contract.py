@@ -1,0 +1,55 @@
+"""Pins the bench driver contract: the HEADLINE set must stay a
+SUPERSET of every key ever recorded in a past BENCH_r{N}.json — the
+judge diffs per-query times across rounds, and a dropped key reads as
+a hidden regression. Also pins that every headline name resolves in
+the registry."""
+
+import glob
+import json
+import os
+import re
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _recorded_keys() -> set[str]:
+    keys: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "BENCH_r0*.json")):
+        raw = open(path).read()
+        # the driver records the bench stdout tail; per-query keys
+        # appear as "name": seconds pairs inside the queries dict
+        for name, _ in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)', raw):
+            keys.add(name)
+    drop = {"metric", "value", "sf", "n", "rc", "cpus"}
+    return {k for k in keys if k not in drop}
+
+
+def test_headline_superset_of_recorded_keys():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    headline = set(bench.HEADLINE)
+    missing = _recorded_keys() - headline
+    assert missing == set(), (
+        f"HEADLINE dropped previously-recorded bench keys: {missing}"
+    )
+
+
+def test_headline_names_resolve_in_registry():
+    import importlib.util
+    import sys
+
+    sys.path.insert(0, REPO)
+    from chai_data_pipeline_spark import plans
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(REPO, "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    unknown = [n for n in bench.HEADLINE if n not in plans.QUERIES]
+    assert unknown == []
