@@ -478,3 +478,21 @@ def test_sorted_neighborhood_is_range_partitioned(spark, sf_dir):
     for seg in plan.split("\n\n"):
         if seg.startswith("(") and seg.split("\n")[0].endswith("Exchange"):
             assert "SinglePartition" not in seg
+
+
+@pytest.mark.parametrize("name", ["per_source_cap", "eval_set_fixed_k"])
+def test_per_group_topk_is_salted_two_phase(spark, sf_dir, name):
+    """Per-group top-k must rank within (group, salt) first — a hot
+    group never serializes through one window task; phase 2 re-ranks
+    only the bounded survivors."""
+    plan = _plan(spark, name, sf_dir)
+    assert "salt" in plan
+    # both phases present: a salted spec and the final per-group spec
+    assert plan.count("windowspecdefinition") >= 2
+
+
+def test_quantile_normalize_rank_is_range_partitioned(spark, sf_dir):
+    """The within-source full ranking must be range-partitioned local
+    row numbers + broadcast offsets, never one window task per source."""
+    plan = _plan(spark, "quantile_normalize_lengths", sf_dir)
+    assert "rangepartitioning" in plan
