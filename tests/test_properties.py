@@ -315,6 +315,14 @@ def test_queries_survive_empty_tables(spark, sf_dir, tmp_path_factory):
         "doc_containment_pairs",
         "survival_curve_km",
         "ewma_spike_days",
+        # round-5 rewrites (salted two-phase, range-partition stitch,
+        # borrow logic, cents skyline, single-pass capture-recapture)
+        "sorted_neighborhood_pairs",
+        "quantile_normalize_lengths",
+        "per_source_cap",
+        "eval_set_fixed_k",
+        "skyline_cheapest_latest_per_nation",
+        "pipeline_weekly_aggregates",
     ]
     for name in sample:
         rows = plans.QUERIES[name](spark, empty_dir).count()
