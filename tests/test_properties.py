@@ -536,3 +536,55 @@ def test_attribution_and_normalization_reshard_stable(spark, sf_dir):
             assert base[n] == shuffled, n
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_doc_ranking_correct_under_hot_source_skew(
+    spark, duck, sf_dir, tmp_path_factory
+):
+    """The salted two-phase top-k and range-partition-stitched ranking
+    exist FOR the hot-domain case — verify exactness when ~40% of all
+    documents collapse onto ONE source (and one language)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from chai_data_pipeline_spark import plans
+    from chai_data_pipeline_spark.testing import compare_query, duckdb_connect
+
+    skew_dir = str(tmp_path_factory.mktemp("docskew_sf"))
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    d = tbl.to_pydict()
+    d["source"] = [
+        d["source"][0] if i % 5 in (0, 1) else s
+        for i, s in enumerate(d["source"])
+    ]
+    d["lang"] = [
+        d["lang"][0] if i % 5 in (0, 1) else s
+        for i, s in enumerate(d["lang"])
+    ]
+    pq.write_table(pa.table(d), os.path.join(skew_dir, "documents.parquet"))
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings",
+    ]:
+        os.symlink(
+            os.path.join(sf_dir, f"{t}.parquet"),
+            os.path.join(skew_dir, f"{t}.parquet"),
+        )
+
+    con = duckdb_connect(skew_dir)
+    try:
+        for name in [
+            "per_source_cap",
+            "eval_set_fixed_k",
+            "quantile_normalize_lengths",
+            "sorted_neighborhood_pairs",
+        ]:
+            res = compare_query(
+                spark, con, name, plans.QUERIES[name],
+                plans.ORACLES[name], skew_dir,
+            )
+            assert res.ok, f"{name}: {res.detail}"
+    finally:
+        con.close()
