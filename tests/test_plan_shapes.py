@@ -339,13 +339,28 @@ def test_no_query_compiles_to_cartesian_or_row_udf(spark, sf_dir):
     # sample-bounded by design: ntile over a hash-sample whose fraction
     # is the documented knob (plans/layout.py range_partition_planner)
     raw_sp_allowed = {"range_partition_planner"}
+    # the ONLY queries allowed Arrow/Pandas evaluation — each a
+    # documented non-column-expressible kernel (64-bit bit folds,
+    # binary decode, the applyInPandas demonstration twin). Anything
+    # else growing an ArrowEvalPython node is an accidental slow path.
+    arrow_allowed = {
+        "dedup_simhash",
+        "multimodal_decode_meta",
+        "multimodal_features",
+        "multimodal_frame_sample",
+        "similarity_ann_lsh",
+        "trend_applyinpandas",
+    }
     offenders = []
     for name in sorted(plans.QUERIES):
         f = lint_query(spark, name, sf_dir)
         assert f.error is None, f"{name}: {f.error}"
         raw_sp = 0 if name in raw_sp_allowed else f.raw_single_partition
-        if f.cartesian or f.python_row or raw_sp:
-            offenders.append((name, f.cartesian, f.python_row, raw_sp))
+        arrow = 0 if name in arrow_allowed else f.python_arrow
+        if f.cartesian or f.python_row or raw_sp or arrow:
+            offenders.append(
+                (name, f.cartesian, f.python_row, raw_sp, arrow)
+            )
     assert offenders == []
 
 
