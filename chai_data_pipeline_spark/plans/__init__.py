@@ -200,12 +200,18 @@ _FRONT = [
 ]
 
 
-def _rank(name: str) -> tuple[int, int]:
+def _rank(name: str) -> tuple[int, int, int]:
     if name in _FRONT:
-        return (0, _FRONT.index(name))
+        return (0, 0, _FRONT.index(name))
     if name in _NO_ORACLE_LAST:
-        return (3, _NO_ORACLE_LAST.index(name))
-    return (2, 0) if name in _DRIVER_GREEN else (1, 0)
+        # rows-only entries queue directly BEHIND the unchecked
+        # oracle-bearing queries (VERDICT r4 item 9): once the oracle
+        # backlog drains below the cap, they fill the spare slots
+        # without needing a registry edit that round.
+        return (1, 1, _NO_ORACLE_LAST.index(name))
+    if name in _DRIVER_GREEN:
+        return (2, 0, 0)
+    return (1, 0, 0)
 
 
 def _reorder_for_driver() -> None:
