@@ -93,16 +93,25 @@ def kmeans_fit(
 ) -> list[list[float]]:
     """Train a k-centroid codebook; returns it as plain Python floats
     (the model artifact — bounded k×dim driver state, NOT a data-path
-    collect)."""
+    collect).
+
+    The (id, vector) projection is cached for the training loop —
+    Lloyd re-reads the same rows every iteration, and re-decoding
+    parquet ``iters`` times is pure waste (MLlib's trainers persist
+    their input for the same reason; MEMORY_AND_DISK spills instead of
+    failing when the projection outgrows executor memory). Unpersisted
+    before return.
+    """
+    work = df.select(id_col, vec_col).persist()
     init = (
-        df.orderBy(id_col)
+        work.orderBy(id_col)
         .limit(k)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
         .collect()
     )
     codebook = [[float(x) for x in r.v] for r in init]
     for _ in range(iters):
-        assigned = kmeans_assign(df, codebook, vec_col)
+        assigned = kmeans_assign(work, codebook, vec_col)
         sums = (
             assigned.select(
                 "cluster_id", F.posexplode(vec_col).alias("dim", "val")
@@ -127,6 +136,7 @@ def kmeans_fit(
             for dim, qsum, n in entries:
                 vec[dim] = qsum / _Q / n
         codebook = new_book
+    work.unpersist()
     return codebook
 
 
