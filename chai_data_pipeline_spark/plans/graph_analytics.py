@@ -102,8 +102,11 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     outw = edges0.groupBy("src").agg(F.sum("w").alias("out_w"))
     # outw is node-cardinality (model-sized) — broadcast it so the edge
     # list never shuffles for the normalization join (the plan otherwise
-    # re-plans this as a per-iteration SortMergeJoin)
-    edges = edges0.join(F.broadcast(outw), "src")
+    # re-plans this as a per-iteration SortMergeJoin). The edge list is
+    # PERSISTED: it is nation²-bounded here and edge-table-sized in
+    # general, while its lineage is the full fact-table multi-join —
+    # without the persist every superstep re-runs that join.
+    edges = edges0.join(F.broadcast(outw), "src").persist()
     nodes = t["nation"].select(F.col("n_nationkey").cast("bigint").alias("node"))
     ranks = nodes.select("node", F.lit(_PR_R0).cast("bigint").alias("rank_micro"))
     for _ in range(_PR_ITERS):
@@ -242,7 +245,9 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
-    sedges = sym.groupBy("src", "dst").agg(F.sum("w").alias("w"))
+    # persisted for the supersteps — same rationale as pagerank's edge
+    # list: bounded size, full-scan lineage
+    sedges = sym.groupBy("src", "dst").agg(F.sum("w").alias("w")).persist()
     nodes = t["nation"].select(
         F.col("n_nationkey").cast("bigint").alias("node")
     )
