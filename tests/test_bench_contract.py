@@ -53,3 +53,20 @@ def test_headline_names_resolve_in_registry():
     spec.loader.exec_module(bench)
     unknown = [n for n in bench.HEADLINE if n not in plans.QUERIES]
     assert unknown == []
+
+
+def test_driver_window_names_resolve():
+    """Every name in the driver-ordering lists (_FRONT, _DRIVER_GREEN,
+    _NO_ORACLE_LAST) must exist in the registry — a typo'd name
+    silently drops a query out of its intended gate position."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    import chai_data_pipeline_spark.plans as plans
+
+    for lst in (plans._FRONT, plans._DRIVER_GREEN, plans._NO_ORACLE_LAST):
+        unknown = [n for n in lst if n not in plans.QUERIES]
+        assert unknown == [], unknown
+    # and the front block must be entirely oracle-bearing: the cap is
+    # spent on hash-checkable evidence
+    assert [n for n in plans._FRONT if n not in plans.ORACLES] == []
