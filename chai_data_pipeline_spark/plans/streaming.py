@@ -131,6 +131,11 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_totals_stream(spark, sf_dir),
         "t_stateful",
         output_mode="update",
+        # applyInPandasWithState scales with parallel Arrow workers, so
+        # MORE state partitions win here (measured 1.97 s at 8 vs
+        # 2.36 s at 4) — the opposite of the JVM-state default, where
+        # per-partition commit files dominate
+        state_partitions=8,
     )
     # one update row per user per batch; the LAST emission (highest seq,
     # stamped by the state function) is the final total — max of the
