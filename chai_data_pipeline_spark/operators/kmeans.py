@@ -103,6 +103,19 @@ def kmeans_fit(
     before return.
     """
     work = df.select(id_col, vec_col).persist()
+    try:
+        return _kmeans_fit_loop(work, k, iters, vec_col, id_col)
+    finally:
+        work.unpersist()
+
+
+def _kmeans_fit_loop(
+    work: DataFrame,
+    k: int,
+    iters: int,
+    vec_col: str,
+    id_col: str,
+) -> list[list[float]]:
     init = (
         work.orderBy(id_col)
         .limit(k)
@@ -136,7 +149,6 @@ def kmeans_fit(
             for dim, qsum, n in entries:
                 vec[dim] = qsum / _Q / n
         codebook = new_book
-    work.unpersist()
     return codebook
 
 

@@ -105,6 +105,35 @@ def top_k_per_group(
     )
 
 
+def salted_top_k_per_group(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list,
+    k: int,
+    salt_on: str,
+    rank_col: str = "rn",
+    n_salt: int = 64,
+) -> DataFrame:
+    """Hot-key-proof exact top-k per group: rank within
+    (group, salt) first — an ``n_salt``-way salt bounds every phase-1
+    window partition even when one group holds most of the rows — keep
+    ≤ k per salt, then re-rank the ≤ k×n_salt survivors per group.
+    Identical output to :func:`top_k_per_group` whenever ``order_cols``
+    is a total order (caller supplies the tiebreak; ``salt_on`` is any
+    deterministic per-row column, e.g. the row id — the salt VALUES
+    never affect the result, only the partition bound)."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(salt_on), F.lit(n_salt))
+    )
+    w1 = Window.partitionBy(*partition_cols, "__salt").orderBy(*order_cols)
+    cand = (
+        salted.withColumn("__lrn", F.row_number().over(w1))
+        .filter(F.col("__lrn") <= k)
+        .drop("__salt", "__lrn")
+    )
+    return top_k_per_group(cand, partition_cols, order_cols, k, rank_col)
+
+
 def interpolate_daily(
     df: DataFrame,
     series_col: str,

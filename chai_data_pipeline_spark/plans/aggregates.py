@@ -2125,11 +2125,11 @@ _CR_DAY2 = "2024-02-15"
     oracle=f"""
 WITH s1 AS (
     SELECT DISTINCT user_id FROM events
-    WHERE CAST(ts AS DATE) = DATE '{_CR_DAY1}'
+    WHERE CAST(ts AS DATE) = DATE '{_CR_DAY1}' AND user_id IS NOT NULL
 ),
 s2 AS (
     SELECT DISTINCT user_id FROM events
-    WHERE CAST(ts AS DATE) = DATE '{_CR_DAY2}'
+    WHERE CAST(ts AS DATE) = DATE '{_CR_DAY2}' AND user_id IS NOT NULL
 ),
 m AS (
     SELECT (SELECT COUNT(*) FROM s1) AS n1,
@@ -2157,8 +2157,11 @@ def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE distributed pass (r4 VERDICT item 6): per-user day flags in a
     # single groupBy (map-side partial agg), then a 1-row global agg
     # computing n1/n2/k/truth together — replaces 4 driver actions, 3 of
-    # which re-scanned events.
-    per_user = events.groupBy("user_id").agg(
+    # which re-scanned events. NULL user_ids are excluded on BOTH
+    # sides: SQL COUNT(DISTINCT)/JOIN drop the NULL group while a
+    # groupBy keeps it, and mixing the two diverges the day a data
+    # regeneration plants a NULL-id event on a capture day.
+    per_user = events.filter(F.col("user_id").isNotNull()).groupBy("user_id").agg(
         F.max(
             F.when(
                 F.to_date("ts") == F.lit(_CR_DAY1).cast("date"), 1
@@ -2170,10 +2173,14 @@ def capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("d2"),
     )
+    # coalesce(0): SUM over zero groups is NULL, but the oracle's
+    # scalar COUNT(*) subqueries return 0 on empty input
     m = per_user.agg(
-        F.sum("d1").cast("bigint").alias("n1"),
-        F.sum("d2").cast("bigint").alias("n2"),
-        F.sum(F.col("d1") * F.col("d2")).cast("bigint").alias("k"),
+        F.coalesce(F.sum("d1"), F.lit(0)).cast("bigint").alias("n1"),
+        F.coalesce(F.sum("d2"), F.lit(0)).cast("bigint").alias("n2"),
+        F.coalesce(F.sum(F.col("d1") * F.col("d2")), F.lit(0))
+        .cast("bigint")
+        .alias("k"),
         F.count("*").cast("bigint").alias("truth"),
     )
     chapman = (

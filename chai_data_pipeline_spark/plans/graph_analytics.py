@@ -103,10 +103,14 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outw is node-cardinality (model-sized) — broadcast it so the edge
     # list never shuffles for the normalization join (the plan otherwise
     # re-plans this as a per-iteration SortMergeJoin). The edge list is
-    # PERSISTED: it is nation²-bounded here and edge-table-sized in
-    # general, while its lineage is the full fact-table multi-join —
-    # without the persist every superstep re-runs that join.
-    edges = edges0.join(F.broadcast(outw), "src").persist()
+    # MATERIALIZED once (localCheckpoint, the connected_components
+    # pattern): its lineage is the full fact-table multi-join that
+    # every superstep would otherwise re-run, and unlike persist() the
+    # blocks are freed by the ContextCleaner when the frame is dropped
+    # — a returned lazy DataFrame has no unpersist point.
+    edges = edges0.join(F.broadcast(outw), "src").localCheckpoint(
+        eager=True
+    )
     nodes = t["nation"].select(F.col("n_nationkey").cast("bigint").alias("node"))
     ranks = nodes.select("node", F.lit(_PR_R0).cast("bigint").alias("rank_micro"))
     for _ in range(_PR_ITERS):
@@ -245,9 +249,13 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
         )
     )
-    # persisted for the supersteps — same rationale as pagerank's edge
-    # list: bounded size, full-scan lineage
-    sedges = sym.groupBy("src", "dst").agg(F.sum("w").alias("w")).persist()
+    # materialized for the supersteps — same rationale as pagerank's
+    # edge list: bounded size, full-scan lineage, cleaner-freed
+    sedges = (
+        sym.groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
     nodes = t["nation"].select(
         F.col("n_nationkey").cast("bigint").alias("node")
     )

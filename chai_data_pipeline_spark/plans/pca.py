@@ -101,17 +101,17 @@ def pca_power_iteration_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations = more supersteps, not more state.
     """
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    # persisted: every power-iteration step reads x TWICE (the v-dot
-    # and the re-projection), so t iterations would otherwise re-decode
-    # and re-explode the parquet 2t times (MEMORY_AND_DISK spills
-    # rather than failing when the exploded table outgrows memory)
+    # materialized once (localCheckpoint — cleaner-freed, unlike a
+    # persist with no unpersist point): every power-iteration step
+    # reads x TWICE (the v-dot and the re-projection), so t iterations
+    # would otherwise re-decode and re-explode the parquet 2t times
     x = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "xv")
     ).select(
         "vec_id",
         F.col("dim").cast("bigint").alias("dim"),
         F.floor(F.col("xv").cast("double") * 1048576).cast("bigint").alias("xq"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     v = spark.range(_PCA_DIM).select(
         F.col("id").alias("dim"), F.lit(1000000).cast("bigint").alias("v")
     )

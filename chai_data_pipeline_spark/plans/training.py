@@ -137,35 +137,24 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep at most 20 docs per source (longest first, id tiebreak).
 
     The standard domain-balancing op: prevents one crawl domain from
-    dominating the corpus. SALTED TWO-PHASE top-k: phase 1 ranks within
-    (source, salt) — 64-way salt bounds every partition even when one
-    domain is half the corpus — and keeps ≤ cap rows per salt; phase 2
-    re-ranks the ≤ cap×64 survivors per source. Exact regardless of
-    salt assignment because the (n_chars DESC, doc_id) order is total.
+    dominating the corpus. Uses the shared salted two-phase top-k
+    (operators/windows.salted_top_k_per_group): a 64-way salt bounds
+    every phase-1 window partition even when one domain is half the
+    corpus; phase 2 re-ranks the ≤ cap×64 survivors per source. Exact
+    regardless of salt assignment because (n_chars DESC, doc_id) is a
+    total order.
     """
+    from ..operators.windows import salted_top_k_per_group
+
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    cap = 20
-    salted = docs.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        F.pmod(F.hash("doc_id"), F.lit(64)).alias("salt"),
-    )
-    w1 = Window.partitionBy("source", "salt").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
-    )
-    cand = salted.withColumn("lrn", F.row_number().over(w1)).filter(
-        F.col("lrn") <= cap
-    )
-    w2 = Window.partitionBy("source").orderBy(
-        F.desc("n_chars"), F.asc("doc_id")
-    )
-    return (
-        cand.select(
-            "doc_id", "source", F.row_number().over(w2).alias("cap_rank")
-        )
-        .filter(F.col("cap_rank") <= cap)
-    )
+    return salted_top_k_per_group(
+        docs.select("doc_id", "source", "n_chars"),
+        ["source"],
+        [F.desc("n_chars"), F.asc("doc_id")],
+        20,
+        salt_on="doc_id",
+        rank_col="cap_rank",
+    ).select("doc_id", "source", "cap_rank")
 
 
 # --------------------------------------------------------------------------
@@ -1003,11 +992,12 @@ def eval_set_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition/reload yields the identical set (the property
     tests/test_properties.py pins for the split/sample family).
 
-    Scale: salted two-phase top-k (the per_source_cap pattern) — a
-    language holding most of the corpus never lands in one window
-    partition; phase 2 re-ranks ≤ k×64 survivors per language.
+    Scale: shared salted two-phase top-k
+    (operators/windows.salted_top_k_per_group) — a language holding
+    most of the corpus never lands in one window partition; phase 2
+    re-ranks ≤ k×64 survivors per language.
     """
-    from pyspark.sql.window import Window
+    from ..operators.windows import salted_top_k_per_group
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     hkey = F.conv(
@@ -1015,27 +1005,15 @@ def eval_set_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    keyed = docs.select(
-        "lang",
-        "doc_id",
-        "n_chars",
-        hkey.alias("hkey"),
-        F.pmod(F.hash("doc_id"), F.lit(64)).alias("salt"),
-    )
-    w1 = Window.partitionBy("lang", "salt").orderBy("hkey", "doc_id")
-    cand = keyed.withColumn("lrn", F.row_number().over(w1)).filter(
-        F.col("lrn") <= _EVAL_K
-    )
-    w2 = Window.partitionBy("lang").orderBy("hkey", "doc_id")
-    return (
-        cand.select(
-            "lang",
-            "doc_id",
-            "n_chars",
-            F.row_number().over(w2).alias("rnk"),
-        )
-        .filter(F.col("rnk") <= _EVAL_K)
-    )
+    keyed = docs.select("lang", "doc_id", "n_chars", hkey.alias("hkey"))
+    return salted_top_k_per_group(
+        keyed,
+        ["lang"],
+        ["hkey", "doc_id"],
+        _EVAL_K,
+        salt_on="doc_id",
+        rank_col="rnk",
+    ).select("lang", "doc_id", "n_chars", "rnk")
 
 
 # --------------------------------------------------------------------------

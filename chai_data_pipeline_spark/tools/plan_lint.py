@@ -138,8 +138,8 @@ def main(argv: list[str]) -> int:
     spark = get_spark("plan-lint")
     names = argv or sorted(plans.QUERIES)
     header = (
-        "query\tshuffles\tsingle_part\tbroadcasts\tcartesian\t"
-        "py_row\tpy_arrow\tpushed\tpart_pruned"
+        "query\tshuffles\tsingle_part\traw_single_part\tbroadcasts\t"
+        "cartesian\tpy_row\tpy_arrow\tpushed\tpart_pruned"
     )
     print(header)
     worst: list[PlanFacts] = []
@@ -149,11 +149,12 @@ def main(argv: list[str]) -> int:
             print(f"{f.name}\tERROR: {f.error}")
             continue
         print(
-            f"{f.name}\t{f.shuffles}\t{f.single_partition}\t{f.broadcasts}"
+            f"{f.name}\t{f.shuffles}\t{f.single_partition}"
+            f"\t{f.raw_single_partition}\t{f.broadcasts}"
             f"\t{f.cartesian}\t{f.python_row}\t{f.python_arrow}"
             f"\t{int(f.pushed_filters)}\t{int(f.partition_filters)}"
         )
-        if f.cartesian or f.python_row:
+        if f.cartesian or f.python_row or f.raw_single_partition:
             worst.append(f)
     if worst:
         print(

@@ -129,7 +129,7 @@ def test_gold_models(spark, journal_and_lake):
     # 0..100 percentages; score is the pipeline's real quality score
     assert 0.0 <= glob[0].global_mortality_rate <= 100.0
     assert 0.0 <= glob[0].global_recovery_rate <= 100.0
-    assert 0 < glob[0].data_quality_score < 100
+    assert 0 < glob[0].data_quality_score <= 100
     comp = spark.read.parquet(
         os.path.join(lake, "gold", "v_data_completeness")
     ).collect()
@@ -157,7 +157,7 @@ def test_gold_models(spark, journal_and_lake):
         da[0].bronze_records + da[0].silver_records + da[0].gold_records
     )
     assert da[0].data_sources_processed >= 3
-    assert 0 < da[0].data_quality_score < 100
+    assert 0 < da[0].data_quality_score <= 100
     eng = spark.read.parquet(
         os.path.join(lake, "gold", "user_engagement_metrics")
     )
