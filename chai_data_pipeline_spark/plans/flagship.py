@@ -35,7 +35,10 @@ WITH daily AS (
         COUNT(DISTINCT user_id)     AS n_users,
         {sql_dround(sql_dsum('value'))} AS total_value
     FROM events
-    WHERE event_type IS NOT NULL
+    -- ts IS NOT NULL: an event without a time cannot join a daily
+    -- trend, and a NULL date group would ride the series windows where
+    -- Spark (NULLS FIRST) and DuckDB (NULLS LAST) order it differently
+    WHERE event_type IS NOT NULL AND ts IS NOT NULL
     GROUP BY 1, 2
 )
 SELECT
@@ -63,7 +66,9 @@ def flagship_daily_event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, "events")["events"]
 
     daily = (
-        events.filter(F.col("event_type").isNotNull())
+        events.filter(
+            F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+        )
         .groupBy(
             F.to_date("ts").alias("event_date"),
             "event_type",
