@@ -235,10 +235,14 @@ SELECT user_id, event_id,
            PARTITION BY user_id ORDER BY ts, event_id
        ) AS INTEGER) AS event_seq
 FROM events
+WHERE ts IS NOT NULL
 """,
 )
 def running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_tables(spark, sf_dir, "events")["events"]
+    # timeless events cannot be sequenced — filtered on both sides
+    events = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_run = w.rowsBetween(Window.unboundedPreceding, 0)
     return events.select(
@@ -263,6 +267,7 @@ SELECT user_id, event_id,
            PARTITION BY user_id ORDER BY ts, event_id
        ) AS next_event
 FROM events
+WHERE ts IS NOT NULL
 WINDOW w AS (
     PARTITION BY user_id ORDER BY ts, event_id
     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
@@ -270,7 +275,10 @@ WINDOW w AS (
 """,
 )
 def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_tables(spark, sf_dir, "events")["events"]
+    # timeless events cannot be sequenced — filtered on both sides
+    events = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull()
+    )
     w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_full = w_ord.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing

@@ -61,7 +61,7 @@ def rank_nations_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 )
 SELECT d, event_type, n,
        n - COALESCE(LAG(n, 1) OVER w, 0) AS dod_delta,
@@ -73,8 +73,10 @@ WINDOW w AS (PARTITION BY event_type ORDER BY d)
 """,
 )
 def lag_dod_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ts IS NOT NULL on both sides: a NULL date group would ride the
+    # series window where the engines place NULLs on opposite ends
     events = load_tables(spark, sf_dir, "events")["events"]
-    daily = events.groupBy(
+    daily = events.filter(F.col("ts").isNotNull()).groupBy(
         F.to_date("ts").alias("d"), "event_type"
     ).agg(F.count("*").alias("n"))
     w = Window.partitionBy("event_type").orderBy("d")
@@ -107,12 +109,14 @@ SELECT user_id, event_id,
            LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0
        )''', 4)} AS value_delta
 FROM events
+WHERE ts IS NOT NULL
 """,
 )
 def user_value_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # timeless events cannot be sequenced — filtered on both sides
     events = load_tables(spark, sf_dir, "events")["events"]
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return events.select(
+    return events.filter(F.col("ts").isNotNull()).select(
         "user_id",
         "event_id",
         dround(
@@ -139,10 +143,14 @@ SELECT user_id, event_id,
            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
        )''', 4)} AS rolling_3
 FROM events
+WHERE ts IS NOT NULL
 """,
 )
 def rolling_user_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_tables(spark, sf_dir, "events")["events"]
+    # timeless events cannot be sequenced — filtered on both sides
+    events = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull()
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -211,7 +219,7 @@ def topk_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), r AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d DESC) AS rn
     FROM daily
@@ -233,8 +241,10 @@ FROM s
 )
 def trend_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, "events")["events"]
-    daily = events.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
-        F.count("*").alias("n")
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.count("*").alias("n"))
     )
     w = Window.partitionBy("event_type").orderBy(F.desc("d"))
     r = daily.withColumn("rn", F.row_number().over(w))
