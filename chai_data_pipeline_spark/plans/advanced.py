@@ -673,7 +673,9 @@ WITH RECURSIVE deltas AS (
                PARTITION BY user_id ORDER BY ts, event_id
            ) AS rn,
            COUNT(*) OVER (PARTITION BY user_id) AS n_tx
-    FROM events WHERE event_type IN ('purchase', 'error')
+    FROM events
+    WHERE event_type IN ('purchase', 'error')
+      AND ts IS NOT NULL AND value IS NOT NULL
 ),
 bal AS (
     SELECT user_id, rn, n_tx,
@@ -705,8 +707,11 @@ def inventory_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # timeless or valueless transactions cannot enter a ledger
     tx = events.filter(
         F.col("event_type").isin("purchase", "error")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
     ).select(
         "user_id",
         "ts",

@@ -108,7 +108,7 @@ WITH m AS (
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
            {sql_dround(sql_dsum('value'))} AS total_value
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
 )
 SELECT month_start, n_events, n_users, total_value,
        {sql_dround('''CASE WHEN LAG(n_events) OVER (ORDER BY month_start) > 0
@@ -119,7 +119,11 @@ FROM m
 """,
 )
 def monthly_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_tables(spark, sf_dir, "events")["events"]
+    # timeless events are excluded on both sides: a NULL month bucket
+    # would ride the MoM lag where the engines sort NULLs differently
+    events = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull()
+    )
     m = events.groupBy(F.trunc("ts", "month").alias("month_start")).agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),

@@ -114,7 +114,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH daily AS (
     SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ), idx AS (
     SELECT event_type, n,
            CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS x
@@ -137,7 +137,10 @@ FROM sums
 def trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    events = load_tables(spark, sf_dir, "events")["events"]
+    # timeless events cannot anchor a regression day index
+    events = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull()
+    )
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count("*").alias("n"))
@@ -1639,7 +1642,7 @@ WITH seq AS (
            LEAD(ts) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
            ) AS next_ts
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 ),
 weighted AS (
     SELECT user_id,
@@ -1663,7 +1666,10 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted average of value (integer-exact weights)."""
     from pyspark.sql.window import Window
 
-    events = load_tables(spark, sf_dir, "events")["events"]
+    # timeless events cannot bound an interval — filtered both sides
+    events = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.select(
         "user_id",
