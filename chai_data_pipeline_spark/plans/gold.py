@@ -266,9 +266,14 @@ def incremental_daily_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("b.n"), F.lit(0))
             + F.coalesce(F.col("dl.n"), F.lit(0))
         ).alias("n_events"),
-        (
-            F.coalesce(F.col("b.qsum"), F.lit(0).cast("decimal(27,4)"))
-            + F.coalesce(F.col("dl.qsum"), F.lit(0).cast("decimal(27,4)"))
+        # SQL SUM-merge semantics: NULL only when BOTH partials are
+        # NULL (an all-NULL-value group), else skip-null addition —
+        # coalescing to 0 unconditionally minted a 0.0 the full
+        # recompute reports as NULL
+        F.coalesce(
+            F.col("b.qsum") + F.col("dl.qsum"),
+            F.col("b.qsum"),
+            F.col("dl.qsum"),
         ).alias("qsum"),
     )
     return merged.select(
@@ -296,8 +301,11 @@ def incremental_daily_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental_new_users_refresh",
     oracle="""
 WITH firsts AS (
+    -- NULL user_id excluded on both sides: a full join on the state
+    -- key never matches NULL to NULL, so an identityless "user" would
+    -- split into two state rows and double-count
     SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d
-    FROM events GROUP BY 1
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
 )
 SELECT first_d AS d, COUNT(*) AS new_users
 FROM firsts
@@ -307,7 +315,9 @@ GROUP BY 1
 def incremental_new_users_refresh(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    events = load_tables(spark, sf_dir, "events")["events"]
+    events = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("user_id").isNotNull()
+    )
 
     def state(df: DataFrame) -> DataFrame:
         return df.groupBy("user_id").agg(

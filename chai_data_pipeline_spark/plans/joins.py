@@ -212,11 +212,19 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "upsert_merge_by_key",
     oracle="""
 WITH target AS (
+    -- NULL merge keys are undefined for an upsert: SQL equality never
+    -- matches them while a union-dedup merge groups them — exclude
     SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
-    FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-20' GROUP BY 1, 2
+    FROM events
+    WHERE CAST(ts AS DATE) <= DATE '2024-01-20'
+      AND event_type IS NOT NULL
+    GROUP BY 1, 2
 ), source AS (
     SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n
-    FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-15' GROUP BY 1, 2
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-15'
+      AND event_type IS NOT NULL
+    GROUP BY 1, 2
 )
 SELECT COALESCE(s.d, t.d) AS d,
        COALESCE(s.event_type, t.event_type) AS event_type,
@@ -230,7 +238,7 @@ def upsert_merge_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_tables(spark, sf_dir, "events")["events"]
     daily = lambda pred: (  # noqa: E731
-        events.filter(pred)
+        events.filter(pred & F.col("event_type").isNotNull())
         .groupBy(F.to_date("ts").alias("d"), "event_type")
         .agg(F.count("*").alias("n"))
     )

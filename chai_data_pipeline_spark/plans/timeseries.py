@@ -243,6 +243,7 @@ WITH ordered AS (
            CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
                 THEN 1 ELSE 0 END AS is_change
     FROM events
+    WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 runs AS (
@@ -273,7 +274,10 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by per-user activity, never corpus size."""
     from pyspark.sql.window import Window
 
-    events = load_tables(spark, sf_dir, "events")["events"]
+    # timeless events cannot sequence a change history
+    events = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = events.select(
         "user_id",
