@@ -252,10 +252,16 @@ def incremental_daily_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = partial(events.filter(F.col("ts") >= F.lit(_REFRESH_CUTOFF)))
     b = base.alias("b")
     dl = delta.alias("dl")
+    # Null-safe equality on BOTH merge keys: plain equality never
+    # matches NULL to NULL, so a NULL-keyed group with state on both
+    # sides would emit two rows where the full recompute's GROUP BY
+    # emits one merged row. (Today d determines the cutoff side, so
+    # only the event_type key can be NULL-split in practice, but the
+    # maintenance identity must not depend on the routing rule.)
     merged = b.join(
         dl,
-        (F.col("b.d") == F.col("dl.d"))
-        & (F.col("b.event_type") == F.col("dl.event_type")),
+        F.col("b.d").eqNullSafe(F.col("dl.d"))
+        & F.col("b.event_type").eqNullSafe(F.col("dl.event_type")),
         "full_outer",
     ).select(
         F.coalesce(F.col("b.d"), F.col("dl.d")).alias("d"),
@@ -369,7 +375,7 @@ WITH daily AS (
            COUNT(*) FILTER (WHERE user_id IS NOT NULL
                             AND event_type IS NOT NULL) AS silver_records,
            COUNT(DISTINCT user_id) AS gold_records
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 scored AS (
     SELECT d,
@@ -417,12 +423,21 @@ def pipeline_weekly_aggregates(
 ) -> DataFrame:
     """Weekly pipeline-throughput rollup over per-day layer counts."""
     events = load_tables(spark, sf_dir, "events")["events"]
-    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count("*").alias("bronze_records"),
-        F.count_if(
-            F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
-        ).alias("silver_records"),
-        F.countDistinct("user_id").alias("gold_records"),
+    # NULL-ts rows would form a NULL date/week group that rides the
+    # unpartitioned lag window, where Spark orders NULLS FIRST and
+    # DuckDB NULLS LAST — filter on BOTH sides (oracle has the same
+    # WHERE), matching the monthly_kpis pattern.
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count("*").alias("bronze_records"),
+            F.count_if(
+                F.col("user_id").isNotNull()
+                & F.col("event_type").isNotNull()
+            ).alias("silver_records"),
+            F.countDistinct("user_id").alias("gold_records"),
+        )
     )
     scored = daily.select(
         "d",

@@ -584,7 +584,8 @@ def anomaly_days_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "event_type_cooccurrence",
     oracle=f"""
-WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
 pairs AS (
     SELECT a.event_type AS type_a, b.event_type AS type_b
     FROM ut a JOIN ut b
@@ -606,7 +607,13 @@ CROSS JOIN tot
 )
 def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, "events")["events"]
-    per_user = events.groupBy("user_id").agg(
+    # NULL user_id would form a groupBy group DuckDB's pair self-join
+    # drops, and collect_set silently drops NULL event_type while SQL
+    # DISTINCT keeps it — filter both keys on both sides.
+    typed = events.filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    per_user = typed.groupBy("user_id").agg(
         F.array_sort(F.collect_set("event_type")).alias("types")
     )
     pair_expr = (
@@ -620,7 +627,7 @@ def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_both")
     )
     singles = (
-        events.select("user_id", "event_type")
+        typed.select("user_id", "event_type")
         .distinct()
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
@@ -668,6 +675,7 @@ WITH e AS (
                      OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
                 THEN 1 ELSE 0 END AS is_new
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
     SELECT *, SUM(is_new) OVER (
@@ -695,6 +703,10 @@ def session_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import sessionize
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # Shared NULL-key filter, plan AND oracle (see sessionization).
+    events = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     s = sessionize(
         events, user_col="user_id", ts_col="ts", gap_seconds=1800,
         order_tiebreak="event_id",
@@ -786,6 +798,7 @@ WITH seq AS (
                PARTITION BY user_id ORDER BY ts, event_id
            ) AS to_type
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
 pairs AS (
     SELECT from_type, to_type, COUNT(*) AS n
@@ -805,6 +818,11 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # Shared NULL-key filter, plan AND oracle: a NULL ts would order
+    # NULLS FIRST here vs DuckDB's NULLS LAST, shifting the lead chain.
+    events = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.select(
         F.col("event_type").alias("from_type"),
@@ -1021,6 +1039,7 @@ WITH seq AS (
            LAG(event_type) OVER w AS prev_type,
            LAG(ts) OVER w AS prev_ts
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT prev_type, event_type,
@@ -1041,6 +1060,10 @@ def transition_dwell_times(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # Shared NULL-key filter, plan AND oracle (see event_transition_matrix).
+    events = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = events.select(
         "event_type",
@@ -1216,6 +1239,7 @@ WITH iv AS (
     SELECT user_id, ts AS s, ts + INTERVAL {_ISLAND_PAD_S} SECOND AS e,
            event_id
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
 marked AS (
     SELECT user_id, s, e,
@@ -1265,6 +1289,10 @@ def interval_coalesce_user_activity(
     from pyspark.sql.window import Window
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # Shared NULL-key filter, plan AND oracle (see sessionization).
+    events = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     iv = events.select(
         "user_id",
         F.col("ts").alias("s"),
@@ -1565,6 +1593,7 @@ WITH marked AS (
                      > CAST(1800 AS BIGINT) * 1000000
                 THEN 1 ELSE 0 END AS new_session
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -1594,6 +1623,10 @@ def sessionized_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # Shared NULL-key filter, plan AND oracle (see sessionization).
+    events = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.expr(
         "timestampdiff(MICROSECOND, lag(ts) OVER "
@@ -2111,6 +2144,8 @@ WITH marked AS (
                      > CAST(1800 AS BIGINT) * 1000000
                 THEN 1 ELSE 0 END AS new_session
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      AND event_type IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -2150,6 +2185,15 @@ def session_path_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # Shared NULL-key filter, plan AND oracle (see sessionization).
+    # event_type too: an all-NULL-typed session yields path = '' via
+    # Spark's array_join (skips NULLs) but NULL via DuckDB string_agg,
+    # and untyped steps are meaningless in a path anyway.
+    events = events.filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.expr(
         "timestampdiff(MICROSECOND, lag(ts) OVER "
@@ -2430,6 +2474,7 @@ WITH iv AS (
     SELECT user_id, ts AS s, ts + INTERVAL {_ISLAND_PAD_S} SECOND AS e,
            event_id
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ),
 marked AS (
     SELECT user_id, s, e,
@@ -2484,6 +2529,10 @@ def campaign_overlap_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # Shared NULL-key filter, plan AND oracle (see sessionization).
+    events = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     iv = events.select(
         "user_id",
         F.col("ts").alias("s"),
@@ -2837,6 +2886,8 @@ ordered AS (
                      > CAST(1800 AS BIGINT) * 1000000
                 THEN 1 ELSE 0 END AS new_s
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      AND event_type IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -2962,6 +3013,14 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # Shared NULL-key filter, plan AND oracle: a NULL event_type can
+    # never be a channel (it would also poison the driver-side sorted()
+    # over channel names); timeless/anonymous rows can't join a journey.
+    events = events.filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
                     "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
@@ -4073,6 +4132,7 @@ WITH ordered AS (
                      > CAST(1800 AS BIGINT) * 1000000
                 THEN 1 ELSE 0 END AS new_s
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 sess AS (
@@ -4121,6 +4181,10 @@ def cross_session_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # Shared NULL-key filter, plan AND oracle (see sessionization).
+    events = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = F.expr(
         "timestampdiff(MICROSECOND, lag(ts) OVER "

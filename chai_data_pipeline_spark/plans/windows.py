@@ -314,6 +314,7 @@ WITH e AS (
                      OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
                 THEN 1 ELSE 0 END AS is_new
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
     SELECT *, SUM(is_new) OVER (
@@ -332,6 +333,12 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import sessionize
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # Sessions are undefined for timeless/anonymous rows; the shared
+    # NULL-key filter (plan AND oracle) also avoids the Spark NULLS
+    # FIRST vs DuckDB NULLS LAST window-order divergence over ts.
+    events = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     s = sessionize(
         events, user_col="user_id", ts_col="ts", gap_seconds=1800,
         order_tiebreak="event_id",

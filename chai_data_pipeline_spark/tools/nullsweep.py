@@ -41,8 +41,15 @@ def build_null_variant(src: str) -> str:
     import pyarrow.parquet as pq
 
     tmp = tempfile.mkdtemp(prefix="nullsweep_")
-    t = pq.read_table(os.path.join(src, "events.parquet")).to_pydict()
+    path = os.path.join(src, "events.parquet")
+    schema = pq.read_schema(path)
+    t = pq.read_table(path).to_pydict()
     base_id = max(t["event_id"]) + 1
+    # Planted rows straddle the incremental_daily_refresh cutoff
+    # (2024-01-24, plans/gold.py:_REFRESH_CUTOFF): NULL user_id /
+    # event_type / value rows exist BOTH strictly before and on/after
+    # it, so merge-key NULL splits across the base/delta boundary (and
+    # the capture-recapture pinned days) are actually exercised.
     rows = [
         (None, 42, "view", 1.5),
         (None, None, "click", 2.5),
@@ -51,10 +58,25 @@ def build_null_variant(src: str) -> str:
         (datetime.datetime(2024, 1, 20, 12), None, None, None),
         (datetime.datetime(2024, 1, 21, 12), 77, None, 3.0),
         (datetime.datetime(2024, 1, 22, 12), 78, "purchase", None),
+        (datetime.datetime(2024, 1, 24, 0), 79, None, 4.0),
+        (datetime.datetime(2024, 1, 26, 12), None, None, None),
+        (datetime.datetime(2024, 1, 28, 12), None, "purchase", 5.0),
     ]
+    # The driver has shipped events.ts as bigint epoch-nanos (r1-r2)
+    # and as timestamp µs-NTZ (r3+); branch on the OBSERVED dtype as
+    # load_tables does, or pa.table() fails on the mixed column right
+    # after a regeneration — exactly when the sweep matters most.
+    ts_is_int = pa.types.is_integer(schema.field("ts").type)
+
+    def _ts(dt):
+        if dt is None or not ts_is_int:
+            return dt
+        epoch = dt.replace(tzinfo=datetime.timezone.utc).timestamp()
+        return int(epoch) * 1_000_000_000
+
     for i, (ts, uid, et, v) in enumerate(rows):
         t["event_id"].append(base_id + i)
-        t["ts"].append(ts)
+        t["ts"].append(_ts(ts))
         t["user_id"].append(uid)
         t["event_type"].append(et)
         t["value"].append(v)
@@ -72,7 +94,13 @@ def build_null_variant(src: str) -> str:
 
 
 def main() -> int:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    argv = sys.argv[1:]
+    names: list[str] = []
+    if "--names" in argv:
+        i = argv.index("--names")
+        names = argv[i + 1:]
+        argv = argv[:i]
+    src = argv[0] if argv else "/root/testdata/sf0.001"
     tmp = build_null_variant(src)
 
     from pyspark.sql import SparkSession
@@ -86,7 +114,8 @@ def main() -> int:
     con = duckdb_connect(tmp)
     fails = []
     t00 = time.time()
-    for name in plans.ORACLES:
+    todo = names or list(plans.ORACLES)
+    for name in todo:
         try:
             r = compare_query(
                 spark, con, name, plans.QUERIES[name],
@@ -99,7 +128,7 @@ def main() -> int:
             print(f"FAIL {name}: {detail}", flush=True)
             fails.append(name)
     print(
-        f"DONE {len(plans.ORACLES)} oracles in {time.time()-t00:.0f}s"
+        f"DONE {len(todo)} oracles in {time.time()-t00:.0f}s"
         f" fails={len(fails)}",
         flush=True,
     )
