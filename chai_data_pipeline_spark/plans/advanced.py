@@ -777,7 +777,7 @@ _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
 WITH h AS (
     SELECT substring(sha256(CAST(user_id AS VARCHAR)), 1, 2) AS bhex,
            substring(sha256(CAST(user_id AS VARCHAR)), 3, 14) AS rest
-    FROM events
+    FROM events WHERE user_id IS NOT NULL
 ),
 ranked AS (
     SELECT CAST(concat('0x', bhex) AS BIGINT) AS bucket,

@@ -61,7 +61,7 @@ def _sql_bucket(j: int) -> str:
 WITH h AS (
     SELECT {_sql_bucket(0)} AS b0, {_sql_bucket(1)} AS b1,
            {_sql_bucket(2)} AS b2, {_sql_bucket(3)} AS b3
-    FROM events
+    FROM events WHERE user_id IS NOT NULL
 ),
 cells AS (
               SELECT 0 AS depth, b0 AS bucket, COUNT(*) AS c FROM h GROUP BY 2
@@ -70,7 +70,8 @@ cells AS (
     UNION ALL SELECT 3, b3, COUNT(*) FROM h GROUP BY 2
 ),
 top AS (
-    SELECT user_id, COUNT(*) AS n_exact FROM events GROUP BY 1
+    SELECT user_id, COUNT(*) AS n_exact FROM events
+    WHERE user_id IS NOT NULL GROUP BY 1
     ORDER BY n_exact DESC, user_id LIMIT {_CMS_TOPK}
 ),
 th AS (
@@ -103,6 +104,9 @@ def cms_heavy_hitters_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     never materializes a full sort. The probe join broadcasts 80 rows.
     """
     events = load_tables(spark, sf_dir, "events")["events"]
+    # NULL keys have no frequency-sketch semantics (sha2(NULL) buckets
+    # to NULL; DuckDB's '0x'||NULL cast would error) — filter both sides.
+    events = events.filter(F.col("user_id").isNotNull())
     h = events.select(*_cms_bucket_cols(F.col("user_id")))
     cells = (
         h.select(
@@ -160,11 +164,17 @@ _SEG_B = "click"
 
 
 def _sql_regs(tag: str, pred: str) -> str:
+    # user_id IS NOT NULL: Spark's register build drops NULL keys
+    # structurally (sha2(NULL) -> NULL bucket never joins the bucket
+    # spine), but DuckDB's concat('0x', NULL-hash) yields the literal
+    # '0x' and the BIGINT cast ERRORS — the filter makes both engines
+    # skip NULL keys explicitly (a distinct-count sketch has no NULL
+    # key semantics, same as COUNT(DISTINCT)).
     return f"""
 h_{tag} AS (
     SELECT substring(sha256(CAST(user_id AS VARCHAR)), 1, 2) AS bhex,
            substring(sha256(CAST(user_id AS VARCHAR)), 3, 14) AS rest
-    FROM events WHERE {pred}
+    FROM events WHERE user_id IS NOT NULL AND ({pred})
 ),
 ranked_{tag} AS (
     SELECT CAST(concat('0x', bhex) AS BIGINT) AS bucket,
@@ -368,7 +378,7 @@ _HQ_QS_SQL = ", ".join(f"({q})" for q in _HQ_QS)
 @query(
     "histogram_quantiles_checked",
     oracle=f"""
-WITH v AS (SELECT event_type, value FROM events),
+WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
 st AS (
     SELECT event_type, MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n
     FROM v GROUP BY 1
@@ -431,7 +441,13 @@ def histogram_quantiles_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram (or re-bins the candidate bin for refinement).
     """
     events = load_tables(spark, sf_dir, "events")["events"]
-    v = events.select("event_type", "value")
+    # A histogram over values has no NULL semantics: a NULL value would
+    # inflate n (COUNT(*)) while escaping min/max, land in a NULL bin
+    # that the two engines order on opposite ends of the bin axis, and
+    # shift the exact order statistic — filter both sides.
+    v = events.select("event_type", "value").filter(
+        F.col("value").isNotNull()
+    )
     st = v.groupBy("event_type").agg(
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),

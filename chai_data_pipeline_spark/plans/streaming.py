@@ -30,7 +30,7 @@ from .registry import query
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        COUNT(*) AS n_events
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY 1, 2
 """,
 )
@@ -51,8 +51,10 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH buckets AS (
     SELECT date_trunc('hour', ts) AS window_start, value FROM events
+    WHERE ts IS NOT NULL
     UNION ALL
     SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events
+    WHERE ts IS NOT NULL
 )
 SELECT window_start,
        COUNT(*) AS n_events,
@@ -85,7 +87,7 @@ WITH e AS (
            CASE WHEN LAG(ts) OVER w IS NULL
                      OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
                 THEN 1 ELSE 0 END AS is_new
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s AS (
     SELECT *, SUM(is_new) OVER (
@@ -118,7 +120,7 @@ SELECT user_id,
        COUNT(*) AS n_events,
        (FLOOR(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) * 10000 + 0.5)
         / 10000.0) AS total_value
-FROM events
+FROM events WHERE ts IS NOT NULL
 GROUP BY user_id
 """,
 )
@@ -188,7 +190,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_dedup_delivery",
     oracle="""
-SELECT event_id, user_id, event_type FROM events
+SELECT event_id, user_id, event_type FROM events WHERE ts IS NOT NULL
 """,
 )
 def streaming_dedup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -220,7 +222,7 @@ FROM (
     SELECT *, ROW_NUMBER() OVER (
         PARTITION BY user_id ORDER BY ts DESC, event_id DESC
     ) AS rn
-    FROM events
+    FROM events WHERE ts IS NOT NULL
 )
 WHERE rn = 1
 """,
@@ -245,7 +247,7 @@ from .sketches import _sql_est, _sql_regs  # noqa: E402
 @query(
     "streaming_hll_distinct",
     oracle=f"""
-WITH {_sql_regs('x', 'TRUE').lstrip()},
+WITH {_sql_regs('x', 'ts IS NOT NULL').lstrip()},
 {_sql_est('x', 'regs_x').lstrip()}
 SELECT (FLOOR(e * 10000 + 0.5) / 10000.0) AS hll_estimate,
        d.reg_sum, d.nonzero_regs

@@ -25,7 +25,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from .windows import _events_stream
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, seq long"
-STATE_SCHEMA = "n long, total double, seq long"
+STATE_SCHEMA = "n long, total double, nvals long, seq long"
 
 
 def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,7 +38,9 @@ def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        n, total, seq = state.get if state.exists else (0, 0.0, 0)
+        n, total, nvals, seq = (
+            state.get if state.exists else (0, 0.0, 0, 0)
+        )
         for pdf in pdfs:
             n += len(pdf)
             # cents-exact accumulation: state survives across batches, so
@@ -47,17 +49,21 @@ def running_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # formula (pandas .round() is banker's half-even and would
             # diverge on exact .5 scaled values).
             total += float(np.floor(pdf["value"].mul(10000) + 0.5).sum()) / 10000.0
+            # NULL values contribute nothing (pandas sum skips NaN),
+            # but SQL's SUM over an all-NULL group is NULL, not 0 —
+            # count the non-null contributions so emission can match.
+            nvals += int(pdf["value"].notna().sum())
         # seq = per-key emission counter: downstream reducers pick the
         # LAST emission via max_by(_, seq) — max of the totals themselves
         # is only correct while totals are monotone (a negative value
         # would silently select a non-final row)
         seq += 1
-        state.update((n, total, seq))
+        state.update((n, total, nvals, seq))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [total],
+                "total_value": [total if nvals > 0 else None],
                 "seq": [seq],
             }
         )

@@ -100,7 +100,11 @@ def _events_stream(
     elif ts_type == "timestamp_ntz":
         # NTZ wall clock -> instant: identity under the UTC session pin
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    # Event-time streaming is undefined for NULL-ts rows: they cannot be
+    # watermarked, windowed, or range-joined. Drop them centrally so
+    # every consumer (and its batch oracle, which carries the matching
+    # ts IS NOT NULL predicate) sees the same event-time universe.
+    return stream.filter(F.col("ts").isNotNull())
 
 
 def tumbling_counts_stream(
