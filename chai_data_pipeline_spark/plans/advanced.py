@@ -445,9 +445,15 @@ def trend_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     events = load_tables(spark, sf_dir, "events")["events"]
-    daily = events.groupBy(
-        F.to_date("ts").alias("d"), "event_type"
-    ).agg(F.count("*").alias("n"))
+    # same ts IS NOT NULL predicate as the shared trend_classification
+    # oracle (a NULL date would sort into the "most recent" slot here
+    # — pandas sorts NaT last on ascending=False — while the oracle
+    # excludes it)
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
 
     def classify(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("d", ascending=False).reset_index(drop=True)
@@ -609,7 +615,7 @@ def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH counts AS (
     SELECT user_id, event_type, COUNT(*) AS n
-    FROM events GROUP BY 1, 2
+    FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
 ),
 ranked AS (
     SELECT *, ROW_NUMBER() OVER (
@@ -623,8 +629,12 @@ FROM ranked WHERE rn = 1
 )
 def deterministic_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, "events")["events"]
-    counts = events.groupBy("user_id", "event_type").agg(
-        F.count("*").alias("n")
+    # a NULL event_type can't be a mode, and the ASC tiebreak would
+    # order it on opposite ends of the two engines — filter both sides
+    counts = (
+        events.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
     )
     w = Window.partitionBy("user_id").orderBy(
         F.desc("n"), F.asc("event_type")

@@ -1521,7 +1521,7 @@ WITH per_user AS (
            CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
                 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
                 ELSE 0 END) AS BIGINT) AS y
-    FROM events GROUP BY 1
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
 ),
 m AS (
     SELECT COUNT(*) AS n,
@@ -1567,6 +1567,10 @@ def cuped_ab_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .training import hash_bucket
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # NULL unit ids cannot be hash-assigned to an arm (DuckDB's
+    # '0x'||sha256(NULL) cast errors; Spark's conv(NULL) silently
+    # misroutes to the ELSE arm) — filter both sides.
+    events = events.filter(F.col("user_id").isNotNull())
     cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp_ntz")
     cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
     per_user = events.groupBy("user_id").agg(
@@ -1637,7 +1641,7 @@ WITH per_user AS (
            CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
                 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
                 ELSE 0 END) AS BIGINT) AS post_c
-    FROM events GROUP BY 1
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
 ),
 arms AS (
     SELECT arm, COUNT(*) AS n_users,
@@ -1671,6 +1675,10 @@ def difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .training import hash_bucket
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # NULL unit ids cannot be hash-assigned to an arm (DuckDB's
+    # '0x'||sha256(NULL) cast errors; Spark's conv(NULL) silently
+    # misroutes to the ELSE arm) — filter both sides.
+    events = events.filter(F.col("user_id").isNotNull())
     cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp_ntz")
     cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
     per_user = events.groupBy("user_id").agg(
@@ -1761,7 +1769,7 @@ WITH per_user AS (
     SELECT user_id,
            CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS y_cents
-    FROM events GROUP BY 1
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
 ),
 rep AS (
     SELECT u.user_id, u.y_cents, b.b,
@@ -1794,6 +1802,10 @@ def poisson_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes bootstrapping possible on a 1000-executor cluster).
     """
     events = load_tables(spark, sf_dir, "events")["events"]
+    # NULL unit ids cannot seed the deterministic replica hash (DuckDB
+    # errors on the '0x' cast; Spark's NULL-propagating concat would
+    # silently assign weight 5) — filter both sides.
+    events = events.filter(F.col("user_id").isNotNull())
     per_user = events.groupBy("user_id").agg(
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
         .cast("bigint")

@@ -412,7 +412,7 @@ WITH binned AS (
            LEAST(CAST(FLOOR(value / {_KS_BINW}) AS BIGINT), 99) AS bin,
            COUNT(*) FILTER (WHERE ts < TIMESTAMP '{_PSI_CUTOFF}') AS c_a,
            COUNT(*) FILTER (WHERE ts >= TIMESTAMP '{_PSI_CUTOFF}') AS c_b
-    FROM events GROUP BY 1, 2
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ),
 cum AS (
     SELECT event_type, bin,
@@ -427,8 +427,9 @@ cum AS (
 SELECT event_type,
        CAST(MAX(tot_a) AS BIGINT) AS n_first,
        CAST(MAX(tot_b) AS BIGINT) AS n_second,
-       {sql_dround('MAX(ABS(cum_a * 1.0 / tot_a - cum_b * 1.0 / tot_b))',
-                   6)} AS ks_stat
+       {sql_dround('''MAX(CASE WHEN tot_a > 0 AND tot_b > 0
+                      THEN ABS(cum_a * 1.0 / tot_a - cum_b * 1.0 / tot_b)
+                      END)''', 6)} AS ks_stat
 FROM cum
 GROUP BY 1
 """,
@@ -438,6 +439,9 @@ def ks_statistic_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_tables(spark, sf_dir, "events")["events"]
     cutoff = F.lit(_PSI_CUTOFF).cast("timestamp_ntz")
+    # NULL values have no place on the bin axis (the engines would
+    # order a NULL bin on opposite ends of the cumulative window).
+    events = events.filter(F.col("value").isNotNull())
     binned = events.groupBy(
         "event_type",
         F.least(
@@ -460,18 +464,20 @@ def ks_statistic_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_a").over(tot).alias("tot_a"),
         F.sum("c_b").over(tot).alias("tot_b"),
     )
+    # per-row zero guard: a one-sided group (every event on one side of
+    # the cutoff) must yield NULL, not a div-by-zero — Spark 4 ANSI
+    # throws on x/0 and the aggregate evaluates before any outer CASE.
+    gap = F.when(
+        (F.col("tot_a") > 0) & (F.col("tot_b") > 0),
+        F.abs(
+            F.col("cum_a") * 1.0 / F.col("tot_a")
+            - F.col("cum_b") * 1.0 / F.col("tot_b")
+        ),
+    )
     return cum.groupBy("event_type").agg(
         F.max("tot_a").alias("n_first"),
         F.max("tot_b").alias("n_second"),
-        dround(
-            F.max(
-                F.abs(
-                    F.col("cum_a") * 1.0 / F.col("tot_a")
-                    - F.col("cum_b") * 1.0 / F.col("tot_b")
-                )
-            ),
-            6,
-        ).alias("ks_stat"),
+        dround(F.max(gap), 6).alias("ks_stat"),
     )
 
 

@@ -2365,7 +2365,7 @@ def ewma_spike_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH daily AS (
     SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 ),
 trended AS (
     SELECT event_type, d, n,
@@ -2406,6 +2406,9 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # NULL-ts rows would form a NULL date group that the engines order
+    # on opposite ends of the trend window — filter both sides.
+    events = events.filter(F.col("ts").isNotNull())
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count("*").alias("n"))
@@ -3367,12 +3370,14 @@ def cusum_change_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH daily AS (
     SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
 ),
 bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM daily),
 spine AS (
     SELECT t.event_type, CAST(g.day AS DATE) AS d
-    FROM (SELECT DISTINCT event_type FROM events) t
+    FROM (SELECT DISTINCT event_type FROM events
+          WHERE ts IS NOT NULL AND event_type IS NOT NULL) t
     CROSS JOIN (
         SELECT unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS day
         FROM bounds b
@@ -3401,8 +3406,9 @@ SELECT event_type,
        COUNT(*) AS n_days,
        CAST(SUM(e1) AS BIGINT) * 1.0 / COUNT(*) AS mae_naive,
        CAST(SUM(e7) AS BIGINT) * 1.0 / COUNT(*) AS mae_seasonal_naive,
+       CASE WHEN CAST(SUM(e1) AS BIGINT) > 0 THEN
        (FLOOR(CAST(SUM(e7) AS BIGINT) * 1.0 / CAST(SUM(e1) AS BIGINT)
-        * 10000 + 0.5) / 10000.0) AS seasonal_skill_ratio
+        * 10000 + 0.5) / 10000.0) END AS seasonal_skill_ratio
 FROM scored
 GROUP BY 1
 """,
@@ -3419,6 +3425,12 @@ def naive_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # Timeless/typeless rows can't join a forecastable series; a
+    # NULL-type spine row would also make SUM(e1)=0 and throw on the
+    # skill-ratio division under Spark 4 ANSI. Filter both sides.
+    events = events.filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("d")
     ).agg(F.count("*").alias("n"))
@@ -3451,14 +3463,19 @@ def naive_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mae_seasonal_naive"
         ),
         (
-            F.floor(
-                F.sum("e7").cast("bigint")
-                * 1.0
-                / F.sum("e1").cast("bigint")
-                * 10000
-                + 0.5
+            # degenerate guard (identical CASE in the oracle): a
+            # constant series has SUM(e1)=0 and ANSI x/0 throws
+            F.when(
+                F.sum("e1").cast("bigint") > 0,
+                F.floor(
+                    F.sum("e7").cast("bigint")
+                    * 1.0
+                    / F.sum("e1").cast("bigint")
+                    * 10000
+                    + 0.5
+                )
+                / F.lit(10000.0),
             )
-            / F.lit(10000.0)
         ).alias("seasonal_skill_ratio"),
     )
 
