@@ -1306,14 +1306,17 @@ def null_semantics_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "approx_quantile_error_bounded",
     oracle="""
-WITH st AS (
+WITH v AS (
+    SELECT event_type, value FROM events WHERE value IS NOT NULL
+),
+st AS (
     SELECT event_type, MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n
-    FROM events GROUP BY 1
+    FROM v GROUP BY 1
 ),
 ranked AS (
     SELECT event_type, value,
            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn
-    FROM events
+    FROM v
 ),
 ex AS (
     SELECT r.event_type,
@@ -1344,6 +1347,10 @@ def approx_quantile_error_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
     events = load_tables(spark, sf_dir, "events")["events"]
     from pyspark.sql.window import Window
 
+    # NULL values: percentile_approx already ignores them, but they
+    # would inflate n (shifting the target rank) and sort on opposite
+    # ends of the two engines' ROW_NUMBER — filter both sides.
+    events = events.filter(F.col("value").isNotNull())
     st = events.groupBy("event_type").agg(
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),

@@ -2691,7 +2691,9 @@ _KM_CENSOR_DAYS = 7
 WITH span AS (
     SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d,
            MAX(CAST(ts AS DATE)) AS last_d
-    FROM events GROUP BY 1
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1
 ),
 subj AS (
     SELECT user_id,
@@ -2749,6 +2751,14 @@ def survival_curve_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # A subject needs an identity and at least one dated event: a
+    # user with only NULL-ts rows would otherwise become a NULL-dur
+    # subject riding the at-risk cumsum on opposite ends of the two
+    # engines' NULL ordering; anonymous rows would merge into one
+    # fake lifetime. Same predicate in the oracle.
+    events = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     span = events.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("first_d"),
         F.max(F.to_date("ts")).alias("last_d"),

@@ -36,7 +36,7 @@ import tempfile
 import time
 
 
-def build_null_variant(src: str) -> str:
+def build_null_variant(src: str, deep: bool = False) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -82,10 +82,97 @@ def build_null_variant(src: str) -> str:
         t["value"].append(v)
         t["props"].append("{}")
     pq.write_table(pa.table(t), os.path.join(tmp, "events.parquet"))
+
+    # --deep: ALSO plant NULLs into the relational + document tables.
+    # Exploratory posture probe — the shipped generator has never
+    # emitted NULLs there, but the events precedent (41 latent
+    # divergences) says measure before trusting.
+    deep_rows = {
+        "orders": [
+            # orderkey, custkey, status, totalprice, orderdate, priority
+            (None, "O", 100.0,
+             datetime.datetime(2024, 1, 10), "1-URGENT"),
+            (1, None, None, None, None),
+            (2, "F", None, datetime.datetime(2024, 1, 12), None),
+        ],
+        "lineitem": [
+            # orderkey fixed to an existing key range; line fields NULL
+            (None, None, None, None, None, None, None, None, None),
+        ],
+        "documents": [
+            (None, None, None, None),
+            ("", None, "web", None),
+        ],
+        "embeddings": [
+            (None, None),
+        ],
+    }
+
+    def _plant(name: str, build) -> None:
+        tt = pq.read_table(os.path.join(src, f"{name}.parquet")).to_pydict()
+        build(tt)
+        pq.write_table(pa.table(tt), os.path.join(tmp, f"{name}.parquet"))
+
+    planted = set()
+    if deep:
+        def _orders(tt):
+            nk = max(tt["o_orderkey"]) + 1
+            for i, (ck, st, tp, od, pr) in enumerate(deep_rows["orders"]):
+                tt["o_orderkey"].append(nk + i)
+                tt["o_custkey"].append(ck)
+                tt["o_orderstatus"].append(st)
+                tt["o_totalprice"].append(tp)
+                tt["o_orderdate"].append(od)
+                tt["o_orderpriority"].append(pr)
+
+        def _lineitem(tt):
+            ok = max(tt["l_orderkey"])  # existing order: joins still hit
+            for (pk, sk, qty, ep, disc, tax, rf, ls, sd) in deep_rows[
+                "lineitem"
+            ]:
+                tt["l_orderkey"].append(ok)
+                tt["l_partkey"].append(pk)
+                tt["l_suppkey"].append(sk)
+                tt["l_linenumber"].append(max(tt["l_linenumber"]) + 1)
+                tt["l_quantity"].append(qty)
+                tt["l_extendedprice"].append(ep)
+                tt["l_discount"].append(disc)
+                tt["l_tax"].append(tax)
+                tt["l_returnflag"].append(rf)
+                tt["l_linestatus"].append(ls)
+                tt["l_shipdate"].append(sd)
+
+        def _documents(tt):
+            nd = max(tt["doc_id"]) + 1
+            for i, (text, lang, source, nch) in enumerate(
+                deep_rows["documents"]
+            ):
+                tt["doc_id"].append(nd + i)
+                tt["text"].append(text)
+                tt["lang"].append(lang)
+                tt["source"].append(source)
+                tt["n_chars"].append(nch)
+
+        def _embeddings(tt):
+            nv = max(tt["vec_id"]) + 1
+            for i, (emb, label) in enumerate(deep_rows["embeddings"]):
+                tt["vec_id"].append(nv + i)
+                tt["embedding"].append(emb)
+                tt["label"].append(label)
+
+        for name, fn in [
+            ("orders", _orders), ("lineitem", _lineitem),
+            ("documents", _documents), ("embeddings", _embeddings),
+        ]:
+            _plant(name, fn)
+            planted.add(name)
+
     for n in [
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings",
     ]:
+        if n in planted:
+            continue
         os.symlink(
             os.path.join(src, f"{n}.parquet"),
             os.path.join(tmp, f"{n}.parquet"),
@@ -100,12 +187,20 @@ def main() -> int:
         i = argv.index("--names")
         names = argv[i + 1:]
         argv = argv[:i]
+    deep = "--deep" in argv
+    argv = [a for a in argv if a != "--deep"]
     src = argv[0] if argv else "/root/testdata/sf0.001"
-    tmp = build_null_variant(src)
+    tmp = build_null_variant(src, deep=deep)
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark = (
+        SparkSession.builder.master("local[8]")
+        # progress bars interleave \r into stdout and can mask
+        # FAIL lines from line-anchored greps over captured logs
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     from .. import plans

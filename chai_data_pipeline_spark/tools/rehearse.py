@@ -35,7 +35,13 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.master("local[8]").getOrCreate()
+    spark = (
+        SparkSession.builder.master("local[8]")
+        # progress bars interleave \r into stdout and can mask
+        # FAIL lines from line-anchored greps over captured logs
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     from .. import plans
