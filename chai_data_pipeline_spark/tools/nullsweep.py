@@ -21,10 +21,14 @@ shared filter of NULL-keyed rows in both the plan and the oracle SQL
     TZ=America/New_York PYTHONPATH=/root/repo \
       python -m chai_data_pipeline_spark.tools.nullsweep
 
-Exit code 1 if any oracle diverges. As of round 5, 41 of 275 oracles
-diverge under planted NULLs (list in COVERAGE.md) — latent only, since
-shipped data is NULL-free; run this after each regeneration and fix
-survivors before they reach the gate.
+Exit code 1 if any oracle diverges. Round 5 found 41 of 275 oracles
+diverging under planted NULLs; the round-5/6 campaign fixed all 41
+(history in COVERAGE.md) and the full sweep now passes clean. Run it
+after every regeneration — and before trusting a new round's driver
+front — so fresh NULL classes are caught before they reach the gate.
+``--deep`` additionally plants NULLs into orders/lineitem/documents/
+embeddings (exploratory posture probe for the relational and text
+families); ``--names q1 q2 ...`` restricts to named oracles.
 """
 
 from __future__ import annotations
