@@ -42,13 +42,18 @@ FRAME_SCHEMA = "asset_id long, frame_index int, frame_offset_bytes long"
 
 def attach_fake_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Derive a deterministic binary payload column from text — a
-    stand-in for real media bytes so plumbing is exercised end-to-end."""
+    stand-in for real media bytes so plumbing is exercised end-to-end.
+
+    The payload is TOTAL (never NULL): a NULL text becomes an empty
+    payload, so downstream pandas UDFs never see None where they expect
+    bytes and the DuckDB oracles mirror with COALESCE(text, '')."""
+    text = F.coalesce(F.col("text"), F.lit(""))
     return docs.select(
         F.col(id_col).alias("asset_id"),
-        F.encode("text", "UTF-8").alias("payload"),
+        F.encode(text, "UTF-8").alias("payload"),
         F.struct(
             F.lit("text/fake").alias("mime"),
-            F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
+            F.length(F.encode(text, "UTF-8")).alias("n_bytes"),
         ).alias("meta"),
     )
 

@@ -106,8 +106,13 @@ LANG_MARKERS = {
 
 
 def lang_scores(col: str) -> dict[str, Column]:
-    """Marker-word occurrence score per language (n-gram heuristic)."""
-    padded = f"concat(' ', lower({col}), ' ')"
+    """Marker-word occurrence score per language (n-gram heuristic).
+
+    NULL text scores 0, explicitly: Spark's concat propagates NULL
+    while DuckDB's skips it, so without the COALESCE the two engines
+    disagree on whether a NULL document has NULL or zero scores.
+    """
+    padded = f"concat(' ', lower(coalesce({col}, '')), ' ')"
     return {
         lang: sum(
             (F.expr(_occurrences(padded, m)) for m in markers), F.lit(0)
@@ -117,7 +122,8 @@ def lang_scores(col: str) -> dict[str, Column]:
 
 
 def lang_scores_sql(col: str) -> dict[str, str]:
-    padded = f"CONCAT(' ', LOWER({col}), ' ')"
+    # COALESCE mirrors lang_scores: NULL text scores 0 on both engines
+    padded = f"CONCAT(' ', LOWER(COALESCE({col}, '')), ' ')"
     return {
         lang: " + ".join(_occurrences(padded, m) for m in markers)
         for lang, markers in LANG_MARKERS.items()

@@ -149,12 +149,14 @@ FROM (
 )
 def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # SQL-standard UNPIVOT (and DuckDB's) EXCLUDES NULL cells; Spark's
+    # stack() keeps them — filter to match the standard semantics.
     return li.selectExpr(
         "l_orderkey",
         "l_linenumber",
         "stack(2, 'quantity', l_quantity, 'discount', l_discount)"
         " AS (measure, value)",
-    ).select(
+    ).filter(F.col("value").isNotNull()).select(
         "l_orderkey",
         "l_linenumber",
         "measure",

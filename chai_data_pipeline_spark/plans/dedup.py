@@ -1217,7 +1217,7 @@ WITH cs AS (
     SELECT doc_id, source, text, LENGTH(text) AS len,
            list_transform(range(1, LENGTH(text) + 1),
                i -> ascii(substring(text, i, 1))) AS codes
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
 ),
 b AS (
     SELECT doc_id, source, text, len,
@@ -1263,7 +1263,8 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     against at 100 TB.
     """
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    cs = docs.select(
+    # NULL text has no chunks (oracle carries the same predicate)
+    cs = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         "source",
         "text",
@@ -1273,9 +1274,15 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("codes"),
     )
     poly = _cdc_poly("codes", "i", _ELEM_SPARK)
+    # the window-shorter-than-W case must SKIP the boundary scan: the
+    # oracle's out-of-range list index is NULL (poly never hits 0) but
+    # Spark's element_at THROWS under ANSI — an empty candidate list
+    # reproduces DuckDB's [0, len] bounds without evaluating poly.
+    # (sequence(1, 0) would be DESCENDING in Spark, hence the CASE.)
     bounds = F.expr(
-        f"concat(array(0), filter(sequence(1, greatest(1, length(text) - "
-        f"{_CDC_W - 1})), i -> {poly} = 0), array(length(text)))"
+        f"concat(array(0), CASE WHEN length(text) >= {_CDC_W} THEN "
+        f"filter(sequence(1, length(text) - {_CDC_W - 1}),"
+        f" i -> {poly} = 0) ELSE array() END, array(length(text)))"
     )
     b = cs.select("doc_id", "source", "text", bounds.alias("bounds"))
     chunks = b.select(

@@ -200,9 +200,12 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price"),
     )
     a = snap_a.alias("a")
-    b = snap_b.alias("b")
+    # explicit presence marker: "removed" must mean NO MATCHING ROW in
+    # snapshot b (the oracle tests the join key), not a NULL price — a
+    # matched row whose price is NULL is 'unchanged', like the oracle.
+    b = snap_b.withColumn("b_present", F.lit(True)).alias("b")
     joined = a.join(b, "o_orderkey", "left").select(
-        F.when(F.col("b.price").isNull(), "removed")
+        F.when(F.col("b.b_present").isNull(), "removed")
         .when(F.col("a.price") != F.col("b.price"), "changed")
         .otherwise("unchanged")
         .alias("status"),

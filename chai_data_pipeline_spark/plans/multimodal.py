@@ -29,10 +29,10 @@ from .registry import query
     "multimodal_metadata",
     oracle="""
 SELECT doc_id AS asset_id,
-       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(octet_length(encode(COALESCE(text, ''))) AS INTEGER) AS n_bytes,
        -- sha256 over the utf-8 bytes: DuckDB's sha256 takes VARCHAR and
        -- hashes its utf-8 encoding, identical to Spark's sha2(binary)
-       SUBSTRING(sha256(text), 1, 16) AS payload_hash
+       SUBSTRING(sha256(COALESCE(text, '')), 1, 16) AS payload_hash
 FROM documents
 """,
 )
@@ -50,14 +50,14 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode_meta",
     oracle="""
 SELECT doc_id AS asset_id,
-       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(octet_length(encode(COALESCE(text, ''))) AS INTEGER) AS n_bytes,
        'fake' AS format,
        -- stub dims = 64 + digest_byte % 192; hex-substring of sha256
        -- IS the digest byte (text payloads can never carry PNG/JPEG
        -- magic: 0x89/0xFF are invalid UTF-8 lead bytes)
-       CAST(64 + CAST(('0x' || substring(sha256(text), 1, 2)) AS INTEGER) % 192
+       CAST(64 + CAST(('0x' || substring(sha256(COALESCE(text, '')), 1, 2)) AS INTEGER) % 192
             AS INTEGER) AS width,
-       CAST(64 + CAST(('0x' || substring(sha256(text), 3, 2)) AS INTEGER) % 192
+       CAST(64 + CAST(('0x' || substring(sha256(COALESCE(text, '')), 3, 2)) AS INTEGER) % 192
             AS INTEGER) AS height,
        'stub' AS decoder
 FROM documents
@@ -95,7 +95,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT doc_id AS asset_id,
        CAST(f AS INTEGER) AS frame_index,
-       CAST(octet_length(encode(text)) * f // 4 AS BIGINT)
+       CAST(octet_length(encode(COALESCE(text, ''))) * f // 4 AS BIGINT)
            AS frame_offset_bytes
 FROM documents, (SELECT unnest(range(0, 4)) AS f) frames
 """,

@@ -512,7 +512,7 @@ WITH g AS (
                    range(1, GREATEST(len(string_split_regex(TRIM(text), '\\s+')) - 1, 0) + 1),
                    i -> list_aggregate(string_split_regex(TRIM(text), '\\s+')[i : i + 1], 'string_agg', ' ')
                )) AS g
-        FROM documents
+        FROM documents WHERE text IS NOT NULL
     )
 ),
 counts AS (SELECT source, COUNT(*) AS n FROM g GROUP BY 1),
@@ -543,12 +543,17 @@ def corpus_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the distinct shuffle for the same overlap signal. The token array
     # is materialized as a column FIRST — a split() inside the shingle
     # lambda would re-run the regex once per position (O(words²)).
-    toks = docs.select(
+    # textless docs contribute no grams; the explicit filter also keeps
+    # the sequence() bound non-NULL under ANSI (size(NULL) is NULL)
+    toks = docs.filter(F.col("text").isNotNull()).select(
         "source", F.split(F.trim("text"), r"\s+").alias("w")
     )
+    # CASE, not greatest(): for a sub-bigram doc sequence(1, 0) is
+    # DESCENDING in Spark ([1, 0]) and slice(w, 0, 2) throws
     bigrams = F.expr(
-        "transform(sequence(1, greatest(size(w) - 1, 0)),"
-        " i -> concat_ws(' ', slice(w, i, 2)))"
+        "CASE WHEN size(w) < 2 THEN CAST(array() AS array<string>) "
+        "ELSE transform(sequence(1, size(w) - 1),"
+        " i -> concat_ws(' ', slice(w, i, 2))) END"
     )
     g = toks.select("source", F.explode(bigrams).alias("g")).distinct()
     counts = g.groupBy("source").agg(F.count("*").alias("n"))
@@ -629,10 +634,11 @@ fixed AS (
 )
 SELECT lang,
        COUNT(*) AS n_terms,
+       CASE WHEN COUNT(*) * SUM(xi * xi) - SUM(xi) * SUM(xi) <> 0 THEN
        {sql_dround(
            "CAST(COUNT(*) * SUM(xi * yi) - SUM(xi) * SUM(yi) AS DOUBLE)"
            " / CAST(COUNT(*) * SUM(xi * xi) - SUM(xi) * SUM(xi) AS DOUBLE)",
-           6)} AS zipf_slope
+           6)} END AS zipf_slope
 FROM fixed
 GROUP BY lang
 """,
@@ -670,12 +676,17 @@ def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     sy = F.sum("yi")
     sxy = F.sum(F.col("xi") * F.col("yi"))
     sxx = F.sum(F.col("xi") * F.col("xi"))
+    # degenerate guard (identical CASE in the oracle): a single-term
+    # vocabulary has zero x-variance and ANSI x/0 throws
     return fixed.groupBy("lang").agg(
         n.alias("n_terms"),
-        dround(
-            (n * sxy - sx * sy).cast("double")
-            / (n * sxx - sx * sx).cast("double"),
-            6,
+        F.when(
+            n * sxx - sx * sx != 0,
+            dround(
+                (n * sxy - sx * sy).cast("double")
+                / (n * sxx - sx * sx).cast("double"),
+                6,
+            ),
         ).alias("zipf_slope"),
     )
 

@@ -1494,6 +1494,7 @@ WITH o AS (
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE o.o_totalprice IS NOT NULL AND o.o_orderdate IS NOT NULL
 ),
 per_price AS (
     SELECT nation, price_cents, MAX(d) AS best_d
@@ -1530,13 +1531,20 @@ def skyline_cheapest_latest_per_nation(
     from pyspark.sql.window import Window
 
     t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    # a skyline point needs BOTH coordinates: a NULL price would form a
+    # group the engines order on opposite ends of the price axis —
+    # same predicate in the oracle
+    orders = t["orders"].filter(
+        F.col("o_totalprice").isNotNull()
+        & F.col("o_orderdate").isNotNull()
+    )
     o = (
-        t["orders"]
+        orders
         .join(
             F.broadcast(
                 t["customer"].select("c_custkey", "c_nationkey")
             ),
-            t["orders"]["o_custkey"] == F.col("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
             F.broadcast(t["nation"].select("n_nationkey", "n_name")),

@@ -170,7 +170,8 @@ _PHONE_PAT = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
     oracle=f"""
 WITH pii AS (
     SELECT doc_id,
-           concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+           concat(COALESCE(text, ''), ' contact user',
+                  CAST(doc_id AS VARCHAR),
                   '@mail.example.com or 555-01', CAST(doc_id % 10 AS VARCHAR),
                   '0-99', CAST(doc_id % 100 AS VARCHAR), '2.') AS text
     FROM documents
@@ -195,8 +196,11 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs at scan speed inside WholeStageCodegen (no UDF).
     """
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # COALESCE: Spark's concat propagates a NULL text into every output
+    # while DuckDB's concat skips NULL args — a NULL-text doc still
+    # gets its planted PII and a checkable redaction on both engines.
     planted = F.concat(
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.lit(" contact user"),
         F.col("doc_id").cast("string"),
         F.lit("@mail.example.com or 555-01"),
@@ -341,9 +345,9 @@ def quantile_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "high-quality" sources, downsample the rest — the mixture-reweighting
 # step of corpus assembly
 _MIX_SQL = """
-CASE WHEN CAST(SUBSTRING(source, 4) AS INTEGER) % 4 = 0 THEN 100
-     WHEN CAST(SUBSTRING(source, 4) AS INTEGER) % 4 = 1 THEN 50
-     WHEN CAST(SUBSTRING(source, 4) AS INTEGER) % 4 = 2 THEN 25
+CASE WHEN TRY_CAST(SUBSTRING(source, 4) AS INTEGER) % 4 = 0 THEN 100
+     WHEN TRY_CAST(SUBSTRING(source, 4) AS INTEGER) % 4 = 1 THEN 50
+     WHEN TRY_CAST(SUBSTRING(source, 4) AS INTEGER) % 4 = 2 THEN 25
      ELSE 10 END
 """
 
@@ -379,7 +383,9 @@ def mixture_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     different weights keeps decisions consistent.
     """
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    src_num = F.substring("source", 4, 10).cast("int")
+    # try_cast: a NULL or malformed source (not 'src_N') falls through
+    # to the ELSE rate on BOTH engines instead of throwing under ANSI
+    src_num = F.expr("try_cast(substring(source, 4, 10) AS INT)")
     keep_pct = (
         F.when(src_num % 4 == 0, 100)
         .when(src_num % 4 == 1, 50)
@@ -1467,9 +1473,14 @@ _QN_B = 256
 @query(
     "quantile_normalize_lengths",
     oracle=f"""
-WITH st AS (
+WITH docs AS (
+    -- a document without a length cannot be length-normalized; the
+    -- NULL bin would also ride the cum window on opposite NULL ends
+    SELECT * FROM documents WHERE n_chars IS NOT NULL
+),
+st AS (
     SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx, COUNT(*) AS n
-    FROM documents
+    FROM docs
 ),
 b AS (
     -- degenerate-corpus guard (all lengths equal => zero bin width):
@@ -1479,7 +1490,7 @@ b AS (
                      CAST(FLOOR((d.n_chars - s.mn) * 1.0
                           / ((s.mx - s.mn) * 1.0 / {_QN_B})) AS BIGINT))
            ELSE CAST(0 AS BIGINT) END AS bin
-    FROM documents d CROSS JOIN st s
+    FROM docs d CROSS JOIN st s
 ),
 bc AS (SELECT bin, COUNT(*) AS c FROM b GROUP BY 1),
 cum AS (
@@ -1497,7 +1508,7 @@ ranked AS (
                PARTITION BY source ORDER BY n_chars, doc_id
            ) AS r,
            COUNT(*) OVER (PARTITION BY source) AS n_src
-    FROM documents
+    FROM docs
 ),
 mapped AS (
     SELECT rk.source, rk.n_chars,
@@ -1533,6 +1544,8 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # lengthless docs can't be normalized — same predicate in the oracle
+    docs = docs.filter(F.col("n_chars").isNotNull())
     st = docs.agg(
         F.min("n_chars").alias("mn"),
         F.max("n_chars").alias("mx"),
