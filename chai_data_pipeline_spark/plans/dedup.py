@@ -1215,8 +1215,11 @@ _ELEM_SPARK = "element_at({cs}, CAST({idx} AS INT))"
     oracle=f"""
 WITH cs AS (
     SELECT doc_id, source, text, LENGTH(text) AS len,
+           -- BIGINT codes: ascii() of a non-ASCII char is its full
+           -- codepoint (up to ~1.1M) and the polynomial product would
+           -- overflow 32-bit INT on both engines
            list_transform(range(1, LENGTH(text) + 1),
-               i -> ascii(substring(text, i, 1))) AS codes
+               i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) AS codes
     FROM documents WHERE text IS NOT NULL
 ),
 b AS (
@@ -1269,8 +1272,10 @@ def content_defined_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "text",
         F.expr(
+            # BIGINT: a non-ASCII codepoint (~1.1M max) times the 31^k
+            # coefficients overflows INT under ANSI
             "transform(sequence(1, length(text)),"
-            " i -> ascii(substring(text, i, 1)))"
+            " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"
         ).alias("codes"),
     )
     poly = _cdc_poly("codes", "i", _ELEM_SPARK)

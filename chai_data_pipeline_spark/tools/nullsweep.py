@@ -40,7 +40,9 @@ import tempfile
 import time
 
 
-def build_null_variant(src: str, deep: bool = False) -> str:
+def build_null_variant(
+    src: str, deep: bool = False, unicode_docs: bool = False
+) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -112,12 +114,44 @@ def build_null_variant(src: str, deep: bool = False) -> str:
         ],
     }
 
+    planted = set()
+
     def _plant(name: str, build) -> None:
-        tt = pq.read_table(os.path.join(src, f"{name}.parquet")).to_pydict()
+        # read from tmp when a prior flag already planted this table so
+        # --deep and --unicode COMPOSE instead of overwriting
+        base = tmp if name in planted else src
+        tt = pq.read_table(os.path.join(base, f"{name}.parquet")).to_pydict()
         build(tt)
         pq.write_table(pa.table(tt), os.path.join(tmp, f"{name}.parquet"))
+        planted.add(name)
+    if unicode_docs:
+        # Shipped document text is pure ASCII (verified by census), so
+        # codepoint-sensitive paths (ascii(), char-vs-byte length,
+        # unicode regex classes) run latent. Plant multibyte docs:
+        # accented latin, CJK, emoji (non-BMP), RTL, combining marks.
+        uni_rows = [
+            ("café naïve résumé the and café " * 5,
+             "fr", "src0"),
+            ("你好世界 数据 管道 the and "
+             * 8, "en", "src1"),
+            ("emoji \U0001F600 mix \U0001F680 the and data " * 6,
+             "en", "src2"),
+            ("مرحبا بالع"
+             "الم el la the " * 7, "es", "src3"),
+            ("combining é à ü der und test " * 9,
+             "de", "src4"),
+        ]
 
-    planted = set()
+        def _uni_documents(tt):
+            nd = max(tt["doc_id"]) + 1
+            for i, (text, lang, source) in enumerate(uni_rows):
+                tt["doc_id"].append(nd + i)
+                tt["text"].append(text)
+                tt["lang"].append(lang)
+                tt["source"].append(source)
+                tt["n_chars"].append(len(text))
+
+        _plant("documents", _uni_documents)
     if deep:
         def _orders(tt):
             nk = max(tt["o_orderkey"]) + 1
@@ -169,7 +203,6 @@ def build_null_variant(src: str, deep: bool = False) -> str:
             ("documents", _documents), ("embeddings", _embeddings),
         ]:
             _plant(name, fn)
-            planted.add(name)
 
     for n in [
         "region", "nation", "customer", "supplier", "part", "orders",
@@ -192,9 +225,10 @@ def main() -> int:
         names = argv[i + 1:]
         argv = argv[:i]
     deep = "--deep" in argv
-    argv = [a for a in argv if a != "--deep"]
+    unicode_docs = "--unicode" in argv
+    argv = [a for a in argv if a not in ("--deep", "--unicode")]
     src = argv[0] if argv else "/root/testdata/sf0.001"
-    tmp = build_null_variant(src, deep=deep)
+    tmp = build_null_variant(src, deep=deep, unicode_docs=unicode_docs)
 
     from pyspark.sql import SparkSession
 
