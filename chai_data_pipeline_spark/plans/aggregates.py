@@ -1890,15 +1890,35 @@ m AS (
 )
 SELECT n AS n_users,
        CAST(sy AS DOUBLE) / n / 100.0 AS mean_value,
-       (FLOOR(CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1.0) / 10000.0
-        * 10000 + 0.5) / 10000.0) AS variance,
-       (FLOOR({_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
-            / n / (n - 1.0) / 10000.0) / (n / 2.0)) * 10000 + 0.5)
-        / 10000.0) AS mde_abs,
-       (FLOOR({_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
-            / n / (n - 1.0) / 10000.0) / (n / 2.0))
-        / (CAST(sy AS DOUBLE) / n / 100.0) * 1000000 + 0.5)
-        / 1000000.0) AS mde_rel
+       -- magnitude guard on every rounded column: Spark's floor()
+       -- returns BIGINT and SATURATES at 2^63, DuckDB's stays DOUBLE;
+       -- past 2^53 a double has no fractional precision to round
+       -- anyway, so both engines skip the rounding identically
+       (CASE WHEN ABS(CAST(n * syy - sy * sy AS DOUBLE)
+                  / n / (n - 1.0) / 10000.0) < 8e14
+        THEN FLOOR(CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1.0)
+             / 10000.0 * 10000 + 0.5) / 10000.0
+        ELSE CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1.0) / 10000.0
+        END) AS variance,
+       (CASE WHEN {_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
+                  / n / (n - 1.0) / 10000.0) / (n / 2.0)) < 8e14
+        THEN FLOOR({_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
+             / n / (n - 1.0) / 10000.0) / (n / 2.0)) * 10000 + 0.5)
+             / 10000.0
+        ELSE {_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
+             / n / (n - 1.0) / 10000.0) / (n / 2.0))
+        END) AS mde_abs,
+       (CASE WHEN ABS({_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
+                  / n / (n - 1.0) / 10000.0) / (n / 2.0))
+                  / (CAST(sy AS DOUBLE) / n / 100.0)) < 8e12
+        THEN FLOOR({_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
+             / n / (n - 1.0) / 10000.0) / (n / 2.0))
+             / (CAST(sy AS DOUBLE) / n / 100.0) * 1000000 + 0.5)
+             / 1000000.0
+        ELSE {_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
+             / n / (n - 1.0) / 10000.0) / (n / 2.0))
+             / (CAST(sy AS DOUBLE) / n / 100.0)
+        END) AS mde_rel
 FROM m
 """,
 )
@@ -1929,7 +1949,15 @@ def experiment_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mde = F.lit(_MDE_Z) * F.sqrt(2.0 * var / (F.col("n") / 2.0))
     mean = F.col("sy").cast("double") / F.col("n") / 100.0
-    fp = lambda c, k: F.floor(c * k + 0.5) / F.lit(float(k))  # noqa: E731
+
+    # magnitude-guarded rounding (identical CASE in the oracle):
+    # Spark floor() SATURATES at long max where DuckDB's stays double,
+    # and past 2^53 there is no fractional precision to round anyway
+    def fp(c, k):
+        return F.when(
+            F.abs(c) < 8e18 / k, F.floor(c * k + 0.5) / F.lit(float(k))
+        ).otherwise(c)
+
     return m.select(
         F.col("n").alias("n_users"),
         mean.alias("mean_value"),

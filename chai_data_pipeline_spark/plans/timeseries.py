@@ -1690,8 +1690,10 @@ WITH seq AS (
     FROM events WHERE ts IS NOT NULL
 ),
 weighted AS (
+    -- HUGEINT product (≡ Spark DECIMAL(38,0)): cents × µs overflows
+    -- int64 for large values over long gaps
     SELECT user_id,
-           CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+           CAST(FLOOR(value * 100 + 0.5) AS HUGEINT)
                * date_diff('microsecond', ts, next_ts) AS num,
            date_diff('microsecond', ts, next_ts) AS dt_us
     FROM seq WHERE next_ts IS NOT NULL
@@ -1723,11 +1725,15 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("next_ts"),
     ).filter(F.col("next_ts").isNotNull())
     dt_us = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
+    # DECIMAL(38,0) product (≡ DuckDB HUGEINT): cents × microseconds
+    # overflows int64 for large values over long gaps (~1e6 value over
+    # a month already exceeds 2^63)
     weighted = seq.select(
         "user_id",
-        (F.floor(F.col("value") * 100 + 0.5).cast("bigint") * dt_us).alias(
-            "num"
-        ),
+        (
+            F.floor(F.col("value") * 100 + 0.5).cast("decimal(38,0)")
+            * dt_us
+        ).alias("num"),
         dt_us.alias("dt_us"),
     )
     return (

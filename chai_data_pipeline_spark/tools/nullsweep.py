@@ -41,7 +41,10 @@ import time
 
 
 def build_null_variant(
-    src: str, deep: bool = False, unicode_docs: bool = False
+    src: str,
+    deep: bool = False,
+    unicode_docs: bool = False,
+    extreme_values: bool = False,
 ) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -80,6 +83,17 @@ def build_null_variant(
         epoch = dt.replace(tzinfo=datetime.timezone.utc).timestamp()
         return int(epoch) * 1_000_000_000
 
+    if extreme_values:
+        # Extreme-magnitude probe: negative, sub-cent, and huge values.
+        # Found r6: cents×µs products overflowing int64
+        # (time_weighted_avg_value) and Spark floor() SATURATING at
+        # long max where DuckDB's floor stays double
+        # (experiment_power_mde).
+        rows += [
+            (datetime.datetime(2024, 1, 16, 10), 11, "view", -5.0),
+            (datetime.datetime(2024, 1, 17, 10), 12, "click", 0.005),
+            (datetime.datetime(2024, 1, 18, 10), 13, "purchase", 1e12),
+        ]
     for i, (ts, uid, et, v) in enumerate(rows):
         t["event_id"].append(base_id + i)
         t["ts"].append(_ts(ts))
@@ -226,9 +240,15 @@ def main() -> int:
         argv = argv[:i]
     deep = "--deep" in argv
     unicode_docs = "--unicode" in argv
-    argv = [a for a in argv if a not in ("--deep", "--unicode")]
+    extreme_values = "--values" in argv
+    argv = [a for a in argv if a not in ("--deep", "--unicode", "--values")]
     src = argv[0] if argv else "/root/testdata/sf0.001"
-    tmp = build_null_variant(src, deep=deep, unicode_docs=unicode_docs)
+    tmp = build_null_variant(
+        src,
+        deep=deep,
+        unicode_docs=unicode_docs,
+        extreme_values=extreme_values,
+    )
 
     from pyspark.sql import SparkSession
 
