@@ -2340,3 +2340,109 @@ def price_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "elasticity"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Winsorized robust statistics: clamp values at the exact p05/p95
+# order statistics before averaging — the standard way metric
+# pipelines stop a few whale users from dominating a mean without
+# trimming rows (trimming changes n; winsorizing keeps it). All
+# arithmetic is exact: values quantize to cents, cut points are rank
+# lookups under the (cents, event_id) total order, the clamped sum is
+# integer, and each mean is one final division. Scale: the exact rank
+# windows partition per type; at corpus scale the cut points come
+# from the histogram inverse-CDF (histogram_quantiles_checked) with
+# the same clamp expression.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "winsorized_stats_by_type",
+    oracle="""
+WITH v AS (
+    SELECT event_type, event_id,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+    FROM events WHERE value IS NOT NULL
+),
+st AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY 1),
+r AS (
+    SELECT event_type, c,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY c, event_id
+           ) AS rn
+    FROM v
+),
+cuts AS (
+    SELECT r.event_type,
+           MAX(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+               THEN c END) AS lo,
+           MAX(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+               THEN c END) AS hi
+    FROM r JOIN st USING (event_type)
+    GROUP BY 1
+),
+w AS (
+    SELECT v.event_type, v.c,
+           LEAST(GREATEST(v.c, cuts.lo), cuts.hi) AS wc
+    FROM v JOIN cuts USING (event_type)
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(c) AS BIGINT) * 1.0 / COUNT(*) / 100.0 AS mean_raw,
+       CAST(SUM(wc) AS BIGINT) * 1.0 / COUNT(*) / 100.0
+           AS mean_winsorized,
+       COUNT(*) FILTER (WHERE wc <> c) AS n_clamped
+FROM w
+GROUP BY 1
+""",
+)
+def winsorized_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clamped) vs raw mean value per event type."""
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    v = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
+    )
+    st = v.groupBy("event_type").agg(F.count("*").alias("n"))
+    wr = Window.partitionBy("event_type").orderBy("c", "event_id")
+    r = v.select("event_type", "c", F.row_number().over(wr).alias("rn"))
+    cuts = (
+        r.join(F.broadcast(st), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(0.05 * F.col("n")).cast("bigint"),
+                    F.col("c"),
+                )
+            ).alias("lo"),
+            F.max(
+                F.when(
+                    F.col("rn")
+                    == F.ceil(0.95 * F.col("n")).cast("bigint"),
+                    F.col("c"),
+                )
+            ).alias("hi"),
+        )
+    )
+    w = v.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "c",
+        F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi")).alias(
+            "wc"
+        ),
+    )
+    return w.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum("c").cast("bigint") * 1.0 / F.count("*") / 100.0).alias(
+            "mean_raw"
+        ),
+        (F.sum("wc").cast("bigint") * 1.0 / F.count("*") / 100.0).alias(
+            "mean_winsorized"
+        ),
+        F.count_if(F.col("wc") != F.col("c")).alias("n_clamped"),
+    )

@@ -1440,3 +1440,77 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d").cast("bigint").alias("edit_distance"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup threshold sensitivity: pair and doc counts at a ladder of
+# Jaccard cutoffs, from ONE blocked pair pass — the operating curve
+# behind choosing a dedup threshold (0.9 kills only twins; 0.5 starts
+# eating templated families). Reuses the capped shingle blocking, so
+# the pair space stays bounded at 100 TB; every per-threshold metric
+# is a conditional count over the same pair stream.
+# --------------------------------------------------------------------------
+
+_SENS_THRESHOLDS = (30, 50, 70, 90)  # percent
+
+
+@query(
+    "dedup_threshold_sensitivity",
+    oracle=f"""
+WITH {_JACCARD_BLOCK_SQL},
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.grams, b.grams)) * 1.0
+           / (len(a.grams) + len(b.grams)
+              - len(list_intersect(a.grams, b.grams))) AS j
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+),
+docs50 AS (
+    SELECT COUNT(DISTINCT id) AS docs_ge_50
+    FROM (
+        SELECT id_a AS id FROM pairs WHERE j >= 0.5
+        UNION ALL
+        SELECT id_b FROM pairs WHERE j >= 0.5
+    )
+)
+SELECT p.*, d.docs_ge_50
+FROM (
+    SELECT COUNT(*) AS n_candidate_pairs,
+{', '.join(
+    "           COUNT(*) FILTER (WHERE j >= %s) AS pairs_ge_%d"
+    % (t / 100.0, t)
+    for t in _SENS_THRESHOLDS)}
+    FROM pairs
+) p CROSS JOIN docs50 d
+""",
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair/doc counts at a Jaccard-threshold ladder, one pair pass."""
+    sh = _capped_shingle_blocks(spark, sf_dir)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        (inter * 1.0 / union).alias("j"),
+    )
+    docs50 = (
+        pairs.filter(F.col("j") >= 0.5)
+        .select(F.explode(F.array("id_a", "id_b")).alias("id"))
+        .agg(F.count_distinct("id").alias("docs_ge_50"))
+    )
+    aggs = [F.count("*").alias("n_candidate_pairs")]
+    for t in _SENS_THRESHOLDS:
+        aggs.append(
+            F.count_if(F.col("j") >= t / 100.0).alias(f"pairs_ge_{t}")
+        )
+    return pairs.agg(*aggs).crossJoin(F.broadcast(docs50))

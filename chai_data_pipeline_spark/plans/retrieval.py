@@ -23,8 +23,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..operators import text as T
+from ..operators.similarity import dot_sql_duckdb
 from ..operators.text import word_ngrams, word_ngrams_sql_duckdb
 from ..session import load_tables
 from .registry import query
@@ -222,4 +224,204 @@ def ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_g").alias("total_grams"),
         F.sum("n_novel").alias("novel_grams"),
         (F.sum(ppm).cast("double") / F.count("*")).alias("avg_novelty_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval fusion (RRF): the standard way a RAG/curation stack
+# combines a lexical ranker (BM25) with a dense ranker (embedding
+# cosine) — reciprocal-rank fusion needs only the two rank lists, no
+# score calibration. Each leg is cut to its top-R BEFORE fusing (rank
+# tables are R-bounded regardless of corpus size), contributions are
+# exact integers (1e9 // (K + rank)), and the fused order is total via
+# the id tiebreak. doc_id ↔ vec_id is the corpus linkage (both 0..N).
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_LEG_R = 100
+_RRF_OUT_K = 15
+
+
+@query(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws
+    FROM documents WHERE text IS NOT NULL
+),
+dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+stats AS (
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(ws) AS word FROM d)
+    WHERE word IN ({_TERMS_SQL})
+    GROUP BY 1, 2
+),
+dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+lex_scored AS (
+    SELECT t.doc_id,
+           CAST(SUM(CAST(FLOOR(
+               ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (t.tf * {_BM25_K1 + 1.0})
+               / (t.tf + {_BM25_K1} * ({1.0 - _BM25_B}
+                  + {_BM25_B} * l.dl / s.avgdl))
+               * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sc
+    FROM tf t
+    JOIN dfreq f USING (word)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+    GROUP BY 1
+),
+lex AS (
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id)
+               AS INTEGER) AS lex_rank
+    FROM lex_scored
+    QUALIFY lex_rank <= {_RRF_LEG_R}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+den_scored AS (
+    SELECT vec_id,
+           (FLOOR(({dot_sql_duckdb('embedding', 'qv', 64)}) /
+            (sqrt({dot_sql_duckdb('embedding', 'embedding', 64)})
+             * sqrt({dot_sql_duckdb('qv', 'qv', 64)}))
+            * 1000000 + 0.5) / 1000000.0) AS cos6
+    FROM embeddings CROSS JOIN q
+),
+den AS (
+    SELECT vec_id AS doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY cos6 DESC, vec_id)
+               AS INTEGER) AS dense_rank
+    FROM den_scored
+    QUALIFY dense_rank <= {_RRF_LEG_R}
+),
+fused AS (
+    SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+           lex.lex_rank, den.dense_rank,
+           COALESCE(1000000000 // ({_RRF_K} + lex.lex_rank), 0)
+           + COALESCE(1000000000 // ({_RRF_K} + den.dense_rank), 0)
+               AS rrf_micro
+    FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank,
+       CAST(rrf_micro AS DOUBLE) / 1000000000.0 AS rrf_score
+FROM fused
+ORDER BY rrf_micro DESC, doc_id
+LIMIT {_RRF_OUT_K}
+""",
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of BM25 and cosine rankings, top-15.
+
+    Scale: each leg's rank list is built with its own scalable plan
+    (BM25 = query-term posting lists; dense = brute force here, the
+    ANN plans at corpus scale) and cut to top-R with TakeOrdered-style
+    finishers; the fusion itself joins two R-row tables — driver-free
+    and constant-size no matter the corpus. Contributions are exact
+    integer micro-units so the fused order is engine-identical.
+    """
+    from ..operators.similarity import dot_sql_spark
+
+    t = load_tables(spark, sf_dir, "documents", "embeddings")
+    docs, emb = t["documents"], t["embeddings"]
+
+    d = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", T.words("text").alias("ws")
+    )
+    dl = d.select("doc_id", F.size("ws").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("word"))
+        .filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_sc = F.floor(
+        idf
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (
+                F.lit(1.0 - _BM25_B)
+                + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+            )
+        )
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    lex_scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_sc.alias("sc"))
+        .groupBy("doc_id")
+        .agg(F.sum("sc").cast("bigint").alias("sc"))
+    )
+    w_lex = Window.orderBy(F.desc("sc"), F.asc("doc_id"))
+    lex = (
+        lex_scored.select(
+            "doc_id", F.row_number().over(w_lex).cast("int").alias("lex_rank")
+        )
+        .filter(F.col("lex_rank") <= _RRF_LEG_R)
+    )
+
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cos6 = F.floor(
+        F.expr(
+            f"({dot_sql_spark('embedding', 'qv')}) / "
+            f"(sqrt({dot_sql_spark('embedding', 'embedding')})"
+            f" * sqrt({dot_sql_spark('qv', 'qv')}))"
+        )
+        * 1000000
+        + 0.5
+    ) / F.lit(1000000.0)
+    den_scored = emb.crossJoin(F.broadcast(qv)).select(
+        "vec_id", cos6.alias("cos6")
+    )
+    w_den = Window.orderBy(F.desc("cos6"), F.asc("vec_id"))
+    den = (
+        den_scored.select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(w_den).cast("int").alias("dense_rank"),
+        )
+        .filter(F.col("dense_rank") <= _RRF_LEG_R)
+    )
+
+    fused = lex.join(den, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(
+                F.expr(f"1000000000 DIV ({_RRF_K} + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000000 DIV ({_RRF_K} + dense_rank)"), F.lit(0)
+            )
+        ).alias("rrf_micro"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+        .limit(_RRF_OUT_K)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "dense_rank",
+            (F.col("rrf_micro").cast("double") / 1000000000.0).alias(
+                "rrf_score"
+            ),
+        )
     )

@@ -4292,3 +4292,74 @@ def cross_session_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("row_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-horizon funnel conversion: how many first-viewers purchase
+# within 1 hour / 24 hours / 7 days of their first view — the
+# time-to-convert operating curve behind attribution-window choices
+# (funnel_conversion answers IF, this answers HOW FAST). Same one-pass
+# conditional-min shape; horizon tests diff at MICROSECOND grain
+# (DuckDB's date_diff at coarser grains counts boundary crossings).
+# --------------------------------------------------------------------------
+
+_FUNNEL_HORIZONS = (("1h", 3600), ("24h", 86400), ("7d", 604800))
+
+
+@query(
+    "funnel_time_horizons",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events
+    GROUP BY user_id
+),
+d AS (
+    SELECT (t_view IS NOT NULL) AS viewed,
+           CASE WHEN t_view IS NOT NULL AND t_purchase > t_view
+                THEN date_diff('microsecond', t_view, t_purchase)
+           END AS gap_us
+    FROM per_user
+)
+SELECT COUNT(*) FILTER (WHERE viewed) AS n_viewers,
+       COUNT(gap_us) AS n_converted,
+{', '.join(
+    "       COUNT(*) FILTER (WHERE gap_us <= CAST(%d AS BIGINT) * 1000000)"
+    " AS converted_%s" % (secs, label)
+    for label, secs in _FUNNEL_HORIZONS)}
+FROM d
+""",
+)
+def funnel_time_horizons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-view → purchase conversion within 1h / 24h / 7d windows."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    gap_us = F.when(
+        F.col("t_view").isNotNull()
+        & (F.col("t_purchase") > F.col("t_view")),
+        F.expr("timestampdiff(MICROSECOND, t_view, t_purchase)"),
+    )
+    d = per_user.select(
+        F.col("t_view").isNotNull().alias("viewed"),
+        gap_us.alias("gap_us"),
+    )
+    aggs = [
+        F.count_if(F.col("viewed")).alias("n_viewers"),
+        F.count("gap_us").alias("n_converted"),
+    ]
+    for label, secs in _FUNNEL_HORIZONS:
+        aggs.append(
+            F.count_if(
+                F.col("gap_us") <= F.lit(secs).cast("bigint") * 1000000
+            ).alias(f"converted_{label}")
+        )
+    return d.agg(*aggs)
