@@ -368,12 +368,16 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("sc").cast("bigint").alias("sc"))
     )
+    # TakeOrdered to R rows FIRST (every partition keeps a local top-R,
+    # the driver merges R×P), THEN a row_number over the R-row result —
+    # never a global single-partition window over the scored corpus
     w_lex = Window.orderBy(F.desc("sc"), F.asc("doc_id"))
     lex = (
-        lex_scored.select(
+        lex_scored.orderBy(F.desc("sc"), F.asc("doc_id"))
+        .limit(_RRF_LEG_R)
+        .select(
             "doc_id", F.row_number().over(w_lex).cast("int").alias("lex_rank")
         )
-        .filter(F.col("lex_rank") <= _RRF_LEG_R)
     )
 
     qv = emb.filter(F.col("vec_id") == 0).select(
@@ -393,11 +397,13 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_den = Window.orderBy(F.desc("cos6"), F.asc("vec_id"))
     den = (
-        den_scored.select(
-            F.col("vec_id").alias("doc_id"),
+        den_scored.orderBy(F.desc("cos6"), F.asc("vec_id"))
+        .limit(_RRF_LEG_R)
+        .select(
+            "vec_id",
             F.row_number().over(w_den).cast("int").alias("dense_rank"),
         )
-        .filter(F.col("dense_rank") <= _RRF_LEG_R)
+        .select(F.col("vec_id").alias("doc_id"), "dense_rank")
     )
 
     fused = lex.join(den, "doc_id", "full_outer").select(
