@@ -1514,3 +1514,98 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("j") >= t / 100.0).alias(f"pairs_ge_{t}")
         )
     return pairs.agg(*aggs).crossJoin(F.broadcast(docs50))
+
+
+# --------------------------------------------------------------------------
+# Train/eval near-duplicate leakage audit: exact-match decontamination
+# (decontaminate_exact/_bloom) misses PARAPHRASE-level leakage — an
+# eval doc whose near-twin sits in train still inflates benchmarks.
+# Composes the deterministic hash split (same sha256 bucket as
+# train_test_split) with the capped-block Jaccard pair pass: count
+# cross-split near-dup pairs and the distinct eval docs leaked, at the
+# 0.7 working threshold and the 0.9 near-twin bar. One pair pass,
+# split labels are map-side hash arithmetic.
+# --------------------------------------------------------------------------
+
+from .training import sql_hash_bucket as _shb  # noqa: E402
+
+
+@query(
+    "split_leakage_near_dup",
+    oracle=f"""
+WITH {_JACCARD_BLOCK_SQL},
+lab AS (
+    SELECT sh.*,
+           ({_shb('doc_id')} < 80) AS is_train
+    FROM sh WHERE doc_id IS NOT NULL
+),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.is_train AS train_a, b.is_train AS train_b,
+           len(list_intersect(a.grams, b.grams)) * 1.0
+           / (len(a.grams) + len(b.grams)
+              - len(list_intersect(a.grams, b.grams))) AS j
+    FROM lab a JOIN lab b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+    WHERE a.is_train <> b.is_train
+),
+leaked AS (
+    SELECT COUNT(DISTINCT CASE WHEN j >= 0.7 THEN eval_id END)
+               AS eval_docs_leaked_70
+    FROM (
+        SELECT j, CASE WHEN train_a THEN id_b ELSE id_a END AS eval_id
+        FROM pairs
+    )
+)
+SELECT p.*, l.eval_docs_leaked_70
+FROM (
+    SELECT COUNT(*) AS n_cross_pairs,
+           COUNT(*) FILTER (WHERE j >= 0.7) AS leaky_pairs_70,
+           COUNT(*) FILTER (WHERE j >= 0.9) AS leaky_pairs_90
+    FROM pairs
+) p CROSS JOIN leaked l
+""",
+)
+def split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup leakage across the deterministic 80/20 train/eval split."""
+    from .training import hash_bucket
+
+    sh = _capped_shingle_blocks(spark, sf_dir).filter(
+        F.col("doc_id").isNotNull()
+    )
+    lab = sh.withColumn("is_train", hash_bucket("doc_id") < 80)
+    a = lab.alias("a")
+    b = lab.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(F.col("a.is_train") != F.col("b.is_train"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.is_train").alias("train_a"),
+            (inter * 1.0 / union).alias("j"),
+        )
+    )
+    leaked = (
+        pairs.filter(F.col("j") >= 0.7)
+        .select(
+            F.when(F.col("train_a"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("eval_id")
+        )
+        .agg(F.count_distinct("eval_id").alias("eval_docs_leaked_70"))
+    )
+    stats = pairs.agg(
+        F.count("*").alias("n_cross_pairs"),
+        F.count_if(F.col("j") >= 0.7).alias("leaky_pairs_70"),
+        F.count_if(F.col("j") >= 0.9).alias("leaky_pairs_90"),
+    )
+    return stats.crossJoin(F.broadcast(leaked))
