@@ -1032,3 +1032,153 @@ def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rq").cast("bigint") * 1.0 / F.sum("nq").cast("bigint"), 6
         ).alias("rel_error"),
     )
+
+
+# --------------------------------------------------------------------------
+# MMR diversified top-k (maximal marginal relevance): greedy re-rank of
+# the cosine top-R so the answer set isn't R copies of the same
+# near-duplicate cluster — the standard diversity pass between
+# retrieval and a RAG context window. Greedy argmax of
+# λ·rel − (1−λ)·max_sim_to_selected with λ=0.7; all scores are exact
+# ×1e6 integers scaled ×10 (7·rel − 3·maxsim), so every argmax has a
+# total (score, id) order on both engines. Scale: candidate gen is the
+# top-R retrieval plan; the greedy loop touches only the R×R candidate
+# sim matrix (model-sized — collected like the markov edge list), so
+# corpus size never enters the iteration.
+# --------------------------------------------------------------------------
+
+_MMR_R = 20
+_MMR_K = 5
+
+
+def _mmr_sql() -> str:
+    cos = sql_dround(cosine_sql_duckdb("e.embedding", "q.qv", DIM), 6)
+    pcos = sql_dround(cosine_sql_duckdb("a.embedding", "b.embedding", DIM), 6)
+    parts = [f"""q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cand0 AS (
+    SELECT e.vec_id, CAST(FLOOR({cos} * 1000000 + 0.5) AS BIGINT) AS rel
+    FROM embeddings e CROSS JOIN q
+    ORDER BY rel DESC, e.vec_id LIMIT {_MMR_R}
+),
+sims AS (
+    SELECT a.vec_id AS ia, b.vec_id AS ib,
+           CAST(FLOOR({pcos} * 1000000 + 0.5) AS BIGINT) AS sim
+    FROM embeddings a
+    JOIN cand0 ca ON ca.vec_id = a.vec_id
+    JOIN embeddings b ON TRUE
+    JOIN cand0 cb ON cb.vec_id = b.vec_id
+    WHERE a.vec_id <> b.vec_id
+),
+sel1 AS (
+    SELECT vec_id, 1 AS mmr_rank, rel, 7 * rel AS score
+    FROM cand0 ORDER BY rel DESC, vec_id LIMIT 1
+)"""]
+    prev_sel = "sel1"
+    union = ["SELECT * FROM sel1"]
+    for k in range(2, _MMR_K + 1):
+        all_sel = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, k)
+        )
+        parts.append(f"""sel{k} AS (
+    SELECT c.vec_id, {k} AS mmr_rank, c.rel,
+           7 * c.rel - 3 * MAX(s.sim) AS score
+    FROM cand0 c
+    JOIN sims s ON s.ia = c.vec_id
+     AND s.ib IN ({all_sel})
+    WHERE c.vec_id NOT IN ({all_sel})
+    GROUP BY c.vec_id, c.rel
+    ORDER BY score DESC, c.vec_id LIMIT 1
+)""")
+        union.append(f"SELECT * FROM sel{k}")
+        prev_sel = f"sel{k}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT CAST(mmr_rank AS INTEGER) AS mmr_rank, vec_id,\n"
+        + "       CAST(rel AS DOUBLE) / 1000000.0 AS relevance,\n"
+        + "       CAST(score AS DOUBLE) / 10000000.0 AS mmr_score\n"
+        + "FROM (" + " UNION ALL ".join(union) + ")"
+    )
+
+
+@query("mmr_diversified_topk", oracle=_mmr_sql())
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy MMR re-rank (λ=0.7) of the cosine top-20 down to 5.
+
+    The candidate relevance list and the R×R candidate sim matrix are
+    computed distributed (broadcast joins against the R-row candidate
+    set); only that model-sized matrix (≤ R² = 400 rows) is collected
+    for the greedy loop — the documented markov-edge-list pattern. All
+    arithmetic is exact integers, matching the oracle's unrolled CTEs.
+    """
+    from ..operators.similarity import dot_sql_spark
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    cos_q = F.expr(
+        f"({dot_sql_spark('embedding', 'qv')}) / "
+        f"(sqrt({dot_sql_spark('embedding', 'embedding')})"
+        f" * sqrt({dot_sql_spark('qv', 'qv')}))"
+    )
+    rel6 = F.floor(cos_q * 1000000 + 0.5) / F.lit(1000000.0)
+    cand = (
+        emb.crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "embedding",
+            F.floor(rel6 * 1000000 + 0.5).cast("bigint").alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_R)
+    )
+    a = cand.select(
+        F.col("vec_id").alias("ia"), F.col("embedding").alias("ea")
+    )
+    b = cand.select(
+        F.col("vec_id").alias("ib"), F.col("embedding").alias("eb")
+    )
+    cos_p = F.expr(
+        f"({dot_sql_spark('ea', 'eb')}) / "
+        f"(sqrt({dot_sql_spark('ea', 'ea')})"
+        f" * sqrt({dot_sql_spark('eb', 'eb')}))"
+    )
+    p6 = F.floor(cos_p * 1000000 + 0.5) / F.lit(1000000.0)
+    sims_df = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.floor(p6 * 1000000 + 0.5).cast("bigint").alias("sim"),
+        )
+    )
+    # model-sized collects: ≤ R rows + R(R−1) sims
+    cands = [(r.vec_id, int(r.rel)) for r in cand.select("vec_id", "rel").collect()]
+    sims = {(r.ia, r.ib): int(r.sim) for r in sims_df.collect()}
+
+    selected: list[tuple[int, int, int, int]] = []  # (id, rank, rel, score)
+    chosen: list[int] = []
+    for rank in range(1, _MMR_K + 1):
+        best = None
+        for vid, rel in cands:
+            if vid in chosen:
+                continue
+            if not chosen:
+                score = 7 * rel
+            else:
+                score = 7 * rel - 3 * max(sims[(vid, s)] for s in chosen)
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rel, score)
+        _, vid, rel, score = best
+        chosen.append(vid)
+        selected.append((rank, vid, rel, score))
+    return spark.createDataFrame(
+        [
+            (rank, vid, rel / 1000000.0, score / 10000000.0)
+            for rank, vid, rel, score in selected
+        ],
+        "mmr_rank int, vec_id long, relevance double, mmr_score double",
+    )
