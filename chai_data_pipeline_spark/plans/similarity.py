@@ -1182,3 +1182,144 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "mmr_rank int, vec_id long, relevance double, mmr_score double",
     )
+
+
+# --------------------------------------------------------------------------
+# Matryoshka truncation audit: how much retrieval quality survives when
+# the 64-dim embedding is truncated to its 16-dim prefix (the MRL
+# deployment question — truncated vectors are 4× cheaper to store and
+# search). Metrics: overlap@K between the full-dim and truncated
+# top-K, and the exact mean |rank shift| of the full-dim top-K under
+# the truncated ranking. Rankings use ×1e6-rounded cosines with id
+# tiebreaks (total order on both engines); the comparison tables are
+# K-row joins. Scale: two top-K retrieval plans + a K-row join — the
+# audit is constant-size however big the corpus is.
+# --------------------------------------------------------------------------
+
+_MRL_DIM = 16
+_MRL_K = 20
+
+
+def _mrl_cos_duck(a: str, b: str, dim: int) -> str:
+    return sql_dround(cosine_sql_duckdb(a, b, dim), 6)
+
+
+@query(
+    "matryoshka_truncation_audit",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+full_r AS (
+    SELECT vec_id, CAST(ROW_NUMBER() OVER (
+               ORDER BY {_mrl_cos_duck('embedding', 'qv', DIM)} DESC, vec_id
+           ) AS BIGINT) AS r_full
+    FROM embeddings CROSS JOIN q
+),
+trunc_r AS (
+    SELECT e.vec_id, CAST(ROW_NUMBER() OVER (
+               ORDER BY {_mrl_cos_duck(f'e.embedding[1:{_MRL_DIM}]',
+                                       f'q.qv[1:{_MRL_DIM}]', _MRL_DIM)}
+                   DESC, e.vec_id
+           ) AS BIGINT) AS r_trunc
+    FROM embeddings e CROSS JOIN q
+),
+j AS (
+    SELECT f.vec_id, f.r_full, t.r_trunc
+    FROM full_r f JOIN trunc_r t USING (vec_id)
+    WHERE f.r_full <= {_MRL_K}
+)
+SELECT CAST({_MRL_K} AS INTEGER) AS k,
+       CAST(COUNT(*) FILTER (WHERE r_trunc <= {_MRL_K}) AS BIGINT)
+           AS overlap_at_k,
+       (FLOOR(COUNT(*) FILTER (WHERE r_trunc <= {_MRL_K}) * 1.0
+              / {_MRL_K} * 10000 + 0.5) / 10000.0) AS recall_at_k,
+       (FLOOR(CAST(SUM(ABS(r_trunc - r_full)) AS BIGINT) * 1.0
+              / {_MRL_K} * 100 + 0.5) / 100.0) AS mean_rank_shift
+FROM j
+""",
+)
+def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K agreement between full-dim and 16-dim-prefix retrieval."""
+    from ..operators.similarity import dot_sql_spark
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    base = emb.crossJoin(F.broadcast(qv)).withColumn(
+        "emb_t", F.slice("embedding", 1, _MRL_DIM)
+    ).withColumn("qv_t", F.slice("qv", 1, _MRL_DIM))
+
+    def cos6(a: str, b: str):
+        c = F.expr(
+            f"({dot_sql_spark(a, b)}) / "
+            f"(sqrt({dot_sql_spark(a, a)}) * sqrt({dot_sql_spark(b, b)}))"
+        )
+        return F.floor(c * 1000000 + 0.5) / F.lit(1000000.0)
+
+    scored = base.select(
+        "vec_id",
+        cos6("embedding", "qv").alias("c_full"),
+        cos6("emb_t", "qv_t").alias("c_trunc"),
+    )
+    # full-dim top-K via TakeOrdered (never a global window over the
+    # scored corpus), then row_number over the K-row result
+    w_full = Window.orderBy(F.desc("c_full"), F.asc("vec_id"))
+    topk = (
+        scored.orderBy(F.desc("c_full"), F.asc("vec_id"))
+        .limit(_MRL_K)
+        .select(
+            F.col("vec_id").alias("k_id"),
+            F.col("c_trunc").alias("k_ct"),
+            F.row_number().over(w_full).cast("bigint").alias("r_full"),
+        )
+    )
+    # exact truncated-order rank of each top-K vector WITHOUT a global
+    # sort: broadcast the K rows against the scored corpus and count
+    # the strictly-ahead vectors under the (c_trunc, vec_id) total
+    # order — map-side K comparisons per corpus row, one aggregation
+    ahead = (
+        scored.crossJoin(F.broadcast(topk))
+        .filter(
+            (F.col("c_trunc") > F.col("k_ct"))
+            | (
+                (F.col("c_trunc") == F.col("k_ct"))
+                & (F.col("vec_id") < F.col("k_id"))
+            )
+        )
+        .groupBy("k_id", "r_full")
+        .agg(F.count("*").alias("n_ahead"))
+    )
+    ranked = topk.join(
+        ahead, ["k_id", "r_full"], "left"
+    ).select(
+        "r_full",
+        (F.coalesce(F.col("n_ahead"), F.lit(0)) + 1)
+        .cast("bigint")
+        .alias("r_trunc"),
+    )
+    return ranked.agg(
+        F.lit(_MRL_K).cast("int").alias("k"),
+        F.count_if(F.col("r_trunc") <= _MRL_K)
+        .cast("bigint")
+        .alias("overlap_at_k"),
+        (
+            F.floor(
+                F.count_if(F.col("r_trunc") <= _MRL_K) * 1.0
+                / _MRL_K
+                * 10000
+                + 0.5
+            )
+            / F.lit(10000.0)
+        ).alias("recall_at_k"),
+        (
+            F.floor(
+                F.sum(F.abs(F.col("r_trunc") - F.col("r_full")))
+                .cast("bigint")
+                * 1.0
+                / _MRL_K
+                * 100
+                + 0.5
+            )
+            / F.lit(100.0)
+        ).alias("mean_rank_shift"),
+    )
