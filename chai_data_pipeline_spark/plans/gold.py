@@ -483,3 +483,87 @@ def pipeline_weekly_aggregates(
         "avg_quality_score",
         trend.alias("trend_direction"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental maintenance of a JOIN view: the enriched matview
+# events ⋈ customer ⋈ nation rolled up to (nation, event_type). With a
+# static dimension side the delta rule is Δ(F ⋈ D) = ΔF ⋈ D, so
+# maintenance = merge(base_agg, agg(Δevents ⋈ dims)) — the fact delta
+# is the ONLY re-scanned input, which is the entire point of
+# incremental view maintenance at 100 TB (the dims stay broadcast).
+# Merge discipline identical to incremental_daily_refresh: null-safe
+# keys, NULL-ts routed to base, SUM-merge via coalesce(b+d, b, d).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "incremental_join_refresh",
+    oracle=f"""
+SELECT n.n_name AS nation, e.event_type,
+       COUNT(*) AS n_events,
+       {sql_dround(sql_dsum('e.value'))} AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1, 2
+""",
+)
+def incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-maintained enriched join view vs its full recompute."""
+    t = load_tables(spark, sf_dir, "events", "customer", "nation")
+    dims = F.broadcast(
+        t["customer"]
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return (
+            df.join(dims, "user_id")
+            .groupBy(F.col("n_name").alias("nation"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(27,4)")).alias("qsum"),
+            )
+        )
+
+    events = t["events"]
+    base = partial(
+        events.filter(
+            (F.col("ts") < F.lit(_REFRESH_CUTOFF)) | F.col("ts").isNull()
+        )
+    )
+    delta = partial(events.filter(F.col("ts") >= F.lit(_REFRESH_CUTOFF)))
+    b = base.alias("b")
+    dl = delta.alias("dl")
+    merged = b.join(
+        dl,
+        F.col("b.nation").eqNullSafe(F.col("dl.nation"))
+        & F.col("b.event_type").eqNullSafe(F.col("dl.event_type")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("b.nation"), F.col("dl.nation")).alias("nation"),
+        F.coalesce(F.col("b.event_type"), F.col("dl.event_type")).alias(
+            "event_type"
+        ),
+        (
+            F.coalesce(F.col("b.n"), F.lit(0))
+            + F.coalesce(F.col("dl.n"), F.lit(0))
+        ).alias("n_events"),
+        F.coalesce(
+            F.col("b.qsum") + F.col("dl.qsum"),
+            F.col("b.qsum"),
+            F.col("dl.qsum"),
+        ).alias("qsum"),
+    )
+    return merged.select(
+        "nation",
+        "event_type",
+        "n_events",
+        dround(F.col("qsum").cast("double")).alias("total_value"),
+    )
