@@ -2446,3 +2446,260 @@ def winsorized_stats_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count_if(F.col("wc") != F.col("c")).alias("n_clamped"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sample-ratio-mismatch (SRM) guardrail: the first thing an
+# experimentation platform checks before reading ANY metric — does the
+# hash assignment actually deliver the designed 50/50 split? A
+# significant one-degree chi-square here means the assignment or
+# logging is broken and every downstream readout is garbage. Uses the
+# same sha256 arm assignment as cuped/DiD so it audits exactly the
+# split those analyses consume. The chi2 term is computed per arm with
+# the exact-decimal rounded-term sum (chi_square_type_dow discipline).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ab_srm_check",
+    oracle=f"""
+WITH arms AS (
+    SELECT CASE WHEN {_sql_hb('user_id')} < 50 THEN 'A' ELSE 'B' END AS arm,
+           COUNT(*) AS n_users
+    FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+    GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS total FROM arms),
+terms AS (
+    SELECT arm, n_users,
+           {sql_dround(
+        '(n_users - CAST(total AS DOUBLE) / 2.0)'
+        ' * (n_users - CAST(total AS DOUBLE) / 2.0)'
+        ' / (CAST(total AS DOUBLE) / 2.0)', 8)} AS term
+    FROM arms CROSS JOIN t
+)
+SELECT CAST(SUM(CASE WHEN arm = 'A' THEN n_users END) AS BIGINT) AS n_a,
+       CAST(SUM(CASE WHEN arm = 'B' THEN n_users END) AS BIGINT) AS n_b,
+       CAST(SUM(CAST(term AS DECIMAL(27,8))) AS DOUBLE) AS chi2,
+       CAST(SUM(CAST(term AS DECIMAL(27,8))) AS DOUBLE) > 3.841459
+           AS srm_flag
+FROM terms
+""",
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square SRM test of the 50/50 hash split (alpha = 0.05)."""
+    from .training import hash_bucket
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    arms = (
+        events.filter(F.col("user_id").isNotNull())
+        .select("user_id")
+        .distinct()
+        .select(
+            F.when(hash_bucket("user_id") < 50, "A")
+            .otherwise("B")
+            .alias("arm")
+        )
+        .groupBy("arm")
+        .agg(F.count("*").alias("n_users"))
+    )
+    t = arms.agg(F.sum("n_users").cast("bigint").alias("total"))
+    exp = F.col("total").cast("double") / 2.0
+    term = dround(
+        (F.col("n_users") - exp) * (F.col("n_users") - exp) / exp, 8
+    )
+    terms = arms.crossJoin(F.broadcast(t)).select(
+        "arm", "n_users", term.alias("term")
+    )
+    chi2 = F.sum(F.col("term").cast("decimal(27,8)")).cast("double")
+    return terms.agg(
+        F.sum(F.when(F.col("arm") == "A", F.col("n_users")))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == "B", F.col("n_users")))
+        .cast("bigint")
+        .alias("n_b"),
+        chi2.alias("chi2"),
+        (chi2 > 3.841459).alias("srm_flag"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bootstrap CI for the MEDIAN user value — the companion to
+# poisson_bootstrap_means for a statistic with no closed-form variance.
+# Each replica's weighted median is exact: expand nothing — cumulative
+# Poisson weights over the (cents, user_id) total order pick the
+# lower-median row; the CI reads order statistics off the 16 replica
+# medians. Every step is integer arithmetic on both engines. Scale:
+# the replica axis is a map-side ×B fan-out and each per-replica
+# cumsum partitions by replica over the user-grain table.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bootstrap_median_ci",
+    oracle=f"""
+WITH per_user0 AS (
+    SELECT user_id,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+-- an all-NULL-value user has no y to contribute to an order statistic
+-- (and the engines would sort its NULL on opposite ends)
+per_user AS (SELECT * FROM per_user0 WHERE y IS NOT NULL),
+rep AS (
+    SELECT u.user_id, u.y, b.b,
+           (CAST(concat('0x', substring(sha256('bs' || CAST(b.b AS VARCHAR)
+                || ':' || CAST(u.user_id AS VARCHAR)), 1, 13)) AS BIGINT)
+            / 4503599627370496.0) AS urand
+    FROM per_user u
+    CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) b
+),
+w AS (
+    SELECT b, user_id, y, {_boot_w_sql('urand')} AS wt FROM rep
+),
+cum AS (
+    SELECT b, y,
+           CAST(SUM(wt) OVER (PARTITION BY b ORDER BY y, user_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+           CAST(SUM(wt) OVER (PARTITION BY b) AS BIGINT) AS n_eff
+    FROM w WHERE wt > 0
+),
+med AS (
+    SELECT b, MIN(y) AS med_y
+    FROM cum WHERE cw >= (n_eff + 1) // 2
+    GROUP BY b
+),
+ranked AS (
+    SELECT med_y, ROW_NUMBER() OVER (ORDER BY med_y, b) AS rk FROM med
+),
+pt AS (
+    SELECT MIN(y) AS point_y
+    FROM (
+        SELECT y,
+               CAST(ROW_NUMBER() OVER (ORDER BY y, user_id) AS BIGINT)
+                   AS rn,
+               COUNT(*) OVER () AS n
+        FROM per_user
+    ) WHERE rn >= (n + 1) // 2
+)
+SELECT CAST({_BOOT_B} AS INTEGER) AS n_replicas,
+       CAST(pt.point_y AS DOUBLE) / 100.0 AS point_median,
+       CAST(MAX(CASE WHEN rk = 2 THEN med_y END) AS DOUBLE) / 100.0
+           AS boot_lo,
+       CAST(MAX(CASE WHEN rk = {_BOOT_B - 1} THEN med_y END) AS DOUBLE)
+           / 100.0 AS boot_hi
+FROM ranked CROSS JOIN pt
+GROUP BY pt.point_y
+""",
+)
+def bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI for the median user value."""
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+        # all-NULL-value users have no y for an order statistic (the
+        # engines would also sort the NULL on opposite ends)
+        .filter(F.col("y").isNotNull())
+    )
+    rep = per_user.select(
+        "user_id",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.lit("bs"),
+                        F.col("b").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(4503599627370496.0)
+    )
+    wt = F.when(u < _BOOT_T[0], 0)
+    for k, thr in enumerate(_BOOT_T[1:], start=1):
+        wt = wt.when(u < thr, k)
+    wt = wt.otherwise(5)
+    w = rep.select("b", "user_id", "y", wt.alias("wt")).filter(
+        F.col("wt") > 0
+    )
+    wc = (
+        Window.partitionBy("b")
+        .orderBy("y", "user_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt_tot = Window.partitionBy("b")
+    cum = w.select(
+        "b",
+        "y",
+        F.sum("wt").over(wc).cast("bigint").alias("cw"),
+        F.sum("wt").over(wt_tot).cast("bigint").alias("n_eff"),
+    )
+    med = (
+        cum.filter(F.col("cw") >= F.expr("(n_eff + 1) DIV 2"))
+        .groupBy("b")
+        .agg(F.min("y").alias("med_y"))
+    )
+    # replica axis is B rows — the ranking window is trivially bounded
+    wr = Window.orderBy("med_y", "b")
+    ranked = med.select(
+        "med_y", F.row_number().over(wr).cast("bigint").alias("rk")
+    )
+    wpt = Window.orderBy("y", "user_id")
+    n_tot = Window.partitionBy()
+    pt = (
+        per_user.select(
+            "y",
+            F.row_number().over(wpt).cast("bigint").alias("rn"),
+            F.count("*").over(n_tot).alias("n"),
+        )
+        .filter(F.col("rn") >= F.expr("(n + 1) DIV 2"))
+        .agg(F.min("y").alias("point_y"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(pt))
+        .groupBy("point_y")
+        .agg(
+            F.lit(_BOOT_B).cast("int").alias("n_replicas"),
+            (
+                F.max(F.when(F.col("rk") == 2, F.col("med_y"))).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("boot_lo"),
+            (
+                F.max(
+                    F.when(F.col("rk") == _BOOT_B - 1, F.col("med_y"))
+                ).cast("double")
+                / 100.0
+            ).alias("boot_hi"),
+        )
+        .select(
+            "n_replicas",
+            (F.col("point_y").cast("double") / 100.0).alias(
+                "point_median"
+            ),
+            "boot_lo",
+            "boot_hi",
+        )
+    )
