@@ -1609,3 +1609,90 @@ def split_leakage_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("j") >= 0.9).alias("leaky_pairs_90"),
     )
     return stats.crossJoin(F.broadcast(leaked))
+
+
+# --------------------------------------------------------------------------
+# Blocking recall audit: what fraction of TRUE near-dup pairs does the
+# production (lang, len_bucket) blocking actually surface? Ground
+# truth is exact all-pairs Jaccard on a capped id-prefix sample (the
+# only place all-pairs is ever allowed); candidates are the same
+# blocking the dedup family uses, restricted to the sample. The gap
+# IS the blocking's miss rate — cross-language twins and documents
+# whose lengths straddle a bucket boundary. This is the audit that
+# justifies (or indicts) a blocking scheme before trusting corpus-
+# scale dedup numbers.
+# --------------------------------------------------------------------------
+
+_BRA_SAMPLE = 100
+_BRA_T = 0.5
+
+
+@query(
+    "blocking_recall_audit",
+    oracle=f"""
+WITH s AS (
+    SELECT doc_id, lang, n_chars // 64 AS len_bucket,
+           list_distinct(list_transform(
+               range(1, GREATEST(LENGTH(text) - 2, 0) + 1),
+               i -> text[i : i + 2]
+           )) AS grams
+    FROM documents
+    WHERE doc_id < {_BRA_SAMPLE} AND text IS NOT NULL
+),
+truth AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           (a.lang IS NOT DISTINCT FROM b.lang
+            AND a.len_bucket IS NOT DISTINCT FROM b.len_bucket)
+               AS same_block
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams)) * 1.0
+          / (len(a.grams) + len(b.grams)
+             - len(list_intersect(a.grams, b.grams))) >= {_BRA_T}
+)
+SELECT COUNT(*) AS n_true_pairs,
+       COUNT(*) FILTER (WHERE same_block) AS n_blocked_pairs,
+       COUNT(*) FILTER (WHERE NOT same_block) AS n_missed_pairs,
+       CASE WHEN COUNT(*) > 0 THEN
+           (FLOOR(COUNT(*) FILTER (WHERE same_block) * 1.0 / COUNT(*)
+            * 1000000 + 0.5) / 1000000.0)
+       END AS blocking_recall
+FROM truth
+""",
+)
+def blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the (lang, len_bucket) blocking vs capped exact truth."""
+    from ..operators.dedup import shingles
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    s = docs.filter(
+        (F.col("doc_id") < _BRA_SAMPLE) & F.col("text").isNotNull()
+    ).select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
+        shingles("text", 3).alias("grams"),
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    truth = (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter * 1.0 / union >= _BRA_T)
+        .select(
+            (
+                F.col("a.lang").eqNullSafe(F.col("b.lang"))
+                & F.col("a.len_bucket").eqNullSafe(F.col("b.len_bucket"))
+            ).alias("same_block")
+        )
+    )
+    n = F.count("*")
+    n_blk = F.count_if(F.col("same_block"))
+    return truth.agg(
+        n.alias("n_true_pairs"),
+        n_blk.alias("n_blocked_pairs"),
+        F.count_if(~F.col("same_block")).alias("n_missed_pairs"),
+        F.when(
+            n > 0, F.floor(n_blk * 1.0 / n * 1000000 + 0.5) / 1000000.0
+        ).alias("blocking_recall"),
+    )
