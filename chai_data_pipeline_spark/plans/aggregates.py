@@ -2703,3 +2703,157 @@ def bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boot_hi",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction interval with exact coverage audit: the
+# distribution-free way to put a calibrated interval around ANY point
+# predictor. Calibration half (hash split by event_id) computes the
+# per-type 90% quantile of nonconformity |y − ŷ|; the test half
+# measures realized coverage, which conformal theory guarantees ≈ 90%
+# regardless of the predictor. Everything is integer-exact: the
+# per-type-mean predictor stays a RATIONAL (sum, n) pair, residuals
+# are scaled by n_cal so no division happens before the final
+# reported columns, and the quantile is a rank order statistic.
+# --------------------------------------------------------------------------
+
+_CONF_ALPHA_PCT = 90
+
+
+@query(
+    "conformal_interval_coverage",
+    oracle=f"""
+WITH v AS (
+    SELECT event_type, event_id,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+           ({_sql_hb('event_id')} < 50) AS is_cal
+    FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+pred AS (
+    SELECT event_type,
+           CAST(SUM(CASE WHEN is_cal THEN c END) AS BIGINT) AS s_cal,
+           COUNT(*) FILTER (WHERE is_cal) AS n_cal,
+           COUNT(*) FILTER (WHERE NOT is_cal) AS n_test
+    FROM v GROUP BY 1
+),
+resid AS (
+    SELECT v.event_type, v.event_id, v.is_cal,
+           ABS(v.c * p.n_cal - p.s_cal) AS r_scaled,
+           p.n_cal, p.n_test, p.s_cal
+    FROM v JOIN pred p USING (event_type)
+    WHERE p.n_cal > 0
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY r_scaled, event_id
+           ) AS rk
+    FROM resid WHERE is_cal
+),
+q AS (
+    SELECT event_type,
+           MAX(CASE WHEN rk = LEAST(
+                   CAST(CEIL({_CONF_ALPHA_PCT / 100.0} * (n_cal + 1))
+                       AS BIGINT), n_cal)
+               THEN r_scaled END) AS q_scaled
+    FROM ranked GROUP BY 1
+)
+SELECT r.event_type,
+       CAST(MAX(r.n_cal) AS BIGINT) AS n_cal,
+       CAST(MAX(r.n_test) AS BIGINT) AS n_test,
+       (FLOOR(CAST(MAX(q.q_scaled) AS DOUBLE) / MAX(r.n_cal) / 100.0
+        * 10000 + 0.5) / 10000.0) AS interval_halfwidth,
+       CASE WHEN MAX(r.n_test) > 0 THEN
+           (FLOOR(COUNT(*) FILTER (WHERE NOT r.is_cal
+                       AND r.r_scaled <= q.q_scaled) * 1.0
+            / MAX(r.n_test) * 10000 + 0.5) / 10000.0)
+       END AS test_coverage
+FROM resid r JOIN q USING (event_type)
+GROUP BY 1
+""",
+)
+def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90% split-conformal interval around the per-type mean, with
+    realized test-half coverage."""
+    from pyspark.sql.window import Window
+
+    from .training import hash_bucket
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    v = events.filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    ).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("c"),
+        (hash_bucket("event_id") < 50).alias("is_cal"),
+    )
+    pred = v.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_cal"), F.col("c")))
+        .cast("bigint")
+        .alias("s_cal"),
+        F.count_if("is_cal").alias("n_cal"),
+        F.count_if(~F.col("is_cal")).alias("n_test"),
+    )
+    resid = (
+        v.join(F.broadcast(pred), "event_type")
+        .filter(F.col("n_cal") > 0)
+        .select(
+            "event_type",
+            "event_id",
+            "is_cal",
+            F.abs(F.col("c") * F.col("n_cal") - F.col("s_cal")).alias(
+                "r_scaled"
+            ),
+            "n_cal",
+            "n_test",
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("r_scaled", "event_id")
+    ranked = resid.filter(F.col("is_cal")).select(
+        "event_type",
+        "r_scaled",
+        "n_cal",
+        F.row_number().over(wr).cast("bigint").alias("rk"),
+    )
+    k = F.least(
+        F.ceil(F.lit(_CONF_ALPHA_PCT / 100.0) * (F.col("n_cal") + 1)).cast(
+            "bigint"
+        ),
+        F.col("n_cal"),
+    )
+    q = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rk") == k, F.col("r_scaled"))).alias(
+            "q_scaled"
+        )
+    )
+    joined = resid.join(F.broadcast(q), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.max("n_cal").cast("bigint").alias("n_cal"),
+        F.max("n_test").cast("bigint").alias("n_test"),
+        (
+            F.floor(
+                F.max("q_scaled").cast("double")
+                / F.max("n_cal")
+                / 100.0
+                * 10000
+                + 0.5
+            )
+            / F.lit(10000.0)
+        ).alias("interval_halfwidth"),
+        F.when(
+            F.max("n_test") > 0,
+            F.floor(
+                F.count_if(
+                    ~F.col("is_cal")
+                    & (F.col("r_scaled") <= F.col("q_scaled"))
+                )
+                * 1.0
+                / F.max("n_test")
+                * 10000
+                + 0.5
+            )
+            / F.lit(10000.0),
+        ).alias("test_coverage"),
+    )
