@@ -1578,3 +1578,89 @@ def classifier_auc_dup_separation(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         ).alias("auc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary coverage curve: what fraction of corpus TOKEN MASS the
+# top-K word types cover, for a ladder of K — the curve a tokenizer /
+# vocab-size decision reads (where it flattens, OOV handling takes
+# over). One (word) count, one frequency-rank window over the
+# VOCABULARY (≪ corpus), conditional exact sums per K. Ranks use the
+# (freq DESC, word) total order so every K-cut is engine-identical.
+# --------------------------------------------------------------------------
+
+_VOCAB_KS = (100, 1000, 5000)
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+WITH w AS (
+    SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS word
+    FROM documents WHERE text IS NOT NULL
+),
+vocab AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY 1),
+ranked AS (
+    SELECT freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rk
+    FROM vocab
+),
+tot AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_tokens,
+               COUNT(*) AS vocab_size
+        FROM vocab)
+SELECT t.vocab_size, t.total_tokens,
+{', '.join(
+    '''       (FLOOR(CAST(SUM(CASE WHEN rk <= %d THEN freq ELSE 0 END)
+            AS BIGINT) * 1.0 / t.total_tokens * 1000000 + 0.5)
+        / 1000000.0) AS coverage_top_%d''' % (k, k)
+    for k in _VOCAB_KS)}
+FROM ranked CROSS JOIN tot t
+GROUP BY t.vocab_size, t.total_tokens
+""",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage of the top-K word types, K ∈ {100, 1k, 5k}."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    w = docs.filter(F.col("text").isNotNull()).select(
+        F.explode(T.words("text")).alias("word")
+    )
+    vocab = w.groupBy("word").agg(F.count("*").alias("freq"))
+    # vocabulary-cardinality window (<< corpus); the corpus never sorts
+    wr = Window.orderBy(F.desc("freq"), F.asc("word"))
+    ranked = vocab.select(
+        "freq", F.row_number().over(wr).cast("bigint").alias("rk")
+    )
+    tot = vocab.agg(
+        F.sum("freq").cast("bigint").alias("total_tokens"),
+        F.count("*").alias("vocab_size"),
+    )
+    aggs = []
+    for k in _VOCAB_KS:
+        aggs.append(
+            (
+                F.floor(
+                    F.sum(
+                        F.when(F.col("rk") <= k, F.col("freq")).otherwise(
+                            0
+                        )
+                    ).cast("bigint")
+                    * 1.0
+                    / F.max("total_tokens")
+                    * 1000000
+                    + 0.5
+                )
+                / F.lit(1000000.0)
+            ).alias(f"coverage_top_{k}")
+        )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("vocab_size", "total_tokens")
+        .agg(*aggs)
+        .select(
+            "vocab_size",
+            "total_tokens",
+            *[f"coverage_top_{k}" for k in _VOCAB_KS],
+        )
+    )
