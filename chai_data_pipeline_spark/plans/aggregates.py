@@ -1890,32 +1890,38 @@ m AS (
 )
 SELECT n AS n_users,
        CAST(sy AS DOUBLE) / n / 100.0 AS mean_value,
-       -- magnitude guard on every rounded column: Spark's floor()
-       -- returns BIGINT and SATURATES at 2^63, DuckDB's stays DOUBLE;
-       -- past 2^53 a double has no fractional precision to round
-       -- anyway, so both engines skip the rounding identically
-       (CASE WHEN ABS(CAST(n * syy - sy * sy AS DOUBLE)
+       -- guards: magnitude (Spark floor() SATURATES at 2^63 where
+       -- DuckDB's stays DOUBLE, and past 2^53 a double has no
+       -- fractional precision to round) AND degeneracy (n = 1 makes
+       -- the variance 0/0 -> NaN in Spark but NULL in DuckDB; a zero
+       -- mean makes mde_rel x/0 -> Inf vs NULL) — both engines emit
+       -- NULL for the degenerate rows, identically
+       (CASE WHEN n > 1 AND ABS(CAST(n * syy - sy * sy AS DOUBLE)
                   / n / (n - 1.0) / 10000.0) < 8e14
         THEN FLOOR(CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1.0)
              / 10000.0 * 10000 + 0.5) / 10000.0
-        ELSE CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1.0) / 10000.0
+        WHEN n > 1
+        THEN CAST(n * syy - sy * sy AS DOUBLE) / n / (n - 1.0) / 10000.0
         END) AS variance,
-       (CASE WHEN {_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
+       (CASE WHEN n > 1 AND {_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
                   / n / (n - 1.0) / 10000.0) / (n / 2.0)) < 8e14
         THEN FLOOR({_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
              / n / (n - 1.0) / 10000.0) / (n / 2.0)) * 10000 + 0.5)
              / 10000.0
-        ELSE {_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
+        WHEN n > 1
+        THEN {_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
              / n / (n - 1.0) / 10000.0) / (n / 2.0))
         END) AS mde_abs,
-       (CASE WHEN ABS({_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
+       (CASE WHEN n > 1 AND sy <> 0
+                  AND ABS({_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
                   / n / (n - 1.0) / 10000.0) / (n / 2.0))
                   / (CAST(sy AS DOUBLE) / n / 100.0)) < 8e12
         THEN FLOOR({_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
              / n / (n - 1.0) / 10000.0) / (n / 2.0))
              / (CAST(sy AS DOUBLE) / n / 100.0) * 1000000 + 0.5)
              / 1000000.0
-        ELSE {_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
+        WHEN n > 1 AND sy <> 0
+        THEN {_MDE_Z} * sqrt(2.0 * (CAST(n * syy - sy * sy AS DOUBLE)
              / n / (n - 1.0) / 10000.0) / (n / 2.0))
              / (CAST(sy AS DOUBLE) / n / 100.0)
         END) AS mde_rel
@@ -1941,18 +1947,24 @@ def experiment_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("decimal(38,0)").alias("sy"),
         F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
     )
+    # degeneracy guards live in the DENOMINATORS: Spark 4 ANSI throws
+    # on double/0 (even 0.0/0.0), and a CASE cannot protect a division
+    # inside its own condition — a NULL denominator instead propagates
+    # NULL, which is exactly what the oracle's n>1 / sy<>0 CASEs emit
+    nm1 = F.when(F.col("n") > 1, F.col("n") - 1.0)
     var = (
         (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
         / F.col("n")
-        / (F.col("n") - 1.0)
+        / nm1
         / 10000.0
     )
     mde = F.lit(_MDE_Z) * F.sqrt(2.0 * var / (F.col("n") / 2.0))
     mean = F.col("sy").cast("double") / F.col("n") / 100.0
+    safe_mean = F.when(F.col("sy") != 0, mean)
 
-    # magnitude-guarded rounding (identical CASE in the oracle):
-    # Spark floor() SATURATES at long max where DuckDB's stays double,
-    # and past 2^53 there is no fractional precision to round anyway
+    # magnitude guard (Spark floor() SATURATES at long max where
+    # DuckDB's stays double; past 2^53 nothing to round); NULL inputs
+    # stay NULL through both branches
     def fp(c, k):
         return F.when(
             F.abs(c) < 8e18 / k, F.floor(c * k + 0.5) / F.lit(float(k))
@@ -1963,7 +1975,7 @@ def experiment_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean.alias("mean_value"),
         fp(var, 10000).alias("variance"),
         fp(mde, 10000).alias("mde_abs"),
-        fp(mde / mean, 1000000).alias("mde_rel"),
+        fp(mde / safe_mean, 1000000).alias("mde_rel"),
     )
 
 
@@ -2640,8 +2652,17 @@ def bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, thr in enumerate(_BOOT_T[1:], start=1):
         wt = wt.when(u < thr, k)
     wt = wt.otherwise(5)
-    w = rep.select("b", "user_id", "y", wt.alias("wt")).filter(
-        F.col("wt") > 0
+    # the point estimate rides the SAME partitioned cum machinery as a
+    # wt=1 pseudo-replica (b = -1): its weighted median IS the exact
+    # lower median, and no global single-partition window ever runs
+    w = (
+        rep.select("b", "user_id", "y", wt.alias("wt"))
+        .filter(F.col("wt") > 0)
+        .unionByName(
+            per_user.select(
+                F.lit(-1).alias("b"), "user_id", "y", F.lit(1).alias("wt")
+            )
+        )
     )
     wc = (
         Window.partitionBy("b")
@@ -2662,19 +2683,11 @@ def bootstrap_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # replica axis is B rows — the ranking window is trivially bounded
     wr = Window.orderBy("med_y", "b")
-    ranked = med.select(
+    ranked = med.filter(F.col("b") >= 0).select(
         "med_y", F.row_number().over(wr).cast("bigint").alias("rk")
     )
-    wpt = Window.orderBy("y", "user_id")
-    n_tot = Window.partitionBy()
-    pt = (
-        per_user.select(
-            "y",
-            F.row_number().over(wpt).cast("bigint").alias("rn"),
-            F.count("*").over(n_tot).alias("n"),
-        )
-        .filter(F.col("rn") >= F.expr("(n + 1) DIV 2"))
-        .agg(F.min("y").alias("point_y"))
+    pt = med.filter(F.col("b") == -1).select(
+        F.col("med_y").alias("point_y")
     )
     return (
         ranked.crossJoin(F.broadcast(pt))

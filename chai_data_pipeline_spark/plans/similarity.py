@@ -1058,6 +1058,7 @@ def _mmr_sql() -> str:
 cand0 AS (
     SELECT e.vec_id, CAST(FLOOR({cos} * 1000000 + 0.5) AS BIGINT) AS rel
     FROM embeddings e CROSS JOIN q
+    WHERE e.embedding IS NOT NULL
     ORDER BY rel DESC, e.vec_id LIMIT {_MMR_R}
 ),
 sims AS (
@@ -1073,7 +1074,6 @@ sel1 AS (
     SELECT vec_id, 1 AS mmr_rank, rel, 7 * rel AS score
     FROM cand0 ORDER BY rel DESC, vec_id LIMIT 1
 )"""]
-    prev_sel = "sel1"
     union = ["SELECT * FROM sel1"]
     for k in range(2, _MMR_K + 1):
         all_sel = " UNION ALL ".join(
@@ -1090,7 +1090,6 @@ sel1 AS (
     ORDER BY score DESC, c.vec_id LIMIT 1
 )""")
         union.append(f"SELECT * FROM sel{k}")
-        prev_sel = f"sel{k}"
     return (
         "WITH "
         + ",\n".join(parts)
@@ -1123,8 +1122,11 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" * sqrt({dot_sql_spark('qv', 'qv')}))"
     )
     rel6 = F.floor(cos_q * 1000000 + 0.5) / F.lit(1000000.0)
+    # NULL embeddings have no cosine and can't be candidates (a NULL
+    # rel would also crash the integer greedy loop)
     cand = (
-        emb.crossJoin(F.broadcast(qv))
+        emb.filter(F.col("embedding").isNotNull())
+        .crossJoin(F.broadcast(qv))
         .select(
             "vec_id",
             "embedding",
@@ -1172,6 +1174,10 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             key = (-score, vid)
             if best is None or key < best[0]:
                 best = (key, vid, rel, score)
+        if best is None:
+            # candidate pool exhausted before K picks — degrade to a
+            # shorter list exactly like the oracle's empty sel_k CTEs
+            break
         _, vid, rel, score = best
         chosen.append(vid)
         selected.append((rank, vid, rel, score))

@@ -109,7 +109,8 @@ def build_null_variant(
     # divergences) says measure before trusting.
     deep_rows = {
         "orders": [
-            # orderkey, custkey, status, totalprice, orderdate, priority
+            # (custkey, status, totalprice, orderdate, priority) —
+            # o_orderkey is assigned from max+1 inside _orders
             (None, "O", 100.0,
              datetime.datetime(2024, 1, 10), "1-URGENT"),
             (1, None, None, None, None),
@@ -233,15 +234,17 @@ def build_null_variant(
 
 def main() -> int:
     argv = sys.argv[1:]
+    # flags first: a flag placed AFTER --names must still be a flag,
+    # not a bogus oracle name that FAILs the sweep
+    deep = "--deep" in argv
+    unicode_docs = "--unicode" in argv
+    extreme_values = "--values" in argv
+    argv = [a for a in argv if a not in ("--deep", "--unicode", "--values")]
     names: list[str] = []
     if "--names" in argv:
         i = argv.index("--names")
         names = argv[i + 1:]
         argv = argv[:i]
-    deep = "--deep" in argv
-    unicode_docs = "--unicode" in argv
-    extreme_values = "--values" in argv
-    argv = [a for a in argv if a not in ("--deep", "--unicode", "--values")]
     src = argv[0] if argv else "/root/testdata/sf0.001"
     tmp = build_null_variant(
         src,

@@ -31,12 +31,18 @@ def test_default_plants_event_nulls_only():
     t = pq.read_table(f"{tmp}/events.parquet").to_pydict()
     import datetime
 
-    pre = post = False
     cutoff = datetime.datetime(2024, 1, 24)
+    # ts may be datetimes (µs physical type) or epoch-nanos ints
+    # (the r1-r2 physical type the builder branches on)
+    cutoff_ns = int(
+        cutoff.replace(tzinfo=datetime.timezone.utc).timestamp()
+    ) * 1_000_000_000
+    pre = post = False
     for ts, et in zip(t["ts"], t["event_type"]):
         if et is None and ts is not None:
-            pre |= ts < cutoff
-            post |= ts >= cutoff
+            cut = cutoff_ns if isinstance(ts, int) else cutoff
+            pre |= ts < cut
+            post |= ts >= cut
     assert pre and post
     # other tables untouched (symlinked)
     assert _nulls(tmp, "orders") == {}
