@@ -2870,3 +2870,148 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0),
         ).alias("test_coverage"),
     )
+
+
+# --------------------------------------------------------------------------
+# Welch's t-test between the hash-assigned arms — the plain two-sample
+# readout that completes the experiment family (SRM gate → power →
+# t-test → CUPED/DiD refinements → bootstrap CI). Per-arm moments are
+# wide-integer exact (the cuped discipline); the t statistic and
+# Welch–Satterthwaite dof are one fixed float chain each, dround-
+# pinned. Degenerate arms (n < 2 or both variances 0) yield NULL on
+# both engines via denominator guards (ANSI x/0 throws).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "welch_ttest_arms",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN {_sql_hb('user_id')} < 50 THEN 'A' ELSE 'B' END AS arm,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+m AS (
+    SELECT arm, COUNT(*) AS n,
+           CAST(SUM(y) AS HUGEINT) AS sy,
+           CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+    FROM per_user GROUP BY 1
+),
+w AS (
+    SELECT MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+           MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+           MAX(CASE WHEN arm = 'A' THEN CAST(sy AS DOUBLE) END) AS sa,
+           MAX(CASE WHEN arm = 'B' THEN CAST(sy AS DOUBLE) END) AS sb,
+           MAX(CASE WHEN arm = 'A'
+               THEN CAST(n * syy - sy * sy AS DOUBLE) END) AS da,
+           MAX(CASE WHEN arm = 'B'
+               THEN CAST(n * syy - sy * sy AS DOUBLE) END) AS db
+    FROM m
+),
+v AS (
+    SELECT na, nb,
+           sa / na / 100.0 AS mean_a,
+           sb / nb / 100.0 AS mean_b,
+           da / na / (CASE WHEN na > 1 THEN na - 1.0 END) / 10000.0
+               AS var_a,
+           db / nb / (CASE WHEN nb > 1 THEN nb - 1.0 END) / 10000.0
+               AS var_b
+    FROM w
+),
+t AS (
+    SELECT na, nb, mean_a, mean_b, var_a, var_b,
+           var_a / na + var_b / nb AS se2
+    FROM v
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       {sql_dround('mean_a - mean_b')} AS mean_diff,
+       {sql_dround('''(mean_a - mean_b)
+        / sqrt(CASE WHEN se2 > 0 THEN se2 END)''', 6)} AS t_stat,
+       {sql_dround('''(se2 * se2)
+        / (CASE WHEN se2 > 0 AND na > 1 AND nb > 1 THEN
+              (var_a / na) * (var_a / na) / (na - 1.0)
+              + (var_b / nb) * (var_b / nb) / (nb - 1.0) END)''', 4)}
+           AS welch_dof
+FROM t
+""",
+)
+def welch_ttest_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t between the sha256 50/50 arms on per-user value."""
+    from .training import hash_bucket
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+        .select(
+            F.when(hash_bucket("user_id") < 50, "A")
+            .otherwise("B")
+            .alias("arm"),
+            "y",
+        )
+    )
+    m = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    pick = lambda arm, c: F.max(  # noqa: E731
+        F.when(F.col("arm") == arm, c)
+    )
+    w = m.agg(
+        pick("A", F.col("n")).alias("na"),
+        pick("B", F.col("n")).alias("nb"),
+        pick("A", F.col("sy").cast("double")).alias("sa"),
+        pick("B", F.col("sy").cast("double")).alias("sb"),
+        pick(
+            "A",
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            ),
+        ).alias("da"),
+        pick(
+            "B",
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                "double"
+            ),
+        ).alias("db"),
+    )
+    # denominator guards (ANSI x/0 throws): NULL propagates instead
+    na1 = F.when(F.col("na") > 1, F.col("na") - 1.0)
+    nb1 = F.when(F.col("nb") > 1, F.col("nb") - 1.0)
+    v = w.select(
+        "na",
+        "nb",
+        (F.col("sa") / F.col("na") / 100.0).alias("mean_a"),
+        (F.col("sb") / F.col("nb") / 100.0).alias("mean_b"),
+        (F.col("da") / F.col("na") / na1 / 10000.0).alias("var_a"),
+        (F.col("db") / F.col("nb") / nb1 / 10000.0).alias("var_b"),
+    )
+    se2 = F.col("var_a") / F.col("na") + F.col("var_b") / F.col("nb")
+    t = v.select("na", "nb", "mean_a", "mean_b", "var_a", "var_b", se2.alias("se2"))
+    safe_se = F.sqrt(F.when(F.col("se2") > 0, F.col("se2")))
+    dof_den = F.when(
+        (F.col("se2") > 0) & (F.col("na") > 1) & (F.col("nb") > 1),
+        (F.col("var_a") / F.col("na")) * (F.col("var_a") / F.col("na"))
+        / (F.col("na") - 1.0)
+        + (F.col("var_b") / F.col("nb")) * (F.col("var_b") / F.col("nb"))
+        / (F.col("nb") - 1.0),
+    )
+    return t.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        dround(F.col("mean_a") - F.col("mean_b")).alias("mean_diff"),
+        dround((F.col("mean_a") - F.col("mean_b")) / safe_se, 6).alias(
+            "t_stat"
+        ),
+        dround(F.col("se2") * F.col("se2") / dof_den, 4).alias(
+            "welch_dof"
+        ),
+    )

@@ -113,3 +113,101 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Order fulfillment SLA: share of line items shipped within 7/30/60
+# days of order placement, plus the exact median lag — the
+# supply-chain operating metric the reference's relational family
+# implies but never computes. Lags are exact integer days from the
+# order⋈lineitem join (both sides shuffle on the key at scale — no
+# broadcast assumption); the horizon ladder is conditional counts in
+# one aggregate and the median is a rank order statistic under the
+# (lag, orderkey, linenumber) total order.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "order_fill_sla",
+    oracle="""
+WITH lag AS (
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+               AS lag_days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+),
+ranked AS (
+    SELECT lag_days,
+           ROW_NUMBER() OVER (
+               ORDER BY lag_days, l_orderkey, l_linenumber
+           ) AS rn,
+           COUNT(*) OVER () AS n
+    FROM lag
+)
+SELECT COUNT(*) AS n_lines,
+       COUNT(*) FILTER (WHERE lag_days <= 7) AS shipped_7d,
+       COUNT(*) FILTER (WHERE lag_days <= 30) AS shipped_30d,
+       COUNT(*) FILTER (WHERE lag_days <= 60) AS shipped_60d,
+       (FLOOR(COUNT(*) FILTER (WHERE lag_days <= 30) * 1.0 / COUNT(*)
+        * 10000 + 0.5) / 10000.0) AS sla_30d_rate,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN lag_days END)
+           AS BIGINT) AS median_lag_days
+FROM ranked
+""",
+)
+def order_fill_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ship-lag SLA ladder + exact median lag over orders x lineitem."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    lag = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate").isNotNull()
+            & F.col("o_orderdate").isNotNull()
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(
+                F.col("l_shipdate").cast("date"),
+                F.col("o_orderdate").cast("date"),
+            ).alias("lag_days"),
+        )
+    )
+    # lag_days domain is SMALL (bounded shipping windows) — the median
+    # comes from a value-grain count + cumulative sum, never a global
+    # row_number over the line-item table
+    hist = lag.groupBy("lag_days").agg(F.count("*").alias("c"))
+    wc = Window.orderBy("lag_days").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy()
+    cum = hist.select(
+        "lag_days",
+        F.sum("c").over(wc).cast("bigint").alias("cw"),
+        F.sum("c").over(wt).cast("bigint").alias("n"),
+    )
+    med = cum.filter(F.col("cw") >= F.expr("(n + 1) DIV 2")).agg(
+        F.min("lag_days").cast("bigint").alias("median_lag_days")
+    )
+    stats = lag.agg(
+        F.count("*").alias("n_lines"),
+        F.count_if(F.col("lag_days") <= 7).alias("shipped_7d"),
+        F.count_if(F.col("lag_days") <= 30).alias("shipped_30d"),
+        F.count_if(F.col("lag_days") <= 60).alias("shipped_60d"),
+        (
+            F.floor(
+                F.count_if(F.col("lag_days") <= 30) * 1.0 / F.count("*")
+                * 10000
+                + 0.5
+            )
+            / F.lit(10000.0)
+        ).alias("sla_30d_rate"),
+    )
+    return stats.crossJoin(F.broadcast(med))
