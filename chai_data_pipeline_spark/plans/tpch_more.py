@@ -211,3 +211,159 @@ def order_fill_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sla_30d_rate"),
     )
     return stats.crossJoin(F.broadcast(med))
+
+
+# --------------------------------------------------------------------------
+# Supplier concentration (HHI) per part region: the antitrust-style
+# Herfindahl–Hirschman index over each nation's share of supplied
+# quantity — the sourcing-risk scalar a procurement dashboard tracks.
+# HHI = Σ share² is computed as an exact integer RATIO (Σ c_i² over
+# (Σ c_i)², cents-quantized) with ONE final division, so the
+# concentration ranking is engine-identical.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+WITH q AS (
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(FLOOR(l.l_quantity * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS qty_c
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE l.l_quantity IS NOT NULL
+    GROUP BY 1
+),
+t AS (SELECT CAST(SUM(qty_c) AS HUGEINT) AS tot,
+             CAST(SUM(CAST(qty_c AS HUGEINT) * qty_c) AS HUGEINT) AS ss
+      FROM q)
+SELECT COUNT(*) AS n_nations,
+       CAST(MAX(t.tot) AS DOUBLE) / 100.0 AS total_quantity,
+       (FLOOR(CAST(MAX(t.ss) AS DOUBLE)
+              / (CAST(MAX(t.tot) AS DOUBLE) * CAST(MAX(t.tot) AS DOUBLE))
+              * 1000000 + 0.5) / 1000000.0) AS hhi,
+       (FLOOR(CAST(MAX(q2.mx) AS DOUBLE) / CAST(MAX(t.tot) AS DOUBLE)
+              * 1000000 + 0.5) / 1000000.0) AS top_share
+FROM q CROSS JOIN t
+CROSS JOIN (SELECT MAX(qty_c) AS mx FROM q) q2
+""",
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HHI + top-nation share of supplied quantity."""
+    t = load_tables(spark, sf_dir, "lineitem", "supplier", "nation")
+    q = (
+        t["lineitem"]
+        .filter(F.col("l_quantity").isNotNull())
+        .join(
+            F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("qty_c")
+        )
+    )
+    agg = q.agg(
+        F.count("*").alias("n_nations"),
+        F.sum("qty_c").cast("decimal(38,0)").alias("tot"),
+        F.sum(F.col("qty_c").cast("decimal(38,0)") * F.col("qty_c")).alias(
+            "ss"
+        ),
+        F.max("qty_c").alias("mx"),
+    )
+    return agg.select(
+        "n_nations",
+        (F.col("tot").cast("double") / 100.0).alias("total_quantity"),
+        (
+            F.floor(
+                F.col("ss").cast("double")
+                / (F.col("tot").cast("double") * F.col("tot").cast("double"))
+                * 1000000
+                + 0.5
+            )
+            / F.lit(1000000.0)
+        ).alias("hhi"),
+        (
+            F.floor(
+                F.col("mx").cast("double") / F.col("tot").cast("double")
+                * 1000000
+                + 0.5
+            )
+            / F.lit(1000000.0)
+        ).alias("top_share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Discount-band effectiveness: revenue, volume, and effective margin
+# proxy per discount band — the pricing question ("does the 8-10%
+# band actually move volume?") answered with exact banded integer
+# aggregation. Band edges are integer percent points (floor(d*100)),
+# so band membership is engine-exact; every money metric rides
+# decimal sums with one dround at the edge.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "discount_band_effectiveness",
+    oracle=f"""
+WITH b AS (
+    SELECT CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+           l_quantity, l_extendedprice, l_discount
+    FROM lineitem WHERE l_discount IS NOT NULL
+),
+banded AS (
+    SELECT CASE WHEN disc_pct = 0 THEN '0_none'
+                WHEN disc_pct <= 3 THEN '1_low'
+                WHEN disc_pct <= 7 THEN '2_mid'
+                ELSE '3_high' END AS band,
+           l_quantity, l_extendedprice, l_discount
+    FROM b
+)
+SELECT band,
+       COUNT(*) AS n_lines,
+       {sql_dround(sql_dsum('l_quantity', 2), 2)} AS total_qty,
+       {sql_dround(sql_dsum('l_extendedprice * (1 - l_discount)', 4), 2)}
+           AS net_revenue,
+       {sql_dround('''CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5)
+            AS BIGINT)) AS BIGINT) * 1.0 / COUNT(*) / 100.0''', 4)}
+           AS avg_qty_per_line
+FROM banded
+GROUP BY 1
+""",
+)
+def discount_band_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume and net revenue per discount band."""
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"].filter(
+        F.col("l_discount").isNotNull()
+    )
+    disc_pct = F.floor(F.col("l_discount") * 100 + 0.5).cast("bigint")
+    band = (
+        F.when(disc_pct == 0, "0_none")
+        .when(disc_pct <= 3, "1_low")
+        .when(disc_pct <= 7, "2_mid")
+        .otherwise("3_high")
+    )
+    return li.groupBy(band.alias("band")).agg(
+        F.count("*").alias("n_lines"),
+        dround(dsum("l_quantity", 2), 2).alias("total_qty"),
+        dround(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2
+        ).alias("net_revenue"),
+        dround(
+            F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            * 1.0
+            / F.count("*")
+            / 100.0,
+            4,
+        ).alias("avg_qty_per_line"),
+    )
