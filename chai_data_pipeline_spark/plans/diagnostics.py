@@ -863,3 +863,169 @@ def dp_sensitivity_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("relative_noise"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Anomaly-detector agreement audit: do the EWMA spike detector and the
+# per-type z-score detector flag the SAME days? Cohen's kappa over
+# their joint decisions tells you whether a second detector adds
+# information or just noise — the meta-question before paging anyone
+# on either alarm. Both detectors are re-derived here with their
+# pinned formulas (ewma dyadic weights, two-sigma z rule) over one
+# shared (type, day) frame; kappa arithmetic is exact-integer
+# cross-multiplication with one final division.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "detector_agreement_kappa",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+),
+z AS (
+    SELECT event_type, d, n,
+           COUNT(*) OVER (PARTITION BY event_type) AS cnt,
+           SUM(n) OVER (PARTITION BY event_type) AS sn,
+           SUM(n * n) OVER (PARTITION BY event_type) AS sn2
+    FROM daily
+),
+zf AS (
+    SELECT event_type, d, n,
+           (cnt > 1 AND cnt * sn2 - sn * sn > 0
+            AND ABS((n - CAST(sn AS DOUBLE) / cnt)
+                / sqrt(CASE WHEN cnt * sn2 - sn * sn > 0
+                       THEN (CAST(cnt AS DOUBLE) * sn2 - CAST(sn AS DOUBLE) * sn)
+                            / cnt / cnt END)) > 2.0) AS z_flag
+    FROM z
+),
+e AS (
+    SELECT event_type, d, n,
+           {' + '.join(f"COALESCE(LAG(n, {k}) OVER w, 0) * {1 << (8 - k)}"
+                       for k in range(1, 9))} AS num,
+           {' + '.join(f"(CASE WHEN LAG(n, {k}) OVER w IS NULL THEN 0"
+                       f" ELSE {1 << (8 - k)} END)" for k in range(1, 9))}
+               AS den
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY d)
+),
+ef AS (
+    SELECT event_type, d,
+           (den > 0 AND n > 2.0 * (CAST(num AS DOUBLE) / den)) AS e_flag
+    FROM e
+),
+j AS (
+    SELECT zf.z_flag, ef.e_flag
+    FROM zf JOIN ef ON ef.event_type = zf.event_type AND ef.d = zf.d
+),
+c AS (
+    SELECT COUNT(*) AS n,
+           COUNT(*) FILTER (WHERE z_flag AND e_flag) AS both_f,
+           COUNT(*) FILTER (WHERE z_flag AND NOT e_flag) AS only_z,
+           COUNT(*) FILTER (WHERE NOT z_flag AND e_flag) AS only_e,
+           COUNT(*) FILTER (WHERE NOT z_flag AND NOT e_flag) AS neither
+    FROM j
+)
+SELECT n AS n_days, both_f AS both_flag, only_z, only_e,
+       CASE WHEN n * n - ((both_f + only_z) * (both_f + only_e)
+                 + (only_e + neither) * (only_z + neither)) <> 0 THEN
+       (FLOOR(CAST(n * (both_f + neither)
+               - ((both_f + only_z) * (both_f + only_e)
+                  + (only_e + neither) * (only_z + neither)) AS DOUBLE)
+        / CAST(n * n - ((both_f + only_z) * (both_f + only_e)
+               + (only_e + neither) * (only_z + neither)) AS DOUBLE)
+        * 1000000 + 0.5) / 1000000.0) END AS cohens_kappa
+FROM c
+""",
+)
+def detector_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the z-score and EWMA spike detectors."""
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("event_type")
+    z = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.count("*").over(wt).alias("cnt"),
+        F.sum("n").over(wt).alias("sn"),
+        F.sum(F.col("n") * F.col("n")).over(wt).alias("sn2"),
+    )
+    zvar = F.when(
+        F.col("cnt") * F.col("sn2") - F.col("sn") * F.col("sn") > 0,
+        (
+            F.col("cnt").cast("double") * F.col("sn2")
+            - F.col("sn").cast("double") * F.col("sn")
+        )
+        / F.col("cnt")
+        / F.col("cnt"),
+    )
+    z_flag = (
+        (F.col("cnt") > 1)
+        & (F.col("cnt") * F.col("sn2") - F.col("sn") * F.col("sn") > 0)
+        & (
+            F.abs(
+                (F.col("n") - F.col("sn").cast("double") / F.col("cnt"))
+                / F.sqrt(zvar)
+            )
+            > 2.0
+        )
+    )
+    zf = z.select("event_type", "d", z_flag.alias("z_flag"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    num = None
+    den = None
+    for k in range(1, 9):
+        wgt = 1 << (8 - k)
+        lagk = F.lag("n", k).over(w)
+        num_t = F.coalesce(lagk, F.lit(0)) * wgt
+        den_t = F.when(lagk.isNull(), 0).otherwise(wgt)
+        num = num_t if num is None else num + num_t
+        den = den_t if den is None else den + den_t
+    ef = daily.select(
+        "event_type",
+        "d",
+        (
+            (den > 0)
+            & (F.col("n") > 2.0 * (num.cast("double") / F.when(den > 0, den)))
+        ).alias("e_flag"),
+    )
+    j = zf.join(ef, ["event_type", "d"])
+    c = j.agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("z_flag") & F.col("e_flag")).alias("both_f"),
+        F.count_if(F.col("z_flag") & ~F.col("e_flag")).alias("only_z"),
+        F.count_if(~F.col("z_flag") & F.col("e_flag")).alias("only_e"),
+        F.count_if(~F.col("z_flag") & ~F.col("e_flag")).alias("neither"),
+    )
+    chance = (F.col("both_f") + F.col("only_z")) * (
+        F.col("both_f") + F.col("only_e")
+    ) + (F.col("only_e") + F.col("neither")) * (
+        F.col("only_z") + F.col("neither")
+    )
+    kden = F.col("n") * F.col("n") - chance
+    return c.select(
+        F.col("n").alias("n_days"),
+        F.col("both_f").alias("both_flag"),
+        "only_z",
+        "only_e",
+        F.when(
+            kden != 0,
+            F.floor(
+                (F.col("n") * (F.col("both_f") + F.col("neither")) - chance)
+                .cast("double")
+                / kden.cast("double")
+                * 1000000
+                + 0.5
+            )
+            / F.lit(1000000.0),
+        ).alias("cohens_kappa"),
+    )

@@ -4363,3 +4363,100 @@ def funnel_time_horizons(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"converted_{label}")
         )
     return d.agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# Pinball (quantile) loss backtest: scores the seasonal-naive
+# forecaster as a QUANTILE forecaster at q = 0.5 and 0.9 — the metric
+# that decides whether a quantile forecast (safety-stock, SLA sizing)
+# is calibrated, complementing naive_forecast_backtest's MAE. Pinball
+# loss terms are exact integers (q scaled ×10: loss_tenths =
+# q·10·max(y−ŷ,0) + (10−q·10)·max(ŷ−y,0)), summed exactly, divided
+# once per reported column.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pinball_loss_backtest",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+    GROUP BY 1, 2
+),
+lagged AS (
+    SELECT event_type, d, n,
+           LAG(n, 7) OVER (
+               PARTITION BY event_type ORDER BY d
+           ) AS pred
+    FROM daily
+),
+scored AS (
+    SELECT event_type,
+           n - pred AS err
+    FROM lagged WHERE pred IS NOT NULL
+)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       (FLOOR(CAST(SUM(5 * GREATEST(err, 0)
+                       + 5 * GREATEST(-err, 0)) AS BIGINT)
+        * 1.0 / COUNT(*) / 10.0 * 10000 + 0.5) / 10000.0)
+           AS pinball_p50,
+       (FLOOR(CAST(SUM(9 * GREATEST(err, 0)
+                       + 1 * GREATEST(-err, 0)) AS BIGINT)
+        * 1.0 / COUNT(*) / 10.0 * 10000 + 0.5) / 10000.0)
+           AS pinball_p90,
+       COUNT(*) FILTER (WHERE err <= 0) AS n_covered,
+       (FLOOR(COUNT(*) FILTER (WHERE err <= 0) * 1.0 / COUNT(*)
+        * 10000 + 0.5) / 10000.0) AS empirical_coverage
+FROM scored
+GROUP BY 1
+""",
+)
+def pinball_loss_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball loss at q=0.5/0.9 for the seasonal-naive forecaster."""
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    scored = (
+        daily.select(
+            "event_type",
+            "n",
+            F.lag("n", 7).over(w).alias("pred"),
+        )
+        .filter(F.col("pred").isNotNull())
+        .select("event_type", (F.col("n") - F.col("pred")).alias("err"))
+    )
+    over = F.greatest(F.col("err"), F.lit(0))
+    under = F.greatest(-F.col("err"), F.lit(0))
+    pin = lambda qo, qu: (  # noqa: E731
+        F.floor(
+            F.sum(qo * over + qu * under).cast("bigint")
+            * 1.0
+            / F.count("*")
+            / 10.0
+            * 10000
+            + 0.5
+        )
+        / F.lit(10000.0)
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        pin(F.lit(5), F.lit(5)).alias("pinball_p50"),
+        pin(F.lit(9), F.lit(1)).alias("pinball_p90"),
+        F.count_if(F.col("err") <= 0).alias("n_covered"),
+        (
+            F.floor(
+                F.count_if(F.col("err") <= 0) * 1.0 / F.count("*")
+                * 10000
+                + 0.5
+            )
+            / F.lit(10000.0)
+        ).alias("empirical_coverage"),
+    )
