@@ -3015,3 +3015,180 @@ def welch_ttest_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "welch_dof"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U (Wilcoxon rank-sum) between the hash-assigned arms —
+# the nonparametric companion to welch_ttest_arms for skewed per-user
+# value distributions. Rank statistics are EXACT integers here: ranks
+# are computed on distinct per-user totals via midranks, and doubled
+# midranks (2*below + c + 1) keep every intermediate a wide integer, so
+# U and the tie correction are bit-exact on both engines; only the
+# final z chain touches floats (dround-pinned).
+#
+# Scale: ranking avoids the single-task global window via the
+# two-phase prefix sum (per-bucket cumsum + broadcast bucket offsets —
+# the pps_systematic_sample pattern) over DISTINCT totals, not rows.
+# The DuckDB oracle uses the naive single window, so the hash match
+# also proves the distributed decomposition.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mann_whitney_u_arms",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN {_sql_hb('user_id')} < 50 THEN 'A' ELSE 'B' END AS arm,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+vals AS (
+    SELECT y,
+           COUNT(*) FILTER (WHERE arm = 'A') AS c_a,
+           COUNT(*) FILTER (WHERE arm = 'B') AS c_b,
+           COUNT(*) AS c
+    FROM per_user WHERE y IS NOT NULL GROUP BY 1
+),
+cum AS (
+    SELECT y, c_a, c_b, c,
+           CAST(SUM(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - c
+                AS BIGINT) AS below
+    FROM vals
+),
+agg AS (
+    SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+           CAST(SUM(c_b) AS BIGINT) AS nb,
+           SUM(CAST(c_a AS HUGEINT) * (2 * below + c + 1)) AS r2a,
+           SUM(CAST(c AS HUGEINT) * c * c - c) AS tie
+    FROM cum
+),
+u AS (
+    SELECT na, nb, na + nb AS n,
+           CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS DOUBLE) / 2.0
+               AS u_a,
+           CAST(tie AS DOUBLE) AS tie_d
+    FROM agg
+),
+v AS (
+    SELECT na, nb, u_a,
+           CAST(na AS DOUBLE) * nb - u_a AS u_b,
+           CAST(na AS DOUBLE) * nb / 2.0 AS mu,
+           (CAST(na AS DOUBLE) * nb / 12.0)
+             * ((n + 1.0) - tie_d
+                / (CASE WHEN n > 1
+                   THEN CAST(n AS DOUBLE) * (n - 1.0) END)) AS var
+    FROM u
+)
+SELECT na AS n_a, nb AS n_b, u_a, u_b,
+       {sql_dround('(u_a - mu) / sqrt(CASE WHEN var > 0 THEN var END)',
+                   6)} AS z_mwu
+FROM v
+""",
+)
+def mann_whitney_u_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U between the sha256 50/50 arms on per-user value."""
+    from pyspark.sql.window import Window
+
+    from .training import hash_bucket
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+        .select(
+            F.when(hash_bucket("user_id") < 50, "A")
+            .otherwise("B")
+            .alias("arm"),
+            "y",
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    vals = per_user.groupBy("y").agg(
+        F.count_if(F.col("arm") == "A").alias("c_a"),
+        F.count_if(F.col("arm") == "B").alias("c_b"),
+        F.count("*").alias("c"),
+    )
+    # two-phase distributed prefix sum over distinct totals: per-bucket
+    # cumsum runs partition-parallel; bucket offsets are a broadcast of
+    # bucket-cardinality rows (pps_systematic_sample pattern).
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    in_bucket = vals.withColumn("bucket", F.expr("y DIV 65536")).withColumn(
+        "below_local", F.sum("c").over(wb) - F.col("c")
+    )
+    totals = in_bucket.groupBy("bucket").agg(F.sum("c").alias("b_total"))
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("b_total").over(wo), F.lit(0)).alias("offset"),
+    )
+    cum = in_bucket.join(F.broadcast(offsets), "bucket").select(
+        "y",
+        "c_a",
+        "c_b",
+        "c",
+        (F.col("offset") + F.col("below_local")).cast("bigint").alias("below"),
+    )
+    agg = cum.agg(
+        F.sum("c_a").cast("bigint").alias("na"),
+        F.sum("c_b").cast("bigint").alias("nb"),
+        F.sum(
+            F.col("c_a").cast("decimal(38,0)")
+            * (2 * F.col("below") + F.col("c") + 1)
+        ).alias("r2a"),
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).alias("tie"),
+    )
+    u = agg.select(
+        "na",
+        "nb",
+        (F.col("na") + F.col("nb")).alias("n"),
+        (
+            (
+                F.col("r2a")
+                - F.col("na").cast("decimal(38,0)") * (F.col("na") + 1)
+            ).cast("double")
+            / 2.0
+        ).alias("u_a"),
+        F.col("tie").cast("double").alias("tie_d"),
+    )
+    na_d = F.col("na").cast("double")
+    n_d = F.col("n").cast("double")
+    v = u.select(
+        "na",
+        "nb",
+        "u_a",
+        (na_d * F.col("nb") - F.col("u_a")).alias("u_b"),
+        (na_d * F.col("nb") / 2.0).alias("mu"),
+        (
+            (na_d * F.col("nb") / 12.0)
+            * (
+                (F.col("n") + 1.0)
+                - F.col("tie_d")
+                / F.when(F.col("n") > 1, n_d * (F.col("n") - 1.0))
+            )
+        ).alias("var"),
+    )
+    return v.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        "u_a",
+        "u_b",
+        dround(
+            (F.col("u_a") - F.col("mu"))
+            / F.sqrt(F.when(F.col("var") > 0, F.col("var"))),
+            6,
+        ).alias("z_mwu"),
+    )

@@ -1029,3 +1029,101 @@ def detector_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0),
         ).alias("cohens_kappa"),
     )
+
+
+# --------------------------------------------------------------------------
+# Jensen-Shannon drift: the symmetric, bounded ([0, ln 2]) companion to
+# psi_value_drift over the same halves/bins. PSI explodes when a bin
+# empties on one side; JSD stays finite, so monitors alert on shape
+# change rather than on smoothing artifacts. Same determinism
+# discipline: per-bin ln terms are dround-pinned BEFORE the
+# order-independent decimal sum (ln results are not finite decimals).
+# Shuffle-bounded exactly like PSI: one map-combined (type, bin) count,
+# then type-cardinality reductions.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "jensen_shannon_drift",
+    oracle=f"""
+WITH binned AS (
+    SELECT event_type,
+           LEAST(CAST(FLOOR(value / {_PSI_BINW}) AS BIGINT), {_PSI_BINS - 1})
+               AS bin,
+           CASE WHEN ts < TIMESTAMP '{_PSI_CUTOFF}' THEN 1 ELSE 0 END AS half
+    FROM events
+),
+counts AS (
+    SELECT event_type, bin,
+           COUNT(*) FILTER (WHERE half = 1) AS c_a,
+           COUNT(*) FILTER (WHERE half = 0) AS c_b
+    FROM binned GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type, SUM(c_a) AS t_a, SUM(c_b) AS t_b
+    FROM counts GROUP BY 1
+),
+shares AS (
+    SELECT c.event_type, t.t_a, t.t_b,
+           (c.c_a + 0.5) / (t.t_a + 5.0) AS p,
+           (c.c_b + 0.5) / (t.t_b + 5.0) AS q
+    FROM counts c JOIN tot t USING (event_type)
+),
+terms AS (
+    SELECT event_type, t_a, t_b,
+           {sql_dround(
+               "0.5 * (p * ln(p / ((p + q) / 2))"
+               "       + q * ln(q / ((p + q) / 2)))", 9)} AS term
+    FROM shares
+)
+SELECT event_type,
+       CAST(t_a AS BIGINT) AS n_first,
+       CAST(t_b AS BIGINT) AS n_second,
+       CAST(SUM(CAST(term AS DECIMAL(27,9))) AS DOUBLE) AS jsd_nats
+FROM terms
+GROUP BY 1, 2, 3
+""",
+)
+def jensen_shannon_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of value distributions between halves.
+
+    Reference analog: none (the reference has no drift monitor); this
+    extends the repo's drift family (psi/ks) with the bounded
+    symmetric divergence used to gate training-data refreshes.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    binned = events.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / _PSI_BINW).cast("bigint"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bin"),
+        F.when(
+            F.col("ts") < F.lit(_PSI_CUTOFF).cast("timestamp_ntz"), 1
+        ).otherwise(0).alias("half"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.count_if(F.col("half") == 1).alias("c_a"),
+        F.count_if(F.col("half") == 0).alias("c_b"),
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b")
+    )
+    p = (F.col("c_a") + 0.5) / (F.col("t_a") + 5.0)
+    q = (F.col("c_b") + 0.5) / (F.col("t_b") + 5.0)
+    m = (p + q) / 2
+    terms = counts.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "t_a",
+        "t_b",
+        dround(0.5 * (p * F.log(p / m) + q * F.log(q / m)), 9).alias("term"),
+    )
+    return terms.groupBy(
+        "event_type",
+        F.col("t_a").cast("bigint").alias("n_first"),
+        F.col("t_b").cast("bigint").alias("n_second"),
+    ).agg(
+        F.sum(F.col("term").cast("decimal(27,9)"))
+        .cast("double")
+        .alias("jsd_nats")
+    )

@@ -4460,3 +4460,144 @@ def pinball_loss_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(10000.0)
         ).alias("empirical_coverage"),
     )
+
+
+# --------------------------------------------------------------------------
+# Kendall tau-b between monthly order volume and monthly revenue, per
+# nation — the rank-correlation a demand-forecasting pipeline uses to
+# validate that a driver series actually moves with the target
+# (Pearson, cf. lineitem_correlation_matrix, is distorted by heavy
+# tails; tau is not). Concordant/discordant/tie counts are EXACT
+# integers; only the final tau ratio touches floats (dround-pinned).
+#
+# Scale: the fact table reduces FIRST to the bounded (nation, month)
+# grid — at most nations × calendar-months rows no matter how many
+# orders exist — and only that grid self-joins (O(months²) per nation,
+# calendar-bounded, broadcast-able). No all-pairs work ever touches
+# row-cardinality data.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "kendall_tau_monthly_demand",
+    oracle="""
+WITH series AS (
+    SELECT n_name AS nation,
+           CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT) AS m,
+           COUNT(*) AS x,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS y
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    GROUP BY 1, 2
+),
+pairs AS (
+    SELECT a.nation,
+           CASE WHEN (a.x < b.x AND a.y < b.y)
+                  OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END AS conc,
+           CASE WHEN (a.x < b.x AND a.y > b.y)
+                  OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END AS disc,
+           CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tie_x,
+           CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS tie_y
+    FROM series a JOIN series b
+      ON a.nation = b.nation AND a.m < b.m
+),
+agg AS (
+    SELECT nation,
+           COUNT(*) AS n0,
+           CAST(SUM(conc) AS BIGINT) AS nc,
+           CAST(SUM(disc) AS BIGINT) AS nd,
+           CAST(SUM(tie_x) AS BIGINT) AS tx,
+           CAST(SUM(tie_y) AS BIGINT) AS ty
+    FROM pairs GROUP BY 1
+)
+SELECT a.nation,
+       CAST(s.n_months AS BIGINT) AS n_months,
+       nc AS concordant, nd AS discordant,
+       (FLOOR((CAST(nc AS DOUBLE) - nd)
+              / sqrt(CASE WHEN (n0 - tx) * (n0 - ty) > 0
+                     THEN CAST(n0 - tx AS DOUBLE) * (n0 - ty) END)
+              * 1000000 + 0.5) / 1000000.0) AS tau_b
+FROM agg a
+JOIN (SELECT nation, COUNT(*) AS n_months FROM series GROUP BY 1) s
+  ON a.nation = s.nation
+""",
+)
+def kendall_tau_monthly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b of (monthly order count, monthly revenue) per nation."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    series = (
+        t["orders"]
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .join(
+            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("m"),
+        )
+        .agg(
+            F.count("*").alias("x"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    a = series.alias("a")
+    b = series.alias("b")
+    ax, bx = F.col("a.x"), F.col("b.x")
+    ay, by = F.col("a.y"), F.col("b.y")
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.nation") == F.col("b.nation")) & (F.col("a.m") < F.col("b.m")),
+    ).select(
+        F.col("a.nation").alias("nation"),
+        F.when((ax < bx) & (ay < by) | (ax > bx) & (ay > by), 1)
+        .otherwise(0)
+        .alias("conc"),
+        F.when((ax < bx) & (ay > by) | (ax > bx) & (ay < by), 1)
+        .otherwise(0)
+        .alias("disc"),
+        F.when(ax == bx, 1).otherwise(0).alias("tie_x"),
+        F.when(ay == by, 1).otherwise(0).alias("tie_y"),
+    )
+    agg = pairs.groupBy("nation").agg(
+        F.count("*").alias("n0"),
+        F.sum("conc").cast("bigint").alias("nc"),
+        F.sum("disc").cast("bigint").alias("nd"),
+        F.sum("tie_x").cast("bigint").alias("tx"),
+        F.sum("tie_y").cast("bigint").alias("ty"),
+    )
+    nmo = series.groupBy("nation").agg(F.count("*").alias("n_months"))
+    den2 = (F.col("n0") - F.col("tx")) * (F.col("n0") - F.col("ty"))
+    return agg.join(F.broadcast(nmo), "nation").select(
+        "nation",
+        F.col("n_months").cast("bigint").alias("n_months"),
+        F.col("nc").alias("concordant"),
+        F.col("nd").alias("discordant"),
+        dround(
+            (F.col("nc").cast("double") - F.col("nd"))
+            / F.sqrt(
+                F.when(
+                    den2 > 0,
+                    (F.col("n0") - F.col("tx")).cast("double")
+                    * (F.col("n0") - F.col("ty")),
+                )
+            ),
+            6,
+        ).alias("tau_b"),
+    )
