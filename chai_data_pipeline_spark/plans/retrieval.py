@@ -431,3 +431,95 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Positional phrase search — exact multi-token phrase matching, the
+# retrieval primitive BM25's bag-of-words scoring cannot express
+# ("table scan" must match adjacent tokens, not co-occurrence). Both
+# engines evaluate the SAME adjacency scan as a list lambda over the
+# materialized token array (the array is a column FIRST — a split()
+# inside a higher-order lambda re-runs per position, O(n^2) regex
+# work). Guards: sub-2-token docs short-circuit before sequence()
+# (Spark sequence(1,0) is DESCENDING) and the index range keeps ANSI
+# element_at in bounds.
+#
+# Scale: pure per-row map work + one (lang)-keyed map-combined agg —
+# zero joins, zero row-cardinality shuffles; phrase fan-out is a
+# constant-width stack of one wide aggregate, not a per-phrase union.
+# --------------------------------------------------------------------------
+
+_PHRASE_1 = ("table", "scan")
+_PHRASE_2 = ("hash", "join")
+
+
+@query(
+    "phrase_search_positional",
+    oracle=f"""
+WITH toks AS (
+    SELECT lang, string_split(text, ' ') AS t
+    FROM documents WHERE text IS NOT NULL
+),
+occ AS (
+    SELECT lang,
+           CASE WHEN len(t) >= 2 THEN len(list_filter(range(1, len(t)),
+                i -> t[i] = '{_PHRASE_1[0]}' AND t[i+1] = '{_PHRASE_1[1]}'))
+                ELSE 0 END AS o1,
+           CASE WHEN len(t) >= 2 THEN len(list_filter(range(1, len(t)),
+                i -> t[i] = '{_PHRASE_2[0]}' AND t[i+1] = '{_PHRASE_2[1]}'))
+                ELSE 0 END AS o2
+    FROM toks
+),
+agg AS (
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE o1 > 0) AS d1,
+           CAST(SUM(o1) AS BIGINT) AS s1,
+           COUNT(*) FILTER (WHERE o2 > 0) AS d2,
+           CAST(SUM(o2) AS BIGINT) AS s2
+    FROM occ GROUP BY 1
+)
+SELECT lang, '{" ".join(_PHRASE_1)}' AS phrase, n_docs,
+       d1 AS docs_with_phrase, s1 AS occurrences FROM agg
+UNION ALL
+SELECT lang, '{" ".join(_PHRASE_2)}' AS phrase, n_docs,
+       d2 AS docs_with_phrase, s2 AS occurrences FROM agg
+""",
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact adjacent-token phrase counts per language, two phrases."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "lang", F.split(F.col("text"), " ").alias("t")
+    )
+
+    def occ(w1: str, w2: str) -> F.Column:
+        return F.expr(
+            "CASE WHEN size(t) >= 2 THEN size(filter(sequence(1, size(t)-1),"
+            f" i -> element_at(t, i) = '{w1}'"
+            f" AND element_at(t, i+1) = '{w2}')) ELSE 0 END"
+        )
+
+    agg = (
+        toks.select(
+            "lang",
+            occ(*_PHRASE_1).alias("o1"),
+            occ(*_PHRASE_2).alias("o2"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_if(F.col("o1") > 0).alias("d1"),
+            F.sum("o1").cast("bigint").alias("s1"),
+            F.count_if(F.col("o2") > 0).alias("d2"),
+            F.sum("o2").cast("bigint").alias("s2"),
+        )
+    )
+    p1 = " ".join(_PHRASE_1)
+    p2 = " ".join(_PHRASE_2)
+    return agg.selectExpr(
+        "lang",
+        "n_docs",
+        f"stack(2, '{p1}', d1, s1, '{p2}', d2, s2)"
+        " AS (phrase, docs_with_phrase, occurrences)",
+    ).select("lang", "phrase", "n_docs", "docs_with_phrase", "occurrences")

@@ -1329,3 +1329,111 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("mean_rank_shift"),
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar (int8) quantization audit — the compression report a vector
+# store produces before switching a 100-TB embedding corpus from
+# float32 to per-dimension uint8 codes (4x smaller, SIMD-scannable):
+# per-dim min/max calibration, quantize, reconstruct, and measure the
+# error actually introduced. Everything before the final MSE division
+# is exact: min/max are exact comparisons, the code is one shared
+# FLOOR chain, and squared errors are fixed-point quantized at 2^-40
+# (power-of-two scale = exact IEEE multiply) before the associative
+# integer sum — bit-identical under any partitioning.
+#
+# Scale: two map-side-combined passes over the exploded corpus (one
+# for calibration stats, one for error), both keyed on dim (64
+# groups); the stats join back is a broadcast. No row-cardinality
+# shuffle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "scalar_quantization_audit",
+    oracle="""
+WITH flat AS (
+    SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+stats AS (
+    SELECT dim, MIN(x) AS mn, MAX(x) AS mx
+    FROM flat WHERE x IS NOT NULL GROUP BY 1
+),
+coded AS (
+    SELECT f.dim, f.x, s.mn, s.mx,
+           CASE WHEN s.mx > s.mn
+                THEN FLOOR((f.x - s.mn) / (s.mx - s.mn) * 255 + 0.5)
+                ELSE 0 END AS code
+    FROM flat f JOIN stats s USING (dim)
+    WHERE f.x IS NOT NULL
+),
+err AS (
+    SELECT dim, mn, mx,
+           (x - (mn + code * ((mx - mn) / 255.0))) AS e
+    FROM coded
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       mn AS dim_min, mx AS dim_max,
+       COUNT(*) AS n_values,
+       (CAST(SUM(CAST(FLOOR(e * e * 1099511627776.0 + 0.5) AS BIGINT))
+             AS DOUBLE) / (1099511627776.0 * COUNT(*))) AS mse,
+       (CAST(MAX(CAST(FLOOR(ABS(e) * 1073741824.0 + 0.5) AS BIGINT))
+             AS DOUBLE) / 1073741824.0) AS max_abs_err
+FROM err
+GROUP BY 1, 2, 3
+""",
+)
+def scalar_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dim int8 quantization error report over the embedding corpus."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    flat = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(F.posexplode("embedding").alias("dim", "xf"))
+        .select("dim", F.col("xf").cast("double").alias("x"))
+        .filter(F.col("x").isNotNull())
+    )
+    stats = flat.groupBy("dim").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    coded = flat.join(F.broadcast(stats), "dim").select(
+        "dim",
+        "x",
+        "mn",
+        "mx",
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.floor(
+                (F.col("x") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * 255
+                + 0.5
+            ),
+        )
+        .otherwise(0)
+        .alias("code"),
+    )
+    e = F.col("x") - (
+        F.col("mn") + F.col("code") * ((F.col("mx") - F.col("mn")) / 255.0)
+    )
+    err = coded.select("dim", "mn", "mx", e.alias("e"))
+    two40 = 1099511627776.0  # 2^40: power-of-two scale, exact multiply
+    two30 = 1073741824.0
+    return err.groupBy(
+        F.col("dim").cast("integer").alias("dim"),
+        F.col("mn").alias("dim_min"),
+        F.col("mx").alias("dim_max"),
+    ).agg(
+        F.count("*").alias("n_values"),
+        (
+            F.sum(F.floor(F.col("e") * F.col("e") * two40 + 0.5).cast("long"))
+            .cast("double")
+            / (two40 * F.count("*"))
+        ).alias("mse"),
+        (
+            F.max(F.floor(F.abs("e") * two30 + 0.5).cast("long"))
+            .cast("double")
+            / two30
+        ).alias("max_abs_err"),
+    )
