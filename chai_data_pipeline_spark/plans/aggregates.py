@@ -3192,3 +3192,306 @@ def mann_whitney_u_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_mwu"),
     )
+
+
+# --------------------------------------------------------------------------
+# Offline policy evaluation by replay (Li et al. 2011's replay method,
+# greedy policy): learn "best action per context" (context = day of
+# week, action = event type, reward = value) on the first half of the
+# window, then score the policy on the second half using ONLY logged
+# rows where the logged action equals the policy's choice — the
+# standard unbiased offline estimate when the logging policy is
+# uniform. Means are ratios of exact integer cents, the argmax orders
+# by that one-division double with explicit NULLS LAST + name
+# tie-break, and every reported rate is floor-1e6 pinned.
+#
+# Scale: two map-combined (dow, type) aggregates over the halves plus
+# a <=7-row broadcast policy join — no row-cardinality shuffle.
+# --------------------------------------------------------------------------
+
+_RPL_CUTOFF = "2024-01-16 00:00:00"
+
+
+@query(
+    "replay_policy_evaluation",
+    oracle=f"""
+WITH train AS (
+    SELECT dayofweek(CAST(ts AS DATE)) AS dow, event_type,
+           COUNT(value) AS n_r,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS s
+    FROM events
+    WHERE ts IS NOT NULL AND ts < TIMESTAMP '{_RPL_CUTOFF}'
+      AND event_type IS NOT NULL
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT dow, event_type,
+           CAST(s AS DOUBLE) / 100.0
+               / (CASE WHEN n_r > 0 THEN n_r END) AS mean_r,
+           ROW_NUMBER() OVER (
+               PARTITION BY dow
+               ORDER BY CAST(s AS DOUBLE) / 100.0
+                        / (CASE WHEN n_r > 0 THEN n_r END)
+                        DESC NULLS LAST,
+                        event_type ASC) AS rk
+    FROM train
+),
+policy AS (
+    SELECT dow, event_type AS policy_action, mean_r FROM ranked WHERE rk = 1
+),
+ev AS (
+    SELECT dayofweek(CAST(ts AS DATE)) AS dow, event_type,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+           value
+    FROM events
+    WHERE ts IS NOT NULL AND ts >= TIMESTAMP '{_RPL_CUTOFF}'
+),
+scored AS (
+    SELECT e.dow, p.policy_action, p.mean_r,
+           COUNT(*) AS n_eval,
+           COUNT(*) FILTER (WHERE e.event_type = p.policy_action)
+               AS n_matched,
+           COUNT(e.value) FILTER (WHERE e.event_type = p.policy_action)
+               AS n_matched_r,
+           CAST(COALESCE(SUM(e.cents) FILTER (
+               WHERE e.event_type = p.policy_action), 0) AS BIGINT) AS s_m
+    FROM ev e JOIN policy p ON e.dow = p.dow
+    GROUP BY 1, 2, 3
+)
+SELECT dow, policy_action,
+       (FLOOR(mean_r * 10000 + 0.5) / 10000.0) AS train_mean,
+       n_eval, n_matched,
+       (FLOOR(CAST(n_matched AS DOUBLE) / n_eval * 1000000 + 0.5)
+        / 1000000.0) AS match_rate,
+       (FLOOR(CAST(s_m AS DOUBLE) / 100.0
+              / (CASE WHEN n_matched_r > 0 THEN n_matched_r END)
+              * 10000 + 0.5) / 10000.0) AS est_policy_value
+FROM scored
+""",
+)
+def replay_policy_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-action-per-dow policy scored by second-half replay."""
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    cutoff = F.lit(_RPL_CUTOFF).cast("timestamp_ntz")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    # Spark dayofweek is 1=Sunday; DuckDB is 0=Sunday — normalize to
+    # DuckDB's numbering since dow is an output key here.
+    dow = (F.expr("dayofweek(CAST(ts AS DATE))") - 1).alias("dow")
+    train = (
+        events.filter(
+            F.col("ts").isNotNull()
+            & (F.col("ts") < cutoff)
+            & F.col("event_type").isNotNull()
+        )
+        .groupBy(dow, "event_type")
+        .agg(
+            F.count("value").alias("n_r"),
+            F.sum(cents).cast("bigint").alias("s"),
+        )
+    )
+    mean_r = (
+        F.col("s").cast("double")
+        / 100.0
+        / F.when(F.col("n_r") > 0, F.col("n_r"))
+    )
+    ranked = train.select(
+        "dow", "event_type", mean_r.alias("mean_r")
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("dow").orderBy(
+                F.col("mean_r").desc_nulls_last(), F.col("event_type").asc()
+            )
+        ),
+    )
+    policy = ranked.filter(F.col("rk") == 1).select(
+        "dow", F.col("event_type").alias("policy_action"), "mean_r"
+    )
+    ev = events.filter(
+        F.col("ts").isNotNull() & (F.col("ts") >= cutoff)
+    ).select(dow, "event_type", cents.alias("cents"), "value")
+    matched = F.col("event_type") == F.col("policy_action")
+    scored = (
+        ev.join(F.broadcast(policy), "dow")
+        .groupBy("dow", "policy_action", "mean_r")
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.count_if(matched).alias("n_matched"),
+            F.count(F.when(matched, F.col("value"))).alias("n_matched_r"),
+            F.coalesce(F.sum(F.when(matched, F.col("cents"))), F.lit(0))
+            .cast("bigint")
+            .alias("s_m"),
+        )
+    )
+    return scored.select(
+        "dow",
+        "policy_action",
+        (F.floor(F.col("mean_r") * 10000 + 0.5) / F.lit(10000.0)).alias(
+            "train_mean"
+        ),
+        "n_eval",
+        "n_matched",
+        (
+            F.floor(
+                F.col("n_matched").cast("double") / F.col("n_eval") * 1000000
+                + 0.5
+            )
+            / F.lit(1000000.0)
+        ).alias("match_rate"),
+        (
+            F.floor(
+                F.col("s_m").cast("double")
+                / 100.0
+                / F.when(F.col("n_matched_r") > 0, F.col("n_matched_r"))
+                * 10000
+                + 0.5
+            )
+            / F.lit(10000.0)
+        ).alias("est_policy_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Theil-T inequality decomposition of customer spend by nation — the
+# additive complement to gini_by_nation: Theil splits total inequality
+# into a BETWEEN-nations term and per-nation WITHIN terms, which is
+# the question a market analyst actually asks ("is revenue
+# concentration a geography story or a within-market story?").
+# Moments are exact integer cents; each ln term is dround-pinned
+# before the order-independent decimal sum (zipf precedent).
+#
+# Scale: per-customer totals shuffle once on custkey, nation stats are
+# a bounded groupBy, and the per-row term pass joins a 25-row
+# broadcast — no row-cardinality re-shuffle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "theil_index_decomposition",
+    oracle="""
+WITH spend AS (
+    SELECT o_custkey AS ck,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS x
+    FROM orders WHERE o_custkey IS NOT NULL
+    GROUP BY 1
+),
+cust AS (
+    SELECT s.ck, s.x, n.n_name AS nation
+    FROM spend s
+    JOIN customer c ON s.ck = c_custkey
+    JOIN nation n ON c_nationkey = n_nationkey
+    WHERE s.x > 0
+),
+g AS (
+    SELECT nation, COUNT(*) AS n_g,
+           SUM(CAST(x AS HUGEINT)) AS s_g
+    FROM cust GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(n_g) AS BIGINT) AS n, SUM(s_g) AS s FROM g
+),
+terms AS (
+    SELECT c.nation,
+           (FLOOR((CAST(c.x AS DOUBLE) / (CAST(g.s_g AS DOUBLE) / g.n_g))
+                  * ln(CAST(c.x AS DOUBLE)
+                       / (CAST(g.s_g AS DOUBLE) / g.n_g))
+                  * 1000000000 + 0.5) / 1000000000.0) AS t_i
+    FROM cust c JOIN g ON c.nation = g.nation
+)
+SELECT g.nation,
+       CAST(g.n_g AS BIGINT) AS n_customers,
+       (FLOOR(CAST(g.s_g AS DOUBLE) / g.n_g / 100.0 * 10000 + 0.5)
+        / 10000.0) AS mean_spend,
+       (FLOOR(CAST(w.sum_t AS DOUBLE) / g.n_g * 1000000000 + 0.5)
+        / 1000000000.0) AS theil_within,
+       (FLOOR((CAST(g.n_g AS DOUBLE) / tot.n)
+              * ((CAST(g.s_g AS DOUBLE) / g.n_g)
+                 / (CAST(tot.s AS DOUBLE) / tot.n))
+              * ln((CAST(g.s_g AS DOUBLE) / g.n_g)
+                   / (CAST(tot.s AS DOUBLE) / tot.n))
+              * 1000000000 + 0.5) / 1000000000.0) AS between_term
+FROM g
+JOIN (SELECT nation, SUM(CAST(t_i AS DECIMAL(27,9))) AS sum_t
+      FROM terms GROUP BY 1) w ON g.nation = w.nation
+CROSS JOIN tot
+""",
+)
+def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T within/between decomposition of per-customer spend."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    spend = (
+        t["orders"]
+        .filter(F.col("o_custkey").isNotNull())
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    cust = (
+        spend.join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("ck") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("x") > 0)
+        .select("ck", "x", F.col("n_name").alias("nation"))
+    )
+    g = cust.groupBy("nation").agg(
+        F.count("*").alias("n_g"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"), F.sum("s_g").alias("s")
+    )
+    mu_g = F.col("s_g").cast("double") / F.col("n_g")
+    ratio = F.col("x").cast("double") / mu_g
+    terms = cust.join(F.broadcast(g), "nation").select(
+        "nation",
+        (
+            F.floor(ratio * F.log(ratio) * 1000000000 + 0.5)
+            / F.lit(1000000000.0)
+        ).alias("t_i"),
+    )
+    w = terms.groupBy("nation").agg(
+        F.sum(F.col("t_i").cast("decimal(27,9)")).alias("sum_t")
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    return (
+        g.join(F.broadcast(w), "nation")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation",
+            F.col("n_g").cast("bigint").alias("n_customers"),
+            (
+                F.floor(mu_g / 100.0 * 10000 + 0.5) / F.lit(10000.0)
+            ).alias("mean_spend"),
+            (
+                F.floor(
+                    F.col("sum_t").cast("double") / F.col("n_g") * 1000000000
+                    + 0.5
+                )
+                / F.lit(1000000000.0)
+            ).alias("theil_within"),
+            (
+                F.floor(
+                    (F.col("n_g").cast("double") / F.col("n"))
+                    * (mu_g / mu)
+                    * F.log(mu_g / mu)
+                    * 1000000000
+                    + 0.5
+                )
+                / F.lit(1000000000.0)
+            ).alias("between_term"),
+        )
+    )

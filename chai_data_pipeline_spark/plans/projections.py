@@ -457,3 +457,76 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("suppression_cost"),
         F.min("class_size").cast("bigint").alias("min_class_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit — the sensitive-attribute complement to
+# k_anonymity_audit: a class can be large (k-anonymous) yet still leak
+# if everyone in it shares the same sensitive value. Sensitive
+# attribute = account-balance band; a class with fewer than l distinct
+# bands lets an attacker who can place a user in the class infer their
+# band. Pure integer counting at quasi-identifier grain.
+# --------------------------------------------------------------------------
+
+_LDIV_L = 3
+_LDIV_BAND = (
+    "CASE WHEN c_acctbal IS NULL THEN 'unknown'"
+    " WHEN c_acctbal < 0 THEN 'debt'"
+    " WHEN c_acctbal < 3000 THEN 'low'"
+    " WHEN c_acctbal < 7000 THEN 'mid'"
+    " ELSE 'high' END"
+)
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment,
+           COUNT(*) AS class_size,
+           COUNT(DISTINCT {_LDIV_BAND}) AS l_distinct
+    FROM customer GROUP BY 1, 2
+)
+SELECT CAST({_LDIV_L} AS BIGINT) AS l,
+       COUNT(*) AS n_classes,
+       COUNT(*) FILTER (WHERE l_distinct < {_LDIV_L}) AS n_violating,
+       CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       CAST(COALESCE(SUM(class_size) FILTER (
+           WHERE l_distinct < {_LDIV_L}), 0) AS BIGINT) AS n_rows_at_risk,
+       CAST(MIN(l_distinct) AS BIGINT) AS min_l,
+       (FLOOR(CAST(SUM(l_distinct) AS BIGINT) * 1.0 / COUNT(*)
+        * 1000000 + 0.5) / 1000000.0) AS avg_l
+FROM classes
+""",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l=3 diversity of balance bands inside (nation, segment) classes.
+
+    Scale: one quasi-identifier-grain aggregate (the COUNT DISTINCT is
+    over a 5-value band, so the partial aggregation stays tiny) + a
+    scalar rollup — same shape as k_anonymity_audit.
+    """
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("class_size"),
+        F.countDistinct(F.expr(_LDIV_BAND)).alias("l_distinct"),
+    )
+    viol = F.col("l_distinct") < _LDIV_L
+    return classes.agg(
+        F.lit(_LDIV_L).cast("bigint").alias("l"),
+        F.count("*").alias("n_classes"),
+        F.count_if(viol).alias("n_violating"),
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum(F.when(viol, F.col("class_size"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("l_distinct").cast("bigint").alias("min_l"),
+        (
+            F.floor(
+                F.sum("l_distinct").cast("bigint") * 1.0 / F.count("*")
+                * 1000000
+                + 0.5
+            )
+            / F.lit(1000000.0)
+        ).alias("avg_l"),
+    )

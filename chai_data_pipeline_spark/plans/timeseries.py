@@ -4535,7 +4535,9 @@ def kendall_tau_monthly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("o_totalprice").isNotNull()
         )
         .join(
-            F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+            # customer scales with the fact data — shuffle join (AQE
+            # picks the strategy); only nation is broadcast-safe
+            t["customer"].select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
