@@ -389,3 +389,181 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+# --------------------------------------------------------------------------
+# Small-file compaction planner — next-fit packing of daily partitions
+# into ~target-size compaction groups. The maintenance job every
+# date-partitioned 100-TB table needs: lay the daily partitions on a
+# line in date order, cut the line every TARGET bytes, and each cut is
+# one rewrite task. Bin assignment is pure integer arithmetic on the
+# cumulative byte offset (floor(start_offset / target)), so the plan
+# is deterministic and stable under re-runs. The cumulative window
+# runs over the DAY-grain aggregate — calendar-bounded, never
+# row-cardinality.
+# --------------------------------------------------------------------------
+
+_COMPACT_TARGET = 1 << 20  # 1 MiB at test scale; a config in production
+
+
+@query(
+    "compaction_binpack_plan",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           COUNT(*) AS n_rows,
+           CAST(SUM(COALESCE(strlen(props), 0) + 64) AS BIGINT)
+               AS est_bytes
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1
+),
+cum AS (
+    SELECT d, n_rows, est_bytes,
+           CAST(SUM(est_bytes) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                - est_bytes AS BIGINT) AS start_off
+    FROM daily
+)
+SELECT CAST(start_off // {_COMPACT_TARGET} AS BIGINT) AS compaction_group,
+       COUNT(*) AS n_partitions,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(est_bytes) AS BIGINT) AS total_bytes,
+       MIN(d) AS day_min, MAX(d) AS day_max
+FROM cum
+GROUP BY 1
+""",
+)
+def compaction_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit daily-partition compaction groups at a byte target."""
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.coalesce(F.octet_length("props"), F.lit(0)) + 64)
+            .cast("bigint")
+            .alias("est_bytes"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.withColumn(
+        "start_off",
+        (F.sum("est_bytes").over(w) - F.col("est_bytes")).cast("bigint"),
+    )
+    return cum.groupBy(
+        F.expr(f"start_off DIV {_COMPACT_TARGET}")
+        .cast("bigint")
+        .alias("compaction_group")
+    ).agg(
+        F.count("*").alias("n_partitions"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("est_bytes").cast("bigint").alias("total_bytes"),
+        F.min("d").alias("day_min"),
+        F.max("d").alias("day_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Join-strategy advisor — per canonical join pair, the three numbers
+# that pick a physical strategy on a real cluster: build-side bytes
+# (broadcast or not), probe-side key NDV (shuffle width), and the hot
+# key's row share (salt or not). partition_sizing_advisor answers
+# "how big is each table"; this answers "how should these two meet".
+# The skew gate is an exact integer cross-multiplication
+# (max_key_rows · ndv > 16 · probe_rows ⟺ hottest key carries >16x
+# its fair share), so the advice is engine-exact.
+#
+# Scale: per pair, one map-combined probe aggregate at key grain (the
+# same partial-agg shape a real join's shuffle would do) reduced to a
+# scalar, plus the build-side byte scan — no joins, no row shuffles.
+# --------------------------------------------------------------------------
+
+_JOIN_PAIRS = [
+    # (join_name, probe table, probe key, build table)
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier"),
+    ("lineitem_part", "lineitem", "l_partkey", "part"),
+    ("orders_customer", "orders", "o_custkey", "customer"),
+    ("customer_nation", "customer", "c_nationkey", "nation"),
+]
+
+_BUILD_BYTES = {t: _bytes_expr(fx, cols, duck=False)
+                for t, fx, cols in _ADVISOR_TABLES}
+_BUILD_BYTES_DUCK = {t: _bytes_expr(fx, cols, duck=True)
+                     for t, fx, cols in _ADVISOR_TABLES}
+_BUILD_BYTES["nation"] = _BUILD_BYTES_DUCK["nation"] = "32"
+
+
+def _join_leg_sql(name: str, probe: str, key: str, build: str) -> str:
+    bexpr = _BUILD_BYTES_DUCK[build]
+    return f"""
+SELECT '{name}' AS join_name,
+       p.n_probe, p.ndv, p.max_key_rows,
+       b.build_bytes,
+       CASE WHEN b.build_bytes < {10 * _MB} THEN 'broadcast'
+            ELSE 'sort_merge' END AS strategy,
+       (p.max_key_rows * p.ndv > 16 * p.n_probe) AS salt_recommended
+FROM (
+    SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_probe,
+           CAST(COUNT(*) AS BIGINT) AS ndv,
+           CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_key_rows
+    FROM (SELECT {key}, COUNT(*) AS c FROM {probe}
+          WHERE {key} IS NOT NULL GROUP BY 1) g
+) p CROSS JOIN (
+    SELECT CAST(SUM({bexpr}) AS BIGINT) AS build_bytes FROM {build}
+) b"""
+
+
+@query(
+    "join_strategy_advisor",
+    oracle="\nUNION ALL\n".join(
+        _join_leg_sql(*pair) for pair in _JOIN_PAIRS
+    ),
+)
+def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast/sort-merge + salting advice per canonical join pair."""
+    needed = sorted({p[1] for p in _JOIN_PAIRS} | {p[3] for p in _JOIN_PAIRS})
+    tables = load_tables(spark, sf_dir, *needed)
+    legs = []
+    for name, probe, key, build in _JOIN_PAIRS:
+        g = (
+            tables[probe]
+            .filter(F.col(key).isNotNull())
+            .groupBy(key)
+            .agg(F.count("*").alias("c"))
+        )
+        p = g.agg(
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("bigint")
+            .alias("n_probe"),
+            F.count("*").cast("bigint").alias("ndv"),
+            F.coalesce(F.max("c"), F.lit(0))
+            .cast("bigint")
+            .alias("max_key_rows"),
+        )
+        b = tables[build].agg(
+            F.sum(F.expr(_BUILD_BYTES[build]))
+            .cast("bigint")
+            .alias("build_bytes")
+        )
+        legs.append(
+            p.crossJoin(F.broadcast(b)).select(
+                F.lit(name).alias("join_name"),
+                "n_probe",
+                "ndv",
+                "max_key_rows",
+                "build_bytes",
+                F.when(F.col("build_bytes") < 10 * _MB, "broadcast")
+                .otherwise("sort_merge")
+                .alias("strategy"),
+                (
+                    F.col("max_key_rows") * F.col("ndv")
+                    > 16 * F.col("n_probe")
+                ).alias("salt_recommended"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out

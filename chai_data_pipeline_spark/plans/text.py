@@ -1664,3 +1664,163 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[f"coverage_top_{k}" for k in _VOCAB_KS],
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram LM perplexity on a held-out split — the next rung above
+# unigram_lm_perplexity on the LLM-curation quality ladder: fit
+# add-k-smoothed bigram conditionals p(w2|w1) on the sha256-80% train
+# docs, score the held-out 20%. Gram strings come from the shared
+# word_ngrams fragment (byte-identical across engines); ln terms are
+# quantized to ×1e6 integers at TEST-BIGRAM-TYPE grain, so the
+# per-language surprisal is an exact integer dot product with the test
+# counts — order-independent under any partitioning.
+#
+# Scale: all joins run at bigram-TYPE grain (vocabulary-bounded, never
+# occurrence-cardinality); the vocab size V is a 1-row broadcast.
+# --------------------------------------------------------------------------
+
+from ..operators.text import word_ngrams_sql_duckdb  # noqa: E402
+from .training import sql_hash_bucket as _sql_hb_doc  # noqa: E402
+
+_SQL_HB_DOC = _sql_hb_doc("doc_id")
+
+
+@query(
+    "bigram_lm_perplexity",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, lang, string_split_regex(TRIM(text), '\\s+') AS t,
+           {_SQL_HB_DOC} AS hb
+    FROM documents WHERE text IS NOT NULL
+),
+train_bg AS (
+    SELECT bg, COUNT(*) AS c2
+    FROM (SELECT unnest({word_ngrams_sql_duckdb('text', 2)}) AS bg
+          FROM documents
+          WHERE text IS NOT NULL AND {_SQL_HB_DOC} < 80)
+    GROUP BY 1
+),
+ctx AS (
+    SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(c2) AS BIGINT) AS c1
+    FROM train_bg GROUP BY 1
+),
+vocab AS (
+    SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+    FROM (SELECT unnest(t) AS w FROM toks WHERE hb < 80)
+),
+test_types AS (
+    SELECT lang, bg, split_part(bg, ' ', 1) AS w1, COUNT(*) AS n
+    FROM (SELECT lang, unnest({word_ngrams_sql_duckdb('text', 2)}) AS bg
+          FROM documents
+          WHERE text IS NOT NULL AND {_SQL_HB_DOC} >= 80)
+    GROUP BY 1, 2, 3
+),
+scored AS (
+    SELECT tt.lang, tt.n,
+           COALESCE(tb.c2, 0) AS c2,
+           CAST(FLOOR(ln((CAST(COALESCE(tb.c2, 0) AS DOUBLE)
+                          + CAST(0.5 AS DOUBLE))
+                         / (CAST(COALESCE(cx.c1, 0) AS DOUBLE)
+                            + CAST(0.5 AS DOUBLE) * v))
+                      * 1000000 + 0.5) AS BIGINT) AS lq
+    FROM test_types tt
+    LEFT JOIN train_bg tb ON tt.bg = tb.bg
+    LEFT JOIN ctx cx ON tt.w1 = cx.w1
+    CROSS JOIN vocab
+)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_test_bigrams,
+       (FLOOR(CAST(COALESCE(SUM(n) FILTER (WHERE c2 = 0), 0) AS BIGINT)
+              * 1.0 / SUM(n) * 1000000 + 0.5) / 1000000.0) AS unseen_rate,
+       (FLOOR(-(CAST(SUM(CAST(n AS HUGEINT) * lq) AS DOUBLE) / 1000000.0)
+              / SUM(n) * 1000000 + 0.5) / 1000000.0) AS avg_nll,
+       (FLOOR(exp(-(CAST(SUM(CAST(n AS HUGEINT) * lq) AS DOUBLE)
+                    / 1000000.0) / SUM(n)) * 10000 + 0.5) / 10000.0)
+           AS perplexity
+FROM scored
+GROUP BY 1
+""",
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram-LM perplexity per language (add-0.5 smoothing)."""
+    from ..operators.text import word_ngrams
+    from .training import hash_bucket
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "lang",
+        T.words("text").alias("t"),
+        hash_bucket("doc_id").alias("hb"),
+    )
+    bgs = toks.select(
+        "lang", "hb", F.explode(word_ngrams("t", 2, presplit=True)).alias("bg")
+    )
+    train_bg = (
+        bgs.filter(F.col("hb") < 80).groupBy("bg").agg(F.count("*").alias("c2"))
+    )
+    ctx = train_bg.groupBy(
+        F.substring_index("bg", " ", 1).alias("w1")
+    ).agg(F.sum("c2").cast("bigint").alias("c1"))
+    vocab = (
+        toks.filter(F.col("hb") < 80)
+        .select(F.explode("t").alias("w"))
+        .agg(F.countDistinct("w").cast("bigint").alias("v"))
+    )
+    test_types = (
+        bgs.filter(F.col("hb") >= 80)
+        .groupBy(
+            "lang", "bg", F.substring_index("bg", " ", 1).alias("w1")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    lq = (
+        F.floor(
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + 0.5)
+                / (
+                    F.coalesce(F.col("c1"), F.lit(0)).cast("double")
+                    + 0.5 * F.col("v")
+                )
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("lq")
+    )
+    scored = (
+        test_types.join(train_bg, "bg", "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "lang",
+            "n",
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+            lq,
+        )
+    )
+    s_micro = F.sum(F.col("n").cast("decimal(38,0)") * F.col("lq")).cast(
+        "double"
+    )
+    nll = -(s_micro / 1000000.0) / F.sum("n")
+    return scored.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_test_bigrams"),
+        (
+            F.floor(
+                F.coalesce(
+                    F.sum(F.when(F.col("c2") == 0, F.col("n"))), F.lit(0)
+                ).cast("bigint")
+                * 1.0
+                / F.sum("n")
+                * 1000000
+                + 0.5
+            )
+            / F.lit(1000000.0)
+        ).alias("unseen_rate"),
+        (F.floor(nll * 1000000 + 0.5) / F.lit(1000000.0)).alias("avg_nll"),
+        (F.floor(F.exp(nll) * 10000 + 0.5) / F.lit(10000.0)).alias(
+            "perplexity"
+        ),
+    )

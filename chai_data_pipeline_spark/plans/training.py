@@ -1646,3 +1646,104 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("norm_micro").cast("bigint") * 1.0 / F.count("*") / 1000000.0
         ).alias("avg_len_normalized"),
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman (optimal) stratified-sample allocation — given a total label
+# budget, how many rows should each stratum contribute? n_h ∝ N_h·S_h:
+# high-variance strata earn more than proportional share, constant
+# strata almost none. The sampling-DESIGN step that belongs before
+# train_test_split/mixture_weighted_sample actually draw. Variances
+# come from exact integer-cents moments; each stratum weight N_h·S_h
+# is fixed-point-pinned BEFORE the cross-stratum sum so the
+# normalization is order-independent.
+#
+# Scale: one map-combined per-type moment pass; everything after runs
+# on a type-cardinality frame with a 1-row broadcast total.
+# --------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 10000
+
+
+@query(
+    "neyman_allocation",
+    oracle=f"""
+WITH m AS (
+    SELECT event_type,
+           COUNT(value) AS n,
+           SUM(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS HUGEINT))
+               AS sx,
+           SUM(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS HUGEINT)
+               * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sxx
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+),
+s AS (
+    SELECT event_type, n,
+           sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (CASE WHEN n > 1 THEN n - 1.0 END)))
+               / 100.0 AS sd
+    FROM m
+),
+w AS (
+    SELECT event_type, n, sd,
+           CAST(FLOOR(n * sd * 100 + 0.5) AS BIGINT) AS w_scaled
+    FROM s
+),
+tot AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS t FROM w)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_rows,
+       (FLOOR(sd * 1000000 + 0.5) / 1000000.0) AS stddev,
+       CAST(FLOOR({_NEYMAN_BUDGET} * CAST(w_scaled AS DOUBLE)
+                  / (CASE WHEN t > 0 THEN t END)) AS BIGINT) AS alloc_n
+FROM w CROSS JOIN tot
+""",
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal per-stratum label budget from exact per-type variance."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    m = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum(cents.cast("decimal(38,0)")).alias("sx"),
+            F.sum(cents.cast("decimal(38,0)") * cents).alias("sxx"),
+        )
+    )
+    sd = (
+        F.sqrt(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            / (
+                F.col("n").cast("double")
+                * F.when(F.col("n") > 1, F.col("n") - 1.0)
+            )
+        )
+        / 100.0
+    )
+    w = m.select(
+        "event_type",
+        "n",
+        sd.alias("sd"),
+    ).withColumn(
+        "w_scaled",
+        F.floor(F.col("n") * F.col("sd") * 100 + 0.5).cast("bigint"),
+    )
+    tot = w.agg(F.sum("w_scaled").cast("bigint").alias("t"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_rows"),
+        (F.floor(F.col("sd") * 1000000 + 0.5) / F.lit(1000000.0)).alias(
+            "stddev"
+        ),
+        F.floor(
+            _NEYMAN_BUDGET
+            * F.col("w_scaled").cast("double")
+            / F.when(F.col("t") > 0, F.col("t"))
+        )
+        .cast("bigint")
+        .alias("alloc_n"),
+    )
