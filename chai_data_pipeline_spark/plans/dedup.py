@@ -74,6 +74,7 @@ sh0 AS (
                i -> text[i : i + 2]
            )) AS grams
     FROM documents
+    WHERE LENGTH(text) >= 3
 ),
 ok AS (
     SELECT lang, len_bucket FROM sh0
@@ -88,7 +89,12 @@ def _capped_shingle_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingles
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    sh = docs.select(
+    # LENGTH(text) >= 3 is the cross-engine empty-shingle guard: Spark's
+    # transform-over-sequence yields a size-1 array even for sub-3-char
+    # (and NULL) text, while DuckDB's range() yields []; it also makes
+    # union > 0 structurally impossible to violate, so the Jaccard
+    # division downstream can never hit Spark 4 ANSI div-by-zero.
+    sh = docs.filter(F.length("text") >= 3).select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 64).cast("long").alias("len_bucket"),
@@ -1637,7 +1643,7 @@ WITH s AS (
                i -> text[i : i + 2]
            )) AS grams
     FROM documents
-    WHERE doc_id < {_BRA_SAMPLE} AND text IS NOT NULL
+    WHERE doc_id < {_BRA_SAMPLE} AND LENGTH(text) >= 3
 ),
 truth AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1664,8 +1670,11 @@ def blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingles
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # length >= 3 (not isNotNull): same empty-shingle/div-by-zero guard
+    # as _capped_shingle_blocks — Spark's shingles() is non-empty even
+    # for sub-3-char text, DuckDB's range() version is [].
     s = docs.filter(
-        (F.col("doc_id") < _BRA_SAMPLE) & F.col("text").isNotNull()
+        (F.col("doc_id") < _BRA_SAMPLE) & (F.length("text") >= 3)
     ).select(
         "doc_id",
         "lang",

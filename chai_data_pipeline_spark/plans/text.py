@@ -1721,8 +1721,9 @@ scored AS (
            COALESCE(tb.c2, 0) AS c2,
            CAST(FLOOR(ln((CAST(COALESCE(tb.c2, 0) AS DOUBLE)
                           + CAST(0.5 AS DOUBLE))
-                         / (CAST(COALESCE(cx.c1, 0) AS DOUBLE)
-                            + CAST(0.5 AS DOUBLE) * v))
+                         / (CASE WHEN v > 0 THEN
+                                CAST(COALESCE(cx.c1, 0) AS DOUBLE)
+                                + CAST(0.5 AS DOUBLE) * v END))
                       * 1000000 + 0.5) AS BIGINT) AS lq
     FROM test_types tt
     LEFT JOIN train_bg tb ON tt.bg = tb.bg
@@ -1775,13 +1776,19 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
     )
+    # v = 0 (empty train split) would zero the smoothed denominator:
+    # Spark 4 ANSI throws on the division where DuckDB yields inf. The
+    # guard lives in the DENOMINATOR (round-6 lesson: a CASE cannot
+    # protect a division inside its own condition) — NULL propagates to
+    # lq, and both engines' SUM-over-all-NULL then yields NULL metrics.
     lq = (
         F.floor(
             F.log(
                 (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + 0.5)
-                / (
+                / F.when(
+                    F.col("v") > 0,
                     F.coalesce(F.col("c1"), F.lit(0)).cast("double")
-                    + 0.5 * F.col("v")
+                    + 0.5 * F.col("v"),
                 )
             )
             * 1000000
