@@ -1705,3 +1705,100 @@ def blocking_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             n > 0, F.floor(n_blk * 1.0 / n * 1000000 + 0.5) / 1000000.0
         ).alias("blocking_recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring duplication census: the planning statistics behind
+# substring-granular dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better") — how much token mass sits in
+# 8-token windows that repeat across documents, and how many docs are
+# touched. Exact-match dedup misses boilerplate spans embedded in
+# otherwise-unique pages; this census sizes that problem BEFORE anyone
+# commits to a suffix-array pass. The reference has no substring
+# notion at all (its dedup is whole-row pandas drop_duplicates,
+# transform_covid_data.py style) — this is the corpus-scale extension.
+#
+# Scale: everything runs at gram-occurrence grain (doc × window
+# positions) and reduces immediately to gram-TYPE grain; the dup flag
+# is a window over the (lang, gram) partition of the already-reduced
+# (lang, gram, doc) frame — never an all-pairs join, never a global
+# sort. At 100 TB the (lang, gram) shuffle is the one big exchange,
+# map-combined by the first groupBy.
+# --------------------------------------------------------------------------
+
+_SUBSTR_K = 8  # window length in tokens
+
+from ..operators.text import word_ngrams_sql_duckdb as _wng_sql  # noqa: E402
+
+_SUBSTR_GRAMS_SQL = _wng_sql("text", _SUBSTR_K)
+_SUBSTR_DUP_RATIO = sql_dround(
+    "COALESCE(SUM(CASE WHEN n_docs >= 2 THEN n END), 0) * 1.0 / SUM(n)", 6
+)
+
+
+@query(
+    "substring_dup_census",
+    oracle=f"""
+WITH occ AS (
+    SELECT lang, doc_id, g AS gram, COUNT(*) AS n
+    FROM (
+        SELECT lang, doc_id,
+               unnest({_SUBSTR_GRAMS_SQL}) AS g
+        FROM documents
+    )
+    GROUP BY 1, 2, 3
+),
+marked AS (
+    SELECT lang, doc_id, gram, n,
+           COUNT(*) OVER (PARTITION BY lang, gram) AS n_docs
+    FROM occ
+)
+SELECT lang,
+       COUNT(DISTINCT gram) AS n_gram_types,
+       COUNT(DISTINCT CASE WHEN n_docs >= 2 THEN gram END)
+           AS n_dup_types,
+       CAST(SUM(n) AS BIGINT) AS n_total_occurrences,
+       CAST(COALESCE(SUM(CASE WHEN n_docs >= 2 THEN n END), 0) AS BIGINT)
+           AS n_dup_occurrences,
+       COUNT(DISTINCT CASE WHEN n_docs >= 2 THEN doc_id END)
+           AS n_affected_docs,
+       {_SUBSTR_DUP_RATIO} AS dup_mass_ratio
+FROM marked
+GROUP BY 1
+""",
+)
+def substring_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document 8-token-window duplication census per language."""
+    from pyspark.sql.window import Window
+
+    from ..operators.text import word_ngrams, words
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select("lang", "doc_id", words("text").alias("t"))
+    occ = (
+        toks.select(
+            "lang",
+            "doc_id",
+            F.explode(word_ngrams("t", _SUBSTR_K, presplit=True)).alias(
+                "gram"
+            ),
+        )
+        .groupBy("lang", "doc_id", "gram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang", "gram")
+    marked = occ.withColumn("n_docs", F.count("*").over(w))
+    dup = F.col("n_docs") >= 2
+    dup_occ = F.coalesce(F.sum(F.when(dup, F.col("n"))), F.lit(0)).cast(
+        "bigint"
+    )
+    return marked.groupBy("lang").agg(
+        F.countDistinct("gram").alias("n_gram_types"),
+        F.countDistinct(F.when(dup, F.col("gram"))).alias("n_dup_types"),
+        F.sum("n").cast("bigint").alias("n_total_occurrences"),
+        dup_occ.alias("n_dup_occurrences"),
+        F.countDistinct(F.when(dup, F.col("doc_id"))).alias(
+            "n_affected_docs"
+        ),
+        dround(dup_occ * 1.0 / F.sum("n"), 6).alias("dup_mass_ratio"),
+    )

@@ -1831,3 +1831,75 @@ def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "perplexity"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-pair frequencies — the inner statistic of byte-pair-
+# encoding tokenizer training (Sennrich et al. 2016): count adjacent
+# character pairs across the corpus weighted by word frequency; the
+# argmax pair is the next merge. One iteration is exactly what a
+# tokenizer-training pipeline fans out per merge step, so this is the
+# Spark-shaped kernel: corpus reduces to WORD-TYPE grain first (the
+# classic BPE trick — a word's pairs are counted once and weighted by
+# its count), then pair extraction runs over the tiny type table.
+#
+# Scale: the only corpus-sized exchange is the word-type groupBy
+# (map-combined); pair explosion happens at word-TYPE grain
+# (vocabulary-bounded), and the top-20 is a TakeOrdered over
+# pair-type cardinality under the total (n DESC, pair) order.
+# --------------------------------------------------------------------------
+
+_BPE_TOP = 20
+
+
+@query(
+    "bpe_merge_pairs",
+    oracle=f"""
+WITH wc AS (
+    SELECT w, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS w
+          FROM documents WHERE text IS NOT NULL)
+    GROUP BY 1
+),
+pairs AS (
+    SELECT p, CAST(SUM(cnt) AS BIGINT) AS n_merges
+    FROM (
+        SELECT cnt,
+               unnest(CASE WHEN LENGTH(w) < 2 THEN []
+                      ELSE list_transform(range(1, LENGTH(w)),
+                                          i -> w[i : i + 1]) END) AS p
+        FROM wc
+    )
+    GROUP BY 1
+)
+SELECT p AS pair, n_merges FROM pairs
+ORDER BY n_merges DESC, p
+LIMIT {_BPE_TOP}
+""",
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 BPE merge candidates (adjacent char pairs, word-weighted)."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    wc = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(T.words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # Spark sequence(1, 0) is DESCENDING (round-6 pitfall) — the CASE
+    # guard on sub-2-char words is load-bearing, not defensive.
+    pair_expr = (
+        "CASE WHEN length(w) < 2 THEN CAST(array() AS array<string>) "
+        "ELSE transform(sequence(1, length(w) - 1), "
+        "i -> substring(w, i, 2)) END"
+    )
+    pairs = (
+        wc.select(F.col("cnt"), F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy("p")
+        .agg(F.sum("cnt").cast("bigint").alias("n_merges"))
+    )
+    return (
+        pairs.select(F.col("p").alias("pair"), "n_merges")
+        .orderBy(F.desc("n_merges"), "pair")
+        .limit(_BPE_TOP)
+    )
