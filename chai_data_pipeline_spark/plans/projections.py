@@ -530,3 +530,137 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("avg_l"),
     )
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit — completes the k-anonymity → l-diversity →
+# t-closeness privacy ladder: a class can be l-diverse yet still leak
+# (all its sensitive values concentrated in one rare band), so
+# t-closeness bounds the distance between each class's sensitive-band
+# distribution and the GLOBAL one. Distance here is total variation
+# (the categorical Earth-Mover's), computed exactly: per (class, band)
+# the term |n_cb·N − n_b·n_c| is a wide-integer product
+# (DECIMAL(38,0) / HUGEINT per the cross-engine rule), absent bands
+# contribute n_c·(N − Σ_present n_b) in closed form so the band grid
+# never needs completion, and the threshold test t > 0.2 is integer
+# cross-multiplication (5·num > 2·n_c·N) — no float compare. Only the
+# reported tvd touches a double: one division + the shared
+# floor-quantize, identical IEEE sequences on both engines.
+#
+# Scale: one (class, band)-grain aggregate over customer, a ≤5-row
+# broadcast band-total join, and a class-grain reduction — same shape
+# as k_anonymity_audit / l_diversity_audit.
+# --------------------------------------------------------------------------
+
+_TCLOSE_NUM = 1  # t = _TCLOSE_NUM / _TCLOSE_DEN = 0.2
+_TCLOSE_DEN = 5
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+WITH cb AS (
+    SELECT c_nationkey, c_mktsegment, {_LDIV_BAND} AS band,
+           COUNT(*) AS n_cb
+    FROM customer GROUP BY 1, 2, 3
+),
+bands AS (SELECT band, CAST(SUM(n_cb) AS BIGINT) AS n_b FROM cb GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_cb) AS BIGINT) AS n FROM cb),
+cls AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(SUM(n_cb) AS BIGINT) AS n_c,
+           CAST(SUM(ABS(CAST(n_cb AS HUGEINT) * n
+                        - CAST(b.n_b AS HUGEINT) * cw.n_c)) AS HUGEINT)
+               AS s1,
+           CAST(SUM(b.n_b) AS BIGINT) AS sb
+    FROM cb
+    JOIN bands b USING (band)
+    JOIN (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+                 CAST(SUM(n_cb) AS BIGINT) AS n_c
+          FROM cb GROUP BY 1, 2) cw
+      ON cb.c_nationkey = cw.nk AND cb.c_mktsegment = cw.seg
+    CROSS JOIN tot
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT n_c,
+           s1 + CAST(n_c AS HUGEINT) * (n - sb) AS num,
+           CAST(2 AS HUGEINT) * n_c * n AS den,
+           CAST(FLOOR(CAST(s1 + CAST(n_c AS HUGEINT) * (n - sb) AS DOUBLE)
+                      / CAST(CAST(2 AS HUGEINT) * n_c * n AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS tvd_q
+    FROM cls CROSS JOIN tot
+)
+SELECT (CAST({_TCLOSE_NUM} AS DOUBLE) / {_TCLOSE_DEN}) AS t,
+       COUNT(*) AS n_classes,
+       COUNT(*) FILTER (WHERE num * {_TCLOSE_DEN} > den * {_TCLOSE_NUM})
+           AS n_violating,
+       CAST(COALESCE(SUM(n_c) FILTER (
+           WHERE num * {_TCLOSE_DEN} > den * {_TCLOSE_NUM}), 0) AS BIGINT)
+           AS n_rows_at_risk,
+       (CAST(MAX(tvd_q) AS DOUBLE) / 1000000.0) AS max_tvd,
+       (FLOOR(CAST(SUM(tvd_q) AS BIGINT) * 1.0 / COUNT(*) + 0.5)
+        / 1000000.0) AS avg_tvd
+FROM scored
+""",
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t=0.2 closeness of balance-band distributions per (nation, segment)."""
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    cb = cust.groupBy(
+        "c_nationkey", "c_mktsegment", F.expr(_LDIV_BAND).alias("band")
+    ).agg(F.count("*").alias("n_cb"))
+    bands = cb.groupBy("band").agg(
+        F.sum("n_cb").cast("bigint").alias("n_b")
+    )
+    tot = cb.agg(F.sum("n_cb").cast("bigint").alias("n"))
+    cw = cb.groupBy(
+        F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg")
+    ).agg(F.sum("n_cb").cast("bigint").alias("n_c"))
+    d38 = "decimal(38,0)"
+    joined = (
+        cb.join(F.broadcast(bands), "band")
+        .join(
+            F.broadcast(cw),
+            (F.col("c_nationkey") == F.col("nk"))
+            & (F.col("c_mktsegment") == F.col("seg")),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    cls = joined.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.max("n_c").alias("n_c"),
+        F.sum(
+            F.abs(
+                F.col("n_cb").cast(d38) * F.col("n")
+                - F.col("n_b").cast(d38) * F.col("n_c")
+            )
+        ).alias("s1"),
+        F.sum("n_b").cast("bigint").alias("sb"),
+        F.max("n").alias("n"),
+    )
+    num = F.col("s1") + F.col("n_c").cast(d38) * (F.col("n") - F.col("sb"))
+    den = F.lit(2).cast(d38) * F.col("n_c") * F.col("n")
+    scored = cls.select(
+        "n_c",
+        num.alias("num"),
+        den.alias("den"),
+        F.floor(
+            num.cast("double") / den.cast("double") * 1000000 + 0.5
+        )
+        .cast("bigint")
+        .alias("tvd_q"),
+    )
+    viol = F.col("num") * _TCLOSE_DEN > F.col("den") * _TCLOSE_NUM
+    return scored.agg(
+        (F.lit(_TCLOSE_NUM).cast("double") / F.lit(_TCLOSE_DEN)).alias("t"),
+        F.count("*").alias("n_classes"),
+        F.count_if(viol).alias("n_violating"),
+        F.coalesce(F.sum(F.when(viol, F.col("n_c"))), F.lit(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        (F.max("tvd_q").cast("double") / 1000000.0).alias("max_tvd"),
+        (
+            F.floor(F.sum("tvd_q").cast("bigint") * 1.0 / F.count("*") + 0.5)
+            / F.lit(1000000.0)
+        ).alias("avg_tvd"),
+    )

@@ -4603,3 +4603,136 @@ def kendall_tau_monthly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("tau_b"),
     )
+
+
+# --------------------------------------------------------------------------
+# Spearman rank correlation (rho) between monthly order volume and
+# monthly revenue, per nation — the rank-correlation complement to
+# kendall_tau_monthly_demand: rho is Pearson on midranks, so it reads
+# as "strength of any monotone relationship" and is the number most
+# BI stacks quote. Ties get exact midranks; DOUBLED midranks
+# (2·rank + ties − 1) stay integers, so every moment is an exact
+# BIGINT sum and only the final rho division touches a double
+# (dround-pinned, variance-guarded).
+#
+# Scale: identical to the tau query — the fact table reduces to the
+# calendar-bounded (nation, month) grid first; rank windows partition
+# by nation over that grid, never over row-cardinality data.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "spearman_rho_monthly_demand",
+    oracle="""
+WITH series AS (
+    SELECT n_name AS nation,
+           CAST(YEAR(o_orderdate) * 12 + MONTH(o_orderdate) AS BIGINT) AS m,
+           COUNT(*) AS x,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS y
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT nation,
+           2 * RANK() OVER (PARTITION BY nation ORDER BY x)
+             + COUNT(*) OVER (PARTITION BY nation, x) - 1 AS dx,
+           2 * RANK() OVER (PARTITION BY nation ORDER BY y)
+             + COUNT(*) OVER (PARTITION BY nation, y) - 1 AS dy
+    FROM series
+),
+mom AS (
+    SELECT nation,
+           COUNT(*) AS n,
+           CAST(SUM(dx) AS BIGINT) AS sx,
+           CAST(SUM(dy) AS BIGINT) AS sy,
+           CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+           CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+           CAST(SUM(dy * dy) AS BIGINT) AS syy
+    FROM ranked GROUP BY 1
+)
+SELECT nation,
+       CAST(n AS BIGINT) AS n_months,
+       (FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+              / sqrt(CASE WHEN (n * sxx - sx * sx) > 0
+                           AND (n * syy - sy * sy) > 0
+                     THEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                     END)
+              * 1000000 + 0.5) / 1000000.0) AS rho_spearman
+FROM mom
+""",
+)
+def spearman_rho_monthly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho of (monthly order count, monthly revenue) per nation."""
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    series = (
+        t["orders"]
+        .filter(
+            F.col("o_orderdate").isNotNull()
+            & F.col("o_totalprice").isNotNull()
+        )
+        .join(
+            t["customer"].select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("m"),
+        )
+        .agg(
+            F.count("*").alias("x"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    wx = Window.partitionBy("nation").orderBy("x")
+    wy = Window.partitionBy("nation").orderBy("y")
+    cx = Window.partitionBy("nation", "x")
+    cy = Window.partitionBy("nation", "y")
+    ranked = series.select(
+        "nation",
+        (2 * F.rank().over(wx) + F.count("*").over(cx) - 1).alias("dx"),
+        (2 * F.rank().over(wy) + F.count("*").over(cy) - 1).alias("dy"),
+    )
+    mom = ranked.groupBy("nation").agg(
+        F.count("*").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return mom.select(
+        "nation",
+        n.cast("bigint").alias("n_months"),
+        dround(
+            (n.cast("double") * sxy - sx.cast("double") * sy)
+            / F.sqrt(
+                F.when(
+                    (varx > 0) & (vary > 0),
+                    (n.cast("double") * sxx - sx.cast("double") * sx)
+                    * (n.cast("double") * syy - sy.cast("double") * sy),
+                )
+            ),
+            6,
+        ).alias("rho_spearman"),
+    )
