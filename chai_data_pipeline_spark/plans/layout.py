@@ -567,3 +567,96 @@ def join_strategy_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter column advisor — which join/filter key columns earn a
+# parquet bloom filter (or a runtime bloom-pruned scan)? Per candidate
+# column: non-null rows, exact NDV, repetition ratio, the standard
+# m = ceil(-n·ln p / ln²2) sizing at 1% FPP (9.58496 bits/key as the
+# FIXED-POINT constant 958496/100000 so the ceil is integer-exact,
+# never a float boundary), k = 7 hashes, and a recommendation gated on
+# the filter fitting a broadcast-friendly 16 MiB. Complements
+# encoding_advisor / join_strategy_advisor in the physical-design
+# family.
+#
+# Scale: one stats-only aggregate per column (two-phase distinct
+# count), four scalar legs unioned — no data movement beyond the
+# per-column group-count.
+# --------------------------------------------------------------------------
+
+_BLOOM_BITS_NUM = 958496  # ceil(9.58496 bits/key) in 1e5 fixed point
+_BLOOM_CAP_BYTES = 16 * 1024 * 1024
+
+
+def _bloom_leg_sql(table: str, col: str) -> str:
+    bits = f"((ndv * {_BLOOM_BITS_NUM} + {10**5 - 1}) // {10**5})"
+    return f"""
+SELECT '{table}.{col}' AS column_name,
+       n_rows, ndv,
+       {sql_dround('ndv * 1.0 / (CASE WHEN n_rows > 0 THEN n_rows END)', 6)}
+           AS ndv_ratio,
+       CAST({bits} AS BIGINT) AS bloom_bits,
+       CAST(({bits} + 7) // 8 AS BIGINT) AS bloom_bytes,
+       CAST(7 AS BIGINT) AS k_hashes,
+       (({bits} + 7) // 8 <= {_BLOOM_CAP_BYTES}) AS recommended
+FROM (
+    SELECT CAST(COUNT({col}) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv
+    FROM {table}
+)"""
+
+
+_BLOOM_CANDIDATES = (
+    ("orders", "o_custkey"),
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("events", "user_id"),
+)
+
+
+@query(
+    "bloom_filter_advisor",
+    oracle="\nUNION ALL\n".join(
+        _bloom_leg_sql(t, c) for t, c in _BLOOM_CANDIDATES
+    ),
+)
+def bloom_filter_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1%-FPP bloom sizing + recommendation per candidate key column."""
+    from functools import reduce
+
+    needed = sorted({t for t, _ in _BLOOM_CANDIDATES})
+    tables = load_tables(spark, sf_dir, *needed)
+    legs = []
+    for t, c in _BLOOM_CANDIDATES:
+        stats = tables[t].agg(
+            F.count(c).cast("bigint").alias("n_rows"),
+            F.countDistinct(c).cast("bigint").alias("ndv"),
+        )
+        bits = F.expr(
+            f"(ndv * {_BLOOM_BITS_NUM} + {10**5 - 1}) div {10**5}"
+        )
+        bytes_expr = F.expr(
+            f"((ndv * {_BLOOM_BITS_NUM} + {10**5 - 1}) div {10**5} + 7)"
+            " div 8"
+        )
+        # all-NULL column -> n_rows = 0: guard lives in the
+        # denominator (Spark 4 ANSI throws on x/0, DuckDB is NULL)
+        legs.append(
+            stats.select(
+                F.lit(f"{t}.{c}").alias("column_name"),
+                "n_rows",
+                "ndv",
+                dround(
+                    F.col("ndv")
+                    * 1.0
+                    / F.when(F.col("n_rows") > 0, F.col("n_rows")),
+                    6,
+                ).alias("ndv_ratio"),
+                bits.cast("bigint").alias("bloom_bits"),
+                bytes_expr.cast("bigint").alias("bloom_bytes"),
+                F.lit(7).cast("bigint").alias("k_hashes"),
+                (bytes_expr <= _BLOOM_CAP_BYTES).alias("recommended"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), legs)

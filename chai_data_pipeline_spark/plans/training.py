@@ -1747,3 +1747,140 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("alloc_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every corpus doc
+# by how target-like its hashed-unigram profile is, where the target
+# is the 'src0' slice (the doc_contamination precedent pin). Bucket
+# log-ratios ln(p_target(b)/p_proposal(b)) with add-1 smoothing are
+# quantized to ×1e6 integers at BUCKET grain (256 rows), so each
+# doc's weight is an exact integer dot product with its bucket counts
+# — order-independent under any partitioning — and the per-source
+# report aggregates exact integers.
+#
+# Scale: two bucket-grain (≤256-row) profiles, one (doc, bucket)-grain
+# reduce (map-combined), one ≤256-row broadcast join. The hashed
+# feature space is what makes DSIR tractable at corpus scale — no
+# vocabulary-sized state anywhere.
+# --------------------------------------------------------------------------
+
+_DSIR_B = 256
+_DSIR_TARGET = "src0"
+_DSIR_BUCKET_SQL = sql_hash_bucket("w", _DSIR_B)
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id, source, {_DSIR_BUCKET_SQL} AS b
+    FROM (
+        SELECT doc_id, source,
+               unnest(string_split_regex(TRIM(text), '\\s+')) AS w
+        FROM documents WHERE text IS NOT NULL
+    )
+),
+prop AS (SELECT b, COUNT(*) AS cp FROM tok GROUP BY 1),
+targ AS (SELECT b, COUNT(*) AS ct FROM tok
+         WHERE source = '{_DSIR_TARGET}' GROUP BY 1),
+tots AS (
+    SELECT CAST(COALESCE(SUM(cp), 0) AS BIGINT) AS p_total,
+           (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM targ)
+               AS t_total
+    FROM prop
+),
+lr AS (
+    SELECT p.b,
+           CAST(FLOOR(ln((CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                          * (p_total + {_DSIR_B}))
+                         / (CAST(p.cp + 1 AS DOUBLE)
+                            * (t_total + {_DSIR_B})))
+                      * 1000000 + 0.5) AS BIGINT) AS lr_q
+    FROM prop p LEFT JOIN targ t ON p.b = t.b
+    CROSS JOIN tots
+),
+docw AS (
+    SELECT d.doc_id, d.source,
+           CAST(SUM(d.n * lr.lr_q) AS BIGINT) AS w_q
+    FROM (SELECT doc_id, source, b, COUNT(*) AS n
+          FROM tok GROUP BY 1, 2, 3) d
+    JOIN lr ON d.b = lr.b
+    GROUP BY 1, 2
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       (FLOOR(CAST(SUM(w_q) AS HUGEINT) * 1.0 / COUNT(*) + 0.5)
+        / 1000000.0) AS avg_logweight,
+       COUNT(*) FILTER (WHERE w_q > 0) AS n_target_like
+FROM docw
+GROUP BY 1
+""",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-unigram importance weights vs the src0 target slice."""
+    from ..operators.text import words
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    tok = (
+        docs.filter(F.col("text").isNotNull())
+        .select("doc_id", "source", F.explode(words("text")).alias("w"))
+        .select("doc_id", "source", hash_bucket(F.col("w"), _DSIR_B).alias("b"))
+    )
+    prop = tok.groupBy("b").agg(F.count("*").alias("cp"))
+    targ = (
+        tok.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    tots = prop.agg(
+        F.coalesce(F.sum("cp"), F.lit(0)).cast("bigint").alias("p_total")
+    ).crossJoin(
+        targ.agg(
+            F.coalesce(F.sum("ct"), F.lit(0)).cast("bigint").alias("t_total")
+        )
+    )
+    lr = (
+        prop.join(targ, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + 1).cast("double")
+                        * (F.col("p_total") + _DSIR_B)
+                    )
+                    / (
+                        (F.col("cp") + 1).cast("double")
+                        * (F.col("t_total") + _DSIR_B)
+                    )
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("lr_q"),
+        )
+    )
+    docw = (
+        tok.groupBy("doc_id", "source", "b")
+        .agg(F.count("*").alias("n"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("n") * F.col("lr_q")).cast("bigint").alias("w_q"))
+    )
+    return docw.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.floor(
+                F.sum(F.col("w_q").cast("decimal(38,0)")).cast("double")
+                * 1.0
+                / F.count("*")
+                + 0.5
+            )
+            / F.lit(1000000.0)
+        ).alias("avg_logweight"),
+        F.count_if(F.col("w_q") > 0).alias("n_target_like"),
+    )
