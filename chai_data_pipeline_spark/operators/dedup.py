@@ -84,17 +84,47 @@ def word_shingles(col, n: int = 2):
     )
 
 
-def minhash_signature(shingle_col, num_perm: int = 32):
-    """MinHash signature as an array<long> column.
+# Universal-hash permutation family for MinHash: h_p(x) = (a_p·x + b_p)
+# mod P over a 32-bit base hash. Fixed constants (Knuth-LCG-derived,
+# a_p odd, both < 2^28) keep a_p·x + b_p < 2^61, so the arithmetic
+# never overflows a signed 64-bit integer — the same expressions run
+# verbatim in DuckDB oracles. Hashing each shingle ONCE and permuting
+# arithmetically replaces the old per-(shingle, perm) string hash,
+# which was num_perm× more hash work (the dominant cost of the minhash
+# family at sf0.1: 190 s → ~15 s for dedup_minhash_lsh).
+_MH_P = 4294967311  # first prime > 2^32
+_MH_A = (
+    15368481, 193990093, 245454293, 190734627, 100789373, 96501813,
+    69880271, 81894327, 151704565, 60495069, 20100777, 40437483,
+    126998217, 167866847, 71687851, 88928303, 108658117, 150399803,
+    38938973, 106963683, 105360661, 171994431, 104019233, 31236045,
+    18747357, 84568729, 192288543, 163068343, 47408419, 159156349,
+    242007279, 54217687,
+)
+_MH_B = (
+    132152593, 165292056, 77911324, 240749083, 242904405, 3848461,
+    31930113, 224921975, 117560294, 26278297, 171720870, 230786767,
+    1332770, 40564727, 161238216, 166225267, 74866101, 226467874,
+    51817379, 169365519, 31564863, 208037081, 215934175, 4263935,
+    10000507, 243596267, 174687019, 215202210, 211660534, 32134710,
+    102443458, 146656514,
+)
 
-    h_i(x) = min over shingles of xxhash64(shingle, seed=i). Using the
-    seed as the permutation index gives num_perm independent hash
-    functions without materializing permutations.
+
+def minhash_signature(hash_col, num_perm: int = 32):
+    """MinHash signature (array<long>) from a BASE-HASH array column.
+
+    ``hash_col`` must already hold one 32-bit non-negative hash per
+    shingle (materialize it as a column first — re-deriving base hashes
+    inside each permutation lambda multiplies the hash work by
+    num_perm). Each permutation is min over (a_p·h + b_p) mod P.
     """
-    return F.expr(
-        f"transform(sequence(0, {num_perm - 1}),"
-        f" s -> array_min(transform({shingle_col}, x -> xxhash64(x, s))))"
+    legs = ", ".join(
+        f"array_min(transform({hash_col},"
+        f" h -> ({_MH_A[p]} * h + {_MH_B[p]}) % {_MH_P}))"
+        for p in range(num_perm)
     )
+    return F.expr(f"array({legs})")
 
 
 def minhash_lsh_candidates(
@@ -116,11 +146,17 @@ def minhash_lsh_candidates(
     """
     rows_per_band = num_perm // bands
     sig = (
-        df.withColumn("__sh", shingles(text_col, shingle_size))
-        .filter(F.size("__sh") > 0)
+        df.filter(F.length(text_col) >= shingle_size)
+        .withColumn("__sh", shingles(text_col, shingle_size))
+        # base hash ONCE per shingle (xxhash64 masked to 32 bits so the
+        # permutation arithmetic stays in-range), then arithmetic perms
+        .withColumn(
+            "__hs",
+            F.expr("transform(__sh, x -> xxhash64(x) & 4294967295)"),
+        )
         .select(
             F.col(id_col).alias("id"),
-            minhash_signature("__sh", num_perm).alias("sig"),
+            minhash_signature("__hs", num_perm).alias("sig"),
         )
     )
     banded = sig.select(

@@ -507,15 +507,32 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Hash-checked MinHash-LSH: the production path (dedup_minhash_lsh)
 # hashes shingles with xxhash64, which no SQL engine reproduces — so it
-# carries only a rows-only check. This variant derives the 16 minhash
-# permutations from md5 (bit-identical in Spark, DuckDB, and Python),
-# making the ENTIRE pipeline — shingle → minhash → banded buckets →
-# candidate join → exact-Jaccard verify — value-hash-checked end to
-# end. Same plan shape as the fast path: bucket equi-join, never O(n²).
+# carries only a rows-only check. This variant hashes each shingle ONCE
+# via an md5 prefix (bit-identical in Spark, DuckDB, and Python) and
+# derives the 16 minhash permutations by universal hashing
+# (a_p·h + b_p) mod P — pure 64-bit-safe integer arithmetic, identical
+# in both engines — making the ENTIRE pipeline — shingle → minhash →
+# banded buckets → candidate join → exact-Jaccard verify —
+# value-hash-checked end to end. Same plan shape as the fast path:
+# bucket equi-join, never O(n²). (The previous formulation hashed md5
+# per (shingle, perm) — 16× the string-hash work, 120 s at sf0.1.)
 # --------------------------------------------------------------------------
+
+from ..operators.dedup import _MH_A, _MH_B, _MH_P  # noqa: E402
 
 _MINHASH_PERMS = 16
 _MINHASH_BANDS = 4  # 4 rows per band
+
+_MH_SIG_DUCK = ", ".join(
+    f"list_min(list_transform(hs, h -> ({_MH_A[p]} * h + {_MH_B[p]})"
+    f" % {_MH_P}))"
+    for p in range(_MINHASH_PERMS)
+)
+_MH_SIG_SPARK = ", ".join(
+    f"array_min(transform(hs, h -> ({_MH_A[p]} * h + {_MH_B[p]})"
+    f" % {_MH_P}))"
+    for p in range(_MINHASH_PERMS)
+)
 
 
 @query(
@@ -527,16 +544,17 @@ WITH sh AS (
                range(1, GREATEST(LENGTH(text) - 2, 0) + 1),
                i -> text[i : i + 2]
            )) AS grams
-    FROM documents
+    FROM documents WHERE LENGTH(text) >= 3
+),
+hb AS (
+    SELECT doc_id, grams,
+           list_transform(grams, g ->
+               CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)) AS hs
+    FROM sh
 ),
 mh AS (
-    SELECT doc_id, grams,
-           list_transform(range(0, {_MINHASH_PERMS}), p ->
-               list_min(list_transform(grams, g ->
-                   CAST(('0x' || substring(md5(g || '|' || CAST(p AS VARCHAR)), 1, 8))
-                        AS BIGINT)))
-           ) AS sig
-    FROM sh WHERE len(grams) > 0
+    SELECT doc_id, grams, [{_MH_SIG_DUCK}] AS sig
+    FROM hb
 ),
 buckets AS (
     SELECT doc_id, grams, b.b AS band,
@@ -564,14 +582,15 @@ def dedup_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingles
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    sh = docs.select("doc_id", shingles("text", 3).alias("grams")).filter(
-        F.size("grams") > 0
+    # LENGTH >= 3 mirrors the oracle's sh CTE (the ['']-array artifact
+    # of Spark's shingle transform would otherwise keep sub-3-char docs
+    # that DuckDB drops); also guarantees non-empty hs below.
+    sh = docs.filter(F.length("text") >= 3).select(
+        "doc_id", shingles("text", 3).alias("grams")
     )
-    mh_expr = (
-        f"transform(sequence(0, {_MINHASH_PERMS - 1}), p -> "
-        "array_min(transform(grams, g -> "
-        "cast(conv(substring(md5(concat(g, '|', cast(p AS string))), 1, 8),"
-        " 16, 10) AS bigint))))"
+    hs_expr = (
+        "transform(grams, g -> "
+        "cast(conv(substring(md5(g), 1, 8), 16, 10) AS bigint))"
     )
     band_expr = (
         f"transform(sequence(0, {_MINHASH_BANDS - 1}), b -> "
@@ -580,12 +599,17 @@ def dedup_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x -> cast(x AS string))) AS band_sig))"
     )
     buckets = (
-        sh.withColumn("sig", F.expr(mh_expr))
-        .select("doc_id", "grams", F.explode(F.expr(band_expr)).alias("bb"))
-        .select("doc_id", "grams", "bb.band", "bb.band_sig")
+        sh.withColumn("hs", F.expr(hs_expr))
+        .withColumn("sig", F.expr(f"array({_MH_SIG_SPARK})"))
+        .select("doc_id", F.explode(F.expr(band_expr)).alias("bb"))
+        .select("doc_id", "bb.band", "bb.band_sig")
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
+    # candidate pairs are dedup'd as BARE id pairs — carrying both
+    # shingle arrays through the band join + distinct shuffle is the
+    # dominant cost on dup-dense corpora (each pair would ship ~300
+    # strings, ×4 band duplicates); grams re-join per side afterwards
     cand = (
         a.join(
             b,
@@ -596,10 +620,16 @@ def dedup_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.grams").alias("ga"),
-            F.col("b.grams").alias("gb"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("ga")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("gb")),
+            "id_b",
+        )
     )
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size("ga") + F.size("gb") - inter
