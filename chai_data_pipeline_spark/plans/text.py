@@ -1903,3 +1903,261 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_merges"), "pair")
         .limit(_BPE_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprint census (Schleimer et al. 2003, the MOSS
+# algorithm): hash every k-token shingle, slide a w-window over the
+# hash sequence, keep each window's minimum — guaranteeing any match
+# of length >= w+k-1 tokens shares a fingerprint, at an expected
+# density of 2/(w+1). This is the position-robust sibling of
+# doc_fingerprints (whole-doc hash): local edits only perturb nearby
+# fingerprints. Hashes are the sha256-prefix bigint the split/bucket
+# family already proves cross-engine-identical; selection is pure list
+# lambdas over MATERIALIZED per-doc arrays (never a split inside a
+# lambda), so the per-doc work is one map pass.
+#
+# Scale: fingerprint selection is per-row map work; the only shuffles
+# are the (lang, fp)-grain reduce for sharing stats and a lang-grain
+# rollup — fingerprint cardinality is ~2/(w+1) of token positions,
+# never all-pairs.
+# --------------------------------------------------------------------------
+
+_WINNOW_K = 3  # shingle length (tokens)
+_WINNOW_W = 4  # winnow window (shingles)
+
+
+@query(
+    "winnowing_fingerprint_census",
+    oracle=f"""
+WITH h AS (
+    SELECT lang, doc_id,
+           list_transform(
+               {{grams}},
+               g -> CAST(concat('0x', substring(sha256(g), 1, 8)) AS BIGINT)
+           ) AS hs
+    FROM documents WHERE text IS NOT NULL
+),
+sel AS (
+    SELECT lang, doc_id, len(hs) AS n_pos,
+           list_distinct(
+               CASE WHEN len(hs) = 0 THEN []
+                    WHEN len(hs) <= {_WINNOW_W}
+                        THEN [list_aggregate(hs, 'min')]
+                    ELSE list_transform(
+                        range(1, len(hs) - {_WINNOW_W} + 2),
+                        j -> list_aggregate(
+                            list_slice(hs, j, j + {_WINNOW_W} - 1), 'min'))
+               END) AS fps
+    FROM h
+),
+per_lang AS (
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_pos) AS BIGINT) AS n_positions,
+           CAST(SUM(len(fps)) AS BIGINT) AS n_selected
+    FROM sel GROUP BY 1
+),
+fp AS (
+    SELECT lang, f AS fp, COUNT(*) AS n_docs_fp
+    FROM (SELECT lang, unnest(fps) AS f FROM sel)
+    GROUP BY 1, 2
+),
+share AS (
+    SELECT lang,
+           COUNT(*) AS n_distinct_fp,
+           COUNT(*) FILTER (WHERE n_docs_fp >= 2) AS n_shared_fp
+    FROM fp GROUP BY 1
+)
+SELECT p.lang, p.n_docs, p.n_positions, p.n_selected,
+       s.n_distinct_fp, s.n_shared_fp,
+       {{density}} AS fp_density
+FROM per_lang p JOIN share s ON p.lang IS NOT DISTINCT FROM s.lang
+""".format(
+        grams="CASE WHEN len(string_split_regex(TRIM(text), '\s+')) < 3 THEN [] ELSE list_transform(range(1, len(string_split_regex(TRIM(text), '\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(TRIM(text), '\s+'), i, i + 2), ' ')) END",
+        density=sql_dround(
+            "p.n_selected * 1.0"
+            " / (CASE WHEN p.n_positions > 0 THEN p.n_positions END)",
+            6,
+        ),
+    ),
+)
+def winnowing_fingerprint_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winnowing (MOSS) fingerprint selection census."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    w, k = _WINNOW_W, _WINNOW_K
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "lang", "doc_id", T.words("text").alias("t")
+    )
+    grams = toks.select(
+        "lang", "doc_id", T.word_ngrams("t", k, presplit=True).alias("g")
+    )
+    # The hash array is LET-BOUND via a single-element aggregate(): a
+    # plain hs column gets inlined by the optimizer into every one of
+    # its ~6 references here — including INSIDE the per-window lambda,
+    # re-hashing all grams once per window position (measured 21 s for
+    # 500 docs). A lambda variable is a value, so the hash transform
+    # runs exactly once per row. Spark sequence(1, 0) is DESCENDING —
+    # the <= w branch keeps sequence() off sub-window docs entirely.
+    winnow_expr = (
+        "aggregate("
+        " array(transform(g, x ->"
+        "   cast(conv(substring(sha2(x, 256), 1, 8), 16, 10) as bigint))),"
+        " named_struct('n_pos', 0,"
+        "   'fps', CAST(array() AS array<bigint>)),"
+        " (acc, hs) -> named_struct("
+        "   'n_pos', size(hs),"
+        "   'fps', CASE"
+        "     WHEN size(hs) = 0 THEN CAST(array() AS array<bigint>)"
+        f"    WHEN size(hs) <= {w} THEN array(array_min(hs))"
+        f"    ELSE transform(sequence(1, size(hs) - {w} + 1),"
+        f"      j -> array_min(slice(hs, j, {w}))) END))"
+    )
+    sel = grams.select(
+        "lang", "doc_id", F.expr(winnow_expr).alias("s")
+    ).select(
+        "lang",
+        "doc_id",
+        F.col("s.n_pos").alias("n_pos"),
+        F.array_distinct(F.col("s.fps")).alias("fps"),
+    )
+    per_lang = sel.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_pos").cast("bigint").alias("n_positions"),
+        F.sum(F.size("fps")).cast("bigint").alias("n_selected"),
+    )
+    fp = (
+        sel.select("lang", F.explode("fps").alias("fp"))
+        .groupBy("lang", "fp")
+        .agg(F.count("*").alias("n_docs_fp"))
+    )
+    share = fp.groupBy("lang").agg(
+        F.count("*").alias("n_distinct_fp"),
+        F.count_if(F.col("n_docs_fp") >= 2).alias("n_shared_fp"),
+    )
+    return (
+        per_lang.alias("p")
+        .join(
+            F.broadcast(share.alias("s")),
+            F.col("p.lang").eqNullSafe(F.col("s.lang")),
+        )
+        .select(
+            F.col("p.lang").alias("lang"),
+            "n_docs",
+            "n_positions",
+            "n_selected",
+            "n_distinct_fp",
+            "n_shared_fp",
+            dround(
+                F.col("n_selected")
+                * 1.0
+                / F.when(F.col("n_positions") > 0, F.col("n_positions")),
+                6,
+            ).alias("fp_density"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gopher-style quality rule ladder (Rae et al. 2021, adapted to the
+# whitespace-token corpus): five named pass/fail rules per document,
+# reported as per-SOURCE pass rates with per-rule attribution — the
+# filter-debugging view a curation pipeline needs ("which rule is
+# killing this crawl?") that a single composite score
+# (doc_quality_scores) cannot give. Every ratio rule is an integer
+# CROSS-MULTIPLICATION (3·wc <= chars, 10·fancy <= wc, 2·distinct2 >=
+# total2) so no float compare can diverge; token arrays are
+# materialized columns before any list lambda.
+#
+# Scale: one per-row map pass + one source-grain map-combined
+# aggregate — zero joins, zero row-cardinality shuffles.
+# --------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+WITH t AS (
+    SELECT source, string_split_regex(TRIM(text), '\\s+') AS w,
+           LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) AS chars
+    FROM documents WHERE text IS NOT NULL
+),
+r AS (
+    SELECT source,
+           (len(w) BETWEEN 50 AND 100000) AS r1_word_count,
+           (3 * len(w) <= chars AND chars <= 10 * len(w))
+               AS r2_mean_word_len,
+           (10 * len(list_filter(w,
+                x -> regexp_matches(x, '[^a-zA-Z0-9]'))) <= len(w))
+               AS r3_symbol_ratio,
+           (len(w) >= 2 AND 2 * len(list_distinct(
+                list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])))
+                >= len(w) - 1) AS r4_bigram_diversity,
+           (len(list_intersect(list_distinct(w),
+                {list(_GOPHER_STOPWORDS)})) >= 2) AS r5_stopwords
+    FROM t
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE r1_word_count) AS pass_word_count,
+       COUNT(*) FILTER (WHERE r2_mean_word_len) AS pass_mean_word_len,
+       COUNT(*) FILTER (WHERE r3_symbol_ratio) AS pass_symbol_ratio,
+       COUNT(*) FILTER (WHERE r4_bigram_diversity) AS pass_bigram_diversity,
+       COUNT(*) FILTER (WHERE r5_stopwords) AS pass_stopwords,
+       COUNT(*) FILTER (WHERE r1_word_count AND r2_mean_word_len
+                          AND r3_symbol_ratio AND r4_bigram_diversity
+                          AND r5_stopwords) AS pass_all,
+       {sql_dround('''COUNT(*) FILTER (WHERE r1_word_count
+                          AND r2_mean_word_len AND r3_symbol_ratio
+                          AND r4_bigram_diversity AND r5_stopwords)
+                      * 1.0 / COUNT(*)''', 6)} AS pass_all_rate
+FROM r
+GROUP BY 1
+""",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source pass rates of five Gopher-style quality rules."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    t = docs.filter(F.col("text").isNotNull()).select(
+        "source",
+        T.words("text").alias("w"),
+        F.length(F.regexp_replace(F.col("text"), r"\s", "")).alias("chars"),
+    )
+    stop = ", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)
+    r = t.select(
+        "source",
+        F.expr("size(w) BETWEEN 50 AND 100000").alias("r1"),
+        F.expr("3 * size(w) <= chars AND chars <= 10 * size(w)").alias("r2"),
+        F.expr(
+            "10 * size(filter(w, x -> x rlike '[^a-zA-Z0-9]')) <= size(w)"
+        ).alias("r3"),
+        # sub-2-token docs short-circuit before sequence() (Spark
+        # sequence(1, 0) is DESCENDING)
+        F.expr(
+            "size(w) >= 2 AND 2 * size(array_distinct("
+            "transform(sequence(1, size(w) - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))))"
+            " >= size(w) - 1"
+        ).alias("r4"),
+        F.expr(
+            f"size(array_intersect(array_distinct(w), array({stop}))) >= 2"
+        ).alias("r5"),
+    )
+    all_pass = (
+        F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4") & F.col("r5")
+    )
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("r1")).alias("pass_word_count"),
+        F.count_if(F.col("r2")).alias("pass_mean_word_len"),
+        F.count_if(F.col("r3")).alias("pass_symbol_ratio"),
+        F.count_if(F.col("r4")).alias("pass_bigram_diversity"),
+        F.count_if(F.col("r5")).alias("pass_stopwords"),
+        F.count_if(all_pass).alias("pass_all"),
+        dround(F.count_if(all_pass) * 1.0 / F.count("*"), 6).alias(
+            "pass_all_rate"
+        ),
+    )
