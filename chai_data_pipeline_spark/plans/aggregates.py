@@ -3495,3 +3495,193 @@ def theil_index_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("between_term"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Benjamini–Hochberg FDR correction over per-type Welch z-tests — the
+# multiple-testing step every experimentation platform needs once it
+# reports more than one metric: testing each event_type's arm
+# difference at alpha=0.05 independently inflates false positives; BH
+# controls the false-discovery rate across the family. Moments are
+# exact integer cents per (type, arm); the normal tail probability
+# uses the Abramowitz–Stegun 26.2.17 polynomial (pure arithmetic +
+# exp, the same IEEE sequence in both engines — the perplexity/theil
+# exp/ln precedent), pinned to 1e-9 integers BEFORE ranking; the BH
+# step-up threshold p_(k) <= k·alpha/m is evaluated as the integer
+# cross-multiplication p_q·m·20 <= k·1e9, so no float compare can
+# flip a rejection across engines.
+#
+# Scale: one (type, arm)-grain map-combined moment pass; everything
+# after runs on a type-cardinality frame (the rank window orders ~10
+# aggregated rows, never raw data).
+# --------------------------------------------------------------------------
+
+# 2·(1 − Φ(|z|)) via A&S 26.2.17; `A` is the |z| expression
+_PHI_K = "(1.0 / (1.0 + 0.2316419 * {A}))"
+_TAIL2 = (
+    "(2.0 * exp(-({A}) * ({A}) / 2.0) * 0.3989422804014327 * "
+    "({K} * (0.319381530 + {K} * (-0.356563782 + {K} * (1.781477937 "
+    "+ {K} * (-1.821255978 + {K} * 1.330274429))))))"
+)
+
+
+def _tail2(a_expr: str) -> str:
+    k = _PHI_K.format(A=a_expr)
+    return _TAIL2.format(A=a_expr, K=k)
+
+
+@query(
+    "fdr_bh_ttests",
+    oracle=f"""
+WITH m AS (
+    SELECT event_type,
+           CASE WHEN {_sql_hb('user_id')} < 50 THEN 'A' ELSE 'B' END AS arm,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS HUGEINT)
+               AS sy,
+           CAST(SUM(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                         AS HUGEINT)
+                    * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS HUGEINT)
+               AS syy
+    FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2
+),
+w AS (
+    SELECT event_type,
+           MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+           MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+           MAX(CASE WHEN arm = 'A' THEN CAST(sy AS DOUBLE) END) AS sa,
+           MAX(CASE WHEN arm = 'B' THEN CAST(sy AS DOUBLE) END) AS sb,
+           MAX(CASE WHEN arm = 'A'
+               THEN CAST(n * syy - sy * sy AS DOUBLE) END) AS da,
+           MAX(CASE WHEN arm = 'B'
+               THEN CAST(n * syy - sy * sy AS DOUBLE) END) AS db
+    FROM m GROUP BY 1
+),
+z AS (
+    SELECT event_type, na, nb,
+           (sa / na - sb / nb) / 100.0
+               / sqrt(CASE WHEN na > 1 AND nb > 1
+                            AND (da / na / (na - 1.0) / na
+                                 + db / nb / (nb - 1.0) / nb) > 0
+                      THEN (da / na / (na - 1.0) / na
+                            + db / nb / (nb - 1.0) / nb) / 10000.0 END)
+               AS zs
+    FROM w
+),
+p AS (
+    SELECT event_type, na, nb, zs,
+           CAST(FLOOR({_tail2('ABS(zs)')} * 1000000000 + 0.5) AS BIGINT)
+               AS p_q
+    FROM z
+),
+ranked AS (
+    SELECT p.*,
+           ROW_NUMBER() OVER (ORDER BY p_q NULLS LAST, event_type) AS k,
+           (SELECT COUNT(p_q) FROM p) AS m_tests
+    FROM p
+),
+cut AS (
+    SELECT MAX(CASE WHEN p_q * m_tests * 20 <= k * 1000000000
+               THEN k END) AS k_max
+    FROM ranked
+)
+SELECT event_type,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       {sql_dround('zs', 6)} AS z_stat,
+       (CAST(p_q AS DOUBLE) / 1000000000.0) AS p_value,
+       CAST(k AS BIGINT) AS bh_rank,
+       (k <= COALESCE(k_max, 0)) AS rejected
+FROM ranked CROSS JOIN cut
+""",
+)
+def fdr_bh_ttests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BH FDR (alpha=0.05) across per-event-type arm z-tests."""
+    from pyspark.sql.window import Window
+
+    from .training import hash_bucket
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    m = (
+        events.filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        .groupBy(
+            "event_type",
+            F.when(hash_bucket("user_id") < 50, "A").otherwise("B").alias(
+                "arm"
+            ),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents).cast("decimal(38,0)").alias("sy"),
+            F.sum(cents.cast("decimal(38,0)") * cents).alias("syy"),
+        )
+    )
+    pick = lambda arm, c: F.max(F.when(F.col("arm") == arm, c))  # noqa: E731
+    dev = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    w = m.groupBy("event_type").agg(
+        pick("A", F.col("n")).alias("na"),
+        pick("B", F.col("n")).alias("nb"),
+        pick("A", F.col("sy").cast("double")).alias("sa"),
+        pick("B", F.col("sy").cast("double")).alias("sb"),
+        pick("A", dev).alias("da"),
+        pick("B", dev).alias("db"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    se2 = (
+        F.col("da") / na / (na - 1.0) / na
+        + F.col("db") / nb / (nb - 1.0) / nb
+    )
+    z = w.select(
+        "event_type",
+        "na",
+        "nb",
+        (
+            (F.col("sa") / na - F.col("sb") / nb)
+            / 100.0
+            / F.sqrt(
+                F.when((na > 1) & (nb > 1) & (se2 > 0), se2 / 10000.0)
+            )
+        ).alias("zs"),
+    )
+    p = z.select(
+        "event_type",
+        "na",
+        "nb",
+        "zs",
+        F.floor(F.expr(_tail2("ABS(zs)")) * 1000000000 + 0.5)
+        .cast("bigint")
+        .alias("p_q"),
+    )
+    # rank window runs over the aggregated type-cardinality frame
+    # (~10 rows), never raw data; NULLS LAST matches DuckDB's default
+    wk = Window.orderBy(F.asc_nulls_last("p_q"), "event_type")
+    mt = p.agg(F.count("p_q").alias("m_tests"))
+    ranked = (
+        p.withColumn("k", F.row_number().over(wk))
+        .crossJoin(F.broadcast(mt))
+    )
+    cut = ranked.agg(
+        F.max(
+            F.when(
+                F.col("p_q") * F.col("m_tests") * 20
+                <= F.col("k").cast("bigint") * 1000000000,
+                F.col("k"),
+            )
+        ).alias("k_max")
+    )
+    return ranked.crossJoin(F.broadcast(cut)).select(
+        "event_type",
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        dround("zs", 6).alias("z_stat"),
+        (F.col("p_q").cast("double") / 1000000000.0).alias("p_value"),
+        F.col("k").cast("bigint").alias("bh_rank"),
+        (F.col("k") <= F.coalesce(F.col("k_max"), F.lit(0))).alias(
+            "rejected"
+        ),
+    )

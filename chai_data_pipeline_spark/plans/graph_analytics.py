@@ -415,3 +415,158 @@ def triangle_count_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             cc.alias("clustering_coeff"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999) over the trade graph — the
+# directional complement to PageRank: customer nations that BUY from
+# many strong suppliers are hubs, supplier nations BOUGHT FROM by many
+# strong hubs are authorities; one score cannot express both roles.
+# Two full hub→authority→hub iterations, max-normalized each phase so
+# the fixed point stays in ×1e6 integer scale. Same determinism
+# discipline as pagerank_trade_graph: raw phase sums are exact
+# wide-integer dot products (DECIMAL(38,0) / HUGEINT), and the only
+# float op per phase is one double division + floor-quantize —
+# identical IEEE sequences on both engines, so repeated iterations
+# cannot drift.
+#
+# Scale: the fact-table multi-join aggregates straight down to ≤625
+# (src, dst) rows (localCheckpoint'd once, the pagerank pattern); each
+# phase is a broadcast join + integer agg over that bounded edge list.
+# --------------------------------------------------------------------------
+
+_HITS_SCALE = 1_000_000
+_HITS_ITERS = 2
+
+
+def _hits_phase_sql(i: int, out: str, prev: str, key: str, other: str) -> str:
+    """One normalize phase: out[node] from prev[] via edges on `key`."""
+    return f"""
+{out}raw AS (
+    SELECT e.{other} AS node,
+           CAST(SUM(CAST(p.score AS HUGEINT) * e.w) AS HUGEINT) AS raw
+    FROM edges e JOIN {prev} p ON p.node = e.{key}
+    GROUP BY 1
+),
+{out}mx AS (SELECT MAX(raw) AS mx FROM {out}raw),
+{out} AS (
+    SELECT n.node,
+           COALESCE(CAST(FLOOR(CAST(r.raw AS DOUBLE) / CAST(m.mx AS DOUBLE)
+                                * {_HITS_SCALE} + 0.5) AS BIGINT), 0)
+               AS score
+    FROM nodes n LEFT JOIN {out}raw r USING (node) CROSS JOIN {out}mx m
+)"""
+
+
+@query(
+    "hits_hub_authority",
+    oracle=f"""
+WITH edges0 AS (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+),
+edges AS (SELECT * FROM edges0),
+nodes AS (SELECT n_nationkey AS node FROM nation),
+h0 AS (SELECT node, CAST({_HITS_SCALE} AS BIGINT) AS score FROM nodes),
+{_hits_phase_sql(1, 'a1', 'h0', 'src', 'dst')},
+{_hits_phase_sql(1, 'h1', 'a1', 'dst', 'src')},
+{_hits_phase_sql(2, 'a2', 'h1', 'src', 'dst')},
+{_hits_phase_sql(2, 'h2', 'a2', 'dst', 'src')}
+SELECT na.n_name AS nation,
+       a.score AS authority_micro,
+       h.score AS hub_micro,
+       CAST(a.score AS DOUBLE) / {float(_HITS_SCALE)} AS authority,
+       CAST(h.score AS DOUBLE) / {float(_HITS_SCALE)} AS hub
+FROM a2 a
+JOIN h2 h ON a.node = h.node
+JOIN nation na ON na.n_nationkey = a.node
+""",
+)
+def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-iteration max-normalized HITS over the nation trade graph."""
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    edges = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+        # materialize once: every phase re-reads the bounded edge list,
+        # not the fact-table lineage (the pagerank pattern)
+        .localCheckpoint(eager=True)
+    )
+    nodes = t["nation"].select(
+        F.col("n_nationkey").cast("bigint").alias("node")
+    )
+
+    def phase(prev: DataFrame, key: str, other: str) -> DataFrame:
+        raw = (
+            edges.join(
+                F.broadcast(prev.withColumnRenamed("node", key)), key
+            )
+            .groupBy(F.col(other).alias("node"))
+            .agg(
+                F.sum(F.col("score").cast("decimal(38,0)") * F.col("w"))
+                .alias("raw")
+            )
+        )
+        mx = raw.agg(F.max("raw").alias("mx"))
+        return (
+            nodes.join(F.broadcast(raw), "node", "left")
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "node",
+                F.coalesce(
+                    F.floor(
+                        F.col("raw").cast("double")
+                        / F.col("mx").cast("double")
+                        * _HITS_SCALE
+                        + 0.5
+                    ).cast("bigint"),
+                    F.lit(0).cast("bigint"),
+                ).alias("score"),
+            )
+        )
+
+    hub = nodes.select(
+        "node", F.lit(_HITS_SCALE).cast("bigint").alias("score")
+    )
+    for _ in range(_HITS_ITERS):
+        auth = phase(hub, "src", "dst")
+        hub = phase(auth, "dst", "src")
+    return (
+        auth.withColumnRenamed("score", "authority_micro")
+        .join(
+            hub.withColumnRenamed("score", "hub_micro"), "node"
+        )
+        .join(
+            F.broadcast(t["nation"]),
+            F.col("node") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            "authority_micro",
+            "hub_micro",
+            (F.col("authority_micro").cast("double") / float(_HITS_SCALE))
+            .alias("authority"),
+            (F.col("hub_micro").cast("double") / float(_HITS_SCALE)).alias(
+                "hub"
+            ),
+        )
+    )
