@@ -1832,3 +1832,122 @@ def substring_dup_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dround(dup_occ * 1.0 / F.sum("n"), 6).alias("dup_mass_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental LSH-index maintenance — the delta rule for near-dup
+# detection when a new batch of documents lands: only the NEW docs'
+# band buckets probe the full bucket index (Δcand = buckets(Δ) ⋈
+# buckets(all)), never a full self-join, so daily maintenance cost is
+# O(Δ·bucket-width) instead of O(corpus). The oracle computes the
+# answer the OPPOSITE way — the full checked LSH pipeline filtered to
+# pairs touching a new doc — so a hash match PROVES the delta rule
+# (the incremental_join_refresh precedent). "New" is the scale-free
+# sha256 bucket >= 90 (last 10% of arrivals).
+# --------------------------------------------------------------------------
+
+from .training import sql_hash_bucket as _lsh_hb_sql  # noqa: E402
+
+_LSH_NEW_CUT = 90
+
+
+@query(
+    "incremental_lsh_refresh",
+    oracle=f"""
+WITH lsh AS ({{CHECKED}}),
+flagged AS (
+    SELECT id_a, id_b, jaccard,
+           ({_lsh_hb_sql('id_a')} >= {_LSH_NEW_CUT}) AS new_a,
+           ({_lsh_hb_sql('id_b')} >= {_LSH_NEW_CUT}) AS new_b
+    FROM lsh
+),
+delta AS (SELECT * FROM flagged WHERE new_a OR new_b)
+SELECT CASE WHEN new_a AND new_b THEN 'new_new' ELSE 'new_old' END
+           AS pair_class,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(FLOOR(jaccard * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS jaccard_micro_sum
+FROM delta
+GROUP BY 1
+""".replace("{CHECKED}", ORACLES_REF["dedup_minhash_lsh_checked"]),
+)
+def incremental_lsh_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-rule LSH maintenance: new-doc buckets probe the full index."""
+    from ..operators.dedup import shingles
+    from .training import hash_bucket
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sh = docs.filter(F.length("text") >= 3).select(
+        "doc_id", shingles("text", 3).alias("grams")
+    )
+    hs_expr = (
+        "transform(grams, g -> "
+        "cast(conv(substring(md5(g), 1, 8), 16, 10) AS bigint))"
+    )
+    band_expr = (
+        f"transform(sequence(0, {_MINHASH_BANDS - 1}), b -> "
+        "struct(b AS band, "
+        "concat_ws(',', transform(slice(sig, b * 4 + 1, 4), "
+        "x -> cast(x AS string))) AS band_sig))"
+    )
+    buckets = (
+        sh.withColumn("hs", F.expr(hs_expr))
+        .withColumn("sig", F.expr(f"array({_MH_SIG_SPARK})"))
+        .select("doc_id", F.explode(F.expr(band_expr)).alias("bb"))
+        .select(
+            "doc_id",
+            "bb.band",
+            "bb.band_sig",
+            (hash_bucket("doc_id") >= _LSH_NEW_CUT).alias("is_new"),
+        )
+    )
+    # THE DELTA RULE: only new-doc buckets (left side) probe the full
+    # index (right side) — the join input is O(Δ), not O(corpus)²
+    new_b = buckets.filter(F.col("is_new")).alias("d")
+    all_b = buckets.alias("s")
+    cand = (
+        new_b.join(
+            all_b,
+            (F.col("d.band") == F.col("s.band"))
+            & (F.col("d.band_sig") == F.col("s.band_sig"))
+            & (F.col("d.doc_id") != F.col("s.doc_id")),
+        )
+        .select(
+            F.least(F.col("d.doc_id"), F.col("s.doc_id")).alias("id_a"),
+            F.greatest(F.col("d.doc_id"), F.col("s.doc_id")).alias("id_b"),
+            F.col("d.is_new").alias("new_d"),
+            F.col("s.is_new").alias("new_s"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .join(
+            sh.select(
+                F.col("doc_id").alias("id_a"), F.col("grams").alias("ga")
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("id_b"), F.col("grams").alias("gb")
+            ),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    jac = inter * 1.0 / union
+    verified = cand.filter(jac >= 0.5).select(
+        "id_a",
+        "id_b",
+        dround(jac, 6).alias("jaccard"),
+        (F.col("new_d") & F.col("new_s")).alias("both_new"),
+    )
+    return verified.groupBy(
+        F.when(F.col("both_new"), "new_new")
+        .otherwise("new_old")
+        .alias("pair_class")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.floor(F.col("jaccard") * 1000000 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("jaccard_micro_sum"),
+    )

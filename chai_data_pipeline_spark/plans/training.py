@@ -1884,3 +1884,132 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_logweight"),
         F.count_if(F.col("w_q") > 0).alias("n_target_like"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified k-fold balance audit — before cross-validation, prove the
+# deterministic sha256 fold assignment is independent of language: the
+# lang × fold chi-square over the assignment grid, plus fold-size
+# spread. Per-cell terms (o·N − n_l·n_f)²/(n_l·n_f·N) come from exact
+# integer counts and are quantized ×1e6 BEFORE the cross-cell sum
+# (order-independent, the mutual-information precedent); absent grid
+# cells contribute their expected mass in closed form (N − Σ n_l·n_f/N)
+# so the grid never needs completion.
+#
+# Scale: one (lang, fold)-grain map-combined count + broadcast
+# marginals — the grid is |langs|·k rows no matter the corpus size.
+# --------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+@query(
+    "stratified_kfold_balance",
+    oracle=f"""
+WITH cells AS (
+    SELECT lang, {sql_hash_bucket('doc_id', _KFOLD_K)} AS fold,
+           COUNT(*) AS o
+    FROM documents
+    GROUP BY 1, 2
+),
+lm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS n_l FROM cells GROUP BY 1),
+fm AS (SELECT fold, CAST(SUM(o) AS BIGINT) AS n_f FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+terms AS (
+    SELECT CAST(FLOOR(
+               CAST((CAST(o AS HUGEINT) * n - CAST(n_l AS HUGEINT) * n_f)
+                    * (CAST(o AS HUGEINT) * n - CAST(n_l AS HUGEINT) * n_f)
+                    AS DOUBLE)
+               / CAST(CAST(n_l AS HUGEINT) * n_f * n AS DOUBLE)
+               * 1000000 + 0.5) AS BIGINT) AS q,
+           CAST(CAST(n_l AS HUGEINT) * n_f AS HUGEINT) AS e_scaled
+    FROM cells
+    JOIN lm ON cells.lang IS NOT DISTINCT FROM lm.lang
+    JOIN fm ON cells.fold = fm.fold
+    CROSS JOIN tot
+)
+SELECT CAST({_KFOLD_K} AS BIGINT) AS k,
+       t.n AS n_docs,
+       CAST((SELECT COUNT(*) FROM lm) AS BIGINT) AS n_langs,
+       CAST((SELECT COUNT(*) FROM fm) AS BIGINT) AS n_folds_used,
+       CAST((SELECT MIN(n_f) FROM fm) AS BIGINT) AS min_fold_n,
+       CAST((SELECT MAX(n_f) FROM fm) AS BIGINT) AS max_fold_n,
+       ((CAST(SUM(q) AS BIGINT)
+         + CAST(FLOOR((t.n - CAST(SUM(e_scaled) AS DOUBLE) / t.n)
+                      * 1000000 + 0.5) AS BIGINT)) / 1000000.0) AS chi2,
+       CAST(((SELECT COUNT(*) FROM lm) - 1)
+            * ((SELECT COUNT(*) FROM fm) - 1) AS BIGINT) AS dof
+FROM terms CROSS JOIN tot t
+GROUP BY t.n
+""",
+)
+def stratified_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of the sha256 5-fold assignment."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d38 = "decimal(38,0)"
+    cells = docs.groupBy(
+        "lang", hash_bucket("doc_id", _KFOLD_K).alias("fold")
+    ).agg(F.count("*").alias("o"))
+    lm = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("n_l"))
+    fm = cells.groupBy("fold").agg(F.sum("o").cast("bigint").alias("n_f"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    dev = F.col("o").cast(d38) * F.col("n") - F.col("n_l").cast(d38) * F.col(
+        "n_f"
+    )
+    terms = (
+        cells.join(F.broadcast(lm), cells.lang.eqNullSafe(lm.lang))
+        .join(F.broadcast(fm), "fold")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                (dev * dev).cast("double")
+                / (F.col("n_l").cast(d38) * F.col("n_f") * F.col("n")).cast(
+                    "double"
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("q"),
+            (F.col("n_l").cast(d38) * F.col("n_f")).alias("e_scaled"),
+            F.col("n"),
+        )
+    )
+    stats = lm.agg(F.count("*").alias("n_langs")).crossJoin(
+        fm.agg(
+            F.count("*").alias("n_folds_used"),
+            F.min("n_f").alias("min_fold_n"),
+            F.max("n_f").alias("max_fold_n"),
+        )
+    )
+    agg = terms.groupBy("n").agg(
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("e_scaled").alias("se"),
+    )
+    return agg.crossJoin(F.broadcast(stats)).select(
+        F.lit(_KFOLD_K).cast("bigint").alias("k"),
+        F.col("n").alias("n_docs"),
+        F.col("n_langs").cast("bigint").alias("n_langs"),
+        F.col("n_folds_used").cast("bigint").alias("n_folds_used"),
+        F.col("min_fold_n").cast("bigint").alias("min_fold_n"),
+        F.col("max_fold_n").cast("bigint").alias("max_fold_n"),
+        (
+            (
+                F.col("sq")
+                + F.floor(
+                    (
+                        F.col("n")
+                        - F.col("se").cast("double") / F.col("n")
+                    )
+                    * 1000000
+                    + 0.5
+                ).cast("bigint")
+            )
+            / 1000000.0
+        ).alias("chi2"),
+        (
+            (F.col("n_langs") - 1) * (F.col("n_folds_used") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+    )
