@@ -2161,3 +2161,162 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pass_all_rate"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Heaps'-law vocabulary growth fit — V = K·N^beta estimated by log-log
+# OLS over per-SOURCE (token count, vocab size) points: the corpus
+# statistic that answers "how fast does my vocabulary (and therefore
+# tokenizer OOV / embedding table pressure) grow as I add data?" —
+# the growth-side complement to zipf_slope_by_lang's frequency decay.
+# Same determinism recipe: ln terms quantized ×1e6 per point, exact
+# wide-integer OLS moments, one dround-pinned slope/intercept division.
+#
+# Scale: one (source, word)-grain map-combined count, reduced to one
+# (N, V) point per source — the regression runs on ~|sources| rows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "heaps_law_fit",
+    oracle=f"""
+WITH w AS (
+    SELECT source, unnest(string_split_regex(TRIM(text), '\\s+')) AS word
+    FROM documents WHERE text IS NOT NULL
+),
+pts AS (
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS v_types
+    FROM (SELECT source, word, COUNT(*) AS c FROM w GROUP BY 1, 2)
+    GROUP BY 1
+),
+fixed AS (
+    SELECT CAST(FLOOR(ln(n_tokens) * 1000000 + 0.5) AS BIGINT) AS xi,
+           CAST(FLOOR(ln(v_types) * 1000000 + 0.5) AS BIGINT) AS yi
+    FROM pts WHERE n_tokens > 0 AND v_types > 0
+),
+mom AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(xi) AS HUGEINT) AS sx, CAST(SUM(yi) AS HUGEINT) AS sy,
+           CAST(SUM(CAST(xi AS HUGEINT) * yi) AS HUGEINT) AS sxy,
+           CAST(SUM(CAST(xi AS HUGEINT) * xi) AS HUGEINT) AS sxx
+    FROM fixed
+)
+SELECT CAST(n AS BIGINT) AS n_sources,
+       {sql_dround('''(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        / (CASE WHEN n * sxx - sx * sx <> 0
+           THEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx END)''', 6)}
+           AS heaps_beta,
+       {sql_dround('''(CAST(sy AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CASE WHEN n * sxx - sx * sx <> 0
+              THEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx END))
+          * sx) / n / 1000000.0''', 6)} AS heaps_ln_k
+FROM mom
+""",
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law (vocab-growth) exponent from per-source (N, V) points."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    w = docs.filter(F.col("text").isNotNull()).select(
+        "source", F.explode(T.words("text")).alias("word")
+    )
+    pts = (
+        w.groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("v_types"),
+        )
+    )
+    fixed = pts.filter(
+        (F.col("n_tokens") > 0) & (F.col("v_types") > 0)
+    ).select(
+        F.floor(F.log("n_tokens") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("xi"),
+        F.floor(F.log("v_types") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("yi"),
+    )
+    d38 = "decimal(38,0)"
+    mom = fixed.agg(
+        F.count("*").alias("n"),
+        F.sum("xi").cast(d38).alias("sx"),
+        F.sum("yi").cast(d38).alias("sy"),
+        F.sum(F.col("xi").cast(d38) * F.col("yi")).alias("sxy"),
+        F.sum(F.col("xi").cast(d38) * F.col("xi")).alias("sxx"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    det = n * sxx - sx * sx
+    slope = (n.cast("double") * sxy.cast("double") - sx.cast("double") * sy.cast("double")) / F.when(
+        det != 0, n.cast("double") * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+    )
+    return mom.select(
+        n.cast("bigint").alias("n_sources"),
+        dround(slope, 6).alias("heaps_beta"),
+        dround(
+            (sy.cast("double") - slope * sx.cast("double")) / n / 1000000.0,
+            6,
+        ).alias("heaps_ln_k"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Lexical-diversity data card per source — the compact per-slice
+# quality row a mixture designer reads before weighting sources:
+# token count, vocab size, type-token ratio, Simpson repeat rate
+# (the probability two random tokens are the same type — an EXACT
+# rational Σc·(c−1) / (N·(N−1)), no transcendental anywhere), and the
+# top word's mass share. Everything reduces at (source, word)-type
+# grain with wide-integer sums; two divisions total, dround-pinned.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "lexical_diversity_by_source",
+    oracle=f"""
+WITH w AS (
+    SELECT source, unnest(string_split_regex(TRIM(text), '\\s+')) AS word
+    FROM documents WHERE text IS NOT NULL
+),
+vocab AS (SELECT source, word, COUNT(*) AS c FROM w GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS v_types,
+       {sql_dround('COUNT(*) * 1.0 / SUM(c)', 6)} AS type_token_ratio,
+       {sql_dround('''CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS DOUBLE)
+        / (CASE WHEN SUM(c) > 1
+           THEN CAST(SUM(c) AS DOUBLE) * (SUM(c) - 1) END)''', 6)}
+           AS simpson_repeat_rate,
+       {sql_dround('MAX(c) * 1.0 / SUM(c)', 6)} AS top_word_share
+FROM vocab
+GROUP BY 1
+""",
+)
+def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens, vocab, TTR, Simpson repeat rate, top-word share per source."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    vocab = (
+        docs.filter(F.col("text").isNotNull())
+        .select("source", F.explode(T.words("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c")
+    rep_num = F.sum(F.col("c").cast("decimal(38,0)") * (F.col("c") - 1))
+    return vocab.groupBy("source").agg(
+        n.cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("v_types"),
+        dround(F.count("*") * 1.0 / n, 6).alias("type_token_ratio"),
+        dround(
+            rep_num.cast("double")
+            / F.when(n > 1, n.cast("double") * (n - 1)),
+            6,
+        ).alias("simpson_repeat_rate"),
+        dround(F.max("c") * 1.0 / n, 6).alias("top_word_share"),
+    )
