@@ -511,3 +511,25 @@ def test_quantile_normalize_rank_is_range_partitioned(spark, sf_dir):
     row numbers + broadcast offsets, never one window task per source."""
     plan = _plan(spark, "quantile_normalize_lengths", sf_dir)
     assert "rangepartitioning" in plan
+
+
+def test_hash_once_per_shingle_no_lambda_inline(spark, sf_dir):
+    """The minhash/winnowing kernels hash each shingle ONCE: the base
+    hash must not be inlined into the per-permutation / per-window
+    lambdas (that re-evaluates the whole hash transform per position —
+    the O(positions x grams) trap fixed in round 8). Pin the
+    occurrence counts in the optimized plans."""
+    from chai_data_pipeline_spark import plans
+
+    def opt(name):
+        df = plans.QUERIES[name](spark, sf_dir)
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # winnowing: 2 consumer branches x 2 struct-field refs = 4 max
+    assert opt("winnowing_fingerprint_census").count("sha2") <= 4
+    # checked LSH: one md5 transform for sig + one for the gram
+    # re-join legs; 16-perm inlining would show ~16+
+    assert opt("dedup_minhash_lsh_checked").count("md5") <= 4
+    # production path: base xxhash64 transform + per-band sig hashing
+    # (8 bands); 32-perm inlining would show ~32+
+    assert opt("dedup_minhash_lsh").count("xxhash64") <= 12
