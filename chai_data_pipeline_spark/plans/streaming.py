@@ -262,3 +262,37 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sketch import streaming_hll_merge
 
     return streaming_hll_merge(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Stream–static enrichment — the one streaming primitive the family
+# didn't yet cover: joining the event stream to a static dimension
+# (customer→nation) before the windowed aggregate. The static side is
+# re-planned per micro-batch and broadcast (dimension-sized), so the
+# stream never shuffles for the join — the canonical enrich-on-ingest
+# topology (reference analog: none; the reference enriches in batch
+# pandas merges).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       n_name AS nation,
+       COUNT(*) AS n_events,
+       (FLOOR(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)
+              * 10000 + 0.5) / 10000.0) AS total_value
+FROM events
+JOIN customer ON user_id = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE ts IS NOT NULL AND user_id IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import static_enrich_stream
+
+    return run_streaming_query(
+        static_enrich_stream(spark, sf_dir), "t_static_enrich"
+    )

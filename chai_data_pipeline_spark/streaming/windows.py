@@ -302,3 +302,53 @@ def _run_stream_inner(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def static_enrich_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    size: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream–static enrichment: the events stream joined to the static
+    customer→nation dimension (every ``user_id`` is a valid
+    ``c_custkey`` in the generated data), then a watermarked tumbling
+    count per nation.
+
+    The static side is a plain batch DataFrame — Structured Streaming
+    re-plans it per micro-batch and (being dimension-sized) broadcasts
+    it, so the stream never shuffles for the join: the canonical
+    enrich-on-ingest shape. Value mass uses the exact-decimal-sum
+    discipline of sliding_counts_stream so the batch oracle matches
+    bit-for-bit.
+    """
+    from ..session import load_tables
+
+    ev = _events_stream(spark, sf_dir)
+    t = load_tables(spark, sf_dir, "customer", "nation")
+    dim = t["customer"].join(
+        F.broadcast(t["nation"]),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select(F.col("c_custkey").alias("user_id"), F.col("n_name"))
+    return (
+        ev.filter(F.col("user_id").isNotNull())
+        .join(F.broadcast(dim), "user_id")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "n_name")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.floor(
+                F.sum(F.col("value").cast("decimal(27,4)")).cast("double")
+                * 10000
+                + 0.5
+            )
+            .cast("double")
+            .alias("__scaled"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("n_name").alias("nation"),
+            "n_events",
+            (F.col("__scaled") / 10000.0).alias("total_value"),
+        )
+    )
