@@ -70,3 +70,64 @@ def test_driver_window_names_resolve():
     # and the front block must be entirely oracle-bearing: the cap is
     # spent on hash-checkable evidence
     assert [n for n in plans._FRONT if n not in plans.ORACLES] == []
+
+
+def test_load_driver_rows_parses_and_skips_corrupt(tmp_path):
+    """The self-refolding front derives greens/checked from the
+    driver's CORRECTNESS_r*.json artifacts; a corrupt or non-dict file
+    must be skipped, not crash the import."""
+    import json
+    import sys
+
+    sys.path.insert(0, REPO)
+    from chai_data_pipeline_spark import plans
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "green_q": {"hash_match": True, "rows_match": True},
+                "red_q": {"hash_match": False, "err": "hash mismatch"},
+                "rowsonly_q": {"hash_match": False, "err": "no_oracle"},
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{not json")
+    (tmp_path / "CORRECTNESS_r03.json").write_text('["a", "list"]')
+    greens, checked = plans._load_driver_rows(str(tmp_path))
+    assert greens == {"green_q"}
+    assert checked == {"green_q", "red_q", "rowsonly_q"}
+    # empty dir degrades to empty sets (static fallback covers it)
+    empty = tmp_path / "sub"
+    empty.mkdir()
+    assert plans._load_driver_rows(str(empty)) == (set(), set())
+
+
+def test_driver_rank_invariants():
+    """Pins the self-refolding order: never-checked oracle-bearing
+    queries outrank every green; a _FRONT pin self-expires once green;
+    oracle-less rows-only entries rank dead last."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from chai_data_pipeline_spark import plans
+
+    order = list(plans.QUERIES)
+    pos = {n: i for i, n in enumerate(order)}
+    unchecked = [
+        n
+        for n in order
+        if n in plans.ORACLES and n not in plans._CHECKED
+    ]
+    greens = [n for n in order if n in plans._GREENS and n not in plans._FRONT]
+    no_oracle = [n for n in order if n not in plans.ORACLES]
+    if unchecked and greens:
+        assert max(pos[n] for n in unchecked) < min(pos[n] for n in greens)
+    if no_oracle:
+        # every oracle-less query sits behind every oracle-bearing one
+        assert min(pos[n] for n in no_oracle) > max(
+            pos[n] for n in order if n in plans.ORACLES
+        )
+    # a green pin must not hold rank 0 (self-expiry)
+    for n in plans._FRONT:
+        if n in plans._GREENS:
+            assert plans._rank(n)[0] != 0
