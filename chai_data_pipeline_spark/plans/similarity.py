@@ -1437,3 +1437,287 @@ def scalar_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / two30
         ).alias("max_abs_err"),
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): cluster embeddings, then drop items
+# whose within-cluster cosine to a LOWER-id member exceeds tau —
+# semantic dedup without any corpus-wide pair join. Deterministic
+# twin of the trained-codebook production path (embedding_kmeans):
+# the codebook is the _SD_K lowest-id vectors (kmeans_fit(iters=0)
+# posture), assignment is the map-only ivf_assign argmax (lowest-id
+# tiebreak), and the drop test compares RAW cosines whose folds are
+# bit-identical across engines (dedup_embedding_cosine precedent).
+#
+# Scale: assignment is zero-shuffle (literal-codebook argmax); the
+# pair join is equi-keyed on cluster_id so the pair space is
+# sum(|cluster|^2), bounded by the codebook granularity — production
+# raises K with corpus size (SemDeDup uses ~50k clusters) and caps
+# hot clusters exactly like the simhash chunk-block cap. Never a
+# global all-pairs join.
+# --------------------------------------------------------------------------
+
+_SD_K = 16
+_SD_TAU = 0.8
+
+
+def _semdedup_oracle() -> str:
+    assign_cos = cosine_sql_duckdb("e.embedding", "c.cvec", DIM)
+    pair_cos = cosine_sql_duckdb("a.embedding", "b.embedding", DIM)
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS cluster_id, embedding AS cvec
+    FROM embeddings ORDER BY vec_id LIMIT {_SD_K}
+),
+assigned AS (
+    SELECT e.vec_id, e.embedding, c.cluster_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {assign_cos} DESC, c.cluster_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+),
+members AS (
+    SELECT vec_id, embedding, cluster_id FROM assigned WHERE rn = 1
+),
+dups AS (
+    SELECT DISTINCT b.cluster_id, b.vec_id
+    FROM members a JOIN members b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE {pair_cos} >= {_SD_TAU}
+)
+SELECT m.cluster_id,
+       COUNT(*) AS n_members,
+       CAST(COUNT(d.vec_id) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - COUNT(d.vec_id) AS BIGINT) AS n_kept,
+       {sql_dround("COUNT(d.vec_id) * 1.0 / COUNT(*)", 6)} AS drop_rate
+FROM members m
+LEFT JOIN dups d ON d.cluster_id = m.cluster_id AND d.vec_id = m.vec_id
+GROUP BY m.cluster_id
+"""
+
+
+@query("semdedup_centroid_cosine", oracle=_semdedup_oracle())
+def semdedup_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SemDeDup report: members, dropped near-dups, kept.
+
+    A vector is dropped when any lower-id member of its cluster has
+    cosine >= tau to it — the keep-lowest-id survivor rule every exact
+    dedup in the repo uses.
+    """
+    from ..operators.similarity import dot_sql_spark, ivf_assign
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    members = ivf_assign(emb.select("vec_id", "embedding"), _SD_K).select(
+        "vec_id", "embedding", F.col("centroid_id").alias("cluster_id")
+    )
+    # hoist per-member norms before the equi-join (one fold per member,
+    # not three per pair; bit-identical — same ops, same order)
+    m = members.withColumn(
+        "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding')})")
+    )
+    a = m.select(
+        "cluster_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("__n").alias("na"),
+    )
+    b = m.select(
+        "cluster_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("__n").alias("nb"),
+    )
+    pair_cos = F.expr(dot_sql_spark("ea", "eb")) / (
+        F.col("na") * F.col("nb")
+    )
+    dups = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(pair_cos >= _SD_TAU)
+        .select("cluster_id", F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        members.join(dups, ["cluster_id", "vec_id"], "left")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.count("__dup").alias("n_dropped"),
+            (F.count("*") - F.count("__dup")).alias("n_kept"),
+            dround(F.count("__dup") * 1.0 / F.count("*"), 6).alias(
+                "drop_rate"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF probe-recall tradeoff: the accuracy-vs-cost ladder every ANN
+# deployment tunes. For n_probe in {1, 2, 4} against the fixed
+# 16-centroid codebook, measure candidate-set size and recall@10 vs
+# the exact brute-force top-10 — the quantitative basis for picking
+# n_probe (completes the audit family: lsh_recall_audit measures the
+# LSH path, retrieval_ndcg_audit the ranking quality).
+#
+# Scale: assignment is the map-only ivf_assign; candidate sets are
+# n_probe/16 of the corpus per query; the ladder multiplies work by
+# |probes| over ONE shared assignment, not one scan per setting.
+# --------------------------------------------------------------------------
+
+_PR_PROBES = (1, 2, 4)
+
+
+def _probe_tradeoff_oracle() -> str:
+    assign_cos = cosine_sql_duckdb("e.embedding", "c.cvec", DIM)
+    probe_cos = cosine_sql_duckdb("cvec", "qv", DIM)
+    final_cos = cosine_sql_duckdb("embedding", "qv", DIM)
+    values = ", ".join(f"({p})" for p in _PR_PROBES)
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec
+    FROM embeddings ORDER BY vec_id LIMIT {_IVF_CENTS}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+assigned AS (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {assign_cos} DESC, c.centroid_id ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+),
+members AS (SELECT vec_id, embedding, centroid_id FROM assigned WHERE rn = 1),
+probe_rank AS (
+    SELECT centroid_id,
+           ROW_NUMBER() OVER (ORDER BY {probe_cos} DESC, centroid_id) AS pr
+    FROM cents CROSS JOIN q
+),
+brute AS (
+    SELECT vec_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (
+            ORDER BY {sql_dround(final_cos, 6)} DESC, vec_id) AS rk
+        FROM embeddings CROSS JOIN q
+    ) WHERE rk <= 10
+),
+probes(np) AS (VALUES {values}),
+cand AS (
+    SELECT p.np, m.vec_id, m.embedding
+    FROM members m
+    JOIN probe_rank r USING (centroid_id)
+    CROSS JOIN probes p
+    WHERE r.pr <= p.np
+),
+topk AS (
+    SELECT np, vec_id FROM (
+        SELECT np, vec_id, ROW_NUMBER() OVER (
+            PARTITION BY np
+            ORDER BY {sql_dround(final_cos, 6)} DESC, vec_id) AS rk
+        FROM cand CROSS JOIN q
+    ) WHERE rk <= 10
+),
+counts AS (
+    SELECT np, CAST(COUNT(*) AS BIGINT) AS n_candidates
+    FROM cand GROUP BY np
+)
+SELECT CAST(c.np AS INTEGER) AS n_probe,
+       c.n_candidates,
+       CAST(COUNT(b.vec_id) AS BIGINT) AS hits_at_10,
+       COUNT(b.vec_id) / 10.0 AS recall_at_10
+FROM counts c
+JOIN topk t ON t.np = c.np
+LEFT JOIN brute b ON b.vec_id = t.vec_id
+GROUP BY c.np, c.n_candidates
+"""
+
+
+@query("ivf_probe_recall_tradeoff", oracle=_probe_tradeoff_oracle())
+def ivf_probe_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import dot_sql_spark, ivf_assign
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    members = ivf_assign(emb.select("vec_id", "embedding"), _IVF_CENTS)
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(_IVF_CENTS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    # probe ranks: 16 scored centroids, sort+limit then a rank over the
+    # bounded result (ranked_topk posture — constant key, <=16 rows)
+    pw = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("__pc"), F.asc("centroid_id")
+    )
+    probe_rank = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn("__pc", F.expr(cosine_sql_spark("cvec", "qv")))
+        .select("centroid_id", "__pc")
+        .withColumn("pr", F.row_number().over(pw))
+        .select("centroid_id", "pr")
+    )
+    probes = spark.createDataFrame(
+        [(p,) for p in _PR_PROBES], "np int"
+    )
+    cand = (
+        members.join(F.broadcast(probe_rank), "centroid_id")
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("pr") <= F.col("np"))
+        .select("np", "vec_id", "embedding")
+    )
+    qn = q.withColumn(
+        "__qn", F.expr(f"sqrt({dot_sql_spark('qv', 'qv')})")
+    )
+    scored = (
+        cand.withColumn(
+            "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding')})")
+        )
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "np",
+            "vec_id",
+            dround(
+                F.expr(dot_sql_spark("embedding", "qv"))
+                / (F.col("__n") * F.col("__qn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    tw = Window.partitionBy("np").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    topk = (
+        scored.withColumn("rk", F.row_number().over(tw))
+        .filter(F.col("rk") <= 10)
+        .select("np", "vec_id")
+    )
+    from ..operators.similarity import brute_force_topk
+
+    brute = (
+        brute_force_topk(emb, q, k=10)
+        .select("vec_id")
+        .withColumn("__bf", F.lit(1))
+    )
+    counts = cand.groupBy("np").agg(F.count("*").alias("n_candidates"))
+    hits = (
+        topk.join(F.broadcast(brute), "vec_id", "left")
+        .groupBy("np")
+        .agg(
+            F.count("__bf").alias("hits_at_10"),
+            (F.count("__bf") / F.lit(10.0)).alias("recall_at_10"),
+        )
+    )
+    return (
+        counts.join(hits, "np")
+        .select(
+            F.col("np").alias("n_probe"),
+            "n_candidates",
+            "hits_at_10",
+            "recall_at_10",
+        )
+    )

@@ -2320,3 +2320,132 @@ def lexical_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("simpson_repeat_rate"),
         dround(F.max("c") * 1.0 / n, 6).alias("top_word_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Perplexity-band pruning (Marion et al. 2023, "When Less is More":
+# pruning to the MIDDLE perplexity band beats keeping the lowest-ppl
+# docs). Reuses the corpus-fit unigram LM of unigram_lm_perplexity —
+# per-doc perplexity is an exact integer dot product of term counts
+# with x1e6-quantized log-probs, so the per-source rank (pq asc,
+# doc_id asc) is engine-independent; the kept band is the middle half
+# selected by integer cross-multiplication (4r > n AND 4r <= 3n), no
+# float percentile anywhere.
+#
+# Scale: two gram-keyed shuffles (vocab fit + per-doc term counts,
+# the tfidf_top_terms shape) and one source-partitioned rank window.
+# At 100 TB the per-source sort would switch to the histogram-CDF
+# band selection proven by quantile_length_trim_approx; the exact
+# rank form here is the semantic oracle for that rewrite.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "perplexity_band_prune",
+    oracle=f"""
+WITH w AS (
+    SELECT doc_id, source,
+           unnest(string_split_regex(TRIM(text), '\\s+')) AS word
+    FROM documents
+),
+vocab AS (
+    SELECT word, COUNT(*) AS cnt, SUM(COUNT(*)) OVER () AS total
+    FROM w GROUP BY 1
+),
+lq AS (
+    SELECT word,
+           CAST(FLOOR(ln(cnt * 1.0 / total) * 1000000 + 0.5) AS BIGINT) AS lq
+    FROM vocab
+),
+dw AS (SELECT doc_id, source, word, COUNT(*) AS c FROM w GROUP BY 1, 2, 3),
+surprisal AS (
+    SELECT d.doc_id, d.source,
+           CAST(SUM(d.c) AS BIGINT) AS n_words,
+           CAST(SUM(d.c * l.lq) AS BIGINT) AS s_micro
+    FROM dw d JOIN lq l USING (word)
+    GROUP BY 1, 2
+),
+ppl AS (
+    SELECT doc_id, source, n_words,
+           CAST(FLOOR(exp(-(CAST(s_micro AS DOUBLE) / 1000000.0) / n_words)
+                * 10000 + 0.5) AS BIGINT) AS pq
+    FROM surprisal
+),
+ranked AS (
+    SELECT source, n_words,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY pq, doc_id) AS r,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM ppl
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN 4 * r > n AND 4 * r <= 3 * n
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(CASE WHEN 4 * r > n AND 4 * r <= 3 * n
+                     THEN n_words ELSE 0 END) AS BIGINT) AS kept_words,
+       {sql_dround(
+           "SUM(CASE WHEN 4 * r > n AND 4 * r <= 3 * n THEN n_words ELSE 0 END)"
+           " * 1.0 / SUM(n_words)", 6)} AS kept_word_share
+FROM ranked GROUP BY source
+""",
+)
+def perplexity_band_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source middle-perplexity-band pruning report.
+
+    The reference has no analog (closest: its quality-score gating,
+    scripts/silver/transform_silver.py:319-336); this is the standard
+    LLM-curation pruning step scored by the same unigram LM as
+    unigram_lm_perplexity.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    w = docs.select(
+        "doc_id", "source", F.explode(T.words("text")).alias("word")
+    )
+    vocab = w.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lq = vocab.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.floor(
+            F.log(F.col("cnt") * 1.0 / F.col("total")) * 1000000 + 0.5
+        )
+        .cast("bigint")
+        .alias("lq"),
+    )
+    dw = w.groupBy("doc_id", "source", "word").agg(F.count("*").alias("c"))
+    surprisal = (
+        dw.join(F.broadcast(lq), "word")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.col("lq")).alias("s_micro"),
+        )
+    )
+    pq = F.floor(
+        F.exp(
+            -(F.col("s_micro").cast("double") / 1000000.0) / F.col("n_words")
+        )
+        * 10000
+        + 0.5
+    ).cast("bigint")
+    ppl = surprisal.select(
+        "doc_id", "source", "n_words", pq.alias("pq")
+    )
+    wr = Window.partitionBy("source").orderBy("pq", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = ppl.withColumn("r", F.row_number().over(wr)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+    kept = (4 * F.col("r") > F.col("n")) & (4 * F.col("r") <= 3 * F.col("n"))
+    kept_words = F.sum(F.when(kept, F.col("n_words")).otherwise(F.lit(0)))
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum("n_words").alias("total_words"),
+        kept_words.alias("kept_words"),
+        dround(kept_words * 1.0 / F.sum("n_words"), 6).alias(
+            "kept_word_share"
+        ),
+    )

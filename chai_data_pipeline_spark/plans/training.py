@@ -2013,3 +2013,95 @@ def stratified_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("dof"),
     )
+
+
+# --------------------------------------------------------------------------
+# Padding-efficiency audit: training pipelines batch variable-length
+# sequences into fixed-shape tensors, and the bucketing strategy sets
+# how many pad tokens the cluster burns. Compare three standard
+# strategies over the corpus — pad-to-512, power-of-two buckets, and
+# 64-step buckets — reporting padded-token mass and pad ratio per
+# strategy. (Complement of sequence_packing, which eliminates padding
+# by concatenation; this audits the pad-to-bucket family.)
+#
+# Determinism: token counts are integers, bucket edges are CASE
+# ladders / integer arithmetic (no float log2 at bucket boundaries),
+# pad masses are exact integer sums; the only division is the final
+# dround-pinned ratio. Scale: ONE wide scan-aggregate, unpivoted with
+# stack() — no shuffle beyond the scalar agg, no per-strategy rescan.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "padding_efficiency_audit",
+    oracle=f"""
+WITH t AS (
+    SELECT LEAST(len(regexp_extract_all(text,
+        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')), 512) AS lt
+    FROM documents
+),
+b AS (
+    SELECT lt,
+           CASE WHEN lt <= 16 THEN 16 WHEN lt <= 32 THEN 32
+                WHEN lt <= 64 THEN 64 WHEN lt <= 128 THEN 128
+                WHEN lt <= 256 THEN 256 ELSE 512 END AS p2,
+           CAST(FLOOR((lt + 63) / 64.0) AS BIGINT) * 64 AS st
+    FROM t
+),
+wide AS (
+    SELECT CAST(SUM(lt) AS BIGINT) AS total_tokens,
+           CAST(SUM(512 - lt) AS BIGINT) AS pad_fixed,
+           CAST(SUM(p2 - lt) AS BIGINT) AS pad_pow2,
+           CAST(SUM(st - lt) AS BIGINT) AS pad_step
+    FROM b
+)
+SELECT 'fixed_512' AS strategy, pad_fixed AS padded_tokens, total_tokens,
+       {sql_dround("pad_fixed * 1.0 / (pad_fixed + total_tokens)", 6)}
+           AS pad_ratio
+FROM wide
+UNION ALL
+SELECT 'pow2_bucket', pad_pow2, total_tokens,
+       {sql_dround("pad_pow2 * 1.0 / (pad_pow2 + total_tokens)", 6)}
+FROM wide
+UNION ALL
+SELECT 'step_64', pad_step, total_tokens,
+       {sql_dround("pad_step * 1.0 / (pad_step + total_tokens)", 6)}
+FROM wide
+""",
+)
+def padding_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    lt = F.least(T.token_count("text"), F.lit(512)).cast("bigint")
+    p2 = (
+        F.when(lt <= 16, 16)
+        .when(lt <= 32, 32)
+        .when(lt <= 64, 64)
+        .when(lt <= 128, 128)
+        .when(lt <= 256, 256)
+        .otherwise(512)
+    ).cast("bigint")
+    st = F.floor((lt + 63) / 64).cast("bigint") * 64
+    wide = docs.agg(
+        F.sum(lt).alias("total_tokens"),
+        F.sum(F.lit(512) - lt).alias("pad_fixed"),
+        F.sum(p2 - lt).alias("pad_pow2"),
+        F.sum(st - lt).alias("pad_step"),
+    )
+    out = wide.selectExpr(
+        "total_tokens",
+        "stack(3, 'fixed_512', pad_fixed, 'pow2_bucket', pad_pow2,"
+        " 'step_64', pad_step) AS (strategy, padded_tokens)",
+    )
+    return out.select(
+        "strategy",
+        "padded_tokens",
+        "total_tokens",
+        dround(
+            F.col("padded_tokens")
+            * 1.0
+            / (F.col("padded_tokens") + F.col("total_tokens")),
+            6,
+        ).alias("pad_ratio"),
+    )
