@@ -660,3 +660,158 @@ def bloom_filter_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionAll(b), legs)
+
+
+# --------------------------------------------------------------------------
+# File-skipping effectiveness: zone-map (footer min/max) pruning audit
+# for a ladder of date predicates under two physical layouts — files
+# cut by ingest key-range (the write-order default) vs one file per
+# calendar month (the standard time-partitioning). Per (layout,
+# predicate): files read vs total, row mass read vs rows actually
+# matching (read amplification). This is the measurement that
+# motivates zorder_layout_audit's multi-dim clustering and the
+# partitionBy-month sink layout: on a random-date ingest layout every
+# file's span covers the whole range and NOTHING skips.
+#
+# Scale: file stats are a single groupBy to FILE grain (the same
+# statistic parquet footers already hold — production reads footers,
+# not data); the predicate ladder joins against the file-grain table
+# only, and matching-row counts come from ONE wide conditional
+# scan-agg unpivoted with stack(). No global sort is simulated —
+# monthly layout is a partitionBy(month), not a row_number.
+# --------------------------------------------------------------------------
+
+_FS_PREDS = [
+    ("p_1996q1", "1996-01-01", "1996-04-01"),
+    ("p_1997", "1997-01-01", "1998-01-01"),
+    ("p_1998jun", "1998-06-01", "1998-07-01"),
+    ("p_wide", "1995-07-01", "2000-01-01"),
+]
+
+
+def _file_skipping_oracle() -> str:
+    pred_values = ", ".join(
+        f"('{n}', TIMESTAMP '{lo} 00:00:00', TIMESTAMP '{hi} 00:00:00')"
+        for n, lo, hi in _FS_PREDS
+    )
+    match_branches = "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS pred, CAST(COUNT(*) FILTER (WHERE"
+        f" o_orderdate >= TIMESTAMP '{lo} 00:00:00' AND"
+        f" o_orderdate < TIMESTAMP '{hi} 00:00:00') AS BIGINT)"
+        " AS rows_matching FROM orders"
+        for n, lo, hi in _FS_PREDS
+    )
+    return f"""
+WITH files AS (
+    SELECT 'keyrange' AS layout, o_orderkey // 1000 AS fid,
+           MIN(o_orderdate) AS min_d, MAX(o_orderdate) AS max_d,
+           CAST(COUNT(*) AS BIGINT) AS nrows
+    FROM orders GROUP BY 1, 2
+    UNION ALL
+    SELECT 'monthly', CAST(EXTRACT(YEAR FROM o_orderdate) * 12
+               + EXTRACT(MONTH FROM o_orderdate) AS BIGINT),
+           MIN(o_orderdate), MAX(o_orderdate), CAST(COUNT(*) AS BIGINT)
+    FROM orders GROUP BY 1, 2
+),
+preds(pred, lo, hi) AS (VALUES {pred_values}),
+scan AS (
+    SELECT f.layout, p.pred,
+           CAST(COUNT(*) AS BIGINT) AS files_total,
+           CAST(COUNT(*) FILTER (WHERE f.max_d >= p.lo AND f.min_d < p.hi)
+               AS BIGINT) AS files_read,
+           CAST(SUM(CASE WHEN f.max_d >= p.lo AND f.min_d < p.hi
+                         THEN f.nrows ELSE 0 END) AS BIGINT) AS rows_read
+    FROM files f CROSS JOIN preds p
+    GROUP BY 1, 2
+),
+matching AS ({match_branches})
+SELECT s.layout, s.pred, s.files_total, s.files_read, s.rows_read,
+       m.rows_matching,
+       {sql_dround("1.0 - s.files_read * 1.0 / s.files_total", 6)}
+           AS skip_ratio,
+       CASE WHEN m.rows_matching > 0 THEN
+           {sql_dround("s.rows_read * 1.0 / m.rows_matching", 6)}
+       END AS read_amplification
+FROM scan s JOIN matching m USING (pred)
+"""
+
+
+@query("file_skipping_effectiveness", oracle=_file_skipping_oracle())
+def file_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    key_files = orders.groupBy(
+        F.floor(F.col("o_orderkey") / 1000).alias("fid")
+    ).agg(
+        F.min("o_orderdate").alias("min_d"),
+        F.max("o_orderdate").alias("max_d"),
+        F.count("*").alias("nrows"),
+    ).select(F.lit("keyrange").alias("layout"), "min_d", "max_d", "nrows")
+    month_files = orders.groupBy(
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate")
+        ).cast("bigint").alias("fid")
+    ).agg(
+        F.min("o_orderdate").alias("min_d"),
+        F.max("o_orderdate").alias("max_d"),
+        F.count("*").alias("nrows"),
+    ).select(F.lit("monthly").alias("layout"), "min_d", "max_d", "nrows")
+    files = key_files.unionByName(month_files)
+
+    preds = spark.createDataFrame(
+        [(n, lo, hi) for n, lo, hi in _FS_PREDS],
+        "pred string, lo_s string, hi_s string",
+    ).select(
+        "pred",
+        F.col("lo_s").cast("timestamp").alias("lo"),
+        F.col("hi_s").cast("timestamp").alias("hi"),
+    )
+    overlap = (F.col("max_d") >= F.col("lo")) & (F.col("min_d") < F.col("hi"))
+    scan = (
+        files.crossJoin(F.broadcast(preds))
+        .groupBy("layout", "pred")
+        .agg(
+            F.count("*").alias("files_total"),
+            F.sum(F.when(overlap, 1).otherwise(0))
+            .cast("bigint")
+            .alias("files_read"),
+            F.sum(F.when(overlap, F.col("nrows")).otherwise(F.lit(0)))
+            .alias("rows_read"),
+        )
+    )
+    # matching-row counts: ONE wide conditional scan-agg, stack()ed
+    match_aggs = [
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias(f"__m_{n}")
+        for n, lo, hi in _FS_PREDS
+    ]
+    stack_pairs = ", ".join(f"'{n}', __m_{n}" for n, _, _ in _FS_PREDS)
+    matching = orders.agg(*match_aggs).selectExpr(
+        f"stack({len(_FS_PREDS)}, {stack_pairs}) AS (pred, rows_matching)"
+    )
+    return (
+        scan.join(F.broadcast(matching), "pred")
+        .select(
+            "layout",
+            "pred",
+            "files_total",
+            "files_read",
+            "rows_read",
+            "rows_matching",
+            dround(
+                1.0 - F.col("files_read") * 1.0 / F.col("files_total"), 6
+            ).alias("skip_ratio"),
+            F.when(
+                F.col("rows_matching") > 0,
+                dround(
+                    F.col("rows_read") * 1.0 / F.col("rows_matching"), 6
+                ),
+            ).alias("read_amplification"),
+        )
+    )
