@@ -4736,3 +4736,199 @@ def spearman_rho_monthly_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rho_spearman"),
     )
+
+
+# --------------------------------------------------------------------------
+# Brown double-exponential-smoothing backtest (Holt linear trend via
+# Brown's method at alpha = 1/2): S1 = dyadic prior-8-day EWMA of the
+# daily count (exact integer window sums, the ewma_spike_days
+# machinery), quantized x1e6 to an integer ONCE; S2 = the same dyadic
+# EWMA over the quantized S1 (again exact integer sums). At alpha=1/2
+# Brown's one-step forecast collapses to 3*S1 - 2*S2 — pure integer
+# arithmetic — so the whole level+trend recursion is replayed without
+# ANY iterative float state. Scored one-step-ahead on fully-warmed
+# rows (all 8 S1 lags present) against the naive lag-1 forecast.
+# --------------------------------------------------------------------------
+
+
+def _dyadic_terms(col: str) -> tuple[str, str]:
+    num = " + ".join(
+        f"COALESCE(LAG({col}, {k}) OVER w, 0) * {1 << (_EWMA_LAGS - k)}"
+        for k in range(1, _EWMA_LAGS + 1)
+    )
+    den = " + ".join(
+        f"(CASE WHEN LAG({col}, {k}) OVER w IS NULL THEN 0"
+        f" ELSE {1 << (_EWMA_LAGS - k)} END)"
+        for k in range(1, _EWMA_LAGS + 1)
+    )
+    return num, den
+
+
+_H_NUM1, _H_DEN1 = _dyadic_terms("n")
+_H_NUM2, _H_DEN2 = _dyadic_terms("s1q")
+_H_FULL = (1 << _EWMA_LAGS) - 1  # all 8 lags present
+
+
+@query(
+    "holt_smoothing_backtest",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM daily),
+spine AS (
+    SELECT t.event_type, CAST(g.day AS DATE) AS d
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN (
+        SELECT unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS day
+        FROM bounds b
+    ) g
+),
+filled AS (
+    SELECT s.event_type, s.d, COALESCE(dy.n, 0) AS n
+    FROM spine s LEFT JOIN daily dy
+      ON dy.event_type = s.event_type AND dy.d = s.d
+),
+s1 AS (
+    SELECT event_type, d, n, {_H_NUM1} AS num1, {_H_DEN1} AS den1
+    FROM filled
+    WINDOW w AS (PARTITION BY event_type ORDER BY d)
+),
+q1 AS (
+    SELECT event_type, d, n,
+           CASE WHEN den1 > 0 THEN
+               CAST(FLOOR(num1 * 1000000.0 / den1 + 0.5) AS BIGINT)
+           END AS s1q
+    FROM s1
+),
+s2 AS (
+    SELECT event_type, d, n,
+           {_H_NUM2} AS num2, {_H_DEN2} AS den2,
+           LAG(s1q, 1) OVER w AS s1q_prev,
+           LAG(n, 1) OVER w AS prev_n
+    FROM q1
+    WINDOW w AS (PARTITION BY event_type ORDER BY d)
+),
+scored AS (
+    SELECT event_type, n, prev_n,
+           3 * s1q_prev
+             - 2 * CAST(FLOOR(num2 * 1.0 / den2 + 0.5) AS BIGINT) AS fq
+    FROM s2
+    WHERE den2 = {_H_FULL} AND s1q_prev IS NOT NULL AND prev_n IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+       {sql_dround(
+           "CAST(SUM(ABS(n * 1000000 - fq)) AS BIGINT) * 1.0"
+           " / COUNT(*) / 1000000.0", 6)} AS holt_mae,
+       {sql_dround(
+           "CAST(SUM(ABS(n - prev_n)) AS BIGINT) * 1.0 / COUNT(*)", 6)}
+           AS naive_mae,
+       CASE WHEN SUM(ABS(n - prev_n)) > 0 THEN
+           {sql_dround(
+               "1.0 - CAST(SUM(ABS(n * 1000000 - fq)) AS BIGINT) * 1.0"
+               " / (1000000.0 * CAST(SUM(ABS(n - prev_n)) AS BIGINT))", 6)}
+       END AS mae_improvement
+FROM scored GROUP BY 1
+""",
+)
+def holt_smoothing_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type one-step Holt/Brown forecast backtest vs naive lag-1.
+
+    The forecast for day d uses data through d-1 only (S1/S2 are
+    prior-window EWMAs and both enter via their d-1 values), so the
+    backtest is honest. Scale: identical shape to ewma_spike_days —
+    one (type, day)-grain reduce, broadcast spine, per-type ordered
+    windows over day-cardinality partitions; every cross-row sum is an
+    exact integer, so a 1000-executor run reproduces the MAEs
+    bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = daily.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type", F.explode(F.sequence("dmin", "dmax")).alias("d")
+        )
+    )
+    filled = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type", "d", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+
+    def dyadic(col: str):
+        num = None
+        den = None
+        for k in range(1, _EWMA_LAGS + 1):
+            wt = 1 << (_EWMA_LAGS - k)
+            lagk = F.lag(col, k).over(w)
+            num_t = F.coalesce(lagk, F.lit(0)) * wt
+            den_t = F.when(lagk.isNull(), 0).otherwise(wt)
+            num = num_t if num is None else num + num_t
+            den = den_t if den is None else den + den_t
+        return num, den
+
+    num1, den1 = dyadic("n")
+    s1 = filled.select(
+        "event_type", "d", "n", num1.alias("num1"), den1.alias("den1")
+    )
+    q1 = s1.select(
+        "event_type",
+        "d",
+        "n",
+        F.when(
+            F.col("den1") > 0,
+            F.floor(
+                F.col("num1") * 1000000.0 / F.col("den1") + 0.5
+            ).cast("bigint"),
+        ).alias("s1q"),
+    )
+    num2, den2 = dyadic("s1q")
+    s2 = q1.select(
+        "event_type",
+        "d",
+        "n",
+        num2.alias("num2"),
+        den2.alias("den2"),
+        F.lag("s1q", 1).over(w).alias("s1q_prev"),
+        F.lag("n", 1).over(w).alias("prev_n"),
+    )
+    scored = s2.filter(
+        (F.col("den2") == _H_FULL)
+        & F.col("s1q_prev").isNotNull()
+        & F.col("prev_n").isNotNull()
+    ).select(
+        "event_type",
+        "n",
+        "prev_n",
+        (
+            3 * F.col("s1q_prev")
+            - 2
+            * F.floor(F.col("num2") * 1.0 / F.col("den2") + 0.5).cast(
+                "bigint"
+            )
+        ).alias("fq"),
+    )
+    holt_err = F.sum(F.abs(F.col("n") * 1000000 - F.col("fq")))
+    naive_err = F.sum(F.abs(F.col("n") - F.col("prev_n")))
+    return scored.groupBy("event_type").agg(
+        F.count("*").alias("n_days_scored"),
+        dround(holt_err * 1.0 / F.count("*") / 1000000.0, 6).alias(
+            "holt_mae"
+        ),
+        dround(naive_err * 1.0 / F.count("*"), 6).alias("naive_mae"),
+        F.when(
+            naive_err > 0,
+            dround(1.0 - holt_err * 1.0 / (1000000.0 * naive_err), 6),
+        ).alias("mae_improvement"),
+    )
