@@ -2105,3 +2105,127 @@ def padding_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pad_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Epoch-repetition plan under a token budget (Muennighoff et al. 2023,
+# data-constrained scaling: repeating a source beyond ~4 epochs stops
+# helping). Allocate a 2x-total-token training budget across sources
+# by sqrt-temperature weights (tokens^0.5, quantized x1e6 before the
+# normalizing sum — the mixture_temperature_weights discipline), then
+# per source: epochs implied by the allocation, the 4-epoch
+# repetition cap as an INTEGER cross-multiplication
+# (target > 4*tokens), and the unique-token deficit where capped.
+# --------------------------------------------------------------------------
+
+_EP_TAU = 0.5
+_EP_BUDGET_X = 2.0
+_EP_CAP = 4
+
+
+@query(
+    "epoch_repetition_plan",
+    oracle=f"""
+WITH s AS (
+    SELECT source,
+           CAST(SUM(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS tokens,
+           CAST(FLOOR(pow(SUM(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))), {_EP_TAU})
+               * 1000000 + 0.5) AS BIGINT) AS pq
+    FROM documents GROUP BY 1
+    -- a zero-token source cannot be allocated epochs (and would
+    -- divide by zero under Spark ANSI); shared filter, both engines
+    HAVING SUM(len(regexp_extract_all(text,
+        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) > 0
+),
+t AS (
+    SELECT source, tokens, pq,
+           CAST(SUM(tokens) OVER () AS BIGINT) AS total_tokens,
+           CAST(SUM(pq) OVER () AS BIGINT) AS total_pq
+    FROM s
+),
+alloc AS (
+    SELECT source, tokens,
+           CAST(FLOOR({_EP_BUDGET_X} * total_tokens * pq / total_pq + 0.5)
+               AS BIGINT) AS target_tokens
+    FROM t
+)
+SELECT source, tokens, target_tokens,
+       {sql_dround("target_tokens * 1.0 / tokens", 4)} AS epochs,
+       target_tokens > {_EP_CAP} * tokens AS over_repetition_cap,
+       {sql_dround(
+           f"LEAST(target_tokens, {_EP_CAP} * tokens) * 1.0 / tokens", 4)}
+           AS effective_epochs,
+       CASE WHEN target_tokens > {_EP_CAP} * tokens
+            THEN target_tokens - {_EP_CAP} * tokens ELSE 0 END
+           AS deficit_tokens
+FROM alloc
+""",
+)
+def epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch plan for a 2x-token budget with a 4-epoch cap.
+
+    Scale: one source-grain token reduce (map-combined), a
+    source-cardinality window for the two normalizers, per-row
+    identical float ops; the cap test and deficit are pure integer
+    arithmetic so no float boundary can diverge.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators import text as T
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    s = docs.groupBy("source").agg(
+        F.sum(T.token_count("text")).cast("bigint").alias("tokens")
+    ).filter(F.col("tokens") > 0).select(
+        "source",
+        "tokens",
+        F.floor(F.pow(F.col("tokens"), F.lit(_EP_TAU)) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("pq"),
+    )
+    w = Window.partitionBy()
+    t = s.select(
+        "source",
+        "tokens",
+        "pq",
+        F.sum("tokens").over(w).cast("bigint").alias("total_tokens"),
+        F.sum("pq").over(w).cast("bigint").alias("total_pq"),
+    )
+    alloc = t.select(
+        "source",
+        "tokens",
+        F.floor(
+            _EP_BUDGET_X
+            * F.col("total_tokens")
+            * F.col("pq")
+            / F.col("total_pq")
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("target_tokens"),
+    )
+    capped = F.least(
+        F.col("target_tokens"), _EP_CAP * F.col("tokens")
+    )
+    return alloc.select(
+        "source",
+        "tokens",
+        "target_tokens",
+        dround(F.col("target_tokens") * 1.0 / F.col("tokens"), 4).alias(
+            "epochs"
+        ),
+        (F.col("target_tokens") > _EP_CAP * F.col("tokens")).alias(
+            "over_repetition_cap"
+        ),
+        dround(capped * 1.0 / F.col("tokens"), 4).alias(
+            "effective_epochs"
+        ),
+        F.when(
+            F.col("target_tokens") > _EP_CAP * F.col("tokens"),
+            F.col("target_tokens") - _EP_CAP * F.col("tokens"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("deficit_tokens"),
+    )
