@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import sql_dround
 from ..session import load_tables
 from .registry import query
 
@@ -514,4 +515,135 @@ def histogram_quantiles_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_quantile"),
         fp(F.col("exact_q")).alias("exact_quantile"),
         fp((F.col("mx") - F.col("mn")) / _HQ_B).alias("bin_width"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CMS inner-product join-cardinality estimate: |A JOIN B on key| =
+# sum_key cntA*cntB, estimated as min over depths of the counter-row
+# dot product (Alon-Matias-Szegedy / Cormode-Muthukrishnan) — the
+# optimizer statistic a planner uses to size a join without scanning
+# either side twice. Same sha256-derived buckets as
+# cms_heavy_hitters_checked, so both engines build bit-identical
+# counter tables and the estimate is exactly reproducible; the exact
+# pair count (computable here because the key-grain tables fit) makes
+# the driver hash prove the whole estimator.
+#
+# Scale: each sketch is a constant (depth x width) table built by one
+# map-combined aggregation; the dot product joins 2048-cell tables.
+# The exact side is two key-grain reduces + an equi-join — present
+# only as the oracle-checkable ground truth (join_strategy_advisor /
+# self_join_blowup_forecast are the planning consumers).
+# --------------------------------------------------------------------------
+
+
+def _sql_bucket_expr(col: str, j: int) -> str:
+    return (
+        f"(CAST(concat('0x', substring(sha256(CAST({col} AS VARCHAR)), "
+        f"{1 + 8 * j}, 8)) AS BIGINT) % {_CMS_W})"
+    )
+
+
+def _cms_cells_sql(table: str, col: str, where: str) -> str:
+    branches = "\n    UNION ALL ".join(
+        f"SELECT {j} AS depth, {_sql_bucket_expr(col, j)} AS bucket,"
+        f" CAST(COUNT(*) AS BIGINT) AS c FROM {table} WHERE {where}"
+        f" GROUP BY 2"
+        for j in range(_CMS_D)
+    )
+    return branches
+
+
+@query(
+    "join_cardinality_cms_estimate",
+    oracle=f"""
+WITH cells_a AS (
+    {_cms_cells_sql("events", "user_id", "user_id IS NOT NULL")}
+),
+cells_b AS (
+    {_cms_cells_sql("orders", "o_custkey", "o_custkey IS NOT NULL")}
+),
+per_depth AS (
+    SELECT a.depth, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+    FROM cells_a a JOIN cells_b b
+      ON a.depth = b.depth AND a.bucket = b.bucket
+    GROUP BY 1
+),
+est AS (SELECT CAST(MIN(dot) AS BIGINT) AS cms_estimate FROM per_depth),
+exact AS (
+    SELECT CAST(COALESCE(SUM(ca.n * cb.n), 0) AS BIGINT) AS exact_pairs
+    FROM (SELECT user_id AS k, COUNT(*) AS n FROM events
+          WHERE user_id IS NOT NULL GROUP BY 1) ca
+    JOIN (SELECT o_custkey AS k, COUNT(*) AS n FROM orders
+          WHERE o_custkey IS NOT NULL GROUP BY 1) cb USING (k)
+)
+SELECT x.exact_pairs, e.cms_estimate,
+       e.cms_estimate - x.exact_pairs AS overestimate,
+       CASE WHEN x.exact_pairs > 0 THEN
+           {sql_dround(
+               "(e.cms_estimate - x.exact_pairs) * 1.0 / x.exact_pairs", 6)}
+       END AS relative_error
+FROM exact x CROSS JOIN est e
+""",
+)
+def join_cardinality_cms_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events", "orders")
+    events = t["events"].filter(F.col("user_id").isNotNull())
+    orders = t["orders"].filter(F.col("o_custkey").isNotNull())
+
+    def cells(df: DataFrame, key) -> DataFrame:
+        return (
+            df.select(*_cms_bucket_cols(key))
+            .select(
+                F.posexplode(
+                    F.array(*[F.col(f"b{j}") for j in range(_CMS_D)])
+                ).alias("depth", "bucket")
+            )
+            .groupBy("depth", "bucket")
+            .agg(F.count("*").alias("c"))
+        )
+    ca = cells(events, F.col("user_id"))
+    cb = cells(orders, F.col("o_custkey"))
+    per_depth = (
+        ca.alias("a")
+        .join(
+            cb.alias("b"),
+            (F.col("a.depth") == F.col("b.depth"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.depth"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    est = per_depth.agg(F.min("dot").cast("bigint").alias("cms_estimate"))
+    na = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").alias("n_a")
+    )
+    nb = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("n_b")
+    )
+    exact = (
+        na.join(nb, "k")
+        .agg(
+            F.coalesce(F.sum(F.col("n_a") * F.col("n_b")), F.lit(0))
+            .cast("bigint")
+            .alias("exact_pairs")
+        )
+    )
+    from ..functions import dround
+
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_pairs",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_pairs")).alias("overestimate"),
+        F.when(
+            F.col("exact_pairs") > 0,
+            dround(
+                (F.col("cms_estimate") - F.col("exact_pairs"))
+                * 1.0
+                / F.col("exact_pairs"),
+                6,
+            ),
+        ).alias("relative_error"),
     )
