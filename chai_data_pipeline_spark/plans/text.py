@@ -2449,3 +2449,110 @@ def perplexity_band_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kept_word_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus datasheet: the one-row-per-metric data card a dataset release
+# ships with (docs/sources/langs, token+char mass, empty docs, exact
+# normalized-text duplicates, dup rate, mean doc tokens) — ALL from
+# ONE wide scan-aggregate (plus the distinct-hash reduction inside
+# it), unpivoted with stack(). Every count is exact integer; the two
+# ratios are single dround-pinned divisions; integer values emit as
+# exactly-representable doubles so the (metric, value) frame has one
+# uniform type.
+# --------------------------------------------------------------------------
+
+_DS_TOK = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+_DS_HASH = "sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))"
+
+
+@query(
+    "corpus_datasheet",
+    oracle=f"""
+WITH wide AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM({_DS_TOK}) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN text IS NULL OR LENGTH(TRIM(text)) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_docs,
+           CAST(COUNT({_DS_HASH}) AS BIGINT) AS n_hashed,
+           CAST(COUNT(DISTINCT {_DS_HASH}) AS BIGINT) AS n_distinct
+    FROM documents
+)
+SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM wide
+UNION ALL SELECT 'n_sources', CAST(n_sources AS DOUBLE) FROM wide
+UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM wide
+UNION ALL SELECT 'total_tokens', CAST(total_tokens AS DOUBLE) FROM wide
+UNION ALL SELECT 'total_chars', CAST(total_chars AS DOUBLE) FROM wide
+UNION ALL SELECT 'n_empty_docs', CAST(n_empty_docs AS DOUBLE) FROM wide
+UNION ALL SELECT 'n_dup_docs', CAST(n_hashed - n_distinct AS DOUBLE)
+    FROM wide
+UNION ALL SELECT 'dup_doc_rate',
+    CASE WHEN n_hashed > 0 THEN
+        {sql_dround("(n_hashed - n_distinct) * 1.0 / n_hashed", 6)}
+    END FROM wide
+UNION ALL SELECT 'mean_doc_tokens',
+    CASE WHEN n_docs > 0 THEN
+        {sql_dround("total_tokens * 1.0 / n_docs", 4)}
+    END FROM wide
+""",
+)
+def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset data card: 9 (metric, value) rows from one wide agg.
+
+    Scale: one scan with map-side partial aggregation; the two
+    COUNT(DISTINCT) legs expand to the standard two-phase plan over
+    source/lang (tiny) and the content-hash space (key-grain). No
+    per-metric rescans (the medallion stack() discipline).
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.sha2(
+        F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), 256
+    )
+    empty = F.when(
+        F.col("text").isNull() | (F.length(F.trim("text")) == 0), 1
+    ).otherwise(0)
+    wide = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(T.token_count("text")).cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(empty).cast("bigint").alias("n_empty_docs"),
+        F.count(norm).alias("n_hashed"),
+        F.countDistinct(norm).alias("n_distinct"),
+    )
+    dup_rate = F.when(
+        F.col("n_hashed") > 0,
+        dround(
+            (F.col("n_hashed") - F.col("n_distinct"))
+            * 1.0
+            / F.col("n_hashed"),
+            6,
+        ),
+    )
+    mean_tok = F.when(
+        F.col("n_docs") > 0,
+        dround(F.col("total_tokens") * 1.0 / F.col("n_docs"), 4),
+    )
+    enriched = wide.select(
+        "*",
+        (F.col("n_hashed") - F.col("n_distinct")).alias("n_dup_docs"),
+        dup_rate.alias("dup_doc_rate"),
+        mean_tok.alias("mean_doc_tokens"),
+    )
+    return enriched.selectExpr(
+        """stack(9,
+            'n_docs', CAST(n_docs AS DOUBLE),
+            'n_sources', CAST(n_sources AS DOUBLE),
+            'n_langs', CAST(n_langs AS DOUBLE),
+            'total_tokens', CAST(total_tokens AS DOUBLE),
+            'total_chars', CAST(total_chars AS DOUBLE),
+            'n_empty_docs', CAST(n_empty_docs AS DOUBLE),
+            'n_dup_docs', CAST(n_dup_docs AS DOUBLE),
+            'dup_doc_rate', dup_doc_rate,
+            'mean_doc_tokens', mean_doc_tokens
+        ) AS (metric, value)"""
+    )
