@@ -1,0 +1,134 @@
+"""Semantic invariants for the round-8 operator wave.
+
+The DuckDB parity suite proves Spark == oracle; these pin properties
+the hash comparison cannot express (monotonicity, conservation,
+superset guarantees) so a future edit that breaks the MATH on both
+engines simultaneously still fails.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from chai_data_pipeline_spark import plans
+
+
+def _rows(spark, sf_dir, name):
+    return plans.QUERIES[name](spark, sf_dir).collect()
+
+
+def test_padding_audit_orderings(spark, sf_dir):
+    rows = {r["strategy"]: r for r in _rows(spark, sf_dir, "padding_efficiency_audit")}
+    assert set(rows) == {"fixed_512", "pow2_bucket", "step_64"}
+    totals = {r["total_tokens"] for r in rows.values()}
+    assert len(totals) == 1  # same corpus mass on every row
+    for r in rows.values():
+        assert r["padded_tokens"] >= 0
+        assert 0.0 <= r["pad_ratio"] < 1.0
+    # every pow2 bucket <= 512, so pad-to-512 wastes at least as much
+    assert rows["pow2_bucket"]["padded_tokens"] <= rows["fixed_512"]["padded_tokens"]
+    # every 64-step bucket <= its pow2 bucket... does NOT hold in
+    # general (lt=10 -> pow2 16 vs step 64); only the fixed bound is an
+    # invariant, so that's all we pin.
+
+
+def test_semdedup_conservation(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "semdedup_centroid_cosine")
+    assert rows, "assignment must produce clusters"
+    for r in rows:
+        assert r["n_dropped"] + r["n_kept"] == r["n_members"]
+        assert r["n_dropped"] >= 0 and r["n_kept"] >= 1
+    # every vector lands in exactly one cluster
+    emb_count = 500  # sf0.001 embeddings rows (TESTDATA.md)
+    assert sum(r["n_members"] for r in rows) == emb_count
+
+
+def test_ivf_probe_ladder_monotone(spark, sf_dir):
+    rows = sorted(
+        _rows(spark, sf_dir, "ivf_probe_recall_tradeoff"),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 4]
+    cands = [r["n_candidates"] for r in rows]
+    hits = [r["hits_at_10"] for r in rows]
+    assert cands == sorted(cands)  # more probes never shrink the set
+    assert hits == sorted(hits)  # recall non-decreasing in n_probe
+    for r in rows:
+        assert 0 <= r["hits_at_10"] <= 10
+        assert r["recall_at_10"] == r["hits_at_10"] / 10.0
+
+
+def test_cms_join_estimate_upper_bounds_exact(spark, sf_dir):
+    (r,) = _rows(spark, sf_dir, "join_cardinality_cms_estimate")
+    assert r["exact_pairs"] > 0
+    # CMS counters only ever over-count: the inner product is a
+    # guaranteed upper bound on the true join cardinality
+    assert r["cms_estimate"] >= r["exact_pairs"]
+    assert r["overestimate"] == r["cms_estimate"] - r["exact_pairs"]
+
+
+def test_holt_backtest_sane(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "holt_smoothing_backtest")
+    assert rows
+    for r in rows:
+        assert r["n_days_scored"] > 0
+        assert r["holt_mae"] >= 0.0
+        assert r["naive_mae"] >= 0.0
+        if r["mae_improvement"] is not None:
+            # improvement = 1 - holt/naive, so it can't exceed 1
+            assert r["mae_improvement"] <= 1.0
+
+
+def test_epoch_plan_cap_consistency(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "epoch_repetition_plan")
+    assert rows
+    for r in rows:
+        assert r["tokens"] > 0  # zero-token sources are filtered
+        assert r["effective_epochs"] <= r["epochs"] + 1e-9
+        assert r["deficit_tokens"] >= 0
+        assert r["over_repetition_cap"] == (r["deficit_tokens"] > 0)
+        if r["over_repetition_cap"]:
+            assert r["effective_epochs"] == pytest.approx(4.0, abs=1e-6)
+
+
+def test_file_skipping_superset_property(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "file_skipping_effectiveness")
+    assert len(rows) == 8  # 2 layouts x 4 predicates
+    for r in rows:
+        assert 0 <= r["files_read"] <= r["files_total"]
+        # zone-map pruning is conservative: the files kept must contain
+        # every matching row
+        assert r["rows_read"] >= r["rows_matching"]
+        assert 0.0 <= r["skip_ratio"] <= 1.0
+    # monthly time-partitioning must skip at least as well as the
+    # ingest key-range layout for every date predicate
+    by = {(r["layout"], r["pred"]): r for r in rows}
+    for _, pred in [k for k in by if k[0] == "monthly"]:
+        assert (
+            by[("monthly", pred)]["skip_ratio"]
+            >= by[("keyrange", pred)]["skip_ratio"]
+        )
+
+
+def test_perplexity_band_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "perplexity_band_prune")
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert 0 <= r["kept_words"] <= r["total_words"]
+        # the band is the middle half: kept count is within one of n/2
+        assert abs(r["n_kept"] - r["n_docs"] / 2) <= 1
+
+
+def test_corpus_datasheet_metrics(spark, sf_dir):
+    rows = {r["metric"]: r["value"] for r in _rows(spark, sf_dir, "corpus_datasheet")}
+    assert set(rows) == {
+        "n_docs", "n_sources", "n_langs", "total_tokens", "total_chars",
+        "n_empty_docs", "n_dup_docs", "dup_doc_rate", "mean_doc_tokens",
+    }
+    assert rows["n_docs"] == 500  # sf0.001 documents rows (TESTDATA.md)
+    assert rows["n_dup_docs"] >= 0
+    assert 0.0 <= rows["dup_doc_rate"] < 1.0
+    assert rows["mean_doc_tokens"] == pytest.approx(
+        rows["total_tokens"] / rows["n_docs"], abs=1e-3
+    )
