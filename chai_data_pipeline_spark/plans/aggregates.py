@@ -3685,3 +3685,171 @@ def fdr_bh_ttests(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rejected"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Wald SPRT (sequential probability-ratio test) on per-user conversion
+# in each sha256 arm — the always-valid sequential monitoring the
+# fixed-horizon experimentation family (welch_ttest_arms, ab_srm_check,
+# experiment_power_mde) doesn't cover. Testing H0: p = 0.7 vs
+# H1: p = 0.9 at alpha = beta = 0.05: the per-observation log terms
+# ln(p1/p0), ln((1-p1)/(1-p0)) and the Wald boundaries
+# ln((1-b)/a), ln(b/(1-a)) are quantized x1e6 AT PLAN TIME and appear
+# as INTEGER literals in both engines, so the cumulative LLR is an
+# exact integer cumsum and the first-crossing day cannot diverge.
+# Sequence grain is the DAY a user first appears (the realistic
+# monitoring cadence) — day-grain cumulative windows per arm, never a
+# per-user single-partition scan.
+# --------------------------------------------------------------------------
+
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.7, 0.9
+_SPRT_A_ERR = 0.05  # alpha = beta
+_SPRT_L1 = _math.floor(_math.log(_SPRT_P1 / _SPRT_P0) * 1e6 + 0.5)
+_SPRT_L0 = _math.floor(
+    _math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)) * 1e6 + 0.5
+)
+_SPRT_UP = _math.floor(
+    _math.log((1 - _SPRT_A_ERR) / _SPRT_A_ERR) * 1e6 + 0.5
+)
+_SPRT_DOWN = -_SPRT_UP
+
+
+@query(
+    "sprt_sequential_test",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN {_sql_hb('user_id')} < 50 THEN 'A' ELSE 'B' END AS arm,
+           MIN(CAST(ts AS DATE)) AS first_day,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1, 2
+),
+daily AS (
+    SELECT arm, first_day AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(conv) AS BIGINT) AS k_new
+    FROM per_user GROUP BY 1, 2
+),
+cum AS (
+    SELECT arm, d,
+           CAST(SUM(n_new) OVER w AS BIGINT) AS n_cum,
+           CAST(SUM(k_new) OVER w AS BIGINT) AS k_cum
+    FROM daily
+    WINDOW w AS (PARTITION BY arm ORDER BY d)
+),
+llr AS (
+    SELECT arm, d, n_cum, k_cum,
+           k_cum * {_SPRT_L1} + (n_cum - k_cum) * {_SPRT_L0} AS llr_q
+    FROM cum
+),
+crossing AS (
+    SELECT arm, MIN(d) AS decision_day
+    FROM llr WHERE llr_q >= {_SPRT_UP} OR llr_q <= {_SPRT_DOWN}
+    GROUP BY 1
+),
+decided AS (
+    SELECT l.arm, c.decision_day,
+           CASE WHEN l.llr_q >= {_SPRT_UP} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision
+    FROM llr l JOIN crossing c ON l.arm = c.arm AND l.d = c.decision_day
+),
+final AS (
+    SELECT arm, d, n_cum, k_cum, llr_q,
+           ROW_NUMBER() OVER (PARTITION BY arm ORDER BY d DESC) AS rn
+    FROM llr
+)
+SELECT f.arm,
+       f.n_cum AS users_total,
+       f.k_cum AS conversions_total,
+       COALESCE(dx.decision, 'continue') AS decision,
+       dx.decision_day,
+       f.llr_q / 1000000.0 AS llr_final
+FROM final f LEFT JOIN decided dx USING (arm)
+WHERE f.rn = 1
+""",
+)
+def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-arm SPRT decision, first-crossing day, and final LLR."""
+    from pyspark.sql.window import Window
+
+    from .training import hash_bucket
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per_user = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first_day"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+        .select(
+            F.when(hash_bucket("user_id") < 50, "A")
+            .otherwise("B")
+            .alias("arm"),
+            "first_day",
+            "conv",
+        )
+    )
+    daily = per_user.groupBy("arm", F.col("first_day").alias("d")).agg(
+        F.count("*").alias("n_new"),
+        F.sum("conv").cast("bigint").alias("k_new"),
+    )
+    w = Window.partitionBy("arm").orderBy("d")
+    cum = daily.select(
+        "arm",
+        "d",
+        F.sum("n_new").over(w).cast("bigint").alias("n_cum"),
+        F.sum("k_new").over(w).cast("bigint").alias("k_cum"),
+    )
+    llr = cum.withColumn(
+        "llr_q",
+        F.col("k_cum") * _SPRT_L1
+        + (F.col("n_cum") - F.col("k_cum")) * _SPRT_L0,
+    )
+    crossed = (F.col("llr_q") >= _SPRT_UP) | (F.col("llr_q") <= _SPRT_DOWN)
+    crossing = (
+        llr.filter(crossed)
+        .groupBy(F.col("arm").alias("arm_c"))
+        .agg(F.min("d").alias("decision_day"))
+    )
+    decided = (
+        llr.alias("l")
+        .join(
+            crossing,
+            (F.col("l.arm") == F.col("arm_c"))
+            & (F.col("l.d") == F.col("decision_day")),
+        )
+        .select(
+            F.col("arm_c").alias("arm_x"),
+            "decision_day",
+            F.when(F.col("l.llr_q") >= _SPRT_UP, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("decision"),
+        )
+    )
+    wlast = Window.partitionBy("arm").orderBy(F.desc("d"))
+    final = (
+        llr.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("arm", "n_cum", "k_cum", "llr_q")
+    )
+    return (
+        final.join(
+            F.broadcast(decided),
+            final["arm"] == decided["arm_x"],
+            "left",
+        )
+        .select(
+            "arm",
+            F.col("n_cum").alias("users_total"),
+            F.col("k_cum").alias("conversions_total"),
+            F.coalesce("decision", F.lit("continue")).alias("decision"),
+            "decision_day",
+            (F.col("llr_q") / 1000000.0).alias("llr_final"),
+        )
+    )
