@@ -3853,3 +3853,153 @@ def sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("llr_q") / 1000000.0).alias("llr_final"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Uplift / Qini decile curve: rank users by a deterministic targeting
+# score (event count, tiebreak user_id), cut exact integer deciles,
+# and per decile report treatment-vs-control mean-value uplift plus
+# the cumulative Qini statistic sumT_cum - sumC_cum * nT_cum/nC_cum —
+# the standard evaluation of "whom should we treat first". Values are
+# exact integer cents per user; decile edges are integer
+# cross-multiplications over the rank (no NTILE, whose tie semantics
+# differ across engines); each output float is one mirrored division.
+#
+# Scale: the rank runs on the USER-GRAIN aggregate (already reduced),
+# not raw events; at 100 TB the decile cut swaps to the histogram-CDF
+# boundaries of quantile_normalize_lengths — this exact-rank form is
+# that rewrite's semantic oracle.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "uplift_qini_deciles",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN {_sql_hb('user_id')} < 50 THEN 0 ELSE 1 END AS treat,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS r,
+           COUNT(*) OVER () AS n
+    FROM per_user
+),
+dec AS (
+    SELECT *, CAST(FLOOR(((r - 1) * 10.0) / n) AS BIGINT) + 1 AS decile
+    FROM ranked
+),
+agg AS (
+    SELECT decile,
+           CAST(SUM(treat) AS BIGINT) AS n_treat,
+           CAST(SUM(1 - treat) AS BIGINT) AS n_ctrl,
+           CAST(SUM(treat * cents) AS BIGINT) AS cents_treat,
+           CAST(SUM((1 - treat) * cents) AS BIGINT) AS cents_ctrl
+    FROM dec GROUP BY 1
+),
+cum AS (
+    SELECT decile, n_treat, n_ctrl, cents_treat, cents_ctrl,
+           CAST(SUM(n_treat) OVER w AS BIGINT) AS nt_cum,
+           CAST(SUM(n_ctrl) OVER w AS BIGINT) AS nc_cum,
+           CAST(SUM(cents_treat) OVER w AS BIGINT) AS ct_cum,
+           CAST(SUM(cents_ctrl) OVER w AS BIGINT) AS cc_cum
+    FROM agg
+    WINDOW w AS (ORDER BY decile)
+)
+SELECT CAST(decile AS INTEGER) AS decile, n_treat, n_ctrl,
+       CASE WHEN n_treat > 0 AND n_ctrl > 0 THEN
+           {sql_dround(
+               "(cents_treat * 1.0 / n_treat"
+               " - cents_ctrl * 1.0 / n_ctrl) / 100.0", 6)}
+       END AS uplift_per_user,
+       CASE WHEN nc_cum > 0 THEN
+           {sql_dround(
+               "(ct_cum - cc_cum * 1.0 * nt_cum / nc_cum) / 100.0", 6)}
+       END AS qini_cum
+FROM cum
+""",
+)
+def uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from .training import hash_bucket
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per_user = (
+        events.filter(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.when(hash_bucket("user_id") < 50, 0).otherwise(1).alias(
+                "treat"
+            ),
+            "n_events",
+            "cents",
+        )
+    )
+    # rank over the user-grain aggregate (reduced frame — lint-legal);
+    # 100-TB path: histogram-CDF decile boundaries instead
+    wr = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    wn = Window.partitionBy(F.lit(0))
+    dec = (
+        per_user.withColumn("r", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(wn))
+        .withColumn(
+            "decile",
+            F.floor(((F.col("r") - 1) * 10.0) / F.col("n")).cast("bigint")
+            + 1,
+        )
+    )
+    agg = dec.groupBy("decile").agg(
+        F.sum("treat").cast("bigint").alias("n_treat"),
+        F.sum(1 - F.col("treat")).cast("bigint").alias("n_ctrl"),
+        F.sum(F.col("treat") * F.col("cents"))
+        .cast("bigint")
+        .alias("cents_treat"),
+        F.sum((1 - F.col("treat")) * F.col("cents"))
+        .cast("bigint")
+        .alias("cents_ctrl"),
+    )
+    wc = Window.partitionBy(F.lit(0)).orderBy("decile")
+    cum = agg.select(
+        "*",
+        F.sum("n_treat").over(wc).cast("bigint").alias("nt_cum"),
+        F.sum("n_ctrl").over(wc).cast("bigint").alias("nc_cum"),
+        F.sum("cents_treat").over(wc).cast("bigint").alias("ct_cum"),
+        F.sum("cents_ctrl").over(wc).cast("bigint").alias("cc_cum"),
+    )
+    from ..functions import dround
+
+    uplift = (
+        F.col("cents_treat") * 1.0 / F.col("n_treat")
+        - F.col("cents_ctrl") * 1.0 / F.col("n_ctrl")
+    ) / 100.0
+    qini = (
+        F.col("ct_cum")
+        - F.col("cc_cum") * 1.0 * F.col("nt_cum") / F.col("nc_cum")
+    ) / 100.0
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_treat",
+        "n_ctrl",
+        F.when(
+            (F.col("n_treat") > 0) & (F.col("n_ctrl") > 0),
+            dround(uplift, 6),
+        ).alias("uplift_per_user"),
+        F.when(F.col("nc_cum") > 0, dround(qini, 6)).alias("qini_cum"),
+    )
