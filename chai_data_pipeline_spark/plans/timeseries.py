@@ -4932,3 +4932,158 @@ def holt_smoothing_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(1.0 - holt_err * 1.0 / (1000000.0 * naive_err), 6),
         ).alias("mae_improvement"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact Shapley channel attribution — the canonical cooperative-game
+# complement to markov_attribution_removal. Touch channels are the four
+# non-conversion event types (signup=1, click=2, view=4, error=8 as a
+# per-user bitmask); the coalition value v(S) is the number of
+# CONVERTING users whose touched-channel set is contained in S
+# (monotone closure of the observed-coalition counts). Every
+# game-theoretic structure — the 16 subsets, the 81 containment pairs,
+# the 32 (channel, S-without, S-with, |S|!(n-|S|-1)!) marginal terms —
+# is generated in PYTHON and inlined as identical integer literals in
+# both engines, so the only data-sized work is the per-user bitmask
+# reduce and the 16-row coalition count; Shapley_i =
+# sum(weight * (v(S+i) - v(S))) / 4! is exact integer math until one
+# mirrored final division. Efficiency property: the four Shapley
+# values sum to v(grand coalition) = total conversions.
+# --------------------------------------------------------------------------
+
+_SHAP_CHANNELS = [("signup", 1), ("click", 2), ("view", 4), ("error", 8)]
+_SHAP_N = len(_SHAP_CHANNELS)
+_SHAP_FACT = [1, 1, 2, 6, 24]
+
+
+def _shap_literals() -> tuple[str, str, list[tuple[str, int, int, int]]]:
+    containment = ", ".join(
+        f"({s}, {t})"
+        for s in range(1 << _SHAP_N)
+        for t in range(1 << _SHAP_N)
+        if t & s == t
+    )
+    subsets = ", ".join(f"({s})" for s in range(1 << _SHAP_N))
+    marg = []
+    for name, bit in _SHAP_CHANNELS:
+        for s in range(1 << _SHAP_N):
+            if s & bit:
+                continue
+            size = bin(s).count("1")
+            w = _SHAP_FACT[size] * _SHAP_FACT[_SHAP_N - size - 1]
+            marg.append((name, s, s | bit, w))
+    return containment, subsets, marg
+
+
+_SHAP_CONT, _SHAP_SUBSETS, _SHAP_MARG = _shap_literals()
+_SHAP_MARG_SQL = ", ".join(
+    f"('{n}', {s0}, {s1}, {w})" for n, s0, s1, w in _SHAP_MARG
+)
+
+
+@query(
+    "shapley_channel_attribution",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+         + 2 * MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         + 4 * MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+         + 8 * MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS mask,
+           MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1
+),
+coalition AS (
+    SELECT mask, CAST(SUM(conv) AS BIGINT) AS conv_n
+    FROM per_user GROUP BY 1
+),
+subsets(s) AS (VALUES {_SHAP_SUBSETS}),
+containment(s, t) AS (VALUES {_SHAP_CONT}),
+v AS (
+    SELECT c.s, CAST(COALESCE(SUM(co.conv_n), 0) AS BIGINT) AS val
+    FROM subsets sub
+    JOIN containment c ON c.s = sub.s
+    LEFT JOIN coalition co ON co.mask = c.t
+    GROUP BY 1
+),
+marg(channel, s0, s1, w) AS (VALUES {_SHAP_MARG_SQL}),
+shap AS (
+    SELECT m.channel,
+           CAST(SUM(m.w * (v1.val - v0.val)) AS BIGINT) AS num
+    FROM marg m
+    JOIN v v0 ON v0.s = m.s0
+    JOIN v v1 ON v1.s = m.s1
+    GROUP BY 1
+)
+SELECT channel,
+       {sql_dround(f"num * 1.0 / {_SHAP_FACT[_SHAP_N]}", 6)}
+           AS shapley_conversions
+FROM shap
+""",
+)
+def shapley_channel_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    mask = (
+        F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        + 2 * F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        + 4 * F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        + 8 * F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    )
+    conv = F.max(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    )
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(mask.alias("mask"), conv.alias("conv"))
+    )
+    coalition = per_user.groupBy("mask").agg(
+        F.sum("conv").cast("bigint").alias("conv_n")
+    )
+    cont = spark.createDataFrame(
+        [
+            (s, t)
+            for s in range(1 << _SHAP_N)
+            for t in range(1 << _SHAP_N)
+            if t & s == t
+        ],
+        "s int, t int",
+    )
+    v = (
+        cont.join(
+            coalition, cont["t"] == coalition["mask"], "left"
+        )
+        .groupBy("s")
+        .agg(
+            F.coalesce(F.sum("conv_n"), F.lit(0))
+            .cast("bigint")
+            .alias("val")
+        )
+    )
+    marg = spark.createDataFrame(
+        _SHAP_MARG, "channel string, s0 int, s1 int, w int"
+    )
+    v0 = v.select(F.col("s").alias("s0"), F.col("val").alias("val0"))
+    v1 = v.select(F.col("s").alias("s1"), F.col("val").alias("val1"))
+    from ..functions import dround
+
+    return (
+        marg.join(F.broadcast(v0), "s0")
+        .join(F.broadcast(v1), "s1")
+        .groupBy("channel")
+        .agg(
+            F.sum(F.col("w") * (F.col("val1") - F.col("val0")))
+            .cast("bigint")
+            .alias("num")
+        )
+        .select(
+            "channel",
+            dround(
+                F.col("num") * 1.0 / _SHAP_FACT[_SHAP_N], 6
+            ).alias("shapley_conversions"),
+        )
+    )

@@ -132,3 +132,29 @@ def test_corpus_datasheet_metrics(spark, sf_dir):
     assert rows["mean_doc_tokens"] == pytest.approx(
         rows["total_tokens"] / rows["n_docs"], abs=1e-3
     )
+
+
+def test_shapley_efficiency(spark, sf_dir):
+    """Shapley values must sum to v(grand coalition) = conversions of
+    users who touched at least one channel... which with the monotone
+    closure is ALL converting users (efficiency axiom)."""
+    import pyspark.sql.functions as F
+
+    rows = _rows(spark, sf_dir, "shapley_channel_attribution")
+    assert {r["channel"] for r in rows} == {"signup", "click", "view", "error"}
+    total_shap = sum(r["shapley_conversions"] for r in rows)
+    from chai_data_pipeline_spark.session import load_tables
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    conv_users = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv")
+        )
+        .agg(F.sum("conv").alias("n"))
+        .collect()[0]["n"]
+    )
+    assert total_shap == pytest.approx(conv_users, abs=1e-3)
