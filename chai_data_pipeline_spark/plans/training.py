@@ -2229,3 +2229,85 @@ def epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("bigint"))
         .alias("deficit_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal split leakage audit: the time-based holdout (train on days
+# before the cutoff, evaluate after) with ENTITY leakage accounting —
+# users active on both sides of the cutoff leak user-level signal into
+# the holdout even though no event row crosses it. Complements
+# train_test_split (hash split) and split_leakage_audit /
+# split_leakage_near_dup (text overlap): this is the third leakage
+# axis, time. Pure integer counting over a user-grain reduce; the two
+# shares are dround-pinned.
+# --------------------------------------------------------------------------
+
+_TSL_CUTOFF = "2024-02-01"
+
+
+@query(
+    "temporal_split_leakage",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CASE WHEN ts <  TIMESTAMP '{_TSL_CUTOFF} 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_TSL_CUTOFF} 00:00:00'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n_train) AS BIGINT) AS train_events,
+       CAST(SUM(n_test) AS BIGINT) AS test_events,
+       CAST(COUNT(*) FILTER (WHERE n_train > 0 AND n_test > 0) AS BIGINT)
+           AS leaking_users,
+       CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0
+                     THEN n_test ELSE 0 END) AS BIGINT)
+           AS leaked_test_events,
+       CASE WHEN COUNT(*) > 0 THEN
+           {sql_dround(
+               "COUNT(*) FILTER (WHERE n_train > 0 AND n_test > 0)"
+               " * 1.0 / COUNT(*)", 6)}
+       END AS leaking_user_share,
+       CASE WHEN SUM(n_test) > 0 THEN
+           {sql_dround(
+               "SUM(CASE WHEN n_train > 0 AND n_test > 0"
+               " THEN n_test ELSE 0 END) * 1.0 / SUM(n_test)", 6)}
+       END AS leaked_test_share
+FROM per_user
+""",
+)
+def temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    cutoff = F.lit(_TSL_CUTOFF).cast("timestamp")
+    per_user = (
+        events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_test"),
+        )
+    )
+    leaking = (F.col("n_train") > 0) & (F.col("n_test") > 0)
+    n_leak = F.sum(F.when(leaking, 1).otherwise(0)).cast("bigint")
+    leaked_ev = F.sum(F.when(leaking, F.col("n_test")).otherwise(F.lit(0)))
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("n_train").cast("bigint").alias("train_events"),
+        F.sum("n_test").cast("bigint").alias("test_events"),
+        n_leak.alias("leaking_users"),
+        leaked_ev.cast("bigint").alias("leaked_test_events"),
+        F.when(
+            F.count("*") > 0,
+            dround(n_leak * 1.0 / F.count("*"), 6),
+        ).alias("leaking_user_share"),
+        F.when(
+            F.sum("n_test") > 0,
+            dround(leaked_ev * 1.0 / F.sum("n_test"), 6),
+        ).alias("leaked_test_share"),
+    )
