@@ -296,3 +296,41 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_query(
         static_enrich_stream(spark, sf_dir), "t_static_enrich"
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming per-window top-k leaderboard: complete-mode tumbling
+# counts ranked in foreachBatch, overwriting the serving sink each
+# micro-batch — the one aggregation+ranking topology the family
+# didn't cover (window functions can't run inside a streaming
+# aggregate; foreachBatch on the aggregate state is the production
+# pattern). Full-replay determinism: the final overwrite equals the
+# batch rank over the complete aggregate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_window_topk",
+    oracle="""
+WITH agg AS (
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n_events
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT window_start, event_type, n_events,
+           ROW_NUMBER() OVER (
+               PARTITION BY window_start
+               ORDER BY n_events DESC, event_type
+           ) AS rank
+    FROM agg
+)
+SELECT window_start, event_type, n_events, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 3
+""",
+)
+def streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windows import window_topk_run
+
+    return window_topk_run(spark, sf_dir, k=3)

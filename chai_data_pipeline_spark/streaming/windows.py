@@ -352,3 +352,68 @@ def static_enrich_stream(
             (F.col("__scaled") / 10000.0).alias("total_value"),
         )
     )
+
+
+def window_topk_run(
+    spark: SparkSession, sf_dir: str, k: int = 3,
+    state_partitions: int = 4,
+) -> DataFrame:
+    """Streaming per-window top-k leaderboard via foreachBatch.
+
+    Window functions cannot run INSIDE a streaming aggregate, so the
+    production topology is: complete-mode windowed counts ->
+    foreachBatch ranks the aggregate state and OVERWRITES the serving
+    sink each micro-batch (a leaderboard is always a full refresh, not
+    an append). The rank/filter runs on the batch DataFrame handed to
+    foreachBatch — partitioned by window, bounded by the aggregate
+    cardinality, never by the stream volume.
+    """
+    import glob
+    import re
+    import shutil
+    import tempfile
+    import uuid
+
+    agg = tumbling_counts_stream(spark, sf_dir)
+    stale_re = re.compile(r"chai_stream_topk_[0-9a-f]{8}(_chk)?$")
+    for stale in glob.glob(
+        os.path.join(tempfile.gettempdir(), "chai_stream_topk_*")
+    ):
+        if stale_re.search(os.path.basename(stale)):
+            shutil.rmtree(stale, ignore_errors=True)
+    out = os.path.join(
+        tempfile.gettempdir(), f"chai_stream_topk_{uuid.uuid4().hex[:8]}"
+    )
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window as _W
+
+        # asc_nulls_last: Spark ASC is NULLS FIRST while DuckDB is
+        # NULLS LAST — a planted NULL event_type tying on n_events
+        # would otherwise flip top-k membership (nullsweep-caught)
+        w = _W.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.asc_nulls_last("event_type")
+        )
+        (
+            batch_df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(emit)
+            .option("checkpointLocation", out + "_chk")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(out)
