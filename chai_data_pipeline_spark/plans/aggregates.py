@@ -4003,3 +4003,244 @@ def uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("uplift_per_user"),
         F.when(F.col("nc_cum") > 0, dround(qini, 6)).alias("qini_cum"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mix/rate decomposition (Oaxaca-Kitagawa): why did the mean event
+# value move from early to late January (the corpus spans Jan 1-30)? Split the delta into MIX SHIFT
+# (event-type composition changed, at period-1 rates) and RATE SHIFT
+# (per-type means changed, at period-2 shares):
+#   delta = sum_t (share2-share1)*rate1 + sum_t share2*(rate2-rate1)
+# — an exact algebraic identity (pinned by test_round8_invariants).
+# All cross-row sums are integer (counts + x100 cents); every
+# share/rate/contribution is a mirrored division dround-pinned.
+# NULL-type and NULL-value rows are filtered identically on both
+# engines (a NULL group would silently drop at the period join).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "mix_rate_decomposition",
+    oracle=f"""
+WITH base AS (
+    SELECT event_type,
+           CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END
+               AS period,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+    WHERE ts IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+),
+per AS (
+    SELECT period, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM base GROUP BY 1, 2
+),
+tot AS (
+    SELECT period, event_type, n, cents,
+           CAST(SUM(n) OVER (PARTITION BY period) AS BIGINT) AS n_tot
+    FROM per
+),
+j AS (
+    SELECT p1.event_type,
+           p1.n AS n1, p1.cents AS c1, p1.n_tot AS nt1,
+           p2.n AS n2, p2.cents AS c2, p2.n_tot AS nt2
+    FROM tot p1 JOIN tot p2 USING (event_type)
+    WHERE p1.period = 1 AND p2.period = 2
+)
+SELECT event_type,
+       {sql_dround("n1 * 1.0 / nt1", 6)} AS share_p1,
+       {sql_dround("n2 * 1.0 / nt2", 6)} AS share_p2,
+       {sql_dround("c1 * 1.0 / n1 / 100.0", 6)} AS rate_p1,
+       {sql_dround("c2 * 1.0 / n2 / 100.0", 6)} AS rate_p2,
+       {sql_dround(
+           "(n2 * 1.0 / nt2 - n1 * 1.0 / nt1)"
+           " * (c1 * 1.0 / n1) / 100.0", 6)} AS mix_contribution,
+       {sql_dround(
+           "(n2 * 1.0 / nt2)"
+           " * (c2 * 1.0 / n2 - c1 * 1.0 / n1) / 100.0", 6)}
+           AS rate_contribution
+FROM j
+""",
+)
+def mix_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    base = events.filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1
+        )
+        .otherwise(2)
+        .alias("period"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    per = base.groupBy("period", "event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    wp = Window.partitionBy("period")
+    tot = per.select(
+        "period",
+        "event_type",
+        "n",
+        "cents",
+        F.sum("n").over(wp).cast("bigint").alias("n_tot"),
+    )
+    p1 = tot.filter(F.col("period") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"),
+        F.col("cents").alias("c1"),
+        F.col("n_tot").alias("nt1"),
+    )
+    p2 = tot.filter(F.col("period") == 2).select(
+        "event_type",
+        F.col("n").alias("n2"),
+        F.col("cents").alias("c2"),
+        F.col("n_tot").alias("nt2"),
+    )
+    j = p1.join(p2, "event_type")
+    share1 = F.col("n1") * 1.0 / F.col("nt1")
+    share2 = F.col("n2") * 1.0 / F.col("nt2")
+    rate1 = F.col("c1") * 1.0 / F.col("n1")
+    rate2 = F.col("c2") * 1.0 / F.col("n2")
+    return j.select(
+        "event_type",
+        dround(share1, 6).alias("share_p1"),
+        dround(share2, 6).alias("share_p2"),
+        dround(rate1 / 100.0, 6).alias("rate_p1"),
+        dround(rate2 / 100.0, 6).alias("rate_p2"),
+        dround((share2 - share1) * rate1 / 100.0, 6).alias(
+            "mix_contribution"
+        ),
+        dround(share2 * (rate2 - rate1) / 100.0, 6).alias(
+            "rate_contribution"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Laspeyres / Paasche / Fisher price index between two shipment years
+# over the common part basket — index-number analytics on the fact
+# table. Per (part, period): integer cent revenue E and integer unit
+# quantity Q; unit price = E/Q. The per-part cross terms p2*q1 and
+# p1*q2 are quantized to integer cents BEFORE the basket sum (cross-
+# row float sums are the #1 hash risk), so each index is one mirrored
+# division over exact integers; Fisher = sqrt(L*P) is one identical
+# IEEE expression. Scale: part-grain reduce + part-grain join only.
+# --------------------------------------------------------------------------
+
+_PI_Y1 = ("1996-01-01", "1997-01-01")
+_PI_Y2 = ("1997-01-01", "1998-01-01")
+
+
+@query(
+    "price_index_fisher",
+    oracle=f"""
+WITH per AS (
+    SELECT l_partkey,
+           CASE WHEN l_shipdate < TIMESTAMP '{_PI_Y2[0]} 00:00:00'
+                THEN 1 ELSE 2 END AS period,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS e,
+           CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS q
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_PI_Y1[0]} 00:00:00'
+      AND l_shipdate <  TIMESTAMP '{_PI_Y2[1]} 00:00:00'
+    GROUP BY 1, 2
+),
+j AS (
+    SELECT p1.l_partkey,
+           p1.e AS e1, p1.q AS q1, p2.e AS e2, p2.q AS q2,
+           CAST(FLOOR(p2.e * 1.0 * p1.q / p2.q + 0.5) AS BIGINT) AS tl,
+           CAST(FLOOR(p1.e * 1.0 * p2.q / p1.q + 0.5) AS BIGINT) AS tp
+    FROM per p1 JOIN per p2 USING (l_partkey)
+    WHERE p1.period = 1 AND p2.period = 2 AND p1.q > 0 AND p2.q > 0
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+           CAST(SUM(e1) AS BIGINT) AS se1,
+           CAST(SUM(e2) AS BIGINT) AS se2,
+           CAST(SUM(tl) AS BIGINT) AS stl,
+           CAST(SUM(tp) AS BIGINT) AS stp
+    FROM j
+)
+SELECT n_common_parts,
+       {sql_dround("stl * 1.0 / se1", 6)} AS laspeyres,
+       {sql_dround("se2 * 1.0 / stp", 6)} AS paasche,
+       {sql_dround(
+           "sqrt((stl * 1.0 / se1) * (se2 * 1.0 / stp))", 6)} AS fisher
+FROM s
+""",
+)
+def price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    lo = F.lit(_PI_Y1[0]).cast("timestamp")
+    mid = F.lit(_PI_Y2[0]).cast("timestamp")
+    hi = F.lit(_PI_Y2[1]).cast("timestamp")
+    per = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(
+            "l_partkey",
+            F.when(F.col("l_shipdate") < mid, 1).otherwise(2).alias(
+                "period"
+            ),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("e"),
+            F.sum(F.floor(F.col("l_quantity") + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("q"),
+        )
+    )
+    p1 = per.filter(F.col("period") == 1).select(
+        "l_partkey", F.col("e").alias("e1"), F.col("q").alias("q1")
+    )
+    p2 = per.filter(F.col("period") == 2).select(
+        "l_partkey", F.col("e").alias("e2"), F.col("q").alias("q2")
+    )
+    j = (
+        p1.join(p2, "l_partkey")
+        .filter((F.col("q1") > 0) & (F.col("q2") > 0))
+        .select(
+            "e1",
+            "e2",
+            F.floor(
+                F.col("e2") * 1.0 * F.col("q1") / F.col("q2") + 0.5
+            )
+            .cast("bigint")
+            .alias("tl"),
+            F.floor(
+                F.col("e1") * 1.0 * F.col("q2") / F.col("q1") + 0.5
+            )
+            .cast("bigint")
+            .alias("tp"),
+        )
+    )
+    s = j.agg(
+        F.count("*").alias("n_common_parts"),
+        F.sum("e1").cast("bigint").alias("se1"),
+        F.sum("e2").cast("bigint").alias("se2"),
+        F.sum("tl").cast("bigint").alias("stl"),
+        F.sum("tp").cast("bigint").alias("stp"),
+    )
+    lasp = F.col("stl") * 1.0 / F.col("se1")
+    paa = F.col("se2") * 1.0 / F.col("stp")
+    return s.select(
+        "n_common_parts",
+        dround(lasp, 6).alias("laspeyres"),
+        dround(paa, 6).alias("paasche"),
+        dround(F.sqrt(lasp * paa), 6).alias("fisher"),
+    )

@@ -2242,7 +2242,7 @@ def epoch_repetition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shares are dround-pinned.
 # --------------------------------------------------------------------------
 
-_TSL_CUTOFF = "2024-02-01"
+_TSL_CUTOFF = "2024-01-16"
 
 
 @query(

@@ -158,3 +158,46 @@ def test_shapley_efficiency(spark, sf_dir):
         .collect()[0]["n"]
     )
     assert total_shap == pytest.approx(conv_users, abs=1e-3)
+
+
+def test_mix_rate_decomposition_identity(spark, sf_dir):
+    """Oaxaca-Kitagawa identity: sum(mix) + sum(rate) == delta of the
+    overall mean between the two periods (up to the x1e6 rounding of
+    the published contributions)."""
+    import pyspark.sql.functions as F
+
+    from chai_data_pipeline_spark.session import load_tables
+
+    rows = _rows(spark, sf_dir, "mix_rate_decomposition")
+    assert rows
+    total = sum(r["mix_contribution"] + r["rate_contribution"] for r in rows)
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    base = events.filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1
+        ).otherwise(2).alias("period"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    means = {
+        r["period"]: r["m"]
+        for r in base.groupBy("period")
+        .agg((F.sum("cents") / F.count("*") / 100.0).alias("m"))
+        .collect()
+    }
+    delta = means[2] - means[1]
+    assert total == pytest.approx(delta, abs=1e-4)
+
+
+def test_price_index_fisher_bounds(spark, sf_dir):
+    (r,) = _rows(spark, sf_dir, "price_index_fisher")
+    assert r["n_common_parts"] > 0
+    lo, hi = sorted([r["laspeyres"], r["paasche"]])
+    # Fisher is the geometric mean: always between L and P
+    assert lo - 1e-6 <= r["fisher"] <= hi + 1e-6
+    for v in (r["laspeyres"], r["paasche"], r["fisher"]):
+        assert v > 0
