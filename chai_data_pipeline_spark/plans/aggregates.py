@@ -4244,3 +4244,87 @@ def price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(paa, 6).alias("paasche"),
         dround(F.sqrt(lasp * paa), 6).alias("fisher"),
     )
+
+
+# --------------------------------------------------------------------------
+# ABC inventory classification: parts ranked by revenue, classed A
+# while the cumulative share (including the own row) stays <= 70%,
+# B up to 90%, else C — the canonical Pareto working-capital cut.
+# Class boundaries are INTEGER cross-multiplications (10*cum <=
+# 7*total / 9*total), so no float share can straddle an engine
+# boundary; ranking runs on the PART-GRAIN aggregate (reduced frame),
+# with revenue quantized to exact integer cents.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "abc_inventory_classes",
+    oracle=f"""
+WITH part_rev AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100
+                + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem GROUP BY 1
+),
+ranked AS (
+    SELECT l_partkey, cents,
+           CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey)
+               AS BIGINT) AS cum,
+           CAST(SUM(cents) OVER () AS BIGINT) AS total
+    FROM part_rev
+),
+classed AS (
+    SELECT l_partkey, cents,
+           CASE WHEN 10 * cum <= 7 * total THEN 'A'
+                WHEN 10 * cum <= 9 * total THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       {sql_dround("SUM(cents) * 1.0 / (SELECT SUM(cents) FROM part_rev)", 6)}
+           AS revenue_share
+FROM classed GROUP BY 1
+""",
+)
+def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    part_rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    # cumulative rank over the part-grain aggregate (reduced frame)
+    wc = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("cents"), F.asc("l_partkey")
+    )
+    wt = Window.partitionBy(F.lit(0))
+    ranked = part_rev.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(wc).cast("bigint").alias("cum"),
+        F.sum("cents").over(wt).cast("bigint").alias("total"),
+    )
+    classed = ranked.select(
+        "cents",
+        F.when(10 * F.col("cum") <= 7 * F.col("total"), "A")
+        .when(10 * F.col("cum") <= 9 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "total",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+        dround(F.sum("cents") * 1.0 / F.first("total"), 6).alias(
+            "revenue_share"
+        ),
+    )

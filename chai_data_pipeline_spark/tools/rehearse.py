@@ -59,6 +59,12 @@ def main() -> int:
                 plans.ORACLES[name], args.sf_dir,
             )
             ok, detail = r.ok, ("" if r.ok else r.detail[:150])
+            if ok and r.spark_rows == 0:
+                # an empty==empty match is VACUOUS evidence — a
+                # degenerate predicate (e.g. a cutoff outside the data
+                # span) passes every hash check while proving nothing
+                # (mix_rate_decomposition precedent, round 8)
+                detail = "WARN empty result — parity is vacuous"
         else:
             try:
                 n = plans.QUERIES[name](spark, args.sf_dir).count()
