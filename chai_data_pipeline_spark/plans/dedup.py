@@ -251,7 +251,7 @@ WHERE (list_sum(list_transform(range(1, 65),
            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
         * sqrt(list_sum(list_transform(range(1, 65),
            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))))
-      >= 0.8
+      >= 0.35
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -286,7 +286,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("label_a") == F.col("label_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .filter(cos >= 0.8)
+        .filter(cos >= 0.35)
         .select("id_a", "id_b", dround(cos, 6).alias("cosine"))
     )
 
@@ -1135,8 +1135,8 @@ def doc_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH h AS (
     SELECT doc_id, lang, source, n_chars,
-           substring(sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ',
-               'g')))), 1, 16) AS cluster_key
+           substring(sha256(substring(LOWER(TRIM(REGEXP_REPLACE(text,
+               '\\s+', ' ', 'g'))), 1, 80)), 1, 16) AS cluster_key
     FROM documents
 ),
 sized AS (
@@ -1165,7 +1165,12 @@ GROUP BY 1
 """,
 )
 def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-wise survivorship over exact-duplicate clusters.
+    """Column-wise survivorship over normalized-prefix match clusters.
+
+    The match key is the sha256 of the first 80 normalized chars — the
+    MDM candidate-key posture (the current corpus generation has ZERO
+    exact full-text duplicates below sf0.1, which left the original
+    exact-hash key vacuously empty; round-8 empty-result audit).
 
     Scale: one content-hash shuffle groups members; every survivorship
     rule is a bounded per-cluster aggregate or a cluster-partitioned
@@ -1182,7 +1187,9 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "n_chars",
-        F.substring(F.sha2(norm, 256), 1, 16).alias("cluster_key"),
+        F.substring(
+            F.sha2(F.substring(norm, 1, 80), 256), 1, 16
+        ).alias("cluster_key"),
     )
     sized = (
         h.groupBy("cluster_key")

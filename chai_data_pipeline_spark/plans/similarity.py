@@ -1458,7 +1458,11 @@ def scalar_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _SD_K = 16
-_SD_TAU = 0.8
+# 0.35 is data-calibrated: the synthetic embeddings top out at ~0.47
+# within-label cosine, so the original 0.8 never dropped anything
+# (vacuous drop leg, round-8 empty-result audit); production tunes
+# tau per embedding model
+_SD_TAU = 0.35
 
 
 def _semdedup_oracle() -> str:

@@ -3649,7 +3649,10 @@ def dispersion_index_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 # slope/intercept is a fixed expression (zipf_slope_by_lang pattern).
 # --------------------------------------------------------------------------
 
-_ITS_BREAK = "2024-02-01"
+# mid-span break: the regenerated events corpus covers Jan 1-30 ONLY —
+# the original 2024-02-01 break left the post segment EMPTY and the
+# query vacuously green (caught by the round-8 empty-result audit)
+_ITS_BREAK = "2024-01-16"
 
 
 def _its_moments_sql(tag: str, pred: str) -> str:

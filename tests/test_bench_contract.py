@@ -118,7 +118,13 @@ def test_driver_rank_invariants():
         for n in order
         if n in plans.ORACLES and n not in plans._CHECKED
     ]
-    greens = [n for n in order if n in plans._GREENS and n not in plans._FRONT]
+    greens = [
+        n
+        for n in order
+        if n in plans._GREENS
+        and n not in plans._FRONT
+        and n not in plans._FORCE_FRONT  # changed-semantics re-checks
+    ]
     no_oracle = [n for n in order if n not in plans.ORACLES]
     if unchecked and greens:
         assert max(pos[n] for n in unchecked) < min(pos[n] for n in greens)

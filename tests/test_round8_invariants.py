@@ -41,6 +41,9 @@ def test_semdedup_conservation(spark, sf_dir):
     # every vector lands in exactly one cluster
     emb_count = 500  # sf0.001 embeddings rows (TESTDATA.md)
     assert sum(r["n_members"] for r in rows) == emb_count
+    # the drop leg must actually fire (tau is data-calibrated; a
+    # threshold above the data's cosine ceiling is vacuous)
+    assert sum(r["n_dropped"] for r in rows) > 0
 
 
 def test_ivf_probe_ladder_monotone(spark, sf_dir):
@@ -201,3 +204,15 @@ def test_price_index_fisher_bounds(spark, sf_dir):
     assert lo - 1e-6 <= r["fisher"] <= hi + 1e-6
     for v in (r["laspeyres"], r["paasche"], r["fisher"]):
         assert v > 0
+
+
+def test_formerly_vacuous_queries_nonempty(spark, sf_dir):
+    """Round-8 empty-result audit: these three were hash-green on
+    empty==empty after a testdata regeneration. Re-pinned to the data;
+    pin that they stay non-empty so the vacuous state can't return."""
+    for name in (
+        "interrupted_time_series",
+        "dedup_embedding_cosine",
+        "golden_record_merge",
+    ):
+        assert plans.QUERIES[name](spark, sf_dir).count() > 0, name
