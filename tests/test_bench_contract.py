@@ -64,12 +64,18 @@ def test_driver_window_names_resolve():
     sys.path.insert(0, REPO)
     import chai_data_pipeline_spark.plans as plans
 
-    for lst in (plans._FRONT, plans._DRIVER_GREEN, plans._NO_ORACLE_LAST):
+    for lst in (
+        plans._FRONT,
+        plans._FORCE_FRONT,
+        plans._DRIVER_GREEN,
+        plans._NO_ORACLE_LAST,
+    ):
         unknown = [n for n in lst if n not in plans.QUERIES]
         assert unknown == [], unknown
-    # and the front block must be entirely oracle-bearing: the cap is
+    # and the front blocks must be entirely oracle-bearing: the cap is
     # spent on hash-checkable evidence
     assert [n for n in plans._FRONT if n not in plans.ORACLES] == []
+    assert [n for n in plans._FORCE_FRONT if n not in plans.ORACLES] == []
 
 
 def test_load_driver_rows_parses_and_skips_corrupt(tmp_path):
