@@ -1180,29 +1180,29 @@ def hierarchical_revenue_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "multiset_except_intersect",
     oracle="""
-WITH jan AS (
+WITH early AS (
     SELECT user_id FROM events
-    WHERE CAST(ts AS DATE) < DATE '2024-02-01'
+    WHERE CAST(ts AS DATE) < DATE '2024-01-16'
 ),
-feb AS (
+late AS (
     SELECT user_id FROM events
-    WHERE CAST(ts AS DATE) >= DATE '2024-02-01'
+    WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
 ),
 ea AS (
     SELECT 'except_all' AS set_op, user_id, COUNT(*) AS n FROM (
-        SELECT user_id FROM jan EXCEPT ALL SELECT user_id FROM feb
+        SELECT user_id FROM early EXCEPT ALL SELECT user_id FROM late
     ) GROUP BY 2
 ),
 ia AS (
     SELECT 'intersect_all' AS set_op, user_id, COUNT(*) AS n FROM (
-        SELECT user_id FROM jan INTERSECT ALL SELECT user_id FROM feb
+        SELECT user_id FROM early INTERSECT ALL SELECT user_id FROM late
     ) GROUP BY 2
 )
 SELECT * FROM ea UNION ALL SELECT * FROM ia
 """,
 )
 def multiset_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bag-semantics EXCEPT ALL / INTERSECT ALL of monthly activity.
+    """Bag-semantics EXCEPT ALL / INTERSECT ALL of half-month activity.
 
     Scale: exceptAll/intersectAll plan as a count-aggregate + replicate
     (one shuffle on the value), not a join explosion; the per-user
@@ -1211,7 +1211,9 @@ def multiset_except_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     — information the distinct variants throw away.
     """
     events = load_tables(spark, sf_dir, "events")["events"]
-    cutoff = F.lit("2024-02-01").cast("date")
+    # mid-span cutoff (the corpus is Jan-only; a Feb boundary made the
+    # INTERSECT ALL leg structurally empty — round-8 audit)
+    cutoff = F.lit("2024-01-16").cast("date")
     jan = events.filter(F.to_date("ts") < cutoff).select("user_id")
     feb = events.filter(F.to_date("ts") >= cutoff).select("user_id")
     ea = (
@@ -1514,7 +1516,10 @@ def pythagorean_means_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from .training import sql_hash_bucket as _sql_hb  # noqa: E402
 
-_CUPED_CUTOFF = "2024-02-01 00:00:00"
+# mid-span split: the regenerated events corpus covers Jan 1-30 only —
+# the original Feb 1 cutoff left the post period EMPTY (CUPED means and
+# DiD mean_post all zero; round-8 degenerate-column audit)
+_CUPED_CUTOFF = "2024-01-16 00:00:00"
 
 
 @query(
@@ -2176,7 +2181,9 @@ def conversion_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _CR_DAY1 = "2024-01-15"
-_CR_DAY2 = "2024-02-15"
+# day 2 re-pinned inside the Jan 1-30 span (was 2024-02-15: zero
+# day-2 users, vacuous estimate; round-8 degenerate-column audit)
+_CR_DAY2 = "2024-01-25"
 
 
 @query(

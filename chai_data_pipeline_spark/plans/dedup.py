@@ -776,7 +776,7 @@ def dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dup_cluster_size_histogram",
     oracle="""
 WITH clusters AS (
-    SELECT sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+    SELECT sha256(substring(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), 1, 80))
                AS content_hash,
            COUNT(*) AS n
     FROM documents
@@ -801,7 +801,7 @@ def dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    clusters = docs.select(F.sha2(norm, 256).alias("content_hash")).groupBy(
+    clusters = docs.select(F.sha2(F.substring(norm, 1, 80), 256).alias("content_hash")).groupBy(
         "content_hash"
     ).agg(F.count("*").alias("n"))
     return clusters.groupBy(F.col("n").alias("cluster_size")).agg(
@@ -884,7 +884,7 @@ def dedup_graph_degree_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH h AS (
     SELECT doc_id, lang, n_chars,
-           sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+           sha256(substring(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), 1, 80))
                AS content_hash
     FROM documents
 ),
@@ -913,7 +913,7 @@ def dedup_survivor_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     h = docs.select(
-        "doc_id", "lang", "n_chars", F.sha2(norm, 256).alias("content_hash")
+        "doc_id", "lang", "n_chars", F.sha2(F.substring(norm, 1, 80), 256).alias("content_hash")
     )
     keep = h.groupBy("content_hash").agg(F.min("doc_id").alias("keep_id"))
     marked = h.join(keep, "content_hash").select(

@@ -91,14 +91,14 @@ def audit_lineage_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT) AS n_violations
 FROM events
-WHERE CAST(ts AS DATE) < DATE '2024-01-05' OR CAST(ts AS DATE) > DATE '2024-02-20'
+WHERE CAST(ts AS DATE) < DATE '2024-01-05' OR CAST(ts AS DATE) > DATE '2024-01-25'
 """,
 )
 def date_range_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir, "events")["events"]
     d = F.to_date("ts")
     return events.filter(
-        (d < F.lit("2024-01-05").cast("date")) | (d > F.lit("2024-02-20").cast("date"))
+        (d < F.lit("2024-01-05").cast("date")) | (d > F.lit("2024-01-25").cast("date"))
     ).agg(F.count("*").alias("n_violations"))
 
 
@@ -342,7 +342,9 @@ def regex_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # UNION ALL BY NAME is the oracle-side equivalent.
 # --------------------------------------------------------------------------
 
-_SCHEMA_ERA_CUTOFF = "2024-02-01 00:00:00"
+# mid-span era boundary (was Feb 1: the "new era" had ZERO rows after
+# the corpus regeneration — round-8 degenerate-column audit)
+_SCHEMA_ERA_CUTOFF = "2024-01-16 00:00:00"
 
 
 @query(

@@ -361,7 +361,8 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Unigram-frequency quality stats — the "model-based" filter without a
 # model: average corpus frequency of a document's words (low = OOV /
-# noise-heavy) and the share of rare words (corpus freq <= 2). All
+# noise-heavy) and the share of rare words (corpus freq below half the mean
+# frequency — an adaptive, integer-cross-multiplied cut). All
 # integer/rational arithmetic (counts and ratios of counts), so the
 # oracle comparison is exact — no transcendental functions whose libm
 # bit-patterns could differ across engines. Shape: explode -> vocab
@@ -377,14 +378,20 @@ WITH w AS (
     SELECT doc_id, unnest(string_split_regex(TRIM(text), '\\s+')) AS word
     FROM documents
 ),
-vocab AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word)
+vocab AS (SELECT word, COUNT(*) AS freq FROM w GROUP BY word),
+g AS (
+    SELECT CAST(SUM(freq) AS BIGINT) AS tot,
+           CAST(COUNT(*) AS BIGINT) AS v
+    FROM vocab
+)
 SELECT doc_id,
        COUNT(*) AS n_words,
        {sql_dround('CAST(SUM(freq) AS BIGINT) * 1.0 / COUNT(*)', 4)}
            AS avg_word_freq,
-       {sql_dround('COUNT(*) FILTER (WHERE freq <= 2) * 1.0 / COUNT(*)', 4)}
-           AS rare_word_ratio
-FROM w JOIN vocab USING (word)
+       {sql_dround(
+           'COUNT(*) FILTER (WHERE 2 * v * freq < tot) * 1.0 / COUNT(*)',
+           4)} AS rare_word_ratio
+FROM w JOIN vocab USING (word) CROSS JOIN g
 GROUP BY doc_id
 """,
 )
@@ -392,12 +399,23 @@ def doc_unigram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     w = docs.select("doc_id", F.explode(T.words("text")).alias("word"))
     vocab = w.groupBy("word").agg(F.count("*").alias("freq"))
-    joined = w.join(vocab, "word")
+    g = vocab.agg(
+        F.sum("freq").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("v"),
+    )
+    joined = w.join(vocab, "word").crossJoin(F.broadcast(g))
+    # adaptive rare threshold (freq < half the mean corpus frequency,
+    # as the integer cross-multiplication 2*v*freq < tot): the fixed
+    # freq <= 2 never fired on the ~900-mean-frequency synthetic vocab
+    # (round-8 degenerate-column audit)
     return joined.groupBy("doc_id").agg(
         F.count("*").alias("n_words"),
         dround(F.sum("freq") * 1.0 / F.count("*"), 4).alias("avg_word_freq"),
         dround(
-            F.count_if(F.col("freq") <= 2) * 1.0 / F.count("*"), 4
+            F.count_if(2 * F.col("v") * F.col("freq") < F.col("tot"))
+            * 1.0
+            / F.count("*"),
+            4,
         ).alias("rare_word_ratio"),
     )
 
@@ -784,7 +802,7 @@ WITH q AS (
            - CASE WHEN len(list_distinct(string_split_regex(TRIM(text), '\\s+')))
                        * 1.0 / len(string_split_regex(TRIM(text), '\\s+')) < 0.5
                   THEN 20 ELSE 0 END AS quality_score,
-           sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+           sha256(substring(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), 1, 80))
                AS content_hash
     FROM documents
 ),
@@ -814,7 +832,7 @@ def quality_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
     q = docs.select(
         T.quality_rating(score).alias("quality_rating"),
-        F.sha2(norm, 256).alias("content_hash"),
+        F.sha2(F.substring(norm, 1, 80), 256).alias("content_hash"),
     )
     sizes = q.groupBy("content_hash").agg(
         F.count("*").alias("cluster_size")
@@ -1264,7 +1282,7 @@ def langid_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH feats AS (
     SELECT doc_id,
-           sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+           sha256(substring(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), 1, 80))
                AS content_hash,
            len(string_split_regex(TRIM(text), '\\s+')) AS wc,
            LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
@@ -1272,6 +1290,9 @@ WITH feats AS (
            len(list_distinct(string_split_regex(TRIM(text), '\\s+'))) * 1.0
                / len(string_split_regex(TRIM(text), '\\s+')) AS dwr
     FROM documents
+    -- a NULL text has no quality score; a NULL score bin would order
+    -- differently across engines (same guard as the AUC twin)
+    WHERE text IS NOT NULL
 ),
 scored AS (
     SELECT doc_id, content_hash,
@@ -1318,8 +1339,8 @@ def classifier_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(_QC_W_DWR) * dwr
     )
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    scored = docs.select(
-        F.sha2(norm, 256).alias("content_hash"),
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        F.sha2(F.substring(norm, 1, 80), 256).alias("content_hash"),
         F.floor(1.0 / (1.0 + F.exp(-z)) * 1000000 + 0.5)
         .cast("bigint")
         .alias("sq"),
@@ -1464,7 +1485,7 @@ def word_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "classifier_auc_dup_separation",
     oracle=f"""
 WITH feats AS (
-    SELECT sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+    SELECT sha256(substring(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), 1, 80))
                AS content_hash,
            len(string_split_regex(TRIM(text), '\\s+')) AS wc,
            LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
@@ -1472,6 +1493,10 @@ WITH feats AS (
            len(list_distinct(string_split_regex(TRIM(text), '\\s+'))) * 1.0
                / len(string_split_regex(TRIM(text), '\\s+')) AS dwr
     FROM documents
+    -- a NULL text has no quality score; unscored rows would form a
+    -- NULL rank group whose window position differs across engines
+    -- (Spark NULLS FIRST vs DuckDB NULLS LAST) — shared filter
+    WHERE text IS NOT NULL
 ),
 scored AS (
     SELECT content_hash,
@@ -1534,8 +1559,8 @@ def classifier_auc_dup_separation(spark: SparkSession, sf_dir: str) -> DataFrame
         + F.lit(_QC_W_DWR) * dwr
     )
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    scored = docs.select(
-        F.sha2(norm, 256).alias("content_hash"),
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        F.sha2(F.substring(norm, 1, 80), 256).alias("content_hash"),
         F.floor(1.0 / (1.0 + F.exp(-z)) * 1000000 + 0.5)
         .cast("bigint")
         .alias("sq"),

@@ -2476,7 +2476,9 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAMPAIGNS = [
     ("launch", "2024-01-10 00:00:00", "2024-01-20 00:00:00"),
     ("retarget", "2024-01-25 00:00:00", "2024-02-05 00:00:00"),
-    ("winback", "2024-02-10 00:00:00", "2024-02-20 00:00:00"),
+    # winback re-pinned inside the Jan 1-30 corpus (was Feb 10-20:
+    # a structurally dead campaign; round-8 audit)
+    ("winback", "2024-01-22 00:00:00", "2024-01-30 00:00:00"),
 ]
 
 _CAMPAIGNS_SQL = ", ".join(

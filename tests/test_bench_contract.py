@@ -139,7 +139,8 @@ def test_driver_rank_invariants():
         assert min(pos[n] for n in no_oracle) > max(
             pos[n] for n in order if n in plans.ORACLES
         )
-    # a green pin must not hold rank 0 (self-expiry)
+    # a green pin must not hold rank 0 (self-expiry) — unless it is a
+    # _FORCE_FRONT re-check, which deliberately overrides expiry
     for n in plans._FRONT:
-        if n in plans._GREENS:
+        if n in plans._GREENS and n not in plans._FORCE_FRONT:
             assert plans._rank(n)[0] != 0

@@ -216,3 +216,35 @@ def test_formerly_vacuous_queries_nonempty(spark, sf_dir):
         "golden_record_merge",
     ):
         assert plans.QUERIES[name](spark, sf_dir).count() > 0, name
+
+
+def test_repinned_queries_live_legs(spark, sf_dir):
+    """Second audit wave: every formerly-dead leg must stay live (the
+    degenerate-column audit found these all-zero/all-NULL after the
+    corpus regeneration; each was re-pinned to the data)."""
+    r = _rows(spark, sf_dir, "cuped_ab_analysis")
+    assert r and all(row["mean_raw"] != 0 for row in r)
+    r = _rows(spark, sf_dir, "difference_in_differences")
+    assert r and all(row["mean_post"] != 0 for row in r)
+    (row,) = _rows(spark, sf_dir, "capture_recapture_users")
+    assert row["day2_users"] > 0 and row["recaptured"] > 0
+    r = _rows(spark, sf_dir, "multiset_except_intersect")
+    assert any(row["set_op"] == "intersect_all" for row in r)
+    r = _rows(spark, sf_dir, "dup_cluster_size_histogram")
+    assert any(row["n_redundant"] > 0 for row in r)
+    r = _rows(spark, sf_dir, "dedup_survivor_bias_audit")
+    assert any(row["n_dropped"] > 0 for row in r)
+    r = _rows(spark, sf_dir, "quality_dup_calibration")
+    assert any(row["n_duplicated"] > 0 for row in r)
+    r = _rows(spark, sf_dir, "classifier_reliability_bins")
+    assert any(row["n_dups"] > 0 for row in r)
+    r = _rows(spark, sf_dir, "classifier_auc_dup_separation")
+    assert all(row["auc"] is not None for row in r)
+    r = _rows(spark, sf_dir, "doc_unigram_stats")
+    assert any(row["rare_word_ratio"] > 0 for row in r)
+    r = _rows(spark, sf_dir, "campaign_overlap_exposure")
+    assert {row["campaign"] for row in r} == {"launch", "retarget", "winback"}
+    r = _rows(spark, sf_dir, "schema_evolution_union")
+    assert any(row["total_value_new_era"] is not None for row in r)
+    r = _rows(spark, sf_dir, "date_range_violations")
+    assert all(row["n_violations"] > 0 for row in r)
