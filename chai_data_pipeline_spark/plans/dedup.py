@@ -1958,3 +1958,172 @@ def incremental_lsh_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("jaccard_micro_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# MinHash estimator calibration: over the SAME banded-LSH candidate
+# pairs as dedup_minhash_lsh_checked, compare the signature estimate
+# (matching components / 16, an exact rational: matches x 62500 in
+# x1e6 units) against the exact shingle Jaccard, banded by exact-J
+# decile — the audit that says how much to trust the sketch before
+# skipping verification. Completes the sketch-audit family
+# (lsh_recall_audit = candidate recall; dedup_threshold_sensitivity =
+# threshold choice; this = estimator accuracy). Every cross-row sum is
+# an exact integer; the component-match count is an unrolled 16-term
+# CASE sum (element_at on Spark, 1-based [] on DuckDB — Spark's []
+# is 0-based, never use it cross-engine).
+# --------------------------------------------------------------------------
+
+_MH_MATCH_DUCK = " + ".join(
+    f"(CASE WHEN sa[{p}] = sb[{p}] THEN 1 ELSE 0 END)"
+    for p in range(1, _MINHASH_PERMS + 1)
+)
+_MH_MATCH_SPARK = " + ".join(
+    f"(CASE WHEN element_at(sa, {p}) = element_at(sb, {p})"
+    " THEN 1 ELSE 0 END)"
+    for p in range(1, _MINHASH_PERMS + 1)
+)
+
+
+@query(
+    "minhash_estimate_error_audit",
+    oracle=f"""
+WITH sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, GREATEST(LENGTH(text) - 2, 0) + 1),
+               i -> text[i : i + 2]
+           )) AS grams
+    FROM documents WHERE LENGTH(text) >= 3
+),
+hb AS (
+    SELECT doc_id, grams,
+           list_transform(grams, g ->
+               CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)) AS hs
+    FROM sh
+),
+mh AS (
+    SELECT doc_id, grams, [{_MH_SIG_DUCK}] AS sig
+    FROM hb
+),
+buckets AS (
+    SELECT doc_id, b.b AS band,
+           array_to_string(list_slice(sig, b.b * 4 + 1, b.b * 4 + 4), ',')
+               AS band_sig
+    FROM mh, (SELECT unnest(range(0, {_MINHASH_BANDS})) AS b) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.band_sig = b.band_sig
+         AND a.doc_id < b.doc_id
+),
+scored AS (
+    SELECT CAST(FLOOR(
+               len(list_intersect(ma.grams, mb.grams)) * 1000000.0
+               / (len(ma.grams) + len(mb.grams)
+                  - len(list_intersect(ma.grams, mb.grams))) + 0.5)
+               AS BIGINT) AS jq,
+           CAST(({_MH_MATCH_DUCK}) AS BIGINT) * 62500 AS eq
+    FROM cand c
+    JOIN (SELECT doc_id, grams, sig AS sa FROM mh) ma ON ma.doc_id = c.id_a
+    JOIN (SELECT doc_id, grams, sig AS sb FROM mh) mb ON mb.doc_id = c.id_b
+)
+SELECT LEAST(CAST(9 AS BIGINT),
+             CAST(FLOOR(jq / 100000.0) AS BIGINT)) AS exact_j_band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {sql_dround("CAST(SUM(jq) AS BIGINT) * 1.0 / COUNT(*) / 1000000.0", 6)}
+           AS mean_exact_j,
+       {sql_dround("CAST(SUM(eq) AS BIGINT) * 1.0 / COUNT(*) / 1000000.0", 6)}
+           AS mean_estimate,
+       {sql_dround(
+           "CAST(SUM(ABS(eq - jq)) AS BIGINT) * 1.0 / COUNT(*) / 1000000.0",
+           6)} AS mean_abs_error,
+       {sql_dround(
+           "CAST(SUM(eq - jq) AS BIGINT) * 1.0 / COUNT(*) / 1000000.0",
+           6)} AS mean_bias
+FROM scored GROUP BY 1
+""",
+)
+def minhash_estimate_error_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions import dround
+    from ..operators.dedup import shingles
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sh = docs.filter(F.length("text") >= 3).select(
+        "doc_id", shingles("text", 3).alias("grams")
+    )
+    hs_expr = (
+        "transform(grams, g -> "
+        "cast(conv(substring(md5(g), 1, 8), 16, 10) AS bigint))"
+    )
+    mh = sh.withColumn("hs", F.expr(hs_expr)).withColumn(
+        "sig", F.expr(f"array({_MH_SIG_SPARK})")
+    )
+    band_expr = (
+        f"transform(sequence(0, {_MINHASH_BANDS - 1}), b -> "
+        "struct(b AS band, "
+        "concat_ws(',', transform(slice(sig, b * 4 + 1, 4), "
+        "x -> cast(x AS string))) AS band_sig))"
+    )
+    buckets = mh.select(
+        "doc_id", F.explode(F.expr(band_expr)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_sig")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .join(
+            mh.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("grams").alias("ga"),
+                F.col("sig").alias("sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            mh.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("grams").alias("gb"),
+                F.col("sig").alias("sb"),
+            ),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    scored = cand.select(
+        F.floor(inter * 1000000.0 / union + 0.5).cast("bigint").alias("jq"),
+        (
+            F.expr(f"({_MH_MATCH_SPARK})").cast("bigint") * 62500
+        ).alias("eq"),
+    )
+    band = F.least(
+        F.lit(9).cast("bigint"),
+        F.floor(F.col("jq") / 100000.0).cast("bigint"),
+    )
+    n = F.count("*")
+    return scored.groupBy(band.alias("exact_j_band")).agg(
+        n.alias("n_pairs"),
+        dround(F.sum("jq") * 1.0 / n / 1000000.0, 6).alias("mean_exact_j"),
+        dround(F.sum("eq") * 1.0 / n / 1000000.0, 6).alias("mean_estimate"),
+        dround(
+            F.sum(F.abs(F.col("eq") - F.col("jq"))) * 1.0 / n / 1000000.0,
+            6,
+        ).alias("mean_abs_error"),
+        dround(
+            F.sum(F.col("eq") - F.col("jq")) * 1.0 / n / 1000000.0, 6
+        ).alias("mean_bias"),
+    )
