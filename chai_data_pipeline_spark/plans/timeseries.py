@@ -5092,3 +5092,121 @@ def shapley_channel_attribution(
             ).alias("shapley_conversions"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Attribution model comparison: first-touch, last-touch, linear, and
+# position-based (40/20/40) credit for the four touch channels over
+# the SAME pre-first-purchase journeys — the side-by-side table an
+# analyst reads before picking a model (markov_attribution_removal and
+# shapley_channel_attribution are the model-based columns of the same
+# decision). Touch = non-purchase event strictly before the user's
+# first purchase, ordered by (ts, event_id). Per-touch credits are
+# x1e6 integers (FLOOR-divided shares; the floor remainder is a pinned
+# definition, not an approximation), so every sum is exact and each
+# output share is one mirrored division.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "attribution_model_comparison",
+    oracle="""
+WITH conv AS (
+    SELECT user_id, MIN(ts) AS first_purchase
+    FROM events
+    WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      AND ts IS NOT NULL
+    GROUP BY 1
+),
+touches AS (
+    SELECT e.user_id, e.event_type,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS r,
+           COUNT(*) OVER (PARTITION BY e.user_id) AS k
+    FROM events e JOIN conv c ON e.user_id = c.user_id
+    WHERE e.event_type <> 'purchase' AND e.ts < c.first_purchase
+      AND e.ts IS NOT NULL
+),
+credited AS (
+    SELECT event_type,
+           CASE WHEN r = 1 THEN 1 ELSE 0 END AS is_first,
+           CASE WHEN r = k THEN 1 ELSE 0 END AS is_last,
+           CAST(FLOOR(1000000.0 / k) AS BIGINT) AS lin_q,
+           CASE WHEN k = 1 THEN 1000000
+                WHEN k = 2 THEN 500000
+                WHEN r = 1 OR r = k THEN 400000
+                ELSE CAST(FLOOR(200000.0 / (k - 2)) AS BIGINT)
+           END AS pos_q
+    FROM touches
+)
+SELECT event_type AS channel,
+       CAST(SUM(is_first) AS BIGINT) AS first_touch_conversions,
+       CAST(SUM(is_last) AS BIGINT) AS last_touch_conversions,
+       (FLOOR(CAST(SUM(lin_q) AS BIGINT) / 1000000.0 * 10000 + 0.5)
+           / 10000.0) AS linear_credit,
+       (FLOOR(CAST(SUM(pos_q) AS BIGINT) / 1000000.0 * 10000 + 0.5)
+           / 10000.0) AS position_credit
+FROM credited
+GROUP BY 1
+""",
+)
+def attribution_model_comparison(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rule-based attribution credits per channel, one comparative row.
+
+    Scale: one user-grain reduce for first-purchase, a user-keyed join
+    + user-partitioned rank window over pre-conversion touches, then a
+    channel-grain integer aggregate — nothing wider than the touch
+    table moves, and the output is channel-cardinality.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    base = events.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    conv = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    touches = (
+        base.filter(F.col("event_type") != "purchase")
+        .join(conv, "user_id")
+        .filter(F.col("ts") < F.col("first_purchase"))
+    )
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wk = Window.partitionBy("user_id")
+    t = touches.select(
+        "event_type",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(wk).alias("k"),
+    )
+    lin_q = F.floor(1000000.0 / F.col("k")).cast("bigint")
+    pos_q = (
+        F.when(F.col("k") == 1, F.lit(1000000).cast("bigint"))
+        .when(F.col("k") == 2, F.lit(500000).cast("bigint"))
+        .when(
+            (F.col("r") == 1) | (F.col("r") == F.col("k")),
+            F.lit(400000).cast("bigint"),
+        )
+        .otherwise(
+            F.floor(200000.0 / (F.col("k") - 2)).cast("bigint")
+        )
+    )
+    credited = t.select(
+        "event_type",
+        F.when(F.col("r") == 1, 1).otherwise(0).alias("is_first"),
+        F.when(F.col("r") == F.col("k"), 1).otherwise(0).alias("is_last"),
+        lin_q.alias("lin_q"),
+        pos_q.alias("pos_q"),
+    )
+    from ..functions import dround
+
+    return credited.groupBy(F.col("event_type").alias("channel")).agg(
+        F.sum("is_first").cast("bigint").alias("first_touch_conversions"),
+        F.sum("is_last").cast("bigint").alias("last_touch_conversions"),
+        dround(F.sum("lin_q") / 1000000.0, 4).alias("linear_credit"),
+        dround(F.sum("pos_q") / 1000000.0, 4).alias("position_credit"),
+    )
