@@ -2311,3 +2311,109 @@ def temporal_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(leaked_ev * 1.0 / F.sum("n_test"), 6),
         ).alias("leaked_test_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Right-to-be-forgotten delete-impact plan: for a deterministic 5%
+# customer cohort (sha256 bucket < 5 — the reproducible stand-in for
+# an erasure-request batch), count the rows each table must delete,
+# following the FK cascade customer -> orders -> lineitem plus the
+# events stream keyed by user_id. The merge-on-read delete sizing
+# every governed lakehouse computes before executing erasure; shares
+# are dround-pinned, counts exact. Scale: per-table key-semi-joins
+# against the (broadcastable) cohort; the lineitem leg joins through
+# orders on the order key — no row wider than a key ever moves.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rtbf_delete_impact",
+    oracle=f"""
+WITH cohort AS (
+    SELECT c_custkey AS uid FROM customer
+    WHERE {sql_hash_bucket('c_custkey')} < 5
+),
+impact AS (
+    SELECT 'customer' AS table_name,
+           CAST((SELECT COUNT(*) FROM customer
+                 WHERE c_custkey IN (SELECT uid FROM cohort)) AS BIGINT)
+               AS rows_deleted,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS rows_total
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_custkey IN (SELECT uid FROM cohort)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 WHERE o.o_custkey IN (SELECT uid FROM cohort)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'events',
+           CAST((SELECT COUNT(*) FROM events
+                 WHERE user_id IN (SELECT uid FROM cohort)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM events) AS BIGINT)
+)
+SELECT table_name, rows_deleted, rows_total,
+       CASE WHEN rows_total > 0 THEN
+           {sql_dround("rows_deleted * 1.0 / rows_total", 6)}
+       END AS delete_share
+FROM impact
+""",
+)
+def rtbf_delete_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "events"
+    )
+    cohort = (
+        t["customer"]
+        .filter(hash_bucket("c_custkey") < 5)
+        .select(F.col("c_custkey").alias("uid"))
+    )
+    bc = F.broadcast(cohort)
+
+    def leg(name, df, key_col, deleted_df=None):
+        hit = (
+            deleted_df
+            if deleted_df is not None
+            else df.join(bc, df[key_col] == bc["uid"], "left_semi")
+        )
+        return (
+            hit.agg(F.count("*").alias("rows_deleted"))
+            .crossJoin(df.agg(F.count("*").alias("rows_total")))
+            .select(
+                F.lit(name).alias("table_name"),
+                "rows_deleted",
+                "rows_total",
+            )
+        )
+
+    li_hit = (
+        t["lineitem"]
+        .join(
+            t["orders"]
+            .join(bc, t["orders"]["o_custkey"] == bc["uid"], "left_semi")
+            .select("o_orderkey"),
+            t["lineitem"]["l_orderkey"] == F.col("o_orderkey"),
+            "left_semi",
+        )
+    )
+    from ..functions import dround
+
+    out = (
+        leg("customer", t["customer"], "c_custkey")
+        .unionByName(leg("orders", t["orders"], "o_custkey"))
+        .unionByName(leg("lineitem", t["lineitem"], None, li_hit))
+        .unionByName(leg("events", t["events"], "user_id"))
+    )
+    return out.select(
+        "table_name",
+        "rows_deleted",
+        "rows_total",
+        F.when(
+            F.col("rows_total") > 0,
+            dround(F.col("rows_deleted") * 1.0 / F.col("rows_total"), 6),
+        ).alias("delete_share"),
+    )
