@@ -1725,3 +1725,117 @@ def ivf_probe_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at_10",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# kNN label accuracy: leave-one-out top-5 cosine neighbors for a
+# capped query set (vec_id < 200), majority label vote with a
+# (count DESC, label ASC) tiebreak over the (rounded cosine DESC,
+# vec_id ASC) neighbor order — the embedding-quality eval that asks
+# "do nearest neighbors share the label?", the intrinsic complement
+# to the ANN recall audits. Per-label accuracy rows, exact integer
+# counts. Scale: the query cap bounds the pair space (the
+# similarity_knn_join posture); production swaps the exact scan for
+# the IVF/LSH candidate path and keeps the vote identical.
+# --------------------------------------------------------------------------
+
+_KNN_ACC_Q = 200
+_KNN_ACC_K = 5
+
+
+def _knn_acc_oracle() -> str:
+    cos = cosine_sql_duckdb("e.embedding", "q.qv", DIM)
+    return f"""
+WITH q AS (
+    SELECT vec_id AS qid, embedding AS qv, label AS true_label
+    FROM embeddings WHERE vec_id < {_KNN_ACC_Q}
+),
+scored AS (
+    SELECT q.qid, q.true_label, e.vec_id, e.label,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.qid
+               ORDER BY {sql_dround(cos, 6)} DESC, e.vec_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.qid
+),
+votes AS (
+    SELECT qid, true_label, label, COUNT(*) AS c
+    FROM scored WHERE rn <= {_KNN_ACC_K}
+    GROUP BY 1, 2, 3
+),
+pred AS (
+    SELECT qid, true_label, label AS pred_label,
+           ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY c DESC, label
+           ) AS vr
+    FROM votes
+)
+SELECT CAST(true_label AS INTEGER) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_correct,
+       {sql_dround(
+           "SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)"
+           " * 1.0 / COUNT(*)", 6)} AS accuracy
+FROM pred WHERE vr = 1
+GROUP BY 1
+"""
+
+
+@query("knn_label_accuracy", oracle=_knn_acc_oracle())
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.similarity import dot_sql_spark
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    base = emb.withColumn(
+        "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding')})")
+    )
+    q = base.filter(F.col("vec_id") < _KNN_ACC_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("true_label"),
+        F.col("__n").alias("__qn"),
+    )
+    scored = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            "vec_id",
+            "label",
+            dround(
+                F.expr(dot_sql_spark("embedding", "qv"))
+                / (F.col("__n") * F.col("__qn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    votes = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= _KNN_ACC_K)
+        .groupBy("qid", "true_label", "label")
+        .agg(F.count("*").alias("c"))
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("label"))
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("true_label", F.col("label").alias("pred_label"))
+    )
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    )
+    return pred.groupBy(
+        F.col("true_label").cast("int").alias("label")
+    ).agg(
+        F.count("*").alias("n_queries"),
+        correct.cast("bigint").alias("n_correct"),
+        dround(correct * 1.0 / F.count("*"), 6).alias("accuracy"),
+    )
