@@ -2417,3 +2417,138 @@ def rtbf_delete_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("rows_deleted") * 1.0 / F.col("rows_total"), 6),
         ).alias("delete_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Target-encoding leakage audit: mean-target (conversion) encoding of
+# the user's nation, computed NAIVELY (all rows, self included) vs
+# OUT-OF-FOLD (excluding the user's own sha256 fold) — the classic
+# train-time leakage bug made measurable: the naive encoding's MSE
+# against the target is optimistically low because each row saw its
+# own label. Per fold: both MSEs over the same rows and the optimism
+# gap. Encodings quantize x1e6 before squaring; squared errors are
+# exact integer sums (<= 1e12 per row), each MSE one mirrored
+# division. Scale: user-grain reduce -> nation / (nation, fold)
+# aggregates (tiny, broadcast) -> fold-grain output.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "target_encoding_oof_audit",
+    oracle=f"""
+WITH per_user AS (
+    SELECT e.user_id, c.c_nationkey AS nation,
+           CAST({sql_hash_bucket('e.user_id', 5)} AS BIGINT) AS fold,
+           MAX(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.user_id IS NOT NULL
+    GROUP BY 1, 2, 3
+),
+nat AS (
+    SELECT nation, CAST(SUM(y) AS BIGINT) AS tot,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM per_user GROUP BY 1
+),
+natf AS (
+    SELECT nation, fold, CAST(SUM(y) AS BIGINT) AS ftot,
+           CAST(COUNT(*) AS BIGINT) AS fcnt
+    FROM per_user GROUP BY 1, 2
+),
+enc AS (
+    SELECT u.fold, u.y,
+           CAST(FLOOR(n.tot * 1000000.0 / n.cnt + 0.5) AS BIGINT)
+               AS naive_q,
+           CASE WHEN n.cnt - f.fcnt > 0 THEN
+               CAST(FLOOR((n.tot - f.ftot) * 1000000.0
+                    / (n.cnt - f.fcnt) + 0.5) AS BIGINT)
+           END AS oof_q
+    FROM per_user u
+    JOIN nat n ON n.nation = u.nation
+    JOIN natf f ON f.nation = u.nation AND f.fold = u.fold
+)
+SELECT CAST(fold AS INTEGER) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       {sql_dround(
+           "CAST(SUM((naive_q - y * 1000000) * (naive_q - y * 1000000))"
+           " AS BIGINT) * 1.0 / COUNT(*) / 1000000000000.0", 6)}
+           AS mse_naive,
+       {sql_dround(
+           "CAST(SUM((oof_q - y * 1000000) * (oof_q - y * 1000000))"
+           " AS BIGINT) * 1.0 / COUNT(*) / 1000000000000.0", 6)}
+           AS mse_oof,
+       {sql_dround(
+           "(CAST(SUM((oof_q - y * 1000000) * (oof_q - y * 1000000))"
+           " AS BIGINT)"
+           " - CAST(SUM((naive_q - y * 1000000) * (naive_q - y * 1000000))"
+           " AS BIGINT)) * 1.0 / COUNT(*) / 1000000000000.0", 6)}
+           AS optimism_gap
+FROM enc WHERE oof_q IS NOT NULL
+GROUP BY 1
+""",
+)
+def target_encoding_oof_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    t = load_tables(spark, sf_dir, "events", "customer")
+    per_user = (
+        t["events"]
+        .filter(F.col("user_id").isNotNull())
+        .join(
+            t["customer"],
+            t["events"]["user_id"] == t["customer"]["c_custkey"],
+        )
+        .groupBy(
+            "user_id",
+            F.col("c_nationkey").alias("nation"),
+            hash_bucket("user_id", 5).cast("bigint").alias("fold"),
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("y")
+        )
+    )
+    nat = per_user.groupBy("nation").agg(
+        F.sum("y").cast("bigint").alias("tot"),
+        F.count("*").cast("bigint").alias("cnt"),
+    )
+    natf = per_user.groupBy("nation", "fold").agg(
+        F.sum("y").cast("bigint").alias("ftot"),
+        F.count("*").cast("bigint").alias("fcnt"),
+    )
+    enc = (
+        per_user.join(F.broadcast(nat), "nation")
+        .join(F.broadcast(natf), ["nation", "fold"])
+        .select(
+            "fold",
+            "y",
+            F.floor(F.col("tot") * 1000000.0 / F.col("cnt") + 0.5)
+            .cast("bigint")
+            .alias("naive_q"),
+            F.when(
+                F.col("cnt") - F.col("fcnt") > 0,
+                F.floor(
+                    (F.col("tot") - F.col("ftot"))
+                    * 1000000.0
+                    / (F.col("cnt") - F.col("fcnt"))
+                    + 0.5
+                ).cast("bigint"),
+            ).alias("oof_q"),
+        )
+        .filter(F.col("oof_q").isNotNull())
+    )
+    from ..functions import dround
+
+    d_naive = F.col("naive_q") - F.col("y") * 1000000
+    d_oof = F.col("oof_q") - F.col("y") * 1000000
+    s_naive = F.sum(d_naive * d_naive).cast("bigint")
+    s_oof = F.sum(d_oof * d_oof).cast("bigint")
+    n = F.count("*")
+    return enc.groupBy(F.col("fold").cast("int").alias("fold")).agg(
+        n.alias("n_users"),
+        dround(s_naive * 1.0 / n / 1e12, 6).alias("mse_naive"),
+        dround(s_oof * 1.0 / n / 1e12, 6).alias("mse_oof"),
+        dround((s_oof - s_naive) * 1.0 / n / 1e12, 6).alias(
+            "optimism_gap"
+        ),
+    )
