@@ -248,3 +248,69 @@ def test_repinned_queries_live_legs(spark, sf_dir):
     assert any(row["total_value_new_era"] is not None for row in r)
     r = _rows(spark, sf_dir, "date_range_violations")
     assert all(row["n_violations"] > 0 for row in r)
+
+
+def test_attribution_comparison_conservation(spark, sf_dir):
+    """Credit conservation: first-touch and last-touch totals both
+    equal the number of journeys; linear and position credits sum to
+    (approximately, up to per-touch floor loss) the same total."""
+    rows = _rows(spark, sf_dir, "attribution_model_comparison")
+    assert rows
+    n_first = sum(r["first_touch_conversions"] for r in rows)
+    n_last = sum(r["last_touch_conversions"] for r in rows)
+    assert n_first == n_last and n_first > 0
+    lin = sum(r["linear_credit"] for r in rows)
+    pos = sum(r["position_credit"] for r in rows)
+    # floor-division loses < 1e-6 * touches per journey
+    assert n_first - 1 < lin <= n_first + 1e-6
+    assert n_first - 1 < pos <= n_first + 1e-6
+
+
+def test_knn_label_accuracy_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "knn_label_accuracy")
+    assert sum(r["n_queries"] for r in rows) == 200  # the query cap
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_queries"]
+        assert 0.0 <= r["accuracy"] <= 1.0
+
+
+def test_rtbf_cascade_consistency(spark, sf_dir):
+    rows = {r["table_name"]: r for r in _rows(spark, sf_dir, "rtbf_delete_impact")}
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    assert rows["customer"]["rows_deleted"] > 0
+    # a deleted customer cascades: orders of deleted customers exist,
+    # and every deleted order drags its lineitems
+    assert rows["orders"]["rows_deleted"] > 0
+    assert rows["lineitem"]["rows_deleted"] >= rows["orders"]["rows_deleted"]
+    for r in rows.values():
+        assert 0 <= r["rows_deleted"] <= r["rows_total"]
+
+
+def test_minhash_estimator_audit_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "minhash_estimate_error_audit")
+    assert rows
+    for r in rows:
+        # |bias| can never exceed the mean absolute error
+        assert abs(r["mean_bias"]) <= r["mean_abs_error"] + 1e-9
+        assert 0.0 <= r["mean_estimate"] <= 1.0 + 1e-9
+        assert 0.0 <= r["mean_exact_j"] <= 1.0 + 1e-9
+
+
+def test_target_encoding_optimism_nonnegative_overall(spark, sf_dir):
+    """Out-of-fold MSE should exceed naive MSE in aggregate (each row's
+    own label inflates the naive encoding's fit)."""
+    rows = _rows(spark, sf_dir, "target_encoding_oof_audit")
+    assert rows
+    total_gap = sum(r["optimism_gap"] * r["n_users"] for r in rows)
+    assert total_gap >= 0
+
+
+def test_sprt_decision_consistency(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "sprt_sequential_test")
+    assert {r["arm"] for r in rows} == {"A", "B"}
+    for r in rows:
+        if r["decision"] == "continue":
+            assert r["decision_day"] is None
+        else:
+            assert r["decision_day"] is not None
+        assert 0 <= r["conversions_total"] <= r["users_total"]
