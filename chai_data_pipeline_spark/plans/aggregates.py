@@ -4335,3 +4335,121 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact skewness / excess kurtosis per event type: raw power sums
+# s1..s4 of x100 integer cents accumulate in wide integers
+# (DECIMAL(38,0) on Spark ≡ HUGEINT in DuckDB — the CUPED precedent),
+# the central-moment combinations m2c = n*s2 - s1^2,
+# m3c = n^2*s3 - 3n*s1*s2 + 2*s1^3, m4c = n^3*s4 - 4n^2*s1*s3
+# + 6n*s1^2*s2 - 3*s1^4 stay EXACT in that width, and the shape
+# statistics collapse to scale-free ratios g1 = m3c / m2c^1.5,
+# g2 = m4c / m2c^2 - 3 — one double cast per moment, identical IEEE
+# ops both engines. Completes the manual_variance / correlation
+# family with the 3rd/4th-moment distribution-shape card.
+# At 100 TB raw 4th-power sums of larger value scales would exceed
+# int128 — the production path centers per-partition first (the
+# documented Welford-style rewrite); this exact-raw form is its
+# semantic oracle at testable scales.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "moments_skew_kurtosis",
+    oracle=f"""
+WITH x AS (
+    -- winsorize at +-100000 cents: 3rd/4th-power sums of unbounded
+    -- magnitudes overflow ANY integer width ((1e14 cents)^4 = 1e56),
+    -- and shape statistics are outlier-dominated anyway; the cap sits
+    -- far above the corpus max (~56021 cents) so real data is never
+    -- clamped
+    SELECT event_type,
+           LEAST(GREATEST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                 -100000), 100000) AS c
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+m AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS HUGEINT) AS n,
+           CAST(SUM(CAST(c AS HUGEINT)) AS HUGEINT) AS s1,
+           CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2,
+           CAST(SUM(CAST(c AS HUGEINT) * c * c) AS HUGEINT) AS s3,
+           CAST(SUM(CAST(c AS HUGEINT) * c * c * c) AS HUGEINT) AS s4
+    FROM x GROUP BY 1
+),
+cm AS (
+    SELECT event_type, n,
+           n * s2 - s1 * s1 AS m2c,
+           n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS m3c,
+           n * n * n * s4 - 4 * n * n * s1 * s3
+             + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1 AS m4c
+    FROM m
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_events,
+       CASE WHEN m2c > 0 THEN
+           {sql_dround(
+               "CAST(m3c AS DOUBLE)"
+               " / pow(CAST(m2c AS DOUBLE), 1.5)", 6)}
+       END AS skewness,
+       CASE WHEN m2c > 0 THEN
+           {sql_dround(
+               "CAST(m4c AS DOUBLE)"
+               " / (CAST(m2c AS DOUBLE) * CAST(m2c AS DOUBLE)) - 3.0", 6)}
+       END AS excess_kurtosis
+FROM cm
+""",
+)
+def moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_tables(spark, sf_dir, "events")["events"]
+    x = events.filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        F.least(
+            F.greatest(
+                F.floor(F.col("value") * 100 + 0.5).cast("bigint"),
+                F.lit(-100000).cast("bigint"),
+            ),
+            F.lit(100000).cast("bigint"),
+        ).alias("c"),
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    m = x.groupBy("event_type").agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dec("c")).alias("s1"),
+        F.sum(dec("c") * F.col("c")).alias("s2"),
+        F.sum(dec("c") * F.col("c") * F.col("c")).alias("s3"),
+        F.sum(dec("c") * F.col("c") * F.col("c") * F.col("c")).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    cm = m.select(
+        "event_type",
+        n.alias("n"),
+        (n * s2 - s1 * s1).alias("m2c"),
+        (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1).alias("m3c"),
+        (
+            n * n * n * s4
+            - 4 * n * n * s1 * s3
+            + 6 * n * s1 * s1 * s2
+            - 3 * s1 * s1 * s1 * s1
+        ).alias("m4c"),
+    )
+    m2d = F.col("m2c").cast("double")
+    return cm.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.when(
+            F.col("m2c") > 0,
+            dround(
+                F.col("m3c").cast("double") / F.pow(m2d, 1.5), 6
+            ),
+        ).alias("skewness"),
+        F.when(
+            F.col("m2c") > 0,
+            dround(
+                F.col("m4c").cast("double") / (m2d * m2d) - 3.0, 6
+            ),
+        ).alias("excess_kurtosis"),
+    )
