@@ -4453,3 +4453,83 @@ def moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("excess_kurtosis"),
     )
+
+
+# --------------------------------------------------------------------------
+# Receivables-style aging report: non-finalized orders (status O/P)
+# bucketed by age at a pinned as-of date — the classic finance-ops
+# aging table (0-90 / 91-365 / 1-2y / 2y+) with order counts and
+# exact integer-cent balances per (status, bucket). Bucket edges are
+# integer day-diff CASE ladders at DAY grain (diff computed at date
+# grain on both engines — no sub-day boundary to diverge on); the
+# as-of date is a fixed literal inside the orders span (1995-2001).
+# One scan-agg at (status, bucket) grain.
+# --------------------------------------------------------------------------
+
+_AGING_AS_OF = "2000-01-01"
+
+
+@query(
+    "receivables_aging_buckets",
+    oracle=f"""
+WITH open_orders AS (
+    SELECT o_orderstatus AS status,
+           CAST(DATE '{_AGING_AS_OF}' - CAST(o_orderdate AS DATE)
+               AS BIGINT) AS age_days,
+           CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'P')
+      AND o_orderdate < TIMESTAMP '{_AGING_AS_OF} 00:00:00'
+),
+bucketed AS (
+    SELECT status,
+           CASE WHEN age_days <= 90 THEN '0-90d'
+                WHEN age_days <= 365 THEN '91-365d'
+                WHEN age_days <= 730 THEN '1-2y'
+                ELSE '2y+' END AS age_bucket,
+           cents
+    FROM open_orders
+)
+SELECT status, age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS balance_cents,
+       (FLOOR(CAST(SUM(cents) AS BIGINT) / 100.0 * 100 + 0.5) / 100.0)
+           AS balance
+FROM bucketed
+GROUP BY 1, 2
+""",
+)
+def receivables_aging_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_tables(spark, sf_dir, "orders")["orders"]
+    asof = F.lit(_AGING_AS_OF).cast("date")
+    base = orders.filter(
+        F.col("o_orderstatus").isin("O", "P")
+        & (
+            F.col("o_orderdate")
+            < F.lit(_AGING_AS_OF).cast("timestamp")
+        )
+    ).select(
+        F.col("o_orderstatus").alias("status"),
+        F.datediff(asof, F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("age_days"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 90, "0-90d")
+        .when(F.col("age_days") <= 365, "91-365d")
+        .when(F.col("age_days") <= 730, "1-2y")
+        .otherwise("2y+")
+    )
+    return base.groupBy("status", bucket.alias("age_bucket")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("balance_cents"),
+        (
+            F.floor(F.sum("cents").cast("bigint") / 100.0 * 100 + 0.5)
+            / 100.0
+        ).alias("balance"),
+    )
