@@ -99,13 +99,18 @@ def test_load_driver_rows_parses_and_skips_corrupt(tmp_path):
     )
     (tmp_path / "CORRECTNESS_r02.json").write_text("{not json")
     (tmp_path / "CORRECTNESS_r03.json").write_text('["a", "list"]')
-    greens, checked = plans._load_driver_rows(str(tmp_path))
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps({"green_q": {"hash_match": True}})
+    )
+    greens, checked, green_round = plans._load_driver_rows(str(tmp_path))
     assert greens == {"green_q"}
     assert checked == {"green_q", "red_q", "rowsonly_q"}
+    # the latest green round wins (drives _FORCE_FRONT self-expiry)
+    assert green_round == {"green_q": 9}
     # empty dir degrades to empty sets (static fallback covers it)
     empty = tmp_path / "sub"
     empty.mkdir()
-    assert plans._load_driver_rows(str(empty)) == (set(), set())
+    assert plans._load_driver_rows(str(empty)) == (set(), set(), {})
 
 
 def test_driver_rank_invariants():
@@ -144,3 +149,25 @@ def test_driver_rank_invariants():
     for n in plans._FRONT:
         if n in plans._GREENS and n not in plans._FORCE_FRONT:
             assert plans._rank(n)[0] != 0
+
+
+def test_force_front_self_expiry():
+    """A _FORCE_FRONT pin holds rank 0 only until the query earns a
+    green row in a round >= _FORCE_FRONT_SINCE; a later green retires
+    it automatically (no manual cleanup next round)."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from chai_data_pipeline_spark import plans
+
+    name = plans._FORCE_FRONT[0]
+    # all current pins pre-date their re-check: rank 0 now
+    assert plans._rank(name)[0] == 0
+    # simulate the re-check landing
+    old = dict(plans._GREEN_ROUND)
+    try:
+        plans._GREEN_ROUND[name] = plans._FORCE_FRONT_SINCE
+        assert plans._rank(name)[0] != 0
+    finally:
+        plans._GREEN_ROUND.clear()
+        plans._GREEN_ROUND.update(old)
