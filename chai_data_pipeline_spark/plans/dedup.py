@@ -686,6 +686,9 @@ WITH tok AS (
                t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
            ) AS hashes
     FROM documents
+    -- a NULL text folds to simhash 0 in DuckDB but NULL in Spark
+    -- (list_sum(NULL) vs aggregate-over-NULL) — shared filter
+    WHERE text IS NOT NULL
 ),
 sig AS (
     SELECT doc_id,
@@ -719,7 +722,7 @@ FROM pairs WHERE bit_count(xor(sa, sb)) <= {_SIMHASH_CHK_HAM}
 )
 def dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
-    sig = docs.select(
+    sig = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.expr(_SIMHASH_SPARK).alias("simhash")
     )
     chunks = sig.select(
@@ -2126,4 +2129,194 @@ def minhash_estimate_error_audit(
         dround(
             F.sum(F.col("eq") - F.col("jq")) * 1.0 / n / 1000000.0, 6
         ).alias("mean_bias"),
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash Hamming calibration: over chunk-blocked candidate pairs of
+# the dedup_simhash_checked construction (WITHOUT the Hamming cut, and
+# with case-SENSITIVE tokens — unicode lower() is engine-specific, see
+# the function body), band the
+# fingerprint distance into 8-bit ranges and report each band's exact
+# word-set Jaccard profile — the curve that justifies the <= 12
+# Hamming threshold the production path uses (the SimHash sibling of
+# minhash_estimate_error_audit). The J >= 0.5 share is an exact
+# integer cross-multiplication (2*inter >= union); per-pair Jaccard
+# quantizes x1e6 before the band sums.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "simhash_hamming_calibration",
+    oracle=f"""
+WITH tok AS (
+    SELECT doc_id,
+           list_distinct(string_split_regex(trim(text), '\\s+'))
+               AS words,
+           list_transform(
+               list_distinct(string_split_regex(trim(text), '\\s+')),
+               t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
+           ) AS hashes
+    FROM documents
+    WHERE text IS NOT NULL  -- same NULL-fingerprint guard as the twin
+),
+sig AS (
+    SELECT doc_id, words,
+           CAST(list_sum(list_transform(range(0, {_SIMHASH_CHK_BITS}), b ->
+               CASE WHEN list_sum(list_transform(hashes, h ->
+                        CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+           )) AS BIGINT) AS simhash
+    FROM tok
+),
+chunks AS (
+    SELECT doc_id, simhash, c.c AS chunk_idx,
+           (simhash >> (c.c * 8)) & 255 AS chunk_val
+    FROM sig, (SELECT unnest(range(0, {_SIMHASH_CHK_CHUNKS})) AS c) c
+),
+ok AS (
+    SELECT chunk_idx, chunk_val FROM chunks
+    GROUP BY 1, 2 HAVING COUNT(*) <= {_SIMHASH_CHK_CAP}
+),
+kept AS (SELECT chunks.* FROM chunks JOIN ok USING (chunk_idx, chunk_val)),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.simhash AS sa, b.simhash AS sb
+    FROM kept a JOIN kept b
+      ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+         AND a.doc_id < b.doc_id
+),
+scored AS (
+    SELECT CAST(bit_count(xor(p.sa, p.sb)) AS BIGINT) AS hamming,
+           len(list_intersect(wa.words, wb.words)) AS inter,
+           len(wa.words) + len(wb.words)
+             - len(list_intersect(wa.words, wb.words)) AS un
+    FROM pairs p
+    JOIN (SELECT doc_id, words FROM tok) wa ON wa.doc_id = p.id_a
+    JOIN (SELECT doc_id, words FROM tok) wb ON wb.doc_id = p.id_b
+)
+SELECT CAST(FLOOR(hamming / 8.0) AS BIGINT) AS hamming_band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {sql_dround("CAST(SUM(hamming) AS BIGINT) * 1.0 / COUNT(*)", 4)}
+           AS mean_hamming,
+       {sql_dround(
+           "CAST(SUM(CAST(FLOOR(inter * 1000000.0 / un + 0.5) AS BIGINT))"
+           " AS BIGINT) * 1.0 / COUNT(*) / 1000000.0", 6)}
+           AS mean_jaccard,
+       {sql_dround(
+           "CAST(SUM(CASE WHEN 2 * inter >= un THEN 1 ELSE 0 END)"
+           " AS BIGINT) * 1.0 / COUNT(*)", 6)} AS share_j_ge_50
+FROM scored GROUP BY 1
+""",
+)
+def simhash_hamming_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions import dround
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # case-SENSITIVE tokenization, locally: unicode lower() is
+    # engine-specific (Spark/JVM vs DuckDB casing tables) — the
+    # nullsweep unicode probe flipped one planted pair's band under
+    # the shared lowercased tokens. The checked twin keeps lower()
+    # (its Hamming cut masks the divergence); this calibration
+    # defines its fingerprint over raw trimmed tokens instead.
+    toks_cs = "array_distinct(split(trim(text), '\\\\s+'))"
+    hashes_cs = (
+        f"transform({toks_cs}, t -> "
+        "cast(conv(substring(md5(t), 1, 8), 16, 10) AS bigint))"
+    )
+    bitsums_cs = (
+        f"aggregate({hashes_cs}, "
+        f"transform(sequence(0, {_SIMHASH_CHK_BITS - 1}),"
+        " b -> cast(0 AS bigint)), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {_SIMHASH_CHK_BITS - 1}), "
+        "(a, b) -> a + (CASE WHEN (shiftright(h, b) & 1) = 1"
+        " THEN 1 ELSE -1 END)))"
+    )
+    simhash_cs = (
+        f"aggregate(zip_with({bitsums_cs}, "
+        f"sequence(0, {_SIMHASH_CHK_BITS - 1}), "
+        "(s, b) -> CASE WHEN s > 0 THEN shiftleft(cast(1 AS bigint), b) "
+        "ELSE cast(0 AS bigint) END), "
+        "cast(0 AS bigint), (acc, v) -> acc + v)"
+    )
+    tok = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.expr(toks_cs).alias("words"),
+        F.expr(simhash_cs).alias("simhash"),
+    )
+    chunks = tok.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_SIMHASH_CHK_CHUNKS - 1}),"
+                " c -> struct(c AS chunk_idx,"
+                " shiftright(simhash, c * 8) & 255 AS chunk_val))"
+            )
+        ).alias("ch"),
+    ).select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    sizes = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.count("*").alias("__n")
+    )
+    kept = chunks.join(
+        sizes.filter(F.col("__n") <= _SIMHASH_CHK_CAP),
+        ["chunk_idx", "chunk_val"],
+    ).drop("__n")
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.expr(
+                "cast(bit_count(a.simhash ^ b.simhash) AS bigint)"
+            ).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = (
+        pairs.join(
+            tok.select(F.col("doc_id").alias("id_a"), F.col("words").alias("wa")),
+            "id_a",
+        )
+        .join(
+            tok.select(F.col("doc_id").alias("id_b"), F.col("words").alias("wb")),
+            "id_b",
+        )
+        .select(
+            "hamming",
+            F.size(F.array_intersect("wa", "wb")).alias("inter"),
+            (
+                F.size("wa")
+                + F.size("wb")
+                - F.size(F.array_intersect("wa", "wb"))
+            ).alias("un"),
+        )
+    )
+    jq = F.floor(
+        F.col("inter") * 1000000.0 / F.col("un") + 0.5
+    ).cast("bigint")
+    n = F.count("*")
+    return scored.groupBy(
+        F.floor(F.col("hamming") / 8.0).cast("bigint").alias("hamming_band")
+    ).agg(
+        n.alias("n_pairs"),
+        dround(F.sum("hamming") * 1.0 / n, 4).alias("mean_hamming"),
+        dround(F.sum(jq) * 1.0 / n / 1000000.0, 6).alias("mean_jaccard"),
+        dround(
+            F.sum(
+                F.when(2 * F.col("inter") >= F.col("un"), 1).otherwise(0)
+            )
+            * 1.0
+            / n,
+            6,
+        ).alias("share_j_ge_50"),
     )
