@@ -2581,3 +2581,179 @@ def corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
             'mean_doc_tokens', mean_doc_tokens
         ) AS (metric, value)"""
     )
+
+
+# --------------------------------------------------------------------------
+# Gains / lift table for the logistic quality classifier against the
+# prefix-cluster dup truth: rank docs by score DESC, cut rank deciles,
+# and report each decile's cumulative dup capture (gains) and lift vs
+# random — the campaign-targeting view beside the reliability bins
+# (calibration) and AUC (separability). Works on the DISTINCT-SCORE
+# grain (an aggregate, so the single cumulative window is lint-legal
+# and bounded by the x1e6 quantization); a tied-score group belongs
+# wholly to the decile of its first-ranked member (documented, exact:
+# decile = FLOOR(cum_before * 10 / n)).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "classifier_gains_lift_table",
+    oracle=f"""
+WITH feats AS (
+    SELECT sha256(substring(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), 1, 80))
+               AS content_hash,
+           len(string_split_regex(TRIM(text), '\\s+')) AS wc,
+           LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS awl,
+           len(list_distinct(string_split_regex(TRIM(text), '\\s+'))) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS dwr
+    FROM documents
+    WHERE text IS NOT NULL
+),
+scored AS (
+    SELECT content_hash,
+           CAST(FLOOR(1.0 / (1.0 + exp(-({_QC_W0} + {_QC_W_WC} * wc
+                + {_QC_W_AWL} * awl + {_QC_W_DWR} * dwr)))
+                * 1000000 + 0.5) AS BIGINT) AS sq
+    FROM feats
+),
+labeled AS (
+    SELECT sq,
+           CASE WHEN COUNT(*) OVER (PARTITION BY content_hash) >= 2
+                THEN 1 ELSE 0 END AS pos
+    FROM scored
+),
+grp AS (
+    SELECT sq, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(pos) AS BIGINT) AS npos
+    FROM labeled GROUP BY 1
+),
+ranked AS (
+    SELECT sq, cnt, npos,
+           CAST(COALESCE(SUM(cnt) OVER (ORDER BY sq DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before,
+           CAST(SUM(cnt) OVER () AS BIGINT) AS n,
+           CAST(SUM(npos) OVER () AS BIGINT) AS total_pos
+    FROM grp
+),
+dec AS (
+    SELECT CAST(FLOOR(cum_before * 10.0 / n) AS BIGINT) AS decile,
+           cnt, npos, n, total_pos
+    FROM ranked
+),
+agg AS (
+    SELECT decile,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           CAST(SUM(npos) AS BIGINT) AS n_dups,
+           MAX(n) AS n, MAX(total_pos) AS total_pos
+    FROM dec GROUP BY 1
+),
+cum AS (
+    SELECT decile, n_docs, n_dups, n, total_pos,
+           CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+           CAST(SUM(n_dups) OVER w AS BIGINT) AS cum_dups
+    FROM agg
+    WINDOW w AS (ORDER BY decile)
+)
+SELECT CAST(decile AS INTEGER) AS decile, n_docs, n_dups,
+       CASE WHEN total_pos > 0 THEN
+           {sql_dround("cum_dups * 1.0 / total_pos", 6)}
+       END AS cum_gain,
+       CASE WHEN total_pos > 0 AND cum_docs > 0 THEN
+           {sql_dround(
+               "cum_dups * 1.0 * n / (cum_docs * 1.0 * total_pos)", 6)}
+       END AS cum_lift
+FROM cum
+""",
+)
+def classifier_gains_lift_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ws = T.words("text")
+    wc = F.size(ws)
+    awl = (
+        F.length(F.regexp_replace(F.col("text"), r"\s", "")) * 1.0 / F.size(ws)
+    )
+    dwr = F.size(F.array_distinct(ws)) * 1.0 / F.size(ws)
+    z = (
+        F.lit(_QC_W0)
+        + F.lit(_QC_W_WC) * wc
+        + F.lit(_QC_W_AWL) * awl
+        + F.lit(_QC_W_DWR) * dwr
+    )
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        F.sha2(F.substring(norm, 1, 80), 256).alias("content_hash"),
+        F.floor(1.0 / (1.0 + F.exp(-z)) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("sq"),
+    )
+    wdup = Window.partitionBy("content_hash")
+    labeled = scored.select(
+        "sq",
+        F.when(F.count("*").over(wdup) >= 2, 1).otherwise(0).alias("pos"),
+    )
+    grp = labeled.groupBy("sq").agg(
+        F.count("*").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("npos"),
+    )
+    wr = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.desc("sq"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wall = Window.partitionBy(F.lit(0))
+    ranked = grp.select(
+        "sq",
+        "cnt",
+        "npos",
+        F.coalesce(F.sum("cnt").over(wr), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+        F.sum("cnt").over(wall).cast("bigint").alias("n"),
+        F.sum("npos").over(wall).cast("bigint").alias("total_pos"),
+    )
+    dec = ranked.select(
+        F.floor(F.col("cum_before") * 10.0 / F.col("n"))
+        .cast("bigint")
+        .alias("decile"),
+        "cnt",
+        "npos",
+        "n",
+        "total_pos",
+    )
+    agg = dec.groupBy("decile").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.sum("npos").cast("bigint").alias("n_dups"),
+        F.max("n").alias("n"),
+        F.max("total_pos").alias("total_pos"),
+    )
+    wc2 = Window.partitionBy(F.lit(0)).orderBy("decile")
+    cum = agg.select(
+        "*",
+        F.sum("n_docs").over(wc2).cast("bigint").alias("cum_docs"),
+        F.sum("n_dups").over(wc2).cast("bigint").alias("cum_dups"),
+    )
+    return cum.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n_docs",
+        "n_dups",
+        F.when(
+            F.col("total_pos") > 0,
+            dround(F.col("cum_dups") * 1.0 / F.col("total_pos"), 6),
+        ).alias("cum_gain"),
+        F.when(
+            (F.col("total_pos") > 0) & (F.col("cum_docs") > 0),
+            dround(
+                F.col("cum_dups")
+                * 1.0
+                * F.col("n")
+                / (F.col("cum_docs") * 1.0 * F.col("total_pos")),
+                6,
+            ),
+        ).alias("cum_lift"),
+    )
