@@ -4359,14 +4359,20 @@ def abc_inventory_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moments_skew_kurtosis",
     oracle=f"""
 WITH x AS (
-    -- winsorize at +-100000 cents: 3rd/4th-power sums of unbounded
+    -- winsorize at +-60000 cents: 3rd/4th-power sums of unbounded
     -- magnitudes overflow ANY integer width ((1e14 cents)^4 = 1e56),
     -- and shape statistics are outlier-dominated anyway; the cap sits
-    -- far above the corpus max (~56021 cents) so real data is never
-    -- clamped
+    -- above the corpus max (~56021 cents) so real data is never
+    -- clamped. Headroom rule (pinned by
+    -- tests/test_moments_headroom.py): every DECIMAL(38,0)/HUGEINT
+    -- term is bounded by ~6*(n*cap)^4, so per-type n must stay under
+    -- (1e38/6)^(1/4)/cap ~= 33k at cap=6e4 (sf0.1 max n ~= 20.3k,
+    -- ~1.6x worst-case headroom; realistic headroom is >>10x since
+    -- the mean is ~5000 cents, not cap). Beyond that n, switch to
+    -- the per-partition-centering Welford rewrite noted below.
     SELECT event_type,
            LEAST(GREATEST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
-                 -100000), 100000) AS c
+                 -60000), 60000) AS c
     FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
 ),
 m AS (
@@ -4410,9 +4416,9 @@ def moments_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(
             F.greatest(
                 F.floor(F.col("value") * 100 + 0.5).cast("bigint"),
-                F.lit(-100000).cast("bigint"),
+                F.lit(-60000).cast("bigint"),
             ),
-            F.lit(100000).cast("bigint"),
+            F.lit(60000).cast("bigint"),
         ).alias("c"),
     )
     dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731

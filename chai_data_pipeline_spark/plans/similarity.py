@@ -1748,7 +1748,7 @@ def _knn_acc_oracle() -> str:
     return f"""
 WITH q AS (
     SELECT vec_id AS qid, embedding AS qv, label AS true_label
-    FROM embeddings WHERE vec_id < {_KNN_ACC_Q}
+    FROM embeddings WHERE vec_id < {_KNN_ACC_Q} AND label IS NOT NULL
 ),
 scored AS (
     SELECT q.qid, q.true_label, e.vec_id, e.label,
@@ -1757,7 +1757,7 @@ scored AS (
                ORDER BY {sql_dround(cos, 6)} DESC, e.vec_id
            ) AS rn
     FROM embeddings e CROSS JOIN q
-    WHERE e.vec_id <> q.qid
+    WHERE e.vec_id <> q.qid AND e.label IS NOT NULL
 ),
 votes AS (
     SELECT qid, true_label, label, COUNT(*) AS c
@@ -1790,7 +1790,11 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import dot_sql_spark
 
     emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
-    base = emb.withColumn(
+    # NULL-label guard (both engines): a vote tie involving a NULL
+    # neighbor label would flip pred_label across engines (Spark ASC
+    # is NULLS FIRST vs DuckDB NULLS LAST) — exclude unlabeled rows
+    # from both the query set and the voting neighbor set.
+    base = emb.filter(F.col("label").isNotNull()).withColumn(
         "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding')})")
     )
     q = base.filter(F.col("vec_id") < _KNN_ACC_Q).select(

@@ -1999,7 +1999,13 @@ SELECT p.lang, p.n_docs, p.n_positions, p.n_selected,
        {{density}} AS fp_density
 FROM per_lang p JOIN share s ON p.lang IS NOT DISTINCT FROM s.lang
 """.format(
-        grams="CASE WHEN len(string_split_regex(TRIM(text), '\s+')) < 3 THEN [] ELSE list_transform(range(1, len(string_split_regex(TRIM(text), '\s+')) - 1), i -> array_to_string(list_slice(string_split_regex(TRIM(text), '\s+'), i, i + 2), ' ')) END",
+        grams=(
+            "CASE WHEN len(string_split_regex(TRIM(text), '\\s+')) < 3"
+            " THEN [] ELSE list_transform("
+            "range(1, len(string_split_regex(TRIM(text), '\\s+')) - 1),"
+            " i -> array_to_string(list_slice("
+            "string_split_regex(TRIM(text), '\\s+'), i, i + 2), ' ')) END"
+        ),
         density=sql_dround(
             "p.n_selected * 1.0"
             " / (CASE WHEN p.n_positions > 0 THEN p.n_positions END)",

@@ -153,21 +153,55 @@ def test_driver_rank_invariants():
 
 def test_force_front_self_expiry():
     """A _FORCE_FRONT pin holds rank 0 only until the query earns a
-    green row in a round >= _FORCE_FRONT_SINCE; a later green retires
-    it automatically (no manual cleanup next round)."""
+    green row in a round >= its since-round; a later green retires it
+    automatically (no manual cleanup next round). Both directions are
+    simulated via the _GREEN_ROUND override so the test never depends
+    on which CORRECTNESS_r*.json artifacts exist on disk (the r8
+    failure mode: asserting live pin state went stale the moment the
+    driver landed the artifact that expired the pins)."""
     import sys
 
     sys.path.insert(0, REPO)
     from chai_data_pipeline_spark import plans
 
-    name = plans._FORCE_FRONT[0]
-    # all current pins pre-date their re-check: rank 0 now
-    assert plans._rank(name)[0] == 0
-    # simulate the re-check landing
     old = dict(plans._GREEN_ROUND)
     try:
-        plans._GREEN_ROUND[name] = plans._FORCE_FRONT_SINCE
-        assert plans._rank(name)[0] != 0
+        for name, since in plans._FORCE_FRONT.items():
+            # green only in a round BEFORE the re-pin shipped → the
+            # old evidence is stale, pin active: rank 0
+            plans._GREEN_ROUND[name] = since - 1
+            assert plans._rank(name)[0] == 0, name
+            # green in the re-pin round (or later) → pin expires
+            plans._GREEN_ROUND[name] = since
+            assert plans._rank(name)[0] != 0, name
     finally:
         plans._GREEN_ROUND.clear()
         plans._GREEN_ROUND.update(old)
+
+
+def test_regression_reexposes_at_rank_2(tmp_path):
+    """Latest-round green semantics (judge advice r8): a query green
+    in round N but red in round N+1 must drop out of the green set so
+    rank 2 re-exposes it — _load_driver_rows takes the LATEST checked
+    round's status, not a cross-round union."""
+    import json
+    import sys
+
+    sys.path.insert(0, REPO)
+    from chai_data_pipeline_spark import plans
+
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"q": {"hash_match": True}})
+    )
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({"q": {"hash_match": False, "err": "hash mismatch"}})
+    )
+    greens, checked, green_round = plans._load_driver_rows(str(tmp_path))
+    assert "q" in checked and "q" not in greens
+    assert green_round == {"q": 3}
+    # and a later re-green restores it
+    (tmp_path / "CORRECTNESS_r06.json").write_text(
+        json.dumps({"q": {"hash_match": True}})
+    )
+    greens2, _, gr2 = plans._load_driver_rows(str(tmp_path))
+    assert "q" in greens2 and gr2 == {"q": 6}
