@@ -2320,3 +2320,180 @@ def simhash_hamming_calibration(
             6,
         ).alias("share_j_ge_50"),
     )
+
+
+# --------------------------------------------------------------------------
+# Substring-dedup APPLY — the transform substring_dup_census motivates
+# (Lee et al. 2022): every 8-token window that repeats anywhere in the
+# corpus keeps ONLY its first occurrence by (doc_id, pos); all later
+# occurrences mark their [pos, pos+7] span for masking, overlapping
+# spans coalesce per doc (gaps-and-islands, the
+# interval_coalesce_user_activity pattern), and the per-language
+# report accounts every token: tokens_kept + tokens_dropped =
+# tokens_total by construction, and tests/test_substring_dedup.py
+# re-derives tokens_kept INDEPENDENTLY by materializing the surviving
+# token positions — a non-vacuous conservation proof.
+#
+# The reference's dedup is whole-row pandas drop_duplicates
+# (transform_covid_data.py); this is the corpus-scale substring
+# extension. Scale posture: first-occurrence is a gram-grain
+# MIN(doc_id*1e9+pos) groupBy (map-side combinable — no per-gram
+# sort, so a hot boilerplate gram costs one combiner cell, not a
+# giant sorted partition), the span join shuffles on gram at
+# occurrence grain (AQE skew-split handles hot grams), and the
+# island windows partition per doc_id — bounded by document length.
+# Never all-pairs, no global sort. The 1e9 position multiplier is
+# safe for docs up to 1e9 tokens and doc_ids up to 9.2e9 in int64
+# (both orders of magnitude beyond any real corpus row).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "substring_dedup_apply",
+    oracle=f"""
+WITH base AS (
+    SELECT lang, doc_id, {_SUBSTR_GRAMS_SQL} AS gl,
+           CASE WHEN text IS NULL THEN 0
+                ELSE len(string_split_regex(TRIM(text), '\\s+')) END
+               AS n_tok
+    FROM documents
+),
+occ AS (
+    SELECT doc_id,
+           unnest(range(1, len(gl) + 1)) AS pos,
+           unnest(gl) AS gram
+    FROM base
+),
+keyed AS (
+    SELECT gram, doc_id, pos,
+           doc_id * 1000000000 + pos AS k
+    FROM occ
+),
+gmin AS (
+    SELECT gram, MIN(k) AS mk FROM keyed GROUP BY 1
+),
+spans AS (
+    SELECT o.doc_id, o.pos AS s, o.pos + {_SUBSTR_K - 1} AS e
+    FROM keyed o JOIN gmin g ON o.gram = g.gram
+    WHERE o.k > g.mk
+),
+isl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           THEN 1 ELSE 0 END AS new_isl
+    FROM spans
+),
+isl2 AS (
+    SELECT doc_id, s, e,
+           SUM(new_isl) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+    FROM isl
+),
+cov AS (
+    SELECT doc_id, isl_id, MAX(e) - MIN(s) + 1 AS covered
+    FROM isl2 GROUP BY 1, 2
+),
+per_doc AS (
+    SELECT doc_id, SUM(covered) AS dropped, COUNT(*) AS n_spans
+    FROM cov GROUP BY 1
+)
+SELECT b.lang,
+       COUNT(*) AS n_docs,
+       COUNT(p.dropped) AS n_docs_affected,
+       CAST(COALESCE(SUM(p.n_spans), 0) AS BIGINT) AS n_masked_spans,
+       CAST(SUM(b.n_tok) AS BIGINT) AS tokens_total,
+       CAST(COALESCE(SUM(p.dropped), 0) AS BIGINT) AS tokens_dropped,
+       CAST(SUM(b.n_tok) - COALESCE(SUM(p.dropped), 0) AS BIGINT)
+           AS tokens_kept,
+       CASE WHEN SUM(b.n_tok) > 0 THEN
+           {sql_dround(
+               "COALESCE(SUM(p.dropped), 0) * 1.0 / SUM(b.n_tok)", 6)}
+       END AS drop_ratio
+FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+GROUP BY 1
+""",
+)
+def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first substring dedup: mask repeated 8-token windows."""
+    from pyspark.sql.window import Window
+
+    from ..operators.text import word_ngrams, words
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select("lang", "doc_id", words("text").alias("t"))
+    base = toks.select(
+        "lang",
+        "doc_id",
+        F.when(F.col("t").isNull(), F.lit(0))
+        .otherwise(F.size("t"))
+        .alias("n_tok"),
+        word_ngrams("t", _SUBSTR_K, presplit=True).alias("gl"),
+    )
+    occ = base.select(
+        "doc_id", F.posexplode("gl").alias("pos0", "gram")
+    ).select(
+        "doc_id",
+        "gram",
+        (F.col("pos0") + 1).alias("pos"),
+    )
+    keyed = occ.withColumn(
+        "k",
+        F.col("doc_id").cast("bigint") * F.lit(1000000000).cast("bigint")
+        + F.col("pos"),
+    )
+    gmin = keyed.groupBy("gram").agg(F.min("k").alias("mk"))
+    spans = (
+        keyed.join(gmin, "gram")
+        .filter(F.col("k") > F.col("mk"))
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + _SUBSTR_K - 1).alias("e"),
+        )
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = spans.withColumn(
+        "new_isl",
+        F.when(
+            F.col("s")
+            > F.coalesce(F.max("e").over(wprev), F.lit(-1)),
+            1,
+        ).otherwise(0),
+    ).withColumn("isl_id", F.sum("new_isl").over(wrun))
+    per_doc = (
+        isl.groupBy("doc_id", "isl_id")
+        .agg((F.max("e") - F.min("s") + 1).alias("covered"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("covered").alias("dropped"),
+            F.count("*").alias("n_spans"),
+        )
+    )
+    joined = base.join(per_doc, "doc_id", "left")
+    total = F.sum("n_tok")
+    dropped = F.coalesce(F.sum("dropped"), F.lit(0))
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("dropped").alias("n_docs_affected"),
+        F.coalesce(F.sum("n_spans"), F.lit(0))
+        .cast("bigint")
+        .alias("n_masked_spans"),
+        total.cast("bigint").alias("tokens_total"),
+        dropped.cast("bigint").alias("tokens_dropped"),
+        (total - dropped).cast("bigint").alias("tokens_kept"),
+        F.when(total > 0, dround(dropped * 1.0 / total, 6)).alias(
+            "drop_ratio"
+        ),
+    )
