@@ -279,3 +279,76 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def hamming64(a, b):
     """Hamming distance between two 64-bit fingerprints (column expr)."""
     return F.expr(f"bit_count({a} ^ {b})")
+
+
+def coalesce_span_token_mass(spans: DataFrame) -> DataFrame:
+    """Per-doc masked token mass from (doc_id, s, e) spans.
+
+    Overlapping/contained spans union via gaps-and-islands (running
+    MAX(e) over preceding rows per doc; a span starting past that max
+    opens a new island), then each island contributes
+    ``max(e) - min(s) + 1`` covered tokens — so the sum equals the
+    SIZE OF THE SPAN UNION, never double-counting overlap. Returns
+    ``(doc_id, dropped, n_spans)`` where n_spans counts coalesced
+    islands. Windows partition per doc_id — bounded by document
+    length, no global sort. Shared by substring_dedup_apply and
+    decontaminate_span_mask; the per-position conservation proof is
+    tests/test_substring_dedup.py.
+    """
+    from pyspark.sql.window import Window
+
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = spans.withColumn(
+        "new_isl",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn("isl_id", F.sum("new_isl").over(wrun))
+    return (
+        isl.groupBy("doc_id", "isl_id")
+        .agg((F.max("e") - F.min("s") + 1).alias("covered"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("covered").alias("dropped"),
+            F.count("*").alias("n_spans"),
+        )
+    )
+
+
+def span_union_sql_duckdb(spans_cte: str = "spans") -> str:
+    """DuckDB CTE chain mirroring :func:`coalesce_span_token_mass`:
+    ``<spans_cte>(doc_id, s, e)`` -> ``per_doc(doc_id, dropped,
+    n_spans)``. Paste after the spans CTE (leading comma included)."""
+    return f"""
+isl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           THEN 1 ELSE 0 END AS new_isl
+    FROM {spans_cte}
+),
+isl2 AS (
+    SELECT doc_id, s, e,
+           SUM(new_isl) OVER (
+               PARTITION BY doc_id ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+    FROM isl
+),
+cov AS (
+    SELECT doc_id, isl_id, MAX(e) - MIN(s) + 1 AS covered
+    FROM isl2 GROUP BY 1, 2
+),
+per_doc AS (
+    SELECT doc_id, SUM(covered) AS dropped, COUNT(*) AS n_spans
+    FROM cov GROUP BY 1
+)"""

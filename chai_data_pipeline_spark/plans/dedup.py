@@ -2348,11 +2348,16 @@ def simhash_hamming_calibration(
 # --------------------------------------------------------------------------
 
 
-@query(
-    "substring_dedup_apply",
-    oracle=f"""
-WITH base AS (
-    SELECT lang, doc_id, {_SUBSTR_GRAMS_SQL} AS gl,
+from ..operators.dedup import (  # noqa: E402
+    coalesce_span_token_mass,
+    span_union_sql_duckdb,
+)
+
+# base CTE shared by the span-masking pair: per-doc gram list +
+# whitespace token count over ALL docs (NULL text -> 0 tokens).
+_SPAN_BASE_SQL = f"""
+base AS (
+    SELECT lang, source, doc_id, {_SUBSTR_GRAMS_SQL} AS gl,
            CASE WHEN text IS NULL THEN 0
                 ELSE len(string_split_regex(TRIM(text), '\\s+')) END
                AS n_tok
@@ -2363,7 +2368,79 @@ occ AS (
            unnest(range(1, len(gl) + 1)) AS pos,
            unnest(gl) AS gram
     FROM base
-),
+)"""
+
+
+def _span_report_sql(group_col: str, where: str = "") -> str:
+    """Final per-group token-accounting SELECT over base x per_doc."""
+    return f"""
+SELECT b.{group_col},
+       COUNT(*) AS n_docs,
+       COUNT(p.dropped) AS n_docs_affected,
+       CAST(COALESCE(SUM(p.n_spans), 0) AS BIGINT) AS n_masked_spans,
+       CAST(SUM(b.n_tok) AS BIGINT) AS tokens_total,
+       CAST(COALESCE(SUM(p.dropped), 0) AS BIGINT) AS tokens_dropped,
+       CAST(SUM(b.n_tok) - COALESCE(SUM(p.dropped), 0) AS BIGINT)
+           AS tokens_kept,
+       CASE WHEN SUM(b.n_tok) > 0 THEN
+           {sql_dround(
+               "COALESCE(SUM(p.dropped), 0) * 1.0 / SUM(b.n_tok)", 6)}
+       END AS drop_ratio
+FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
+{where}
+GROUP BY 1
+"""
+
+
+def _span_docs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark mirror of _SPAN_BASE_SQL's base CTE."""
+    from ..operators.text import word_ngrams, words
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "lang", "source", "doc_id", words("text").alias("t")
+    )
+    return toks.select(
+        "lang",
+        "source",
+        "doc_id",
+        F.when(F.col("t").isNull(), F.lit(0))
+        .otherwise(F.size("t"))
+        .alias("n_tok"),
+        word_ngrams("t", _SUBSTR_K, presplit=True).alias("gl"),
+    )
+
+
+def _span_occ(base: DataFrame) -> DataFrame:
+    """(doc_id, gram, pos) occurrence grain, pos 1-based."""
+    return base.select(
+        "doc_id", F.posexplode("gl").alias("pos0", "gram")
+    ).select("doc_id", "gram", (F.col("pos0") + 1).alias("pos"))
+
+
+def _span_report(joined: DataFrame, group_col: str) -> DataFrame:
+    """Spark mirror of _span_report_sql over base x per_doc."""
+    total = F.sum("n_tok")
+    dropped = F.coalesce(F.sum("dropped"), F.lit(0))
+    return joined.groupBy(group_col).agg(
+        F.count("*").alias("n_docs"),
+        F.count("dropped").alias("n_docs_affected"),
+        F.coalesce(F.sum("n_spans"), F.lit(0))
+        .cast("bigint")
+        .alias("n_masked_spans"),
+        total.cast("bigint").alias("tokens_total"),
+        dropped.cast("bigint").alias("tokens_dropped"),
+        (total - dropped).cast("bigint").alias("tokens_kept"),
+        F.when(total > 0, dround(dropped * 1.0 / total, 6)).alias(
+            "drop_ratio"
+        ),
+    )
+
+
+@query(
+    "substring_dedup_apply",
+    oracle=f"""
+WITH {_SPAN_BASE_SQL.lstrip()},
 keyed AS (
     SELECT gram, doc_id, pos,
            doc_id * 1000000000 + pos AS k
@@ -2377,69 +2454,14 @@ spans AS (
     FROM keyed o JOIN gmin g ON o.gram = g.gram
     WHERE o.k > g.mk
 ),
-isl AS (
-    SELECT doc_id, s, e,
-           CASE WHEN s > COALESCE(MAX(e) OVER (
-               PARTITION BY doc_id ORDER BY s
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-           THEN 1 ELSE 0 END AS new_isl
-    FROM spans
-),
-isl2 AS (
-    SELECT doc_id, s, e,
-           SUM(new_isl) OVER (
-               PARTITION BY doc_id ORDER BY s
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
-    FROM isl
-),
-cov AS (
-    SELECT doc_id, isl_id, MAX(e) - MIN(s) + 1 AS covered
-    FROM isl2 GROUP BY 1, 2
-),
-per_doc AS (
-    SELECT doc_id, SUM(covered) AS dropped, COUNT(*) AS n_spans
-    FROM cov GROUP BY 1
-)
-SELECT b.lang,
-       COUNT(*) AS n_docs,
-       COUNT(p.dropped) AS n_docs_affected,
-       CAST(COALESCE(SUM(p.n_spans), 0) AS BIGINT) AS n_masked_spans,
-       CAST(SUM(b.n_tok) AS BIGINT) AS tokens_total,
-       CAST(COALESCE(SUM(p.dropped), 0) AS BIGINT) AS tokens_dropped,
-       CAST(SUM(b.n_tok) - COALESCE(SUM(p.dropped), 0) AS BIGINT)
-           AS tokens_kept,
-       CASE WHEN SUM(b.n_tok) > 0 THEN
-           {sql_dround(
-               "COALESCE(SUM(p.dropped), 0) * 1.0 / SUM(b.n_tok)", 6)}
-       END AS drop_ratio
-FROM base b LEFT JOIN per_doc p ON b.doc_id = p.doc_id
-GROUP BY 1
+{span_union_sql_duckdb().lstrip()}
+{_span_report_sql("lang")}
 """,
 )
 def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first substring dedup: mask repeated 8-token windows."""
-    from pyspark.sql.window import Window
-
-    from ..operators.text import word_ngrams, words
-
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
-    toks = docs.select("lang", "doc_id", words("text").alias("t"))
-    base = toks.select(
-        "lang",
-        "doc_id",
-        F.when(F.col("t").isNull(), F.lit(0))
-        .otherwise(F.size("t"))
-        .alias("n_tok"),
-        word_ngrams("t", _SUBSTR_K, presplit=True).alias("gl"),
-    )
-    occ = base.select(
-        "doc_id", F.posexplode("gl").alias("pos0", "gram")
-    ).select(
-        "doc_id",
-        "gram",
-        (F.col("pos0") + 1).alias("pos"),
-    )
-    keyed = occ.withColumn(
+    base = _span_docs_base(spark, sf_dir)
+    keyed = _span_occ(base).withColumn(
         "k",
         F.col("doc_id").cast("bigint") * F.lit(1000000000).cast("bigint")
         + F.col("pos"),
@@ -2454,46 +2476,73 @@ def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pos") + _SUBSTR_K - 1).alias("e"),
         )
     )
-    wprev = (
-        Window.partitionBy("doc_id")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    per_doc = coalesce_span_token_mass(spans)
+    return _span_report(base.join(per_doc, "doc_id", "left"), "lang")
+
+
+# --------------------------------------------------------------------------
+# Span-masking decontamination — the APPLY of doc_contamination's
+# measurement, GPT-3 style (Brown et al. 2020, Appendix C): instead
+# of flagging whole documents whose 5-gram overlap ratio crosses a
+# threshold, mask ONLY the contaminated spans — every corpus 8-token
+# window that also appears anywhere in the benchmark source ('src0',
+# the doc_contamination convention) marks [pos, pos+7]; overlapping
+# spans coalesce per doc and the per-source report accounts every
+# token (kept + dropped == total; same conservation proof as
+# substring_dedup_apply via tests/test_substring_dedup.py).
+#
+# Scale posture: eval/benchmark gram sets are tiny next to a 100-TB
+# corpus, so the contamination probe is a corpus-side semi join
+# against a BROADCAST benchmark gram set — map-only until the
+# per-doc island windows (bounded by document length). No
+# first-occurrence ranking at all (benchmark spans mask wherever
+# they appear), so no gram-grain shuffle on the corpus side.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "decontaminate_span_mask",
+    oracle=f"""
+WITH {_SPAN_BASE_SQL.lstrip()},
+bench AS (
+    SELECT DISTINCT o.gram
+    FROM occ o JOIN base b ON o.doc_id = b.doc_id
+    WHERE b.source = 'src0'
+),
+spans AS (
+    SELECT o.doc_id, o.pos AS s, o.pos + {_SUBSTR_K - 1} AS e
+    FROM occ o
+    JOIN base d ON o.doc_id = d.doc_id
+    JOIN bench bn ON o.gram = bn.gram
+    WHERE d.source <> 'src0'
+),
+{span_union_sql_duckdb().lstrip()}
+{_span_report_sql("source", "WHERE b.source <> 'src0'")}
+""",
+)
+def decontaminate_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask benchmark-overlapping 8-token spans in corpus docs."""
+    base = _span_docs_base(spark, sf_dir)
+    occ = _span_occ(base)
+    src = base.select("doc_id", "source")
+    bench = (
+        occ.join(
+            src.filter(F.col("source") == "src0"), "doc_id"
+        )
+        .select("gram")
+        .distinct()
     )
-    wrun = (
-        Window.partitionBy("doc_id")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    isl = spans.withColumn(
-        "new_isl",
-        F.when(
-            F.col("s")
-            > F.coalesce(F.max("e").over(wprev), F.lit(-1)),
-            1,
-        ).otherwise(0),
-    ).withColumn("isl_id", F.sum("new_isl").over(wrun))
-    per_doc = (
-        isl.groupBy("doc_id", "isl_id")
-        .agg((F.max("e") - F.min("s") + 1).alias("covered"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("covered").alias("dropped"),
-            F.count("*").alias("n_spans"),
+    spans = (
+        occ.join(src.filter(F.col("source") != "src0"), "doc_id")
+        .join(F.broadcast(bench), "gram")
+        .select(
+            "doc_id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + _SUBSTR_K - 1).alias("e"),
         )
     )
-    joined = base.join(per_doc, "doc_id", "left")
-    total = F.sum("n_tok")
-    dropped = F.coalesce(F.sum("dropped"), F.lit(0))
-    return joined.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.count("dropped").alias("n_docs_affected"),
-        F.coalesce(F.sum("n_spans"), F.lit(0))
-        .cast("bigint")
-        .alias("n_masked_spans"),
-        total.cast("bigint").alias("tokens_total"),
-        dropped.cast("bigint").alias("tokens_dropped"),
-        (total - dropped).cast("bigint").alias("tokens_kept"),
-        F.when(total > 0, dround(dropped * 1.0 / total, 6)).alias(
-            "drop_ratio"
-        ),
+    per_doc = coalesce_span_token_mass(spans)
+    corpus = base.filter(F.col("source") != "src0")
+    return _span_report(
+        corpus.join(per_doc, "doc_id", "left"), "source"
     )

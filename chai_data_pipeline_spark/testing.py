@@ -240,3 +240,61 @@ def compare_query(
                 res.detail = f"first diff at sorted row {i}:\n  spark={a}\n  duck ={b}"
                 break
     return res
+
+
+def parity_selection(names):
+    """Changed-only filter for the registry-parametrized parity/type
+    suites (VERDICT r8 item 6: the full gate grew past 18 min and
+    scales with every registered query).
+
+    Default (env unset): return ``names`` unchanged — the full sweep.
+    With ``SPARK_GRAFT_PARITY_CHANGED=1``: restrict to queries whose
+    defining ``plans/<module>.py`` differs from the git base
+    (``SPARK_GRAFT_PARITY_BASE``, default HEAD — i.e. uncommitted
+    work), plus untracked plan modules. Conservative fallbacks:
+
+    - any changed package file OUTSIDE plans/ (operators, functions,
+      session, testing, medallion, streaming, sources) → full sweep,
+      since every query may depend on shared code;
+    - git unavailable / not a repo → full sweep.
+
+    The full sweep remains the standard for the pre-gate rehearsal
+    (.claude/skills/verify) — this filter is for the inner dev loop.
+    """
+    import subprocess
+
+    if os.environ.get("SPARK_GRAFT_PARITY_CHANGED") != "1":
+        return names
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.environ.get("SPARK_GRAFT_PARITY_BASE", "HEAD")
+    try:
+        diff = subprocess.run(
+            ["git", "diff", "--name-only", base],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout.splitlines()
+        untracked = subprocess.run(
+            ["git", "ls-files", "--others", "--exclude-standard"],
+            cwd=repo, capture_output=True, text=True, check=True,
+        ).stdout.splitlines()
+    except (OSError, subprocess.CalledProcessError):
+        return names
+    pkg = "chai_data_pipeline_spark/"
+    plans_prefix = pkg + "plans/"
+    changed_mods = set()
+    for path in diff + untracked:
+        if not path.startswith(pkg) or not path.endswith(".py"):
+            continue
+        if path.startswith(plans_prefix):
+            mod = os.path.basename(path)[:-3]
+            if mod not in ("__init__", "registry"):
+                changed_mods.add(mod)
+                continue
+        # shared package code changed — every query is suspect
+        return names
+    from . import plans as _plans
+
+    return [
+        n
+        for n in names
+        if _plans.QUERIES[n].__module__.rsplit(".", 1)[-1] in changed_mods
+    ]

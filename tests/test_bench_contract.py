@@ -205,3 +205,62 @@ def test_regression_reexposes_at_rank_2(tmp_path):
     )
     greens2, _, gr2 = plans._load_driver_rows(str(tmp_path))
     assert "q" in greens2 and gr2 == {"q": 6}
+
+
+def test_parity_selection_changed_only(monkeypatch):
+    """SPARK_GRAFT_PARITY_CHANGED=1 restricts the parametrized parity
+    suite to queries whose plan module changed; any shared-package
+    change falls back to the full sweep; env unset is a no-op."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, REPO)
+    from chai_data_pipeline_spark import plans
+    from chai_data_pipeline_spark.testing import parity_selection
+
+    names = sorted(plans.ORACLES)
+
+    # env unset — full set
+    monkeypatch.delenv("SPARK_GRAFT_PARITY_CHANGED", raising=False)
+    assert parity_selection(names) == names
+
+    def fake_run(diff_lines, untracked_lines):
+        def run(cmd, **kw):
+            class R:
+                stdout = "\n".join(
+                    diff_lines if "diff" in cmd else untracked_lines
+                )
+            return R()
+        return run
+
+    monkeypatch.setenv("SPARK_GRAFT_PARITY_CHANGED", "1")
+
+    # only plans/dedup.py changed — restrict to dedup-module queries
+    monkeypatch.setattr(
+        subprocess, "run",
+        fake_run(["chai_data_pipeline_spark/plans/dedup.py"], []),
+    )
+    got = parity_selection(names)
+    assert got and all(
+        plans.QUERIES[n].__module__.endswith(".dedup") for n in got
+    )
+    assert "substring_dedup_apply" in got
+    assert "tpch_q1_pricing_summary" not in got
+
+    # a shared package file changed — full sweep
+    monkeypatch.setattr(
+        subprocess, "run",
+        fake_run(["chai_data_pipeline_spark/operators/text.py"], []),
+    )
+    assert parity_selection(names) == names
+
+    # nothing changed — empty selection (nothing to re-prove)
+    monkeypatch.setattr(subprocess, "run", fake_run([], []))
+    assert parity_selection(names) == []
+
+    # untracked new plan module also counts
+    monkeypatch.setattr(
+        subprocess, "run",
+        fake_run([], ["chai_data_pipeline_spark/plans/dedup.py"]),
+    )
+    assert "dedup_exact_content" in parity_selection(names)

@@ -15,11 +15,15 @@ from __future__ import annotations
 import pytest
 
 from chai_data_pipeline_spark import plans
-from chai_data_pipeline_spark.testing import oracle_type_mismatches
+from chai_data_pipeline_spark.testing import (
+    oracle_type_mismatches,
+    parity_selection,
+)
 
 
 def _oracle_names():
-    return sorted(plans.ORACLES)
+    # see test_oracle_parity._oracle_names — changed-only dev filter
+    return parity_selection(sorted(plans.ORACLES))
 
 
 @pytest.mark.parametrize("name", _oracle_names())

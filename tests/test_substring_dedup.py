@@ -87,3 +87,75 @@ def test_conservation_against_per_position_ground_truth(
         # full accounting: kept + dropped == total, kept >= 0
         assert row["tokens_kept"] + row["tokens_dropped"] == total
         assert 0 <= row["tokens_dropped"] <= total
+
+
+def test_decontaminate_span_mask_conservation(spark, duck, sf_dir):
+    """Same per-position ground truth for the benchmark-span masking
+    apply: a corpus token is dropped iff covered by some 8-gram that
+    appears in the src0 benchmark."""
+    from chai_data_pipeline_spark import plans
+    from chai_data_pipeline_spark.operators.text import (
+        word_ngrams_sql_duckdb,
+    )
+    from chai_data_pipeline_spark.plans.dedup import _SUBSTR_K
+
+    grams = word_ngrams_sql_duckdb("text", _SUBSTR_K)
+    truth = {
+        r[0]: (r[1], r[2])
+        for r in duck.execute(
+            f"""
+WITH base AS (
+    SELECT source, doc_id, {grams} AS gl,
+           CASE WHEN text IS NULL THEN 0
+                ELSE len(string_split_regex(TRIM(text), '\\s+')) END
+               AS n_tok
+    FROM documents
+),
+occ AS (
+    SELECT doc_id, unnest(range(1, len(gl) + 1)) AS pos,
+           unnest(gl) AS gram
+    FROM base
+),
+bench AS (
+    SELECT DISTINCT o.gram FROM occ o
+    JOIN base b ON o.doc_id = b.doc_id WHERE b.source = 'src0'
+),
+spans AS (
+    SELECT o.doc_id, o.pos AS s, o.pos + {_SUBSTR_K - 1} AS e
+    FROM occ o JOIN base d ON o.doc_id = d.doc_id
+    JOIN bench bn ON o.gram = bn.gram
+    WHERE d.source <> 'src0'
+),
+tokpos AS (
+    SELECT source, doc_id, unnest(range(1, n_tok + 1)) AS p
+    FROM base WHERE source <> 'src0'
+),
+marked AS (
+    SELECT t.source, t.doc_id, t.p,
+           EXISTS (
+               SELECT 1 FROM spans s
+               WHERE s.doc_id = t.doc_id AND t.p BETWEEN s.s AND s.e
+           ) AS covered
+    FROM tokpos t
+)
+SELECT source, COUNT(*), COUNT(*) FILTER (covered)
+FROM marked GROUP BY 1
+"""
+        ).fetchall()
+    }
+    got = {
+        r["source"]: r
+        for r in plans.QUERIES["decontaminate_span_mask"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(truth)
+    assert any(d for _, d in truth.values()), (
+        "no benchmark-overlapping 8-token windows — decontamination "
+        "semantics untested; re-audit after a data regeneration"
+    )
+    for source, (total, dropped) in truth.items():
+        row = got[source]
+        assert row["tokens_total"] == total, source
+        assert row["tokens_dropped"] == dropped, source
+        assert row["tokens_kept"] == total - dropped, source
