@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import dround, sql_dround
 from ..session import load_tables
 from .registry import query
 
@@ -569,4 +570,217 @@ def hits_hub_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "hub"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Graph topology card: reciprocity + degree assortativity (Newman
+# 2002) over the trade graph — the remaining canonical whole-graph
+# statistics beside PageRank/LPA/triangles/HITS. The raw 25-nation
+# graph is near-complete, so the STRUCTURAL stats run on the
+# mean-thresholded backbone (keep directed edges with
+# w * n_edges > total_w — integer cross-multiplication, no float
+# threshold), while WEIGHT reciprocity (Squartini et al. 2013,
+# Σ min(w_uv, w_vu) / Σ w_uv) runs on the full directed graph where
+# weights carry the signal. Assortativity uses Newman's edge-moment
+# form cleared of denominators — r = (4M·Σjk − (Σ(j+k))²) /
+# (2M·Σ(j²+k²) − (Σ(j+k))²) — so every cross-row sum is an exact
+# bigint and the single division happens once. Self-loops excluded
+# from all three (standard convention).
+#
+# Scale: the edge build is the one full-scan stage (same
+# lineitem⋈orders shuffle as pagerank_trade_graph, dims broadcast);
+# every statistic after it is an exact integer reduce over the
+# bounded (≤ nations²) edge list.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "graph_reciprocity_assortativity",
+    oracle=f"""
+WITH edges0 AS (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+),
+dir AS (SELECT src, dst, CAST(w AS BIGINT) AS w FROM edges0 WHERE src <> dst),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_e, CAST(SUM(w) AS BIGINT) AS w_t
+    FROM dir
+),
+wrec AS (
+    SELECT CAST(SUM(LEAST(a.w, COALESCE(b.w, 0))) AS BIGINT) AS w_min
+    FROM dir a LEFT JOIN dir b ON a.src = b.dst AND a.dst = b.src
+),
+kept AS (
+    SELECT d.src, d.dst, d.w FROM dir d, tot
+    WHERE d.w * tot.n_e > tot.w_t
+),
+krec AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(COUNT(b.src) AS BIGINT) AS n_recip
+    FROM kept a LEFT JOIN kept b ON a.src = b.dst AND a.dst = b.src
+),
+und AS (
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM kept GROUP BY 1, 2
+),
+deg AS (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+    FROM (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+    GROUP BY 1
+),
+em AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(da.d * db.d) AS BIGINT) AS sjk,
+           CAST(SUM(da.d + db.d) AS BIGINT) AS sjpk,
+           CAST(SUM(da.d * da.d + db.d * db.d) AS BIGINT) AS sj2
+    FROM und u JOIN deg da ON u.a = da.n JOIN deg db ON u.b = db.n
+)
+SELECT tot.n_e AS n_directed_edges,
+       krec.n_kept AS n_backbone_edges,
+       em.m AS n_backbone_und_edges,
+       CASE WHEN krec.n_kept > 0 THEN
+           {sql_dround("krec.n_recip * 1.0 / krec.n_kept", 6)}
+       END AS edge_reciprocity,
+       CASE WHEN tot.w_t > 0 THEN
+           {sql_dround("wrec.w_min * 1.0 / tot.w_t", 6)}
+       END AS weight_reciprocity,
+       CASE WHEN 2 * em.m * em.sj2 - em.sjpk * em.sjpk > 0 THEN
+           {sql_dround(
+               "(4.0 * em.m * em.sjk - CAST(em.sjpk AS DOUBLE) * em.sjpk)"
+               " / (2.0 * em.m * em.sj2"
+               "    - CAST(em.sjpk AS DOUBLE) * em.sjpk)", 6)}
+       END AS degree_assortativity
+FROM tot, wrec, krec, em
+""",
+)
+def graph_reciprocity_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reciprocity + Newman degree assortativity of the trade graph."""
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier"
+    )
+    edges0 = (
+        t["lineitem"]
+        .join(
+            t["orders"],
+            t["lineitem"].l_orderkey == t["orders"].o_orderkey,
+        )
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    # bounded (≤ nations²) — materialize once, reuse across the stats
+    dir_e = edges0.filter(F.col("src") != F.col("dst")).localCheckpoint(
+        eager=True
+    )
+    tot = dir_e.agg(
+        F.count("*").cast("bigint").alias("n_e"),
+        F.sum("w").cast("bigint").alias("w_t"),
+    )
+    rev = dir_e.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("w").alias("w_rev"),
+    )
+    wrec = (
+        dir_e.join(F.broadcast(rev), ["src", "dst"], "left")
+        .agg(
+            F.sum(
+                F.least(F.col("w"), F.coalesce(F.col("w_rev"), F.lit(0)))
+            )
+            .cast("bigint")
+            .alias("w_min")
+        )
+    )
+    kept = dir_e.crossJoin(F.broadcast(tot)).filter(
+        F.col("w") * F.col("n_e") > F.col("w_t")
+    ).select("src", "dst", "w")
+    krev = kept.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.lit(1).alias("has_rev"),
+    )
+    krec = kept.join(F.broadcast(krev), ["src", "dst"], "left").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.count("has_rev").cast("bigint").alias("n_recip"),
+    )
+    und = (
+        kept.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.lit(1).alias("_one"))
+        .select("a", "b")
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("dja"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("djb"))
+    em = (
+        und.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .agg(
+            F.count("*").cast("bigint").alias("m"),
+            F.sum(F.col("dja") * F.col("djb")).cast("bigint").alias("sjk"),
+            F.sum(F.col("dja") + F.col("djb"))
+            .cast("bigint")
+            .alias("sjpk"),
+            F.sum(
+                F.col("dja") * F.col("dja") + F.col("djb") * F.col("djb")
+            )
+            .cast("bigint")
+            .alias("sj2"),
+        )
+    )
+    out = (
+        tot.crossJoin(wrec).crossJoin(krec).crossJoin(em)
+    )
+    den = 2 * F.col("m") * F.col("sj2") - F.col("sjpk") * F.col("sjpk")
+    return out.select(
+        F.col("n_e").alias("n_directed_edges"),
+        F.col("n_kept").alias("n_backbone_edges"),
+        F.col("m").alias("n_backbone_und_edges"),
+        F.when(
+            F.col("n_kept") > 0,
+            dround(F.col("n_recip") * 1.0 / F.col("n_kept"), 6),
+        ).alias("edge_reciprocity"),
+        F.when(
+            F.col("w_t") > 0,
+            dround(F.col("w_min") * 1.0 / F.col("w_t"), 6),
+        ).alias("weight_reciprocity"),
+        F.when(
+            den > 0,
+            dround(
+                (
+                    4.0 * F.col("m") * F.col("sjk")
+                    - F.col("sjpk").cast("double") * F.col("sjpk")
+                )
+                / (
+                    2.0 * F.col("m") * F.col("sj2")
+                    - F.col("sjpk").cast("double") * F.col("sjpk")
+                ),
+                6,
+            ),
+        ).alias("degree_assortativity"),
     )

@@ -2763,3 +2763,160 @@ def classifier_gains_lift_table(
             ),
         ).alias("cum_lift"),
     )
+
+
+# --------------------------------------------------------------------------
+# Average precision (area under the precision-recall curve, exact
+# step form) of the quality score against dup truth — the
+# rare-positive companion to classifier_auc_dup_separation: AUC is
+# prevalence-blind, AP is what a triage queue actually experiences.
+# Tie-exact: blocks are DISTINCT score groups descending; after block
+# g with npos_g positives, AP = Σ_g (npos_g / n⁺) · P_g where
+# P_g = cumTP_g / cumAll_g (sklearn's step definition, no
+# interpolation). Each block term quantizes to an integer micro
+# BEFORE the global sum, so the reduce is an exact bigint sum —
+# order-independent on any cluster. Random-classifier baseline =
+# prevalence, reported alongside.
+# Same scale posture as the AUC/gains queries: map-only scoring, one
+# content-hash window for truth, then everything on the
+# distinct-score grain (bounded by the x1e6 quantization).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "classifier_average_precision",
+    oracle=f"""
+WITH feats AS (
+    SELECT sha256(substring(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), 1, 80))
+               AS content_hash,
+           len(string_split_regex(TRIM(text), '\\s+')) AS wc,
+           LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS awl,
+           len(list_distinct(string_split_regex(TRIM(text), '\\s+'))) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS dwr
+    FROM documents
+    WHERE text IS NOT NULL
+),
+scored AS (
+    SELECT content_hash,
+           CAST(FLOOR(1.0 / (1.0 + exp(-({_QC_W0} + {_QC_W_WC} * wc
+                + {_QC_W_AWL} * awl + {_QC_W_DWR} * dwr)))
+                * 1000000 + 0.5) AS BIGINT) AS sq
+    FROM feats
+),
+labeled AS (
+    SELECT sq,
+           CASE WHEN COUNT(*) OVER (PARTITION BY content_hash) >= 2
+                THEN 1 ELSE 0 END AS pos
+    FROM scored
+),
+grp AS (
+    SELECT sq, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(pos) AS BIGINT) AS npos
+    FROM labeled GROUP BY 1
+),
+cum AS (
+    SELECT sq, cnt, npos,
+           CAST(SUM(cnt) OVER (ORDER BY sq DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_all,
+           CAST(SUM(npos) OVER (ORDER BY sq DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tp
+    FROM grp
+),
+s AS (
+    SELECT CAST(SUM(CAST(FLOOR(
+               npos * cum_tp * 1000000.0 / cum_all + 0.5) AS BIGINT))
+               AS BIGINT) AS ap_num,
+           CAST(SUM(npos) AS BIGINT) AS n1,
+           CAST(SUM(cnt - npos) AS BIGINT) AS n0
+    FROM cum
+)
+SELECT n1 AS n_dups, n0 AS n_uniques,
+       CASE WHEN n1 > 0 THEN
+           {sql_dround("ap_num * 1.0 / n1 / 1000000.0", 6)}
+       END AS average_precision,
+       CASE WHEN n1 + n0 > 0 THEN
+           {sql_dround("n1 * 1.0 / (n1 + n0)", 6)}
+       END AS random_baseline
+FROM s
+""",
+)
+def classifier_average_precision(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tie-exact step-form AP of the logistic score vs dup truth."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ws = T.words("text")
+    wc = F.size(ws)
+    awl = (
+        F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+        * 1.0
+        / F.size(ws)
+    )
+    dwr = F.size(F.array_distinct(ws)) * 1.0 / F.size(ws)
+    z = (
+        F.lit(_QC_W0)
+        + F.lit(_QC_W_WC) * wc
+        + F.lit(_QC_W_AWL) * awl
+        + F.lit(_QC_W_DWR) * dwr
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        F.sha2(F.substring(norm, 1, 80), 256).alias("content_hash"),
+        F.floor(1.0 / (1.0 + F.exp(-z)) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("sq"),
+    )
+    wdup = Window.partitionBy("content_hash")
+    labeled = scored.select(
+        "sq",
+        F.when(F.count("*").over(wdup) >= 2, 1).otherwise(0).alias("pos"),
+    )
+    grp = labeled.groupBy("sq").agg(
+        F.count("*").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("npos"),
+    )
+    wcum = Window.orderBy(F.desc("sq")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = grp.select(
+        "cnt",
+        "npos",
+        F.sum("cnt").over(wcum).cast("bigint").alias("cum_all"),
+        F.sum("npos").over(wcum).cast("bigint").alias("cum_tp"),
+    )
+    s = cum.agg(
+        F.sum(
+            F.floor(
+                F.col("npos")
+                * F.col("cum_tp")
+                * 1000000.0
+                / F.col("cum_all")
+                + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("ap_num"),
+        F.sum("npos").cast("bigint").alias("n1"),
+        F.sum(F.col("cnt") - F.col("npos")).cast("bigint").alias("n0"),
+    )
+    return s.select(
+        F.col("n1").alias("n_dups"),
+        F.col("n0").alias("n_uniques"),
+        F.when(
+            F.col("n1") > 0,
+            dround(
+                F.col("ap_num") * 1.0 / F.col("n1") / 1000000.0, 6
+            ),
+        ).alias("average_precision"),
+        F.when(
+            (F.col("n1") + F.col("n0")) > 0,
+            dround(
+                F.col("n1") * 1.0 / (F.col("n1") + F.col("n0")), 6
+            ),
+        ).alias("random_baseline"),
+    )

@@ -5210,3 +5210,190 @@ def attribution_model_comparison(
         dround(F.sum("lin_q") / 1000000.0, 4).alias("linear_credit"),
         dround(F.sum("pos_q") / 1000000.0, 4).alias("position_credit"),
     )
+
+
+# --------------------------------------------------------------------------
+# Croston intermittent-demand backtest (Croston 1972): TPC-H part
+# demand is the classic intermittent series — each part ships on ~30
+# scattered days across 7 years. Croston maintains TWO EWMAs updated
+# only on demand occurrences: z (nonzero demand size) and p
+# (inter-demand interval in days); the demand-rate forecast is z/p.
+# Like holt_smoothing_backtest, both EWMAs are the dyadic
+# prior-8-occurrence form (exact integer lag-window sums, x1e6
+# quantized once), so the whole recursion replays with zero iterative
+# float state, bit-identical on any cluster topology. Scored
+# one-occurrence-ahead against the naive last-rate forecast
+# (size_{i-1}/gap_{i-1}), per brand.
+#
+# Scale: (part, occurrence)-grain windows partition per part —
+# thousands of tiny ordered partitions, no global sort; the brand
+# rollup is one broadcast dim join + groupBy. The reference has no
+# forecasting at all; this extends its ops-analytics surface
+# (SURVEY §2.12 family).
+# --------------------------------------------------------------------------
+
+_CR_NUMZ, _CR_DENZ = _dyadic_terms("size")
+_CR_NUMP, _CR_DENP = _dyadic_terms("gap")
+
+
+@query(
+    "croston_intermittent_backtest",
+    oracle=f"""
+WITH occ AS (
+    SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) AS d,
+           CAST(FLOOR(SUM(l_quantity) + 0.5) AS BIGINT) AS size
+    FROM lineitem WHERE l_shipdate IS NOT NULL
+    GROUP BY 1, 2
+),
+gapped AS (
+    SELECT pk, d, size,
+           CAST(d - LAG(d, 1) OVER w AS BIGINT) AS gap
+    FROM occ
+    WINDOW w AS (PARTITION BY pk ORDER BY d)
+),
+ewma AS (
+    SELECT pk, d, size, gap,
+           {_CR_NUMZ} AS numz, {_CR_DENZ} AS denz,
+           {_CR_NUMP} AS nump, {_CR_DENP} AS denp,
+           LAG(size, 1) OVER w AS prev_size,
+           LAG(gap, 1) OVER w AS prev_gap
+    FROM gapped
+    WINDOW w AS (PARTITION BY pk ORDER BY d)
+),
+scored AS (
+    SELECT pk, size, gap,
+           CAST(FLOOR(
+               CAST(FLOOR(numz * 1000000.0 / denz + 0.5) AS BIGINT)
+               * 1000000.0
+               / CAST(FLOOR(nump * 1000000.0 / denp + 0.5) AS BIGINT)
+               + 0.5) AS BIGINT) AS fq,
+           CAST(FLOOR(size * 1000000.0 / gap + 0.5) AS BIGINT)
+               AS actual_q,
+           CAST(FLOOR(prev_size * 1000000.0 / prev_gap + 0.5) AS BIGINT)
+               AS naive_q
+    FROM ewma
+    WHERE denz = {_H_FULL} AND denp = {_H_FULL}
+      AND gap > 0 AND prev_gap > 0 AND prev_size IS NOT NULL
+),
+j AS (
+    SELECT p.p_brand AS brand, s.* FROM scored s
+    JOIN part p ON s.pk = p.p_partkey
+)
+SELECT brand,
+       CAST(COUNT(*) AS BIGINT) AS n_scored,
+       {sql_dround(
+           "CAST(SUM(ABS(fq - actual_q)) AS BIGINT) * 1.0"
+           " / COUNT(*) / 1000000.0", 6)} AS croston_mae,
+       {sql_dround(
+           "CAST(SUM(ABS(naive_q - actual_q)) AS BIGINT) * 1.0"
+           " / COUNT(*) / 1000000.0", 6)} AS naive_mae,
+       CASE WHEN SUM(ABS(naive_q - actual_q)) > 0 THEN
+           {sql_dround(
+               "1.0 - CAST(SUM(ABS(fq - actual_q)) AS BIGINT) * 1.0"
+               " / CAST(SUM(ABS(naive_q - actual_q)) AS BIGINT)", 6)}
+       END AS mae_improvement
+FROM j
+GROUP BY 1
+""",
+)
+def croston_intermittent_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-brand Croston demand-rate backtest vs naive last-rate.
+
+    The forecast at occurrence i uses occurrences 1..i-1 only (both
+    EWMAs are prior-window lag sums), so the backtest is honest.
+    """
+    from pyspark.sql.window import Window
+
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    li, part = t["lineitem"], t["part"]
+    occ = (
+        li.filter(F.col("l_shipdate").isNotNull())
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.to_date("l_shipdate").alias("d"),
+        )
+        .agg(
+            F.floor(F.sum("l_quantity") + 0.5)
+            .cast("bigint")
+            .alias("size")
+        )
+    )
+    w = Window.partitionBy("pk").orderBy("d")
+    gapped = occ.withColumn(
+        "gap", F.datediff(F.col("d"), F.lag("d", 1).over(w)).cast("bigint")
+    )
+
+    def dyadic(col: str):
+        num = None
+        den = None
+        for k in range(1, _EWMA_LAGS + 1):
+            wt = 1 << (_EWMA_LAGS - k)
+            lagk = F.lag(col, k).over(w)
+            num_t = F.coalesce(lagk, F.lit(0)) * wt
+            den_t = F.when(lagk.isNull(), 0).otherwise(wt)
+            num = num_t if num is None else num + num_t
+            den = den_t if den is None else den + den_t
+        return num, den
+
+    numz, denz = dyadic("size")
+    nump, denp = dyadic("gap")
+    ewma = gapped.select(
+        "pk",
+        "size",
+        "gap",
+        numz.alias("numz"),
+        denz.alias("denz"),
+        nump.alias("nump"),
+        denp.alias("denp"),
+        F.lag("size", 1).over(w).alias("prev_size"),
+        F.lag("gap", 1).over(w).alias("prev_gap"),
+    )
+    q = lambda num, den: F.floor(  # noqa: E731
+        num * 1000000.0 / den + 0.5
+    ).cast("bigint")
+    scored = ewma.filter(
+        (F.col("denz") == _H_FULL)
+        & (F.col("denp") == _H_FULL)
+        & (F.col("gap") > 0)
+        & (F.col("prev_gap") > 0)
+        & F.col("prev_size").isNotNull()
+    ).select(
+        "pk",
+        "size",
+        "gap",
+        F.floor(
+            q(F.col("numz"), F.col("denz"))
+            * 1000000.0
+            / q(F.col("nump"), F.col("denp"))
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("fq"),
+        q(F.col("size"), F.col("gap")).alias("actual_q"),
+        q(F.col("prev_size"), F.col("prev_gap")).alias("naive_q"),
+    )
+    j = scored.join(
+        F.broadcast(
+            part.select(
+                F.col("p_partkey").alias("pk"),
+                F.col("p_brand").alias("brand"),
+            )
+        ),
+        "pk",
+    )
+    cr_err = F.sum(F.abs(F.col("fq") - F.col("actual_q")))
+    nv_err = F.sum(F.abs(F.col("naive_q") - F.col("actual_q")))
+    return j.groupBy("brand").agg(
+        F.count("*").alias("n_scored"),
+        dround(cr_err * 1.0 / F.count("*") / 1000000.0, 6).alias(
+            "croston_mae"
+        ),
+        dround(nv_err * 1.0 / F.count("*") / 1000000.0, 6).alias(
+            "naive_mae"
+        ),
+        F.when(
+            nv_err > 0, dround(1.0 - cr_err * 1.0 / nv_err, 6)
+        ).alias("mae_improvement"),
+    )
