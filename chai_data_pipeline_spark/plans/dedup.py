@@ -2546,3 +2546,121 @@ def decontaminate_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _span_report(
         corpus.join(per_doc, "doc_id", "left"), "source"
     )
+
+
+# --------------------------------------------------------------------------
+# Leave-one-out source impact on duplicate mass — the data-valuation
+# question a mixture owner asks before dropping a crawl source: how
+# many duplicate pairs would disappear if source s were removed?
+# Exact per-source answer from the (cluster, source) grain alone:
+# pairs_touched(s) = Σ_clusters [C(n,2) − C(n−n_s,2)] needs only each
+# cluster's total n and its per-source count n_s — never the pairs
+# themselves. Doubled-pair arithmetic (n(n−1) terms, always even)
+# keeps everything in exact bigints with one FLOOR(x/2.0) at the end
+# (never integer division — CLAUDE.md truncate-vs-round pitfall).
+# Dup truth is the established prefix-80 content hash (the corpus has
+# no full-text exact dups since the r8 regeneration).
+# Scale: one hash-grain groupBy + one (hash, source) groupBy, both
+# map-combinable; output is source-cardinality.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_loo_source_impact",
+    oracle=f"""
+WITH h AS (
+    SELECT doc_id, source,
+           sha256(substring(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), 1, 80))
+               AS ch
+    FROM documents WHERE text IS NOT NULL
+),
+cl AS (
+    SELECT ch, CAST(COUNT(*) AS BIGINT) AS n
+    FROM h GROUP BY 1 HAVING COUNT(*) >= 2
+),
+tot AS (SELECT CAST(SUM(n * (n - 1)) AS BIGINT) AS total2 FROM cl),
+per_src AS (
+    SELECT h.source, h.ch, CAST(COUNT(*) AS BIGINT) AS ns
+    FROM h JOIN cl ON h.ch = cl.ch
+    GROUP BY 1, 2
+),
+impact AS (
+    SELECT p.source,
+           CAST(SUM(p.ns) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(cl.n * (cl.n - 1)
+                - (cl.n - p.ns) * (cl.n - p.ns - 1)) AS BIGINT) AS p2
+    FROM per_src p JOIN cl ON p.ch = cl.ch
+    GROUP BY 1
+),
+srcs AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM h GROUP BY 1
+)
+SELECT s.source, s.n_docs,
+       CAST(COALESCE(i.n_dup_docs, 0) AS BIGINT) AS n_dup_docs,
+       CAST(FLOOR(COALESCE(i.p2, 0) / 2.0) AS BIGINT) AS pairs_touched,
+       CASE WHEN t.total2 > 0 THEN
+           {sql_dround("COALESCE(i.p2, 0) * 1.0 / t.total2", 6)}
+       END AS pair_share
+FROM srcs s LEFT JOIN impact i ON s.source = i.source
+CROSS JOIN tot t
+""",
+)
+def dedup_loo_source_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source leave-one-out duplicate-pair impact."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    h = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id",
+        "source",
+        F.sha2(F.substring(norm, 1, 80), 256).alias("ch"),
+    )
+    cl = (
+        h.groupBy("ch")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    tot = cl.agg(
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("bigint").alias("total2")
+    )
+    per_src = (
+        h.join(cl, "ch")
+        .groupBy("source", "ch", "n")
+        .agg(F.count("*").cast("bigint").alias("ns"))
+    )
+    impact = per_src.groupBy("source").agg(
+        F.sum("ns").cast("bigint").alias("n_dup_docs"),
+        F.sum(
+            F.col("n") * (F.col("n") - 1)
+            - (F.col("n") - F.col("ns"))
+            * (F.col("n") - F.col("ns") - 1)
+        )
+        .cast("bigint")
+        .alias("p2"),
+    )
+    srcs = h.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        srcs.join(F.broadcast(impact), "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_dup_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.floor(F.coalesce(F.col("p2"), F.lit(0)) / 2.0)
+            .cast("bigint")
+            .alias("pairs_touched"),
+            F.when(
+                F.col("total2") > 0,
+                dround(
+                    F.coalesce(F.col("p2"), F.lit(0))
+                    * 1.0
+                    / F.col("total2"),
+                    6,
+                ),
+            ).alias("pair_share"),
+        )
+    )

@@ -784,3 +784,198 @@ def graph_reciprocity_assortativity(
             ),
         ).alias("degree_assortativity"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (coreness capped at 3) of the mean-thresholded
+# trade backbone — the remaining canonical whole-graph operator, and
+# the repo's first ITERATE-UNTIL-CONVERGENCE entry (PageRank/LPA/HITS
+# all run fixed supersteps): peeling repeatedly deletes nodes of
+# degree < k until a fixpoint. Convergence is provable, not assumed:
+# every non-fixpoint round removes >= 1 node, so |V| rounds suffice —
+# the oracle unrolls exactly _KC_ITERS = 25 rounds (the pinned
+# TPC-H nation cardinality), while the Spark side early-exits on the
+# first round that removes nothing (the production shape: a driver
+# loop whose per-round state is ONE integer count — never O(data))
+# and provably lands on the same fixpoint. Entirely integer — no
+# quantization protocol needed.
+# Scale: the edge build is the one full-scan stage; each peel round
+# is a membership semi-join + degree agg over the bounded backbone
+# edge list with the shrinking node set broadcast.
+# --------------------------------------------------------------------------
+
+_KC_ITERS = 25  # = nation cardinality: guaranteed past the fixpoint
+
+_BACKBONE_SQL = """
+edges0 AS (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+),
+dir AS (SELECT src, dst, CAST(w AS BIGINT) AS w FROM edges0 WHERE src <> dst),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_e, CAST(SUM(w) AS BIGINT) AS w_t
+    FROM dir
+),
+und AS MATERIALIZED (
+    -- 2x-mean cut (vs the 1x reciprocity backbone): peeling needs a
+    -- non-trivial fringe; at 1x the sf0.01 backbone is dense enough
+    -- that every node sits in the 3-core (a constant output column)
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM dir, tot WHERE dir.w * tot.n_e > 2 * tot.w_t
+    GROUP BY 1, 2
+)"""
+
+
+def _kcore_peel_sql(k: int) -> str:
+    """Unrolled peel rounds s{k}_0 .. s{k}_{_KC_ITERS}.
+
+    Every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and a
+    chain where each round references the previous twice would expand
+    exponentially (and re-open the parquet per reference — observed
+    as "Too many open files" at 25 rounds)."""
+    parts = [
+        f"""
+s{k}_0 AS MATERIALIZED (
+    SELECT a AS n FROM und UNION SELECT b FROM und
+)"""
+    ]
+    for i in range(1, _KC_ITERS + 1):
+        p = i - 1
+        parts.append(f"""
+s{k}_{i} AS MATERIALIZED (
+    SELECT n FROM (
+        SELECT x.n, COUNT(*) AS d FROM (
+            SELECT u.a AS n, u.b AS m FROM und u
+            UNION ALL SELECT u.b, u.a FROM und u
+        ) x
+        JOIN s{k}_{p} sa ON x.n = sa.n
+        JOIN s{k}_{p} sb ON x.m = sb.n
+        GROUP BY 1
+    ) WHERE d >= {k}
+)""")
+    return ",".join(parts)
+
+
+@query(
+    "kcore_trade_backbone",
+    oracle=f"""
+WITH {_BACKBONE_SQL.lstrip()},
+{_kcore_peel_sql(2).lstrip()},
+{_kcore_peel_sql(3).lstrip()},
+deg AS (
+    SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS n FROM und UNION ALL SELECT b FROM und
+    ) GROUP BY 1
+)
+SELECT na.n_name AS nation,
+       CAST(COALESCE(deg.d, 0) AS BIGINT) AS backbone_degree,
+       CAST(CASE WHEN s3.n IS NOT NULL THEN 3
+                 WHEN s2.n IS NOT NULL THEN 2
+                 WHEN deg.n IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS coreness_capped
+FROM nation na
+LEFT JOIN deg ON deg.n = na.n_nationkey
+LEFT JOIN s2_{_KC_ITERS} s2 ON s2.n = na.n_nationkey
+LEFT JOIN s3_{_KC_ITERS} s3 ON s3.n = na.n_nationkey
+""",
+)
+def kcore_trade_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coreness (capped at 3) via fixpoint peeling on the backbone."""
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier",
+        "nation",
+    )
+    edges0 = (
+        t["lineitem"]
+        .join(
+            t["orders"],
+            t["lineitem"].l_orderkey == t["orders"].o_orderkey,
+        )
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    dir_e = edges0.filter(F.col("src") != F.col("dst"))
+    tot = dir_e.agg(
+        F.count("*").cast("bigint").alias("n_e"),
+        F.sum("w").cast("bigint").alias("w_t"),
+    )
+    und = (
+        dir_e.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("n_e") > 2 * F.col("w_t"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.lit(1).alias("_one"))
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    stubs = und.select(
+        F.col("a").alias("n"), F.col("b").alias("m")
+    ).unionAll(und.select(F.col("b").alias("n"), F.col("a").alias("m")))
+
+    def peel(k: int):
+        cur = und.select(F.col("a").alias("n")).unionAll(
+            und.select(F.col("b").alias("n"))
+        ).distinct().localCheckpoint(eager=True)
+        prev = cur.count()  # O(1) driver state per round, never O(data)
+        for _ in range(_KC_ITERS):
+            nxt = (
+                stubs.join(F.broadcast(cur), "n")
+                .join(
+                    F.broadcast(cur.withColumnRenamed("n", "m")), "m"
+                )
+                .groupBy("n")
+                .agg(F.count("*").alias("d"))
+                .filter(F.col("d") >= k)
+                .select("n")
+                .localCheckpoint(eager=True)
+            )
+            c = nxt.count()
+            cur = nxt
+            if c == prev:  # fixpoint: nothing removed this round
+                break
+            prev = c
+        return cur
+
+    core2 = peel(2).withColumn("c2", F.lit(1))
+    core3 = peel(3).withColumn("c3", F.lit(1))
+    deg = stubs.groupBy("n").agg(F.count("*").cast("bigint").alias("d"))
+    return (
+        t["nation"]
+        .select(
+            F.col("n_nationkey").cast("bigint").alias("n"),
+            F.col("n_name").alias("nation"),
+        )
+        .join(F.broadcast(deg), "n", "left")
+        .join(F.broadcast(core2), "n", "left")
+        .join(F.broadcast(core3), "n", "left")
+        .select(
+            "nation",
+            F.coalesce(F.col("d"), F.lit(0))
+            .cast("bigint")
+            .alias("backbone_degree"),
+            F.when(F.col("c3").isNotNull(), 3)
+            .when(F.col("c2").isNotNull(), 2)
+            .when(F.col("d").isNotNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("coreness_capped"),
+        )
+    )
