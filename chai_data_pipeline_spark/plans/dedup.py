@@ -2664,3 +2664,218 @@ def dedup_loo_source_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fellegi–Sunter record-linkage weights, one exact EM step (Fellegi &
+# Sunter 1969; Winkler's EM estimation): over the blocked customer
+# candidate pairs (same nation + name-length bucket — the
+# dedup_fuzzy_names blocking), build the 3-field agreement vector
+# (name edit distance <= 2, segment equal, balance within $100),
+# reduce the pair space to its 2^3 agreement-PATTERN counts, and run
+# ONE EM step from the canonical init (p=0.05, m=0.9, u=0.1):
+# E-step match posteriors are per-PATTERN scalar expressions (a fixed
+# IEEE sequence, quantized x1e6 once), the M-step is an integer-
+# weighted sum over 8 pattern rows — so the whole iteration is exact
+# and engine-identical without any iterative float state. Output: per
+# field the re-estimated m/u and the log2 agreement/disagreement
+# weights a production linker would threshold on.
+# Scale: blocking bounds the pair space (the dedup_fuzzy_names
+# posture); the pattern reduce is map-combinable to 8 rows, and EM
+# runs on those 8 rows — more iterations cost nothing extra per row
+# of data.
+# --------------------------------------------------------------------------
+
+_FS_P0, _FS_M0, _FS_U0 = 0.05, 0.9, 0.1
+
+
+def _fs_d(v: float) -> str:
+    """DOUBLE literal for DuckDB (bare decimals parse as DECIMAL and
+    chained likelihood products escalate past scale 38); repr() emits
+    the exact shortest-roundtrip form, so both engines compute on the
+    bit-identical double F.lit(v) ships."""
+    return f"({v!r}::DOUBLE)"
+
+
+def _fs_field_sql(field: str, g: str) -> str:
+    return f"""
+SELECT '{field}' AS field,
+       CAST(SUM(CASE WHEN {g} THEN wq * cnt ELSE 0 END) AS BIGINT) AS aw,
+       CAST(SUM(wq * cnt) AS BIGINT) AS tw,
+       CAST(SUM(CASE WHEN {g} THEN (1000000 - wq) * cnt ELSE 0 END)
+           AS BIGINT) AS au,
+       CAST(SUM((1000000 - wq) * cnt) AS BIGINT) AS tu
+FROM pat"""
+
+
+@query(
+    "fellegi_sunter_em_weights",
+    oracle=f"""
+WITH c AS (
+    SELECT c_custkey, c_nationkey, c_name,
+           LENGTH(c_name) // 4 AS lb,
+           c_mktsegment AS seg,
+           CASE WHEN c_acctbal IS NOT NULL THEN
+               CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) END AS bal
+    FROM customer
+),
+pairs AS (
+    SELECT (levenshtein(a.c_name, b.c_name) <= 2) AS g_name,
+           (a.seg IS NOT DISTINCT FROM b.seg
+            AND a.seg IS NOT NULL) AS g_seg,
+           (a.bal IS NOT NULL AND b.bal IS NOT NULL
+            AND ABS(a.bal - b.bal) <= 10000) AS g_bal
+    FROM c a JOIN c b
+      ON a.c_nationkey = b.c_nationkey AND a.lb = b.lb
+     AND a.c_custkey < b.c_custkey
+),
+pat AS MATERIALIZED (
+    SELECT g_name, g_seg, g_bal, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(FLOOR(
+               ({_fs_d(_FS_P0)} * (CASE WHEN g_name THEN {_fs_d(_FS_M0)} ELSE {_fs_d(1 - _FS_M0)} END)
+                          * (CASE WHEN g_seg  THEN {_fs_d(_FS_M0)} ELSE {_fs_d(1 - _FS_M0)} END)
+                          * (CASE WHEN g_bal  THEN {_fs_d(_FS_M0)} ELSE {_fs_d(1 - _FS_M0)} END))
+               / ({_fs_d(_FS_P0)} * (CASE WHEN g_name THEN {_fs_d(_FS_M0)} ELSE {_fs_d(1 - _FS_M0)} END)
+                           * (CASE WHEN g_seg  THEN {_fs_d(_FS_M0)} ELSE {_fs_d(1 - _FS_M0)} END)
+                           * (CASE WHEN g_bal  THEN {_fs_d(_FS_M0)} ELSE {_fs_d(1 - _FS_M0)} END)
+                  + {_fs_d(1 - _FS_P0)}
+                           * (CASE WHEN g_name THEN {_fs_d(_FS_U0)} ELSE {_fs_d(1 - _FS_U0)} END)
+                           * (CASE WHEN g_seg  THEN {_fs_d(_FS_U0)} ELSE {_fs_d(1 - _FS_U0)} END)
+                           * (CASE WHEN g_bal  THEN {_fs_d(_FS_U0)} ELSE {_fs_d(1 - _FS_U0)} END))
+               * 1000000 + 0.5) AS BIGINT) AS wq
+    FROM pairs GROUP BY 1, 2, 3
+),
+fields AS (
+    {_fs_field_sql("name_edit2", "g_name")}
+    UNION ALL {_fs_field_sql("segment_eq", "g_seg")}
+    UNION ALL {_fs_field_sql("balance_100", "g_bal")}
+),
+est AS (
+    SELECT field,
+           CASE WHEN tw > 0 THEN
+               {sql_dround("aw * 1.0 / tw", 6)} END AS m1,
+           CASE WHEN tu > 0 THEN
+               {sql_dround("au * 1.0 / tu", 6)} END AS u1
+    FROM fields
+)
+SELECT field, m1, u1,
+       CASE WHEN u1 > 0 AND m1 > 0 THEN
+           {sql_dround("log2(m1 / u1)", 6)} END AS w_agree,
+       CASE WHEN m1 < 1 AND u1 < 1 THEN
+           {sql_dround("log2((1.0 - m1) / (1.0 - u1))", 6)}
+       END AS w_disagree
+FROM est
+""",
+)
+def fellegi_sunter_em_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """One exact EM step of Fellegi–Sunter m/u over blocked pairs."""
+    cust = load_tables(spark, sf_dir, "customer")["customer"]
+    c = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_name",
+        (F.length("c_name") / 4).cast("long").alias("lb"),
+        F.col("c_mktsegment").alias("seg"),
+        F.when(
+            F.col("c_acctbal").isNotNull(),
+            F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint"),
+        ).alias("bal"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.lb") == F.col("b.lb"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        (
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2
+        ).alias("g_name"),
+        (
+            F.col("a.seg").eqNullSafe(F.col("b.seg"))
+            & F.col("a.seg").isNotNull()
+        ).alias("g_seg"),
+        (
+            F.col("a.bal").isNotNull()
+            & F.col("b.bal").isNotNull()
+            & (F.abs(F.col("a.bal") - F.col("b.bal")) <= 10000)
+        ).alias("g_bal"),
+    )
+
+    def lik(g: str, v: float) -> F.Column:
+        return F.when(F.col(g), F.lit(v)).otherwise(F.lit(1 - v))
+
+    num = (
+        F.lit(_FS_P0)
+        * lik("g_name", _FS_M0)
+        * lik("g_seg", _FS_M0)
+        * lik("g_bal", _FS_M0)
+    )
+    den = num + F.lit(1 - _FS_P0) * lik("g_name", _FS_U0) * lik(
+        "g_seg", _FS_U0
+    ) * lik("g_bal", _FS_U0)
+    pat = (
+        pairs.groupBy("g_name", "g_seg", "g_bal")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn(
+            "wq",
+            F.floor(num / den * 1000000 + 0.5).cast("bigint"),
+        )
+    )
+    parts = []
+    for field, g in (
+        ("name_edit2", "g_name"),
+        ("segment_eq", "g_seg"),
+        ("balance_100", "g_bal"),
+    ):
+        gc = F.col(g)
+        parts.append(
+            pat.agg(
+                F.lit(field).alias("field"),
+                F.sum(F.when(gc, F.col("wq") * F.col("cnt")).otherwise(0))
+                .cast("bigint")
+                .alias("aw"),
+                F.sum(F.col("wq") * F.col("cnt"))
+                .cast("bigint")
+                .alias("tw"),
+                F.sum(
+                    F.when(
+                        gc, (1000000 - F.col("wq")) * F.col("cnt")
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("au"),
+                F.sum((1000000 - F.col("wq")) * F.col("cnt"))
+                .cast("bigint")
+                .alias("tu"),
+            )
+        )
+    fields = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    est = fields.select(
+        "field",
+        F.when(
+            F.col("tw") > 0,
+            dround(F.col("aw") * 1.0 / F.col("tw"), 6),
+        ).alias("m1"),
+        F.when(
+            F.col("tu") > 0,
+            dround(F.col("au") * 1.0 / F.col("tu"), 6),
+        ).alias("u1"),
+    )
+    return est.select(
+        "field",
+        "m1",
+        "u1",
+        F.when(
+            (F.col("u1") > 0) & (F.col("m1") > 0),
+            dround(F.log2(F.col("m1") / F.col("u1")), 6),
+        ).alias("w_agree"),
+        F.when(
+            (F.col("m1") < 1) & (F.col("u1") < 1),
+            dround(
+                F.log2((1.0 - F.col("m1")) / (1.0 - F.col("u1"))), 6
+            ),
+        ).alias("w_disagree"),
+    )
