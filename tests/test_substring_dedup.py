@@ -159,3 +159,33 @@ FROM marked GROUP BY 1
         assert row["tokens_total"] == total, source
         assert row["tokens_dropped"] == dropped, source
         assert row["tokens_kept"] == total - dropped, source
+
+
+def test_coalesce_span_token_mass_edge_cases(spark):
+    """Unit edge cases for the shared gaps-and-islands operator:
+    overlap, containment, adjacency (NOT merged — separate islands
+    still sum correctly), duplicates-free multi-doc isolation."""
+    from chai_data_pipeline_spark.operators.dedup import (
+        coalesce_span_token_mass,
+    )
+
+    spans = spark.createDataFrame(
+        [
+            # doc 1: [1,5] + [3,8] overlap -> union [1,8] = 8 tokens
+            (1, 1, 5),
+            (1, 3, 8),
+            # doc 1: [9,12] adjacent to [1,8] -> own island, 4 tokens
+            (1, 9, 12),
+            # doc 2: [2,10] contains [4,6] -> union [2,10] = 9 tokens
+            (2, 2, 10),
+            (2, 4, 6),
+            # doc 3: single span
+            (3, 7, 14),
+        ],
+        "doc_id long, s long, e long",
+    )
+    got = {
+        r["doc_id"]: (r["dropped"], r["n_spans"])
+        for r in coalesce_span_token_mass(spans).collect()
+    }
+    assert got == {1: (12, 2), 2: (9, 1), 3: (8, 1)}
