@@ -5397,3 +5397,316 @@ def croston_intermittent_backtest(
             nv_err > 0, dround(1.0 - cr_err * 1.0 / nv_err, 6)
         ).alias("mae_improvement"),
     )
+
+
+# --------------------------------------------------------------------------
+# windowFunnel with timeout (ClickHouse semantics): max sequential
+# funnel depth view -> click -> purchase where EVERY view occurrence
+# is a potential anchor and the whole chain must land within 86400 s
+# of its anchor — unlike funnel_conversion's first-occurrence chain,
+# this is the product-analytics definition that doesn't punish a user
+# whose first view went nowhere. Greedy-earliest per anchor (min
+# click after the anchor, min purchase after that click) maximizes
+# reachable depth, so MAX over anchors is exact. Depth histogram over
+# ALL active users (depth 0 = active but never viewed).
+# Scale: two per-user time-range joins, each bounded by
+# events-per-user² within a user key (never cross-user); AQE
+# skew-split handles hot users; the rollup is depth-cardinality.
+# --------------------------------------------------------------------------
+
+_WF_TIMEOUT_S = 86400
+
+
+@query(
+    "windowfunnel_timeout_depths",
+    oracle=f"""
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+anchor2 AS (
+    SELECT v.user_id, v.ts AS t1, MIN(c.ts) AS t2
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+       AND c.ts > v.ts
+       AND c.ts <= v.ts + INTERVAL {_WF_TIMEOUT_S} SECONDS
+    GROUP BY 1, 2
+),
+anchor3 AS (
+    SELECT a.user_id, a.t1, a.t2, MIN(p.ts) AS t3
+    FROM anchor2 a LEFT JOIN p ON p.user_id = a.user_id
+       AND a.t2 IS NOT NULL AND p.ts > a.t2
+       AND p.ts <= a.t1 + INTERVAL {_WF_TIMEOUT_S} SECONDS
+    GROUP BY 1, 2, 3
+),
+funnel AS (
+    SELECT user_id,
+           MAX(CASE WHEN t3 IS NOT NULL THEN 3
+                    WHEN t2 IS NOT NULL THEN 2
+                    ELSE 1 END) AS depth
+    FROM anchor3 GROUP BY 1
+),
+all_users AS (SELECT DISTINCT user_id FROM events),
+per_user AS (
+    SELECT u.user_id, COALESCE(f.depth, 0) AS depth
+    FROM all_users u LEFT JOIN funnel f ON u.user_id = f.user_id
+)
+SELECT CAST(depth AS INTEGER) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM per_user GROUP BY 1
+""",
+)
+def windowfunnel_timeout_depths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ClickHouse-style windowFunnel depth histogram (86400 s window)."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    v = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts"
+    )
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    deadline = F.col("ts") + F.expr(
+        f"INTERVAL {_WF_TIMEOUT_S} SECONDS"
+    )
+    anchor2 = (
+        v.join(
+            c,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("cts") > F.col("ts"))
+            & (F.col("cts") <= deadline),
+            "left",
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.min("cts").alias("t2"))
+    )
+    anchor3 = (
+        anchor2.join(
+            p,
+            (F.col("pu") == F.col("user_id"))
+            & F.col("t2").isNotNull()
+            & (F.col("pts") > F.col("t2"))
+            & (
+                F.col("pts")
+                <= F.col("ts") + F.expr(f"INTERVAL {_WF_TIMEOUT_S} SECONDS")
+            ),
+            "left",
+        )
+        .groupBy("user_id", "ts", "t2")
+        .agg(F.min("pts").alias("t3"))
+    )
+    funnel = anchor3.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+        ).alias("depth")
+    )
+    all_users = events.select("user_id").distinct()
+    return (
+        all_users.join(funnel, "user_id", "left")
+        .select(F.coalesce(F.col("depth"), F.lit(0)).alias("depth"))
+        .groupBy(F.col("depth").cast("int").alias("depth"))
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Hurst exponent via rescaled-range (R/S) analysis (Hurst 1951;
+# Mandelbrot & Wallis): long-memory estimate of the per-type daily
+# event series from non-overlapping windows of 7 and 14 days.
+# Everything before the final logs is exact integer arithmetic: the
+# cumulative deviation is cleared of the mean division
+# (D_t = w·P_t − t·S1, exact bigint), so R/S = (maxD − minD) /
+# sqrt(w·S2 − S1²) is one sqrt + one division per window, quantized
+# x1e6; per-size means are rationals of integers and the Hurst slope
+# collapses to ln(m14/m7)/ln 2 on those exact integers. H ≈ 0.5 =
+# memoryless, > 0.5 = persistent (trending) load — the capacity-
+# planning statistic beside autocorrelation_daily and
+# dispersion_index_daily.
+# Scale: (type, day)-grain reduce + per-(type, size, window) windows
+# over day-cardinality partitions; the broadcast spine is the
+# holt_smoothing_backtest shape.
+# --------------------------------------------------------------------------
+
+_HURST_WINDOWS = (7, 14)
+
+
+@query(
+    "hurst_rescaled_range",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM daily),
+spine AS (
+    SELECT t.event_type, CAST(g.day AS DATE) AS d
+    FROM (SELECT DISTINCT event_type FROM events) t
+    CROSS JOIN (
+        SELECT unnest(generate_series(b.dmin, b.dmax, INTERVAL 1 DAY)) AS day
+        FROM bounds b
+    ) g
+),
+filled AS (
+    SELECT s.event_type,
+           CAST(s.d - b.dmin AS BIGINT) AS i,
+           CAST(COALESCE(dy.n, 0) AS BIGINT) AS n
+    FROM spine s CROSS JOIN bounds b
+    LEFT JOIN daily dy ON dy.event_type = s.event_type AND dy.d = s.d
+),
+win AS (
+    SELECT event_type, w, CAST(FLOOR(i * 1.0 / w) AS BIGINT) AS wid, i, n
+    FROM filled
+    CROSS JOIN (SELECT unnest([{_HURST_WINDOWS[0]}, {_HURST_WINDOWS[1]}]) AS w)
+),
+pre AS (
+    SELECT event_type, w, wid, n,
+           ROW_NUMBER() OVER pw AS t,
+           SUM(n) OVER (PARTITION BY event_type, w, wid ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+           SUM(n) OVER (PARTITION BY event_type, w, wid) AS s1w
+    FROM win
+    WINDOW pw AS (PARTITION BY event_type, w, wid ORDER BY i)
+),
+stats AS (
+    SELECT event_type, w, wid,
+           CAST(COUNT(*) AS BIGINT) AS rw,
+           CAST(MAX(s1w) AS BIGINT) AS s1,
+           CAST(SUM(n * n) AS BIGINT) AS s2,
+           CAST(MAX(w * pt - t * s1w) AS BIGINT) AS dmx,
+           CAST(MIN(w * pt - t * s1w) AS BIGINT) AS dmn
+    FROM pre GROUP BY 1, 2, 3
+),
+rs AS (
+    SELECT event_type, w,
+           CAST(FLOOR((dmx - dmn) * 1000000.0
+               / sqrt(w * s2 - s1 * s1) + 0.5) AS BIGINT) AS rsq
+    FROM stats
+    WHERE rw = w AND w * s2 - s1 * s1 > 0
+),
+m AS (
+    SELECT event_type,
+           CAST(COUNT(CASE WHEN w = 7 THEN 1 END) AS BIGINT) AS n7,
+           CAST(COUNT(CASE WHEN w = 14 THEN 1 END) AS BIGINT) AS n14,
+           CAST(FLOOR(SUM(CASE WHEN w = 7 THEN rsq END) * 1.0
+               / COUNT(CASE WHEN w = 7 THEN 1 END) + 0.5) AS BIGINT) AS m7,
+           CAST(FLOOR(SUM(CASE WHEN w = 14 THEN rsq END) * 1.0
+               / COUNT(CASE WHEN w = 14 THEN 1 END) + 0.5) AS BIGINT) AS m14
+    FROM rs GROUP BY 1
+)
+SELECT event_type, n7 AS n_windows_7, n14 AS n_windows_14,
+       {sql_dround("m7 / 1000000.0", 6)} AS mean_rs_7,
+       {sql_dround("m14 / 1000000.0", 6)} AS mean_rs_14,
+       CASE WHEN m7 > 0 AND m14 > 0 THEN
+           {sql_dround("ln(m14 * 1.0 / m7) / ln(2.0)", 6)}
+       END AS hurst
+FROM m
+""",
+)
+def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Hurst exponent from 7- vs 14-day rescaled ranges."""
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    bounds = daily.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence("dmin", "dmax")).alias("d"),
+            "dmin",
+        )
+    )
+    filled = spine.join(daily, ["event_type", "d"], "left").select(
+        "event_type",
+        F.datediff("d", "dmin").cast("bigint").alias("i"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+    )
+    sizes = spark.range(2).select(
+        F.when(F.col("id") == 0, _HURST_WINDOWS[0])
+        .otherwise(_HURST_WINDOWS[1])
+        .cast("bigint")
+        .alias("w")
+    )
+    win = filled.crossJoin(F.broadcast(sizes)).withColumn(
+        "wid", F.floor(F.col("i") * 1.0 / F.col("w")).cast("bigint")
+    )
+    pw = Window.partitionBy("event_type", "w", "wid").orderBy("i")
+    pfull = Window.partitionBy("event_type", "w", "wid")
+    pre = win.select(
+        "event_type",
+        "w",
+        "wid",
+        "n",
+        F.row_number().over(pw).alias("t"),
+        F.sum("n")
+        .over(pw.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("pt"),
+        F.sum("n").over(pfull).alias("s1w"),
+    )
+    dcol = F.col("w") * F.col("pt") - F.col("t") * F.col("s1w")
+    stats = pre.groupBy("event_type", "w", "wid").agg(
+        F.count("*").cast("bigint").alias("rw"),
+        F.max("s1w").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+        F.max(dcol).cast("bigint").alias("dmx"),
+        F.min(dcol).cast("bigint").alias("dmn"),
+    )
+    varw = F.col("w") * F.col("s2") - F.col("s1") * F.col("s1")
+    rs = stats.filter(
+        (F.col("rw") == F.col("w")) & (varw > 0)
+    ).select(
+        "event_type",
+        "w",
+        F.floor(
+            (F.col("dmx") - F.col("dmn"))
+            * 1000000.0
+            / F.sqrt(varw)
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("rsq"),
+    )
+
+    def msize(w: int):
+        cnt = F.count(F.when(F.col("w") == w, 1))
+        return (
+            cnt.cast("bigint"),
+            F.floor(
+                F.sum(F.when(F.col("w") == w, F.col("rsq"))) * 1.0 / cnt
+                + 0.5
+            ).cast("bigint"),
+        )
+
+    n7, m7 = msize(_HURST_WINDOWS[0])
+    n14, m14 = msize(_HURST_WINDOWS[1])
+    m = rs.groupBy("event_type").agg(
+        n7.alias("n7"),
+        n14.alias("n14"),
+        m7.alias("m7"),
+        m14.alias("m14"),
+    )
+    return m.select(
+        "event_type",
+        F.col("n7").alias("n_windows_7"),
+        F.col("n14").alias("n_windows_14"),
+        dround(F.col("m7") / 1000000.0, 6).alias("mean_rs_7"),
+        dround(F.col("m14") / 1000000.0, 6).alias("mean_rs_14"),
+        F.when(
+            (F.col("m7") > 0) & (F.col("m14") > 0),
+            dround(
+                F.log(F.col("m14") * 1.0 / F.col("m7")) / F.log(F.lit(2.0)),
+                6,
+            ),
+        ).alias("hurst"),
+    )
