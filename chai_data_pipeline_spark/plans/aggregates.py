@@ -4539,3 +4539,395 @@ def receivables_aging_buckets(
             / 100.0
         ).alias("balance"),
     )
+
+
+# --------------------------------------------------------------------------
+# One-way ANOVA F-test across FOUR hash-assigned arms — the multi-arm
+# generalization of welch_ttest_arms (A/B → A/B/C/D). Per-arm moments
+# (n, Σy, Σy²) are wide-integer exact in DECIMAL(38,0); the four arms
+# are pivoted onto one row so SSB/SSW/F/η² are each ONE fixed-order
+# IEEE double chain, identical on both engines (the welch discipline).
+# Degenerate inputs (an empty arm, zero within-variance) yield NULL on
+# both engines via denominator guards. y is per-user total value in
+# exact cents; F and η² are unit-invariant, the reported sums of
+# squares are rescaled to value² (/1e4).
+#
+# Scale: one groupBy(user) shuffle + one 4-row aggregate; the pivot is
+# a single-row combine. At 100 TB the per-user grouping is the only
+# data-sized stage. Reference analog: none (no experiment analytics in
+# the reference) — extends the experiment family (SRM → power → t-test
+# → CUPED/DiD → bootstrap → ANOVA).
+# --------------------------------------------------------------------------
+
+@query(
+    "anova_oneway_arms",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN {_sql_hb('user_id')} < 25 THEN 'A'
+                WHEN {_sql_hb('user_id')} < 50 THEN 'B'
+                WHEN {_sql_hb('user_id')} < 75 THEN 'C'
+                ELSE 'D' END AS arm,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+m AS (
+    SELECT arm, COUNT(*) AS n,
+           CAST(SUM(y) AS HUGEINT) AS sy,
+           CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+    FROM per_user GROUP BY 1
+),
+w AS (
+    SELECT MAX(CASE WHEN arm = 'A' THEN CAST(n AS DOUBLE) END) AS na,
+           MAX(CASE WHEN arm = 'B' THEN CAST(n AS DOUBLE) END) AS nb,
+           MAX(CASE WHEN arm = 'C' THEN CAST(n AS DOUBLE) END) AS nc,
+           MAX(CASE WHEN arm = 'D' THEN CAST(n AS DOUBLE) END) AS nd,
+           MAX(CASE WHEN arm = 'A' THEN CAST(sy AS DOUBLE) END) AS sa,
+           MAX(CASE WHEN arm = 'B' THEN CAST(sy AS DOUBLE) END) AS sb,
+           MAX(CASE WHEN arm = 'C' THEN CAST(sy AS DOUBLE) END) AS sc,
+           MAX(CASE WHEN arm = 'D' THEN CAST(sy AS DOUBLE) END) AS sd,
+           MAX(CASE WHEN arm = 'A' THEN CAST(syy AS DOUBLE) END) AS qa,
+           MAX(CASE WHEN arm = 'B' THEN CAST(syy AS DOUBLE) END) AS qb,
+           MAX(CASE WHEN arm = 'C' THEN CAST(syy AS DOUBLE) END) AS qc,
+           MAX(CASE WHEN arm = 'D' THEN CAST(syy AS DOUBLE) END) AS qd
+    FROM m
+),
+v AS (
+    SELECT na + nb + nc + nd AS n,
+           sa + sb + sc + sd AS s,
+           (qa - sa * sa / na) + (qb - sb * sb / nb)
+               + (qc - sc * sc / nc) + (qd - sd * sd / nd) AS ssw,
+           na, nb, nc, nd, sa, sb, sc, sd
+    FROM w
+),
+v2 AS (
+    SELECT n, ssw,
+           na * (sa / na - s / n) * (sa / na - s / n)
+               + nb * (sb / nb - s / n) * (sb / nb - s / n)
+               + nc * (sc / nc - s / n) * (sc / nc - s / n)
+               + nd * (sd / nd - s / n) * (sd / nd - s / n) AS ssb
+    FROM v
+)
+SELECT CAST(n AS BIGINT) AS n_total,
+       {sql_dround('ssb / 10000.0', 4)} AS ss_between,
+       {sql_dround('ssw / 10000.0', 4)} AS ss_within,
+       {sql_dround('''(ssb / 3.0)
+        / (CASE WHEN ssw > 0 AND n > 4 THEN ssw / (n - 4.0) END)''', 6)}
+           AS f_stat,
+       {sql_dround('''ssb
+        / (CASE WHEN ssb + ssw > 0 THEN ssb + ssw END)''', 6)}
+           AS eta_squared
+FROM v2
+""",
+)
+def anova_oneway_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across the four sha256 25% arms."""
+    from .training import hash_bucket
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    hb = hash_bucket("user_id")
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+        .select(
+            F.when(hb < 25, "A")
+            .when(hb < 50, "B")
+            .when(hb < 75, "C")
+            .otherwise("D")
+            .alias("arm"),
+            "y",
+        )
+    )
+    m = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    pick = lambda arm, c: F.max(  # noqa: E731
+        F.when(F.col("arm") == arm, c)
+    )
+    w = m.agg(
+        *[
+            pick(a, F.col("n").cast("double")).alias(f"n{a.lower()}")
+            for a in "ABCD"
+        ],
+        *[
+            pick(a, F.col("sy").cast("double")).alias(f"s{a.lower()}")
+            for a in "ABCD"
+        ],
+        *[
+            pick(a, F.col("syy").cast("double")).alias(f"q{a.lower()}")
+            for a in "ABCD"
+        ],
+    )
+    v = w.select(
+        (F.col("na") + F.col("nb") + F.col("nc") + F.col("nd")).alias("n"),
+        (F.col("sa") + F.col("sb") + F.col("sc") + F.col("sd")).alias("s"),
+        (
+            (F.col("qa") - F.col("sa") * F.col("sa") / F.col("na"))
+            + (F.col("qb") - F.col("sb") * F.col("sb") / F.col("nb"))
+            + (F.col("qc") - F.col("sc") * F.col("sc") / F.col("nc"))
+            + (F.col("qd") - F.col("sd") * F.col("sd") / F.col("nd"))
+        ).alias("ssw"),
+        "na",
+        "nb",
+        "nc",
+        "nd",
+        "sa",
+        "sb",
+        "sc",
+        "sd",
+    )
+    gm = F.col("s") / F.col("n")
+    ssb_expr = (
+        F.col("na") * (F.col("sa") / F.col("na") - gm)
+        * (F.col("sa") / F.col("na") - gm)
+        + F.col("nb") * (F.col("sb") / F.col("nb") - gm)
+        * (F.col("sb") / F.col("nb") - gm)
+        + F.col("nc") * (F.col("sc") / F.col("nc") - gm)
+        * (F.col("sc") / F.col("nc") - gm)
+        + F.col("nd") * (F.col("sd") / F.col("nd") - gm)
+        * (F.col("sd") / F.col("nd") - gm)
+    )
+    v2 = v.select("n", "ssw", ssb_expr.alias("ssb"))
+    return v2.select(
+        F.col("n").cast("bigint").alias("n_total"),
+        dround(F.col("ssb") / 10000.0, 4).alias("ss_between"),
+        dround(F.col("ssw") / 10000.0, 4).alias("ss_within"),
+        dround(
+            (F.col("ssb") / 3.0)
+            / F.when(
+                (F.col("ssw") > 0) & (F.col("n") > 4),
+                F.col("ssw") / (F.col("n") - 4.0),
+            ),
+            6,
+        ).alias("f_stat"),
+        dround(
+            F.col("ssb")
+            / F.when(
+                F.col("ssb") + F.col("ssw") > 0, F.col("ssb") + F.col("ssw")
+            ),
+            6,
+        ).alias("eta_squared"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H across the four hash-assigned arms — the
+# nonparametric companion to anova_oneway_arms (rank ANOVA), exactly as
+# mann_whitney_u_arms is to welch_ttest_arms. Midranks over DISTINCT
+# per-user totals are kept DOUBLED (2·below + c + 1) so every per-arm
+# rank sum is wide-integer exact; the four rank sums and the tie term
+# pivot onto one row, and H, the tie-corrected H, and the ε² effect
+# size are each one fixed-order double chain. The Spark side ranks via
+# the two-phase per-bucket prefix sum (no single-task global window);
+# the DuckDB oracle uses the naive single window, so the hash match
+# also proves the distributed decomposition.
+#
+# Scale: groupBy(user) → groupBy(distinct total) → bucketed prefix sum
+# with a broadcast offset table — identical posture to
+# mann_whitney_u_arms, green since r6.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "kruskal_wallis_arms",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN {_sql_hb('user_id')} < 25 THEN 'A'
+                WHEN {_sql_hb('user_id')} < 50 THEN 'B'
+                WHEN {_sql_hb('user_id')} < 75 THEN 'C'
+                ELSE 'D' END AS arm,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+vals AS (
+    SELECT y,
+           COUNT(*) FILTER (WHERE arm = 'A') AS c_a,
+           COUNT(*) FILTER (WHERE arm = 'B') AS c_b,
+           COUNT(*) FILTER (WHERE arm = 'C') AS c_c,
+           COUNT(*) FILTER (WHERE arm = 'D') AS c_d,
+           COUNT(*) AS c
+    FROM per_user WHERE y IS NOT NULL GROUP BY 1
+),
+cum AS (
+    SELECT y, c_a, c_b, c_c, c_d, c,
+           CAST(SUM(c) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - c
+                AS BIGINT) AS below
+    FROM vals
+),
+agg AS (
+    SELECT CAST(SUM(c_a) AS BIGINT) AS na,
+           CAST(SUM(c_b) AS BIGINT) AS nb,
+           CAST(SUM(c_c) AS BIGINT) AS nc,
+           CAST(SUM(c_d) AS BIGINT) AS nd,
+           SUM(CAST(c_a AS HUGEINT) * (2 * below + c + 1)) AS r2a,
+           SUM(CAST(c_b AS HUGEINT) * (2 * below + c + 1)) AS r2b,
+           SUM(CAST(c_c AS HUGEINT) * (2 * below + c + 1)) AS r2c,
+           SUM(CAST(c_d AS HUGEINT) * (2 * below + c + 1)) AS r2d,
+           SUM(CAST(c AS HUGEINT) * c * c - c) AS tie
+    FROM cum
+),
+h AS (
+    SELECT na, nb, nc, nd,
+           CAST(na + nb + nc + nd AS DOUBLE) AS n,
+           CAST(r2a AS DOUBLE) / 2.0 AS ra,
+           CAST(r2b AS DOUBLE) / 2.0 AS rb,
+           CAST(r2c AS DOUBLE) / 2.0 AS rc,
+           CAST(r2d AS DOUBLE) / 2.0 AS rd,
+           CAST(tie AS DOUBLE) AS tie_d
+    FROM agg
+),
+h2 AS (
+    SELECT na, nb, nc, nd, n, tie_d,
+           12.0 / (n * (n + 1.0))
+             * (ra * ra / na + rb * rb / nb
+                + rc * rc / nc + rd * rd / nd)
+             - 3.0 * (n + 1.0) AS h_raw,
+           CASE WHEN n > 1
+                THEN 1.0 - tie_d / (n * n * n - n) END AS tie_c
+    FROM h
+)
+SELECT na AS n_a, nb AS n_b, nc AS n_c, nd AS n_d,
+       {sql_dround('h_raw', 6)} AS h_stat,
+       {sql_dround('h_raw / (CASE WHEN tie_c > 0 THEN tie_c END)', 6)}
+           AS h_corrected,
+       {sql_dround('''(h_raw - 3.0)
+        / (CASE WHEN n > 4 THEN n - 4.0 END)''', 6)} AS epsilon_sq
+FROM h2
+""",
+)
+def kruskal_wallis_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H across the four sha256 arms."""
+    from pyspark.sql.window import Window
+
+    from .training import hash_bucket
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    hb = hash_bucket("user_id")
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+        .select(
+            F.when(hb < 25, "A")
+            .when(hb < 50, "B")
+            .when(hb < 75, "C")
+            .otherwise("D")
+            .alias("arm"),
+            "y",
+        )
+        .filter(F.col("y").isNotNull())
+    )
+    vals = per_user.groupBy("y").agg(
+        *[
+            F.count_if(F.col("arm") == a).alias(f"c_{a.lower()}")
+            for a in "ABCD"
+        ],
+        F.count("*").alias("c"),
+    )
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    in_bucket = vals.withColumn("bucket", F.expr("y DIV 65536")).withColumn(
+        "below_local", F.sum("c").over(wb) - F.col("c")
+    )
+    totals = in_bucket.groupBy("bucket").agg(F.sum("c").alias("b_total"))
+    wo = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("b_total").over(wo), F.lit(0)).alias("offset"),
+    )
+    cum = in_bucket.join(F.broadcast(offsets), "bucket").select(
+        "y",
+        "c_a",
+        "c_b",
+        "c_c",
+        "c_d",
+        "c",
+        (F.col("offset") + F.col("below_local")).cast("bigint").alias("below"),
+    )
+    mid2 = 2 * F.col("below") + F.col("c") + 1
+    agg = cum.agg(
+        *[
+            F.sum(f"c_{a}").cast("bigint").alias(f"n{a}")
+            for a in "abcd"
+        ],
+        *[
+            F.sum(F.col(f"c_{a}").cast("decimal(38,0)") * mid2).alias(
+                f"r2{a}"
+            )
+            for a in "abcd"
+        ],
+        F.sum(
+            F.col("c").cast("decimal(38,0)") * F.col("c") * F.col("c")
+            - F.col("c")
+        ).alias("tie"),
+    )
+    h = agg.select(
+        "na",
+        "nb",
+        "nc",
+        "nd",
+        (F.col("na") + F.col("nb") + F.col("nc") + F.col("nd"))
+        .cast("double")
+        .alias("n"),
+        *[
+            (F.col(f"r2{a}").cast("double") / 2.0).alias(f"r{a}")
+            for a in "abcd"
+        ],
+        F.col("tie").cast("double").alias("tie_d"),
+    )
+    n = F.col("n")
+    h_raw = (
+        12.0
+        / (n * (n + 1.0))
+        * (
+            F.col("ra") * F.col("ra") / F.col("na")
+            + F.col("rb") * F.col("rb") / F.col("nb")
+            + F.col("rc") * F.col("rc") / F.col("nc")
+            + F.col("rd") * F.col("rd") / F.col("nd")
+        )
+        - 3.0 * (n + 1.0)
+    )
+    h2 = h.select(
+        "na",
+        "nb",
+        "nc",
+        "nd",
+        "n",
+        "tie_d",
+        h_raw.alias("h_raw"),
+        F.when(
+            n > 1, 1.0 - F.col("tie_d") / (n * n * n - n)
+        ).alias("tie_c"),
+    )
+    return h2.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("nc").alias("n_c"),
+        F.col("nd").alias("n_d"),
+        dround(F.col("h_raw"), 6).alias("h_stat"),
+        dround(
+            F.col("h_raw") / F.when(F.col("tie_c") > 0, F.col("tie_c")), 6
+        ).alias("h_corrected"),
+        dround(
+            (F.col("h_raw") - 3.0)
+            / F.when(F.col("n") > 4, F.col("n") - 4.0),
+            6,
+        ).alias("epsilon_sq"),
+    )
