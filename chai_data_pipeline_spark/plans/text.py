@@ -2920,3 +2920,161 @@ def classifier_average_precision(
             ),
         ).alias("random_baseline"),
     )
+
+
+# --------------------------------------------------------------------------
+# Operating-point sweep (precision / recall / F1 by threshold) of the
+# logistic quality score against dup truth — the deployment-side
+# companion to classifier_average_precision: AP summarizes the whole
+# curve, this table is what picking an actual filter cutoff needs.
+# 19 fixed thresholds spanning the score's observed support
+# (0.55..0.73; the logistic with the pinned weights concentrates
+# there). TP/PP/n⁺ are exact integer sums on the distinct-score grain;
+# P/R/F1 are final-division-only, dround-pinned. The Spark side is ONE
+# wide aggregate (38 conditional sums) unpivoted with stack() — the
+# plan-construction discipline from CLAUDE.md r4 (no 19-way union) —
+# while the oracle cross-joins a VALUES spine; the hash match proves
+# the wide-agg+stack rewrite.
+#
+# Scale: map-only scoring + one content-hash window for truth + one
+# aggregate; threshold fan-out touches only the single agg row.
+# --------------------------------------------------------------------------
+
+_TS_TAUS = list(range(550, 740, 10))  # 0.55 .. 0.73 in 0.01 steps
+
+
+@query(
+    "classifier_threshold_sweep",
+    oracle=f"""
+WITH feats AS (
+    SELECT sha256(substring(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), 1, 80))
+               AS content_hash,
+           len(string_split_regex(TRIM(text), '\\s+')) AS wc,
+           LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS awl,
+           len(list_distinct(string_split_regex(TRIM(text), '\\s+'))) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS dwr
+    FROM documents
+    WHERE text IS NOT NULL
+),
+scored AS (
+    SELECT content_hash,
+           CAST(FLOOR(1.0 / (1.0 + exp(-({_QC_W0} + {_QC_W_WC} * wc
+                + {_QC_W_AWL} * awl + {_QC_W_DWR} * dwr)))
+                * 1000000 + 0.5) AS BIGINT) AS sq
+    FROM feats
+),
+labeled AS (
+    SELECT sq,
+           CASE WHEN COUNT(*) OVER (PARTITION BY content_hash) >= 2
+                THEN 1 ELSE 0 END AS pos
+    FROM scored
+),
+grp AS (
+    SELECT sq, CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(pos) AS BIGINT) AS npos
+    FROM labeled GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(npos) AS BIGINT) AS n1, CAST(SUM(cnt) AS BIGINT) AS n
+    FROM grp
+),
+taus(tau_milli) AS (VALUES {", ".join(f"({t})" for t in _TS_TAUS)}),
+sweep AS (
+    SELECT t.tau_milli,
+           CAST(COALESCE(SUM(g.npos) FILTER (
+               WHERE g.sq >= t.tau_milli * 1000), 0) AS BIGINT) AS tp,
+           CAST(COALESCE(SUM(g.cnt) FILTER (
+               WHERE g.sq >= t.tau_milli * 1000), 0) AS BIGINT) AS pp
+    FROM taus t CROSS JOIN grp g
+    GROUP BY 1
+)
+SELECT CAST(s.tau_milli AS BIGINT) AS tau_milli, s.pp AS n_pred_pos,
+       s.tp,
+       CASE WHEN s.pp > 0 THEN
+           {sql_dround('s.tp * 1.0 / s.pp', 6)} END AS precision,
+       CASE WHEN t.n1 > 0 THEN
+           {sql_dround('s.tp * 1.0 / t.n1', 6)} END AS recall,
+       CASE WHEN s.pp + t.n1 > 0 THEN
+           {sql_dround('2.0 * s.tp / (s.pp + t.n1)', 6)} END AS f1
+FROM sweep s CROSS JOIN tot t
+""",
+)
+def classifier_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """P/R/F1 at 19 fixed cutoffs via one wide agg + stack unpivot."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ws = T.words("text")
+    wc = F.size(ws)
+    awl = (
+        F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+        * 1.0
+        / F.size(ws)
+    )
+    dwr = F.size(F.array_distinct(ws)) * 1.0 / F.size(ws)
+    z = (
+        F.lit(_QC_W0)
+        + F.lit(_QC_W_WC) * wc
+        + F.lit(_QC_W_AWL) * awl
+        + F.lit(_QC_W_DWR) * dwr
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        F.sha2(F.substring(norm, 1, 80), 256).alias("content_hash"),
+        F.floor(1.0 / (1.0 + F.exp(-z)) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("sq"),
+    )
+    wdup = Window.partitionBy("content_hash")
+    labeled = scored.select(
+        "sq",
+        F.when(F.count("*").over(wdup) >= 2, 1).otherwise(0).alias("pos"),
+    )
+    grp = labeled.groupBy("sq").agg(
+        F.count("*").alias("cnt"),
+        F.sum("pos").cast("bigint").alias("npos"),
+    )
+    aggs = [
+        F.sum("npos").cast("bigint").alias("n1"),
+        F.sum("cnt").cast("bigint").alias("n"),
+    ]
+    for t in _TS_TAUS:
+        hit = F.col("sq") >= t * 1000
+        aggs.append(
+            F.coalesce(F.sum(F.when(hit, F.col("npos"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"tp{t}")
+        )
+        aggs.append(
+            F.coalesce(F.sum(F.when(hit, F.col("cnt"))), F.lit(0))
+            .cast("bigint")
+            .alias(f"pp{t}")
+        )
+    wide = grp.agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({t} AS BIGINT), tp{t}, pp{t}" for t in _TS_TAUS
+    )
+    rows = wide.selectExpr(
+        "n1",
+        f"stack({len(_TS_TAUS)}, {stack_args}) AS (tau_milli, tp, pp)",
+    )
+    return rows.select(
+        "tau_milli",
+        F.col("pp").alias("n_pred_pos"),
+        "tp",
+        F.when(
+            F.col("pp") > 0,
+            dround(F.col("tp") * 1.0 / F.col("pp"), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("n1") > 0,
+            dround(F.col("tp") * 1.0 / F.col("n1"), 6),
+        ).alias("recall"),
+        F.when(
+            F.col("pp") + F.col("n1") > 0,
+            dround(2.0 * F.col("tp") / (F.col("pp") + F.col("n1")), 6),
+        ).alias("f1"),
+    )
