@@ -2552,3 +2552,166 @@ def target_encoding_oof_audit(
             "optimism_gap"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Weight-of-evidence / information-value binning — the classic credit-
+# scoring feature diagnostic, applied to the corpus: does document
+# LENGTH (word count) predict duplication? Word-count deciles are
+# assigned on the DISTINCT-wc grain via rank thresholds (FLOOR(below ·
+# 10 / N) — the classifier_gains_lift_table discipline), so no
+# row-level global sort exists; the Spark side ranks with the
+# two-phase per-bucket prefix sum while the oracle uses the naive
+# window, proving the distributed decomposition. WoE uses Laplace
+# smoothing (+0.5 per bin, +5 per class) so empty cells stay finite
+# and deterministic; counts are exact ints, WoE/IV one fixed double
+# chain each (ln precedent: price_quantity_elasticity, green r2).
+#
+# Scale: map-only feature + one content-hash window for truth +
+# distinct-wc aggregate; the decile table is 10 rows.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "woe_iv_binning",
+    oracle=f"""
+WITH labeled AS (
+    SELECT len(string_split_regex(TRIM(text), '\\s+')) AS wc,
+           CASE WHEN COUNT(*) OVER (PARTITION BY sha256(substring(
+                LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), 1, 80)))
+                >= 2 THEN 1 ELSE 0 END AS pos
+    FROM documents WHERE text IS NOT NULL
+),
+vals AS (
+    SELECT wc, CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(SUM(pos) AS BIGINT) AS cpos
+    FROM labeled GROUP BY 1
+),
+cum AS (
+    SELECT wc, c, cpos,
+           CAST(SUM(c) OVER (ORDER BY wc ROWS UNBOUNDED PRECEDING) - c
+                AS BIGINT) AS below,
+           CAST(SUM(c) OVER () AS BIGINT) AS n
+    FROM vals
+),
+bins AS (
+    SELECT CAST(FLOOR(below * 10.0 / n) AS BIGINT) AS decile,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(SUM(cpos) AS BIGINT) AS n_pos,
+           CAST(MIN(wc) AS BIGINT) AS wc_min,
+           CAST(MAX(wc) AS BIGINT) AS wc_max
+    FROM cum GROUP BY 1
+),
+tot AS (
+    SELECT decile, n_docs, n_pos, wc_min, wc_max,
+           n_docs - n_pos AS n_neg,
+           CAST(SUM(n_pos) OVER () AS BIGINT) AS pos_tot,
+           CAST(SUM(n_docs - n_pos) OVER () AS BIGINT) AS neg_tot
+    FROM bins
+),
+woe AS (
+    SELECT decile, n_docs, n_pos, wc_min, wc_max,
+           ln((n_pos + 0.5) * (neg_tot + 5.0)
+              / ((pos_tot + 5.0) * (n_neg + 0.5))) AS w,
+           (n_pos + 0.5) / (pos_tot + 5.0)
+               - (n_neg + 0.5) / (neg_tot + 5.0) AS dshare
+    FROM tot
+)
+SELECT decile, wc_min, wc_max, n_docs, n_pos,
+       {sql_dround('w', 6)} AS woe,
+       {sql_dround('dshare * w', 6)} AS iv_term
+FROM woe
+""",
+)
+def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WoE/IV of word-count deciles vs dup truth, Laplace-smoothed."""
+    from ..operators import text as T
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    wdup = Window.partitionBy("content_hash")
+    labeled = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            F.size(T.words("text")).alias("wc"),
+            F.sha2(F.substring(norm, 1, 80), 256).alias("content_hash"),
+        )
+        .select(
+            "wc",
+            F.when(F.count("*").over(wdup) >= 2, 1).otherwise(0).alias(
+                "pos"
+            ),
+        )
+    )
+    vals = labeled.groupBy("wc").agg(
+        F.count("*").cast("bigint").alias("c"),
+        F.sum("pos").cast("bigint").alias("cpos"),
+    )
+    # two-phase distributed prefix sum over distinct word counts
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("wc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    in_bucket = vals.withColumn(
+        "bucket", F.expr("wc DIV 64")
+    ).withColumn("below_local", F.sum("c").over(wb) - F.col("c"))
+    totals = in_bucket.groupBy("bucket").agg(
+        F.sum("c").alias("b_total")
+    )
+    wo = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "bucket",
+        F.coalesce(F.sum("b_total").over(wo), F.lit(0)).alias("offset"),
+    )
+    wall = Window.partitionBy(F.lit(0))
+    cum = (
+        in_bucket.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "below",
+            (F.col("offset") + F.col("below_local")).cast("bigint"),
+        )
+        .withColumn("n", F.sum("c").over(wall).cast("bigint"))
+    )
+    bins = cum.groupBy(
+        F.floor(F.col("below") * 10.0 / F.col("n"))
+        .cast("bigint")
+        .alias("decile")
+    ).agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.sum("cpos").cast("bigint").alias("n_pos"),
+        F.min("wc").cast("bigint").alias("wc_min"),
+        F.max("wc").cast("bigint").alias("wc_max"),
+    )
+    tot = bins.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        "wc_min",
+        "wc_max",
+        (F.col("n_docs") - F.col("n_pos")).alias("n_neg"),
+        F.sum("n_pos").over(wall).cast("bigint").alias("pos_tot"),
+        F.sum(F.col("n_docs") - F.col("n_pos"))
+        .over(wall)
+        .cast("bigint")
+        .alias("neg_tot"),
+    )
+    w = F.log(
+        (F.col("n_pos") + 0.5)
+        * (F.col("neg_tot") + 5.0)
+        / ((F.col("pos_tot") + 5.0) * (F.col("n_neg") + 0.5))
+    )
+    dshare = (F.col("n_pos") + 0.5) / (F.col("pos_tot") + 5.0) - (
+        F.col("n_neg") + 0.5
+    ) / (F.col("neg_tot") + 5.0)
+    return tot.select(
+        "decile",
+        "wc_min",
+        "wc_max",
+        "n_docs",
+        "n_pos",
+        dround(w, 6).alias("woe"),
+        dround(dshare * w, 6).alias("iv_term"),
+    )
