@@ -979,3 +979,129 @@ def kcore_trade_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coreness_capped"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Link prediction (Adamic-Adar / resource-allocation / Jaccard) over
+# the customer×part co-purchase bipartite graph — the canonical
+# who-will-buy-together signal, and the first *predictive* graph op
+# beside the descriptive set (pagerank/HITS/k-core/...). The wedge
+# join is bounded the way a 100-TB co-purchase graph must be: parts
+# above MEAN popularity are hubs and carry ~zero AA signal
+# (1/ln(pop) → 0), so the candidate space is Σ_{pop≤avg} pop² ≤
+# avg·|bip| — linear in the bipartite size, never all-pairs (measured:
+# 23 k / 307 k / 3.0 M wedges at sf0.001/0.01/0.1). The mean cap is
+# DATA-RELATIVE (round-8 vacuous-parity lesson: fixed thresholds go
+# dead under regeneration). AA/RA terms quantize to ×1e12 ints per
+# shared part BEFORE the pair reduce, so scores are exact integer sums
+# (order-independent under AQE); top-100 is fully tie-broken
+# (aa DESC, cn DESC, u, v) so the SET is deterministic and Spark plans
+# it as TakeOrderedAndProject, not a global sort.
+#
+# Reference analog: none (no graph ops in the reference) — extends the
+# graph family with link prediction (Adamic & Adar 2003; Zhou et al.
+# 2009 resource allocation).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "adamic_adar_copurchase",
+    oracle=f"""
+WITH bip AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+pc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM bip GROUP BY 1),
+avgp AS (SELECT AVG(n) AS a FROM pc),
+kp AS (SELECT p, n FROM pc, avgp WHERE n >= 2 AND n <= a),
+kb AS (SELECT b.c, b.p, k.n FROM bip b JOIN kp k USING (p)),
+deg AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS d FROM kb GROUP BY 1),
+wedge AS (
+    SELECT a.c AS u, b.c AS v,
+           CAST(FLOOR(1000000000000.0 / ln(a.n) + 0.5) AS BIGINT) AS aat,
+           CAST(FLOOR(1000000000000.0 / a.n + 0.5) AS BIGINT) AS rat
+    FROM kb a JOIN kb b ON a.p = b.p AND a.c < b.c
+),
+pairs AS (
+    SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+           CAST(SUM(aat) AS BIGINT) AS aa_micro,
+           CAST(SUM(rat) AS BIGINT) AS ra_micro
+    FROM wedge GROUP BY 1, 2
+),
+j AS (
+    SELECT p.u, p.v, p.cn, p.aa_micro, p.ra_micro,
+           du.d AS du, dv.d AS dv
+    FROM pairs p
+    JOIN deg du ON du.c = p.u
+    JOIN deg dv ON dv.c = p.v
+)
+SELECT u AS cust_a, v AS cust_b, cn AS common_parts,
+       {sql_dround('aa_micro / 1000000000000.0', 6)} AS aa_score,
+       {sql_dround('ra_micro / 1000000000000.0', 6)} AS ra_score,
+       {sql_dround('cn * 1.0 / (du + dv - cn)', 6)} AS jaccard
+FROM j
+ORDER BY aa_micro DESC, cn DESC, u, v
+LIMIT 100
+""",
+)
+def adamic_adar_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-100 AA/RA/Jaccard customer pairs, mean-capped wedge join."""
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    li, orders = t["lineitem"], t["orders"]
+    bip = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    pc = bip.groupBy("p").agg(F.count("*").cast("bigint").alias("n"))
+    avgp = pc.agg(F.avg("n").alias("a"))
+    kp = pc.join(F.broadcast(avgp)).filter(
+        (F.col("n") >= 2) & (F.col("n") <= F.col("a"))
+    ).select("p", "n")
+    kb = bip.join(kp, "p")
+    deg = kb.groupBy("c").agg(F.count("*").cast("bigint").alias("d"))
+    a = kb.select(
+        F.col("p"),
+        F.col("c").alias("u"),
+        F.floor(1000000000000.0 / F.log("n") + 0.5)
+        .cast("bigint")
+        .alias("aat"),
+        F.floor(1000000000000.0 / F.col("n") + 0.5)
+        .cast("bigint")
+        .alias("rat"),
+    )
+    b = kb.select(F.col("p"), F.col("c").alias("v"))
+    wedge = a.join(b, "p").filter(F.col("u") < F.col("v"))
+    pairs = wedge.groupBy("u", "v").agg(
+        F.count("*").cast("bigint").alias("cn"),
+        F.sum("aat").cast("bigint").alias("aa_micro"),
+        F.sum("rat").cast("bigint").alias("ra_micro"),
+    )
+    j = (
+        pairs.join(
+            deg.select(F.col("c").alias("u"), F.col("d").alias("du")),
+            "u",
+        )
+        .join(
+            deg.select(F.col("c").alias("v"), F.col("d").alias("dv")),
+            "v",
+        )
+    )
+    top = j.orderBy(
+        F.desc("aa_micro"), F.desc("cn"), "u", "v"
+    ).limit(100)
+    return top.select(
+        F.col("u").alias("cust_a"),
+        F.col("v").alias("cust_b"),
+        F.col("cn").alias("common_parts"),
+        dround(F.col("aa_micro") / 1000000000000.0, 6).alias("aa_score"),
+        dround(F.col("ra_micro") / 1000000000000.0, 6).alias("ra_score"),
+        dround(
+            F.col("cn") * 1.0 / (F.col("du") + F.col("dv") - F.col("cn")),
+            6,
+        ).alias("jaccard"),
+    )
