@@ -5710,3 +5710,195 @@ def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("hurst"),
     )
+
+
+# --------------------------------------------------------------------------
+# Forecast-model comparison table — MAE / RMSE / sMAPE / MASE for four
+# one-step baselines (naive-1, seasonal-naive-7, two-point drift,
+# MA-3) on the daily value series, the model-selection readout that
+# naive_forecast_backtest (single model) and holt_smoothing_backtest
+# (single model) lead up to. All forecasts are lag compositions on the
+# day grain, so every error is an EXACT integer in cents; the sMAPE
+# term quantizes to ×1e6 per day before the reduce. The four models
+# are ONE wide aggregate (12 columns) unpivoted with stack() — the
+# CLAUDE.md r4 plan-construction discipline — while the oracle unions;
+# the hash match proves the rewrite. MASE scales every model by the
+# naive-1 MAE (Hyndman & Koehler 2006), so mase(naive) ≡ 1 is a
+# built-in self-check of the pivot.
+#
+# Scale: one groupBy(day) shuffle; windows run on the day-cardinality
+# grain. Scored days require ALL models defined (t ≥ 8) so every
+# model sees the identical test set.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "forecast_metrics_comparison",
+    oracle="""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS y
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+lagged AS (
+    SELECT d, y,
+           LAG(y, 1) OVER w AS l1,
+           LAG(y, 2) OVER w AS l2,
+           LAG(y, 3) OVER w AS l3,
+           LAG(y, 7) OVER w AS l7
+    FROM daily WINDOW w AS (ORDER BY d)
+),
+fc AS (
+    SELECT d, y, l1 AS f_naive, l7 AS f_snaive,
+           2 * l1 - l2 AS f_drift,
+           CAST(FLOOR((l1 + l2 + l3) / 3.0 + 0.5) AS BIGINT) AS f_ma3
+    FROM lagged
+    WHERE l1 IS NOT NULL AND l2 IS NOT NULL AND l3 IS NOT NULL
+      AND l7 IS NOT NULL
+),
+wide AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ABS(y - f_naive)) AS BIGINT) AS sae_naive,
+           CAST(SUM(ABS(y - f_snaive)) AS BIGINT) AS sae_snaive,
+           CAST(SUM(ABS(y - f_drift)) AS BIGINT) AS sae_drift,
+           CAST(SUM(ABS(y - f_ma3)) AS BIGINT) AS sae_ma3,
+           CAST(SUM(CAST(y - f_naive AS HUGEINT) * (y - f_naive))
+               AS HUGEINT) AS sse_naive,
+           CAST(SUM(CAST(y - f_snaive AS HUGEINT) * (y - f_snaive))
+               AS HUGEINT) AS sse_snaive,
+           CAST(SUM(CAST(y - f_drift AS HUGEINT) * (y - f_drift))
+               AS HUGEINT) AS sse_drift,
+           CAST(SUM(CAST(y - f_ma3 AS HUGEINT) * (y - f_ma3))
+               AS HUGEINT) AS sse_ma3,
+           CAST(SUM(CAST(FLOOR(2000000.0 * ABS(y - f_naive)
+               / (ABS(y) + ABS(f_naive)) + 0.5) AS BIGINT)) AS BIGINT)
+               AS ssm_naive,
+           CAST(SUM(CAST(FLOOR(2000000.0 * ABS(y - f_snaive)
+               / (ABS(y) + ABS(f_snaive)) + 0.5) AS BIGINT)) AS BIGINT)
+               AS ssm_snaive,
+           CAST(SUM(CAST(FLOOR(2000000.0 * ABS(y - f_drift)
+               / (ABS(y) + ABS(f_drift)) + 0.5) AS BIGINT)) AS BIGINT)
+               AS ssm_drift,
+           CAST(SUM(CAST(FLOOR(2000000.0 * ABS(y - f_ma3)
+               / (ABS(y) + ABS(f_ma3)) + 0.5) AS BIGINT)) AS BIGINT)
+               AS ssm_ma3
+    FROM fc
+),
+rows_ AS (
+    SELECT 'naive' AS model, n, sae_naive AS sae,
+           CAST(sse_naive AS DOUBLE) AS sse, ssm_naive AS ssm,
+           sae_naive FROM wide
+    UNION ALL
+    SELECT 'snaive', n, sae_snaive, CAST(sse_snaive AS DOUBLE),
+           ssm_snaive, sae_naive FROM wide
+    UNION ALL
+    SELECT 'drift', n, sae_drift, CAST(sse_drift AS DOUBLE),
+           ssm_drift, sae_naive FROM wide
+    UNION ALL
+    SELECT 'ma3', n, sae_ma3, CAST(sse_ma3 AS DOUBLE),
+           ssm_ma3, sae_naive FROM wide
+)
+SELECT model, n AS n_scored,
+       CASE WHEN n > 0 THEN
+           CAST(FLOOR(sae * 1.0 / n / 100.0 * 10000 + 0.5) AS BIGINT)
+               / 10000.0 END AS mae,
+       CASE WHEN n > 0 THEN
+           CAST(FLOOR(sqrt(sse / n) / 100.0 * 10000 + 0.5) AS BIGINT)
+               / 10000.0 END AS rmse,
+       CASE WHEN n > 0 THEN
+           CAST(FLOOR(ssm * 1.0 / n / 1000000.0 * 1000000 + 0.5)
+               AS BIGINT) / 1000000.0 END AS smape,
+       CASE WHEN sae_naive > 0 THEN
+           CAST(FLOOR(sae * 1.0 / sae_naive * 1000000 + 0.5) AS BIGINT)
+               / 1000000.0 END AS mase
+FROM rows_
+""",
+)
+def forecast_metrics_comparison(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MAE/RMSE/sMAPE/MASE for 4 one-step baselines, wide-agg+stack."""
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "y",
+        F.lag("y", 1).over(w).alias("l1"),
+        F.lag("y", 2).over(w).alias("l2"),
+        F.lag("y", 3).over(w).alias("l3"),
+        F.lag("y", 7).over(w).alias("l7"),
+    )
+    fc = lagged.filter(
+        F.col("l1").isNotNull()
+        & F.col("l2").isNotNull()
+        & F.col("l3").isNotNull()
+        & F.col("l7").isNotNull()
+    ).select(
+        "y",
+        F.col("l1").alias("f_naive"),
+        F.col("l7").alias("f_snaive"),
+        (2 * F.col("l1") - F.col("l2")).alias("f_drift"),
+        F.floor((F.col("l1") + F.col("l2") + F.col("l3")) / 3.0 + 0.5)
+        .cast("bigint")
+        .alias("f_ma3"),
+    )
+    models = ["naive", "snaive", "drift", "ma3"]
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for m in models:
+        e = F.col("y") - F.col(f"f_{m}")
+        aggs.append(F.sum(F.abs(e)).cast("bigint").alias(f"sae_{m}"))
+        aggs.append(
+            F.sum(e.cast("decimal(38,0)") * e).alias(f"sse_{m}")
+        )
+        aggs.append(
+            F.sum(
+                F.floor(
+                    2000000.0
+                    * F.abs(e)
+                    / (F.abs(F.col("y")) + F.abs(F.col(f"f_{m}")))
+                    + 0.5
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias(f"ssm_{m}")
+        )
+    wide = fc.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{m}', sae_{m}, CAST(sse_{m} AS DOUBLE), ssm_{m}"
+        for m in models
+    )
+    rows = wide.selectExpr(
+        "n",
+        "sae_naive AS sae_base",
+        f"stack(4, {stack_args}) AS (model, sae, sse, ssm)",
+    )
+    n = F.col("n")
+    return rows.select(
+        "model",
+        n.alias("n_scored"),
+        F.when(
+            n > 0, dround(F.col("sae") * 1.0 / n / 100.0, 4)
+        ).alias("mae"),
+        F.when(
+            n > 0, dround(F.sqrt(F.col("sse") / n) / 100.0, 4)
+        ).alias("rmse"),
+        F.when(
+            n > 0, dround(F.col("ssm") * 1.0 / n / 1000000.0, 6)
+        ).alias("smape"),
+        F.when(
+            F.col("sae_base") > 0,
+            dround(F.col("sae") * 1.0 / F.col("sae_base"), 6),
+        ).alias("mase"),
+    )
