@@ -1843,3 +1843,148 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         correct.cast("bigint").alias("n_correct"),
         dround(correct * 1.0 / F.count("*"), 6).alias("accuracy"),
     )
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-projection distortion audit — measures
+# what a 64→16 sign-projection (Achlioptas 2003 ±1 matrix) does to
+# pairwise squared distances, the decision input for "can we shrink
+# the embedding column 4× before the ANN stage?". The projection
+# matrix is DERIVED, not stored: sign(j,i) = parity of the first byte
+# of sha256("jl:j:i"), computed once at plan-build time and inlined as
+# ±1 literals into BOTH engines' expressions — the same no-stored-model
+# discipline as the LSH hyperplanes. Distances use the proven
+# sequential-fold dot helpers (dot(a,a) − 2·dot(a,b) + dot(b,b), one
+# fixed IEEE chain); each pair's distortion ratio quantizes to ×1e6
+# BEFORE the histogram reduce, so bin counts and per-bin means are
+# exact integer aggregates.
+#
+# Scale: the audit grain is a FIXED 100-vector sample (4 950 pairs) at
+# any SF — you audit a projection on a sample, then apply the cheap
+# map-only projection corpus-wide; the pair stage never scales with
+# the data.
+# --------------------------------------------------------------------------
+
+import hashlib as _hashlib  # noqa: E402
+
+_JL_OUT = 16
+_JL_SIGNS = [
+    [
+        1.0
+        if _hashlib.sha256(f"jl:{j}:{i}".encode()).digest()[0] % 2 == 0
+        else -1.0
+        for i in range(DIM)
+    ]
+    for j in range(_JL_OUT)
+]
+_JL_SAMPLE = 100
+
+
+def _jl_proj_spark() -> str:
+    cols = []
+    for j in range(_JL_OUT):
+        arr = ", ".join(
+            f"cast({s:.1f} AS double)" for s in _JL_SIGNS[j]
+        )
+        cols.append(
+            f"aggregate(zip_with(transform(embedding, x -> cast(x AS double)),"
+            f" array({arr}), (x, y) -> x * y),"
+            f" cast(0 AS double), (acc, v) -> acc + v) * 0.25"
+        )
+    return "array(" + ", ".join(cols) + ")"
+
+
+def _jl_proj_duckdb() -> str:
+    cols = []
+    for j in range(_JL_OUT):
+        arr = ", ".join(f"{s:.1f}" for s in _JL_SIGNS[j])
+        cols.append(
+            f"list_sum(list_transform(range(1, {DIM + 1}),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * ([{arr}])[i])) * 0.25"
+        )
+    return "[" + ", ".join(cols) + "]"
+
+
+def _d2_duckdb(a: str, b: str, dim: int) -> str:
+    from ..operators.similarity import dot_sql_duckdb
+
+    return (
+        f"(({dot_sql_duckdb(a, a, dim)}) - 2.0 * ({dot_sql_duckdb(a, b, dim)})"
+        f" + ({dot_sql_duckdb(b, b, dim)}))"
+    )
+
+
+def _d2_spark(a: str, b: str) -> str:
+    from ..operators.similarity import dot_sql_spark
+
+    return (
+        f"(({dot_sql_spark(a, a)}) - 2.0 * ({dot_sql_spark(a, b)})"
+        f" + ({dot_sql_spark(b, b)}))"
+    )
+
+
+@query(
+    "random_projection_jl_audit",
+    oracle=f"""
+WITH sample_v AS (
+    SELECT vec_id, embedding, {_jl_proj_duckdb()} AS pv
+    FROM embeddings WHERE vec_id < {_JL_SAMPLE}
+),
+pairs AS (
+    SELECT {_d2_duckdb('a.embedding', 'b.embedding', DIM)} AS d2o,
+           {_d2_duckdb('a.pv', 'b.pv', _JL_OUT)} AS d2p
+    FROM sample_v a JOIN sample_v b ON a.vec_id < b.vec_id
+),
+q AS (
+    SELECT CAST(FLOOR(d2p / d2o * 1000000 + 0.5) AS BIGINT) AS rm
+    FROM pairs WHERE d2o > 0
+)
+SELECT CAST(FLOOR(rm / 100000.0) AS BIGINT) AS ratio_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {sql_dround('SUM(rm) * 1.0 / COUNT(*) / 1000000.0', 6)}
+           AS mean_ratio,
+       {sql_dround('MIN(rm) / 1000000.0', 6)} AS min_ratio,
+       {sql_dround('MAX(rm) / 1000000.0', 6)} AS max_ratio
+FROM q
+GROUP BY 1
+""",
+)
+def random_projection_jl_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distortion histogram of a derived ±1 JL projection (64→16)."""
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    sample_v = emb.filter(F.col("vec_id") < _JL_SAMPLE).select(
+        "vec_id",
+        "embedding",
+        F.expr(_jl_proj_spark()).alias("pv"),
+    )
+    a = sample_v.select(
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("ea"),
+        F.col("pv").alias("pa"),
+    )
+    b = sample_v.select(
+        F.col("vec_id").alias("bid"),
+        F.col("embedding").alias("eb"),
+        F.col("pv").alias("pb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("aid") < F.col("bid")).select(
+        F.expr(_d2_spark("ea", "eb")).alias("d2o"),
+        F.expr(_d2_spark("pa", "pb")).alias("d2p"),
+    )
+    q = pairs.filter(F.col("d2o") > 0).select(
+        F.floor(F.col("d2p") / F.col("d2o") * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("rm")
+    )
+    return q.groupBy(
+        F.floor(F.col("rm") / 100000.0).cast("bigint").alias("ratio_bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        dround(
+            F.sum("rm") * 1.0 / F.count("*") / 1000000.0, 6
+        ).alias("mean_ratio"),
+        dround(F.min("rm") / 1000000.0, 6).alias("min_ratio"),
+        dround(F.max("rm") / 1000000.0, 6).alias("max_ratio"),
+    )
