@@ -3078,3 +3078,156 @@ def classifier_threshold_sweep(
             dround(2.0 * F.col("tp") / (F.col("pp") + F.col("n1")), 6),
         ).alias("f1"),
     )
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010) — corpus-level rapid
+# automatic keyword extraction: candidate phrases are maximal runs of
+# non-stopword tokens (boundaries at the Gopher stopword set), word
+# scores are degree/frequency over all candidate occurrences, and a
+# phrase scores the sum of its member words. Segment ids come from a
+# per-doc prefix count of stopword positions (parallel per-doc
+# windows, no global sort); phrases assemble order-exactly on both
+# engines (Spark array_sort(collect_list(struct(pos,tok))) vs DuckDB
+# string_agg ORDER BY pos). deg/freq stay exact ints and the word
+# score quantizes to ×1e6 BEFORE the phrase sum, so phrase scores are
+# exact integer sums; top-50 is fully tie-broken (score DESC, phrase).
+#
+# Scale: token-grain explode → (doc,seg) and word-grain groupBys —
+# linear shuffles; the RAKE phrase cap (≤4 tokens) bounds phrase
+# length, and scoring joins are word-grain (vocabulary-sized).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rake_keyword_extraction",
+    oracle=f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(TRIM(text), ' ')) AS tok,
+           unnest(range(1, len(string_split(TRIM(text), ' ')) + 1))
+               AS pos
+    FROM documents WHERE text IS NOT NULL AND LENGTH(text) >= 3
+),
+seg AS (
+    SELECT doc_id, pos, tok,
+           tok IN ({", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)})
+               AS is_stop,
+           SUM(CASE WHEN tok IN ({", ".join(f"'{s}'" for s in _GOPHER_STOPWORDS)})
+               THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+    FROM toks
+),
+cand AS (
+    SELECT doc_id, sid, pos, tok,
+           CAST(COUNT(*) OVER (PARTITION BY doc_id, sid) AS BIGINT)
+               AS plen
+    FROM seg WHERE NOT is_stop
+),
+kept AS (SELECT * FROM cand WHERE plen <= 4),
+wscore AS (
+    SELECT tok,
+           CAST(FLOOR(CAST(SUM(plen) AS BIGINT) * 1000000.0 / COUNT(*)
+               + 0.5) AS BIGINT) AS ws
+    FROM kept GROUP BY 1
+),
+phr AS (
+    SELECT k.doc_id, k.sid,
+           string_agg(k.tok, ' ' ORDER BY k.pos) AS phrase,
+           CAST(MAX(k.plen) AS BIGINT) AS n_words,
+           CAST(SUM(w.ws) AS BIGINT) AS score_micro
+    FROM kept k JOIN wscore w ON w.tok = k.tok
+    GROUP BY 1, 2
+),
+ptype AS (
+    SELECT phrase, MAX(n_words) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MAX(score_micro) AS score_micro
+    FROM phr GROUP BY 1
+)
+SELECT phrase, n_words, n_occurrences,
+       {sql_dround('score_micro / 1000000.0', 6)} AS rake_score
+FROM ptype
+ORDER BY score_micro DESC, phrase
+LIMIT 50
+""",
+)
+def rake_keyword_extraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-50 RAKE phrases (deg/freq word scores, ≤4-token runs)."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    stop = [F.lit(s) for s in _GOPHER_STOPWORDS]
+    toks = (
+        docs.filter(
+            F.col("text").isNotNull() & (F.length("text") >= 3)
+        )
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), " ")).alias(
+                "pos0", "tok"
+            ),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    is_stop = F.col("tok").isin([s for s in _GOPHER_STOPWORDS])
+    wdoc = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    seg = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        is_stop.alias("is_stop"),
+        F.sum(F.when(is_stop, 1).otherwise(0)).over(wdoc).alias("sid"),
+    )
+    wseg = Window.partitionBy("doc_id", "sid")
+    cand = seg.filter(~F.col("is_stop")).select(
+        "doc_id",
+        "sid",
+        "pos",
+        "tok",
+        F.count("*").over(wseg).cast("bigint").alias("plen"),
+    )
+    kept = cand.filter(F.col("plen") <= 4)
+    wscore = kept.groupBy("tok").agg(
+        F.floor(
+            F.sum("plen").cast("bigint") * 1000000.0 / F.count("*") + 0.5
+        )
+        .cast("bigint")
+        .alias("ws")
+    )
+    phr = (
+        kept.join(wscore, "tok")
+        .groupBy("doc_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.max("plen").cast("bigint").alias("n_words"),
+            F.sum("ws").cast("bigint").alias("score_micro"),
+        )
+    )
+    ptype = phr.groupBy("phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.count("*").cast("bigint").alias("n_occurrences"),
+        F.max("score_micro").alias("score_micro"),
+    )
+    top = ptype.orderBy(
+        F.desc("score_micro"), "phrase"
+    ).limit(50)
+    return top.select(
+        "phrase",
+        "n_words",
+        "n_occurrences",
+        dround(F.col("score_micro") / 1000000.0, 6).alias("rake_score"),
+    )
