@@ -5902,3 +5902,137 @@ def forecast_metrics_comparison(
             dround(F.col("sae") * 1.0 / F.col("sae_base"), 6),
         ).alias("mase"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-overlap join — user activity sessions × the top-5 busiest
+# hours (peak windows), the "who was on during the rush" primitive
+# that a plain equi-join cannot express. The NAIVE plan is a range
+# join (s.start < p.end AND p.start < s.end) — a cross/BNL product
+# that dies at scale. The Spark plan instead EXPLODES each session
+# into the hour bins it covers (bounded fan-out: session span / 3600)
+# and equi-joins on the bin — the standard binned interval join that
+# shuffles on a key instead of comparing all pairs; the DuckDB oracle
+# runs the naive range join, so the hash match PROVES the bin rewrite
+# is semantics-preserving. All interval math is integer seconds
+# (sessions half-open [ss, se+1): a single-event session occupies one
+# second); overlaps are exact ints. Peak hours are DATA-RELATIVE
+# (top-5 by count, fully tie-broken) per the vacuous-parity lesson.
+#
+# Scale: sessionize = one user-keyed shuffle; explode fan-out bounded
+# by session duration; join key is the hour bin (broadcast here at 5
+# rows, hash-partitioned when the window set is large).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "interval_overlap_peak_hours",
+    oracle="""
+WITH e AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                     OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM e
+),
+sess AS (
+    SELECT user_id, session_id,
+           CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS ss,
+           CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) + 1 AS se1
+    FROM s GROUP BY 1, 2
+),
+hours AS (
+    SELECT CAST(FLOOR(epoch(ts) / 3600.0) AS BIGINT) AS hb,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1
+),
+peaks AS (
+    SELECT hb, n_events FROM hours
+    ORDER BY n_events DESC, hb LIMIT 5
+),
+ov AS (
+    SELECT p.hb, p.n_events,
+           LEAST(x.se1, (p.hb + 1) * 3600)
+               - GREATEST(x.ss, p.hb * 3600) AS ov_s
+    FROM sess x JOIN peaks p
+      ON x.ss < (p.hb + 1) * 3600 AND p.hb * 3600 < x.se1
+)
+SELECT hb * 3600 AS peak_hour_epoch, n_events AS peak_events,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(ov_s) AS BIGINT) AS total_overlap_seconds,
+       CAST(FLOOR(SUM(ov_s) * 1.0 / COUNT(*) * 10000 + 0.5) AS BIGINT)
+           / 10000.0 AS avg_overlap_seconds
+FROM ov WHERE ov_s > 0
+GROUP BY 1, 2
+""",
+)
+def interval_overlap_peak_hours(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binned interval join of sessions onto top-5 peak hours."""
+    from ..functions.numeric import epoch_seconds
+    from ..operators.windows import sessionize
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    ev = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    s = sessionize(
+        ev, user_col="user_id", ts_col="ts", gap_seconds=1800,
+        order_tiebreak="event_id",
+    )
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.floor(F.min(epoch_seconds("ts"))).cast("bigint").alias("ss"),
+        (F.floor(F.max(epoch_seconds("ts"))).cast("bigint") + 1).alias(
+            "se1"
+        ),
+    )
+    hours = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.floor(epoch_seconds("ts") / 3600.0)
+            .cast("bigint")
+            .alias("hb")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+    )
+    peaks = hours.orderBy(F.desc("n_events"), "hb").limit(5)
+    # binned rewrite: explode each session into covered hour bins and
+    # equi-join — [ss DIV 3600 .. se DIV 3600] covers every bin with a
+    # strictly positive overlap against half-open [ss, se1)
+    binned = sess.selectExpr(
+        "ss",
+        "se1",
+        "explode(sequence(ss DIV 3600, (se1 - 1) DIV 3600)) AS hb",
+    )
+    ov = binned.join(F.broadcast(peaks), "hb").select(
+        "hb",
+        "n_events",
+        (
+            F.least(F.col("se1"), (F.col("hb") + 1) * 3600)
+            - F.greatest(F.col("ss"), F.col("hb") * 3600)
+        ).alias("ov_s"),
+    )
+    return (
+        ov.filter(F.col("ov_s") > 0)
+        .groupBy(
+            (F.col("hb") * 3600).alias("peak_hour_epoch"),
+            F.col("n_events").alias("peak_events"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum("ov_s").cast("bigint").alias("total_overlap_seconds"),
+            dround(
+                F.sum("ov_s") * 1.0 / F.count("*"), 4
+            ).alias("avg_overlap_seconds"),
+        )
+    )
