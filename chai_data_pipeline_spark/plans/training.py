@@ -2715,3 +2715,175 @@ def woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(w, 6).alias("woe"),
         dround(dshare * w, 6).alias("iv_term"),
     )
+
+
+# --------------------------------------------------------------------------
+# DoReMi-style excess-loss mixture reweighting (Xie et al. 2023,
+# arXiv:2305.10429) — the domain-weight learner beside the static
+# mixture ops (mixture_temperature_weights, dsir_importance_weights):
+# each source's EXCESS LOSS is its per-token cross-entropy under the
+# corpus-global unigram LM minus under its OWN unigram LM (= the
+# per-token KL(source ‖ global) when both are ML estimates), and
+# weights follow the multiplicative update w_s ∝ exp(excess_s / τ),
+# τ=1. Per-word log-probs quantize to micro-nats (the
+# unigram_lm_perplexity discipline), so both cross-entropy sums are
+# exact integer aggregates; exp terms quantize to ×1e9 ints before the
+# cross-source normalization, so the weight denominator is an exact
+# integer sum — order-independent at any parallelism.
+#
+# Scale: two vocabulary-grain aggregates ((word) and (source, word))
+# + one source-grain reduce; no data-sized joins beyond the
+# vocabulary equi-join the perplexity family already runs.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "doremi_excess_loss_weights",
+    oracle=f"""
+WITH w AS (
+    SELECT source, unnest(string_split_regex(TRIM(text), '\\s+')) AS word
+    FROM documents WHERE text IS NOT NULL AND LENGTH(text) >= 3
+),
+sw AS (
+    SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+    FROM w GROUP BY 1, 2
+),
+g AS (
+    SELECT word, CAST(SUM(c) AS BIGINT) AS gc,
+           CAST(SUM(SUM(c)) OVER () AS BIGINT) AS gt
+    FROM sw GROUP BY 1
+),
+stot AS (
+    SELECT source, CAST(SUM(c) AS BIGINT) AS st,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM sw GROUP BY 1
+),
+docs_per AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents WHERE text IS NOT NULL AND LENGTH(text) >= 3
+    GROUP BY 1
+),
+lq AS (
+    SELECT s.source, s.word, s.c,
+           CAST(FLOOR(ln(g.gc * 1.0 / g.gt) * 1000000 + 0.5) AS BIGINT)
+               AS lq_g,
+           CAST(FLOOR(ln(s.c * 1.0 / t.st) * 1000000 + 0.5) AS BIGINT)
+               AS lq_o
+    FROM sw s JOIN g USING (word) JOIN stot t USING (source)
+),
+ce AS (
+    SELECT source,
+           CAST(SUM(c * lq_g) AS BIGINT) AS sg,
+           CAST(SUM(c * lq_o) AS BIGINT) AS so,
+           CAST(SUM(c) AS BIGINT) AS st
+    FROM lq GROUP BY 1
+),
+ex AS (
+    SELECT source, st,
+           CAST(FLOOR((so - sg) * 1.0 / st + 0.5) AS BIGINT)
+               AS excess_micro,
+           sg, so
+    FROM ce
+),
+eq AS (
+    SELECT source, st, excess_micro, sg, so,
+           CAST(FLOOR(exp(excess_micro / 1000000.0) * 1000000000 + 0.5)
+               AS BIGINT) AS e9
+    FROM ex
+),
+norm AS (
+    SELECT source, st, excess_micro, sg, so, e9,
+           CAST(SUM(e9) OVER () AS BIGINT) AS esum
+    FROM eq
+)
+SELECT n.source, d.n_docs, n.st AS n_tokens,
+       {sql_dround('-n.sg * 1.0 / n.st / 1000000.0', 6)} AS ce_global,
+       {sql_dround('-n.so * 1.0 / n.st / 1000000.0', 6)} AS ce_own,
+       {sql_dround('n.excess_micro / 1000000.0', 6)} AS excess_nats,
+       {sql_dround('n.e9 * 1.0 / n.esum', 6)} AS doremi_weight
+FROM norm n JOIN docs_per d USING (source)
+""",
+)
+def doremi_excess_loss_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """exp(excess-loss) mixture weights per source, exact-int chains."""
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    base = docs.filter(
+        F.col("text").isNotNull() & (F.length("text") >= 3)
+    )
+    w = base.select(
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    )
+    sw = w.groupBy("source", "word").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wall = Window.partitionBy(F.lit(0))
+    g = sw.groupBy("word").agg(
+        F.sum("c").cast("bigint").alias("gc")
+    ).withColumn("gt", F.sum("gc").over(wall).cast("bigint"))
+    stot = sw.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("st")
+    )
+    docs_per = base.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    lq = (
+        sw.join(g, "word")
+        .join(F.broadcast(stot), "source")
+        .select(
+            "source",
+            "c",
+            F.floor(
+                F.log(F.col("gc") * 1.0 / F.col("gt")) * 1000000 + 0.5
+            )
+            .cast("bigint")
+            .alias("lq_g"),
+            F.floor(
+                F.log(F.col("c") * 1.0 / F.col("st")) * 1000000 + 0.5
+            )
+            .cast("bigint")
+            .alias("lq_o"),
+        )
+    )
+    ce = lq.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("lq_g")).cast("bigint").alias("sg"),
+        F.sum(F.col("c") * F.col("lq_o")).cast("bigint").alias("so"),
+        F.sum("c").cast("bigint").alias("st"),
+    )
+    ex = ce.select(
+        "source",
+        "st",
+        "sg",
+        "so",
+        F.floor((F.col("so") - F.col("sg")) * 1.0 / F.col("st") + 0.5)
+        .cast("bigint")
+        .alias("excess_micro"),
+    )
+    eq = ex.withColumn(
+        "e9",
+        F.floor(
+            F.exp(F.col("excess_micro") / 1000000.0) * 1000000000 + 0.5
+        ).cast("bigint"),
+    )
+    norm = eq.withColumn(
+        "esum", F.sum("e9").over(wall).cast("bigint")
+    )
+    return norm.join(F.broadcast(docs_per), "source").select(
+        "source",
+        "n_docs",
+        F.col("st").alias("n_tokens"),
+        dround(-F.col("sg") * 1.0 / F.col("st") / 1000000.0, 6).alias(
+            "ce_global"
+        ),
+        dround(-F.col("so") * 1.0 / F.col("st") / 1000000.0, 6).alias(
+            "ce_own"
+        ),
+        dround(F.col("excess_micro") / 1000000.0, 6).alias(
+            "excess_nats"
+        ),
+        dround(F.col("e9") * 1.0 / F.col("esum"), 6).alias(
+            "doremi_weight"
+        ),
+    )
