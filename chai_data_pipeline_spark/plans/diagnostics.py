@@ -1127,3 +1127,164 @@ def jensen_shannon_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("jsd_nats")
     )
+
+
+# --------------------------------------------------------------------------
+# Wasserstein-1 (earth-mover) value drift — completes the drift family
+# (PSI: binned likelihood ratio; KS: max CDF gap; JS: symmetric
+# divergence) with the metric that weighs HOW FAR the mass moved, not
+# just that it moved. Unlike the binned KS/PSI approximations this is
+# EXACT on the distinct-cents grain: W1 = Σ_v |F_a(v)−F_b(v)|·gap(v),
+# with |F_a−F_b| kept as the exact integer |cumA·n_b − cumB·n_a| and
+# the division by n_a·n_b deferred to the end, so the reduce is an
+# exact DECIMAL sum — order-independent at any parallelism. The Spark
+# side computes BOTH the inclusive prefix sums and the next-value gap
+# via the two-phase bucketed decomposition (per-bucket window + one
+# broadcast bucket-offset/next-bucket-min table — LEAD across bucket
+# edges comes from the next bucket's MIN); the oracle uses naive
+# global windows, so the hash match proves the distributed rewrite,
+# including the gap stitching at bucket boundaries.
+#
+# Scale: one groupBy(cents) + bounded bucket-grain broadcast — the
+# mann_whitney posture. Split reuses the drift family's mid-corpus
+# cutoff (_PSI_CUTOFF).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "wasserstein_value_drift",
+    oracle=f"""
+WITH src AS (
+    SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+           CASE WHEN ts < TIMESTAMP '{_PSI_CUTOFF}' THEN 1 ELSE 0 END
+               AS is_a
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+vals AS (
+    SELECT v,
+           CAST(COUNT(*) FILTER (WHERE is_a = 1) AS BIGINT) AS ca,
+           CAST(COUNT(*) FILTER (WHERE is_a = 0) AS BIGINT) AS cb
+    FROM src GROUP BY 1
+),
+cum AS (
+    SELECT v, ca, cb,
+           CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+           CAST(SUM(cb) OVER w AS BIGINT) AS cumb,
+           LEAD(v) OVER (ORDER BY v) AS nextv
+    FROM vals
+    WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+),
+tot AS (
+    SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+    FROM vals
+),
+terms AS (
+    SELECT CAST(SUM(ABS(CAST(c.cuma AS HUGEINT) * t.nb
+                        - CAST(c.cumb AS HUGEINT) * t.na)
+                 * (COALESCE(c.nextv, c.v) - c.v)) AS HUGEINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n_vals,
+           MAX(t.na) AS na, MAX(t.nb) AS nb
+    FROM cum c CROSS JOIN tot t
+)
+SELECT na AS n_before, nb AS n_after, n_vals AS n_distinct_values,
+       {sql_dround('''CAST(s AS DOUBLE)
+        / (CASE WHEN na > 0 AND nb > 0
+           THEN CAST(na AS DOUBLE) * nb END) / 100.0''', 6)}
+           AS w1_value
+FROM terms
+""",
+)
+def wasserstein_value_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact W1 drift before/after the mid-corpus cutoff."""
+    events = load_tables(spark, sf_dir, "events")["events"]
+    src = events.filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v"),
+        F.when(
+            F.col("ts") < F.lit(_PSI_CUTOFF).cast("timestamp_ntz"), 1
+        )
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    vals = src.groupBy("v").agg(
+        F.count_if(F.col("is_a") == 1).cast("bigint").alias("ca"),
+        F.count_if(F.col("is_a") == 0).cast("bigint").alias("cb"),
+    )
+    # two-phase prefix sums + cross-bucket gap stitching
+    wb = (
+        Window.partitionBy("bucket")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wlead = Window.partitionBy("bucket").orderBy("v")
+    in_bucket = (
+        vals.withColumn("bucket", F.expr("v DIV 65536"))
+        .withColumn("la", F.sum("ca").over(wb))
+        .withColumn("lb", F.sum("cb").over(wb))
+        .withColumn("lead_local", F.lead("v").over(wlead))
+    )
+    wo = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wnext = Window.orderBy("bucket")
+    offsets = (
+        in_bucket.groupBy("bucket")
+        .agg(
+            F.sum("ca").alias("ta"),
+            F.sum("cb").alias("tb"),
+            F.min("v").alias("minv"),
+        )
+        .select(
+            "bucket",
+            F.coalesce(F.sum("ta").over(wo), F.lit(0)).alias("offa"),
+            F.coalesce(F.sum("tb").over(wo), F.lit(0)).alias("offb"),
+            F.lead("minv").over(wnext).alias("next_min"),
+        )
+    )
+    tot = vals.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    cum = (
+        in_bucket.join(F.broadcast(offsets), "bucket")
+        .join(F.broadcast(tot))
+        .select(
+            "v",
+            (F.col("offa") + F.col("la")).cast("bigint").alias("cuma"),
+            (F.col("offb") + F.col("lb")).cast("bigint").alias("cumb"),
+            F.coalesce(
+                F.col("lead_local"), F.col("next_min"), F.col("v")
+            ).alias("nextv"),
+            "na",
+            "nb",
+        )
+    )
+    terms = cum.agg(
+        F.sum(
+            F.abs(
+                F.col("cuma").cast("decimal(38,0)") * F.col("nb")
+                - F.col("cumb").cast("decimal(38,0)") * F.col("na")
+            )
+            * (F.col("nextv") - F.col("v"))
+        ).alias("s"),
+        F.count("*").cast("bigint").alias("n_vals"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    return terms.select(
+        F.col("na").alias("n_before"),
+        F.col("nb").alias("n_after"),
+        F.col("n_vals").alias("n_distinct_values"),
+        dround(
+            F.col("s").cast("double")
+            / F.when(
+                (F.col("na") > 0) & (F.col("nb") > 0),
+                F.col("na").cast("double") * F.col("nb"),
+            )
+            / 100.0,
+            6,
+        ).alias("w1_value"),
+    )
