@@ -3231,3 +3231,206 @@ def rake_keyword_extraction(
         "n_occurrences",
         dround(F.col("score_micro") / 1000000.0, 6).alias("rake_score"),
     )
+
+
+# --------------------------------------------------------------------------
+# Brier score decomposition (Murphy 1973) of the logistic quality
+# score against dup truth — Brier = REL − RES + UNC, the proper-score
+# companion to classifier_reliability_bins (which eyeballs calibration)
+# and AUC/AP (which ignore it). The EXACT Brier comes from pure
+# integer moments (Σsq², Σsq·pos, Σpos — sq is the ×1e6 score), so it
+# needs no binning at all; the decomposition uses 0.1-wide bins with
+# bin-mean forecasts, and the reported residual (= within-bin forecast
+# variance) closes the identity Brier = REL − RES + UNC + residual —
+# a built-in self-check that also quantifies what the binning itself
+# blurs. Per-bin REL/RES terms quantize to ×1e9 ints before the
+# cross-bin sum, so every reduce is exact.
+#
+# Scale: map-only scoring + one content-hash window + an 11-row bin
+# grain; the global moments ride the same single aggregate.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "brier_score_decomposition",
+    oracle=f"""
+WITH feats AS (
+    SELECT sha256(substring(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), 1, 80))
+               AS content_hash,
+           len(string_split_regex(TRIM(text), '\\s+')) AS wc,
+           LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS awl,
+           len(list_distinct(string_split_regex(TRIM(text), '\\s+'))) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS dwr
+    FROM documents
+    WHERE text IS NOT NULL
+),
+scored AS (
+    SELECT content_hash,
+           CAST(FLOOR(1.0 / (1.0 + exp(-({_QC_W0} + {_QC_W_WC} * wc
+                + {_QC_W_AWL} * awl + {_QC_W_DWR} * dwr)))
+                * 1000000 + 0.5) AS BIGINT) AS sq
+    FROM feats
+),
+labeled AS (
+    SELECT sq,
+           CASE WHEN COUNT(*) OVER (PARTITION BY content_hash) >= 2
+                THEN 1 ELSE 0 END AS pos
+    FROM scored
+),
+bins AS (
+    SELECT CAST(FLOOR(sq / 100000.0) AS BIGINT) AS b,
+           CAST(COUNT(*) AS BIGINT) AS nk,
+           CAST(SUM(pos) AS BIGINT) AS pk,
+           CAST(SUM(sq) AS BIGINT) AS sk,
+           CAST(SUM(CAST(sq AS HUGEINT) * sq) AS HUGEINT) AS sqq,
+           CAST(SUM(CAST(sq AS HUGEINT) * pos) AS HUGEINT) AS sqp
+    FROM labeled GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(pk) AS BIGINT) AS p,
+           CAST(SUM(sqq) AS HUGEINT) AS sqq,
+           CAST(SUM(sqp) AS HUGEINT) AS sqp
+    FROM bins
+),
+terms AS (
+    SELECT b.nk, b.pk,
+           CAST(FLOOR(b.nk * (b.sk * 1.0 / b.nk / 1000000.0
+                              - b.pk * 1.0 / b.nk)
+                           * (b.sk * 1.0 / b.nk / 1000000.0
+                              - b.pk * 1.0 / b.nk)
+                * 1000000000 + 0.5) AS BIGINT) AS rel9,
+           CAST(FLOOR(b.nk * (b.pk * 1.0 / b.nk - t.p * 1.0 / t.n)
+                           * (b.pk * 1.0 / b.nk - t.p * 1.0 / t.n)
+                * 1000000000 + 0.5) AS BIGINT) AS res9,
+           t.n, t.p, t.sqq, t.sqp
+    FROM bins b CROSS JOIN tot t
+),
+agg AS (
+    SELECT MAX(n) AS n, MAX(p) AS p,
+           CAST(SUM(rel9) AS BIGINT) AS rel_s,
+           CAST(SUM(res9) AS BIGINT) AS res_s,
+           MAX(sqq) AS sqq, MAX(sqp) AS sqp,
+           CAST(COUNT(*) AS BIGINT) AS n_bins
+    FROM terms
+)
+SELECT n AS n_docs, p AS n_pos, n_bins,
+       {sql_dround('''(CAST(sqq AS DOUBLE) - 2000000.0 * CAST(sqp AS DOUBLE)
+        + 1000000000000.0 * p) / n / 1000000000000.0''', 6)} AS brier,
+       {sql_dround('rel_s * 1.0 / n / 1000000000.0', 6)} AS reliability,
+       {sql_dround('res_s * 1.0 / n / 1000000000.0', 6)} AS resolution,
+       {sql_dround('''(p * 1.0 / n) * (1.0 - p * 1.0 / n)''', 6)}
+           AS uncertainty,
+       {sql_dround('''(CAST(sqq AS DOUBLE) - 2000000.0 * CAST(sqp AS DOUBLE)
+        + 1000000000000.0 * p) / n / 1000000000000.0
+        - (rel_s * 1.0 / n / 1000000000.0
+           - res_s * 1.0 / n / 1000000000.0
+           + (p * 1.0 / n) * (1.0 - p * 1.0 / n))''', 6)}
+           AS within_bin_residual
+FROM agg
+""",
+)
+def brier_score_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Murphy decomposition with exact integer moments + closure check."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ws = T.words("text")
+    wc = F.size(ws)
+    awl = (
+        F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+        * 1.0
+        / F.size(ws)
+    )
+    dwr = F.size(F.array_distinct(ws)) * 1.0 / F.size(ws)
+    z = (
+        F.lit(_QC_W0)
+        + F.lit(_QC_W_WC) * wc
+        + F.lit(_QC_W_AWL) * awl
+        + F.lit(_QC_W_DWR) * dwr
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        F.sha2(F.substring(norm, 1, 80), 256).alias("content_hash"),
+        F.floor(1.0 / (1.0 + F.exp(-z)) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("sq"),
+    )
+    wdup = Window.partitionBy("content_hash")
+    labeled = scored.select(
+        "sq",
+        F.when(F.count("*").over(wdup) >= 2, 1).otherwise(0).alias("pos"),
+    )
+    bins = labeled.groupBy(
+        F.floor(F.col("sq") / 100000.0).cast("bigint").alias("b")
+    ).agg(
+        F.count("*").cast("bigint").alias("nk"),
+        F.sum("pos").cast("bigint").alias("pk"),
+        F.sum("sq").cast("bigint").alias("sk"),
+        F.sum(F.col("sq").cast("decimal(38,0)") * F.col("sq")).alias(
+            "sqq"
+        ),
+        F.sum(F.col("sq").cast("decimal(38,0)") * F.col("pos")).alias(
+            "sqp"
+        ),
+    )
+    tot = bins.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum("pk").cast("bigint").alias("p"),
+        F.sum("sqq").alias("t_sqq"),
+        F.sum("sqp").alias("t_sqp"),
+    )
+    fbar = F.col("sk") * 1.0 / F.col("nk") / 1000000.0
+    obar_k = F.col("pk") * 1.0 / F.col("nk")
+    obar = F.col("p") * 1.0 / F.col("n")
+    terms = bins.join(F.broadcast(tot)).select(
+        F.floor(
+            F.col("nk") * (fbar - obar_k) * (fbar - obar_k) * 1000000000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("rel9"),
+        F.floor(
+            F.col("nk") * (obar_k - obar) * (obar_k - obar) * 1000000000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("res9"),
+        "n",
+        "p",
+        "t_sqq",
+        "t_sqp",
+    )
+    agg = terms.agg(
+        F.max("n").alias("n"),
+        F.max("p").alias("p"),
+        F.sum("rel9").cast("bigint").alias("rel_s"),
+        F.sum("res9").cast("bigint").alias("res_s"),
+        F.max("t_sqq").alias("sqq"),
+        F.max("t_sqp").alias("sqp"),
+        F.count("*").cast("bigint").alias("n_bins"),
+    )
+    brier = (
+        F.col("sqq").cast("double")
+        - 2000000.0 * F.col("sqp").cast("double")
+        + 1000000000000.0 * F.col("p")
+    ) / F.col("n") / 1000000000000.0
+    rel = F.col("rel_s") * 1.0 / F.col("n") / 1000000000.0
+    res = F.col("res_s") * 1.0 / F.col("n") / 1000000000.0
+    unc = (F.col("p") * 1.0 / F.col("n")) * (
+        1.0 - F.col("p") * 1.0 / F.col("n")
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("p").alias("n_pos"),
+        "n_bins",
+        dround(brier, 6).alias("brier"),
+        dround(rel, 6).alias("reliability"),
+        dround(res, 6).alias("resolution"),
+        dround(unc, 6).alias("uncertainty"),
+        dround(brier - (rel - res + unc), 6).alias(
+            "within_bin_residual"
+        ),
+    )
