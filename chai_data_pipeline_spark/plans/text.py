@@ -3434,3 +3434,488 @@ def brier_score_decomposition(
             "within_bin_residual"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Isotonic calibration of the quality classifier via PAV — the minimax
+# (max-min) characterization of the pool-adjacent-violators fit, computed
+# on a BOUNDED score-bin grain so the B^2 grid is O(1) w.r.t. corpus size.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "isotonic_calibration_pav",
+    oracle=f"""
+WITH feats AS (
+    SELECT sha256(substring(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), 1, 80))
+               AS content_hash,
+           len(string_split_regex(TRIM(text), '\\s+')) AS wc,
+           LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS awl,
+           len(list_distinct(string_split_regex(TRIM(text), '\\s+'))) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS dwr
+    FROM documents
+    WHERE text IS NOT NULL
+),
+scored AS (
+    SELECT content_hash,
+           CAST(FLOOR(1.0 / (1.0 + exp(-({_QC_W0} + {_QC_W_WC} * wc
+                + {_QC_W_AWL} * awl + {_QC_W_DWR} * dwr)))
+                * 1000000 + 0.5) AS BIGINT) AS sq
+    FROM feats
+),
+labeled AS (
+    SELECT sq,
+           CASE WHEN COUNT(*) OVER (PARTITION BY content_hash) >= 2
+                THEN 1 ELSE 0 END AS pos
+    FROM scored
+),
+bins AS (
+    SELECT CAST(FLOOR(sq / 1000.0) AS BIGINT) AS b,
+           CAST(COUNT(*) AS BIGINT) AS nk,
+           CAST(SUM(pos) AS BIGINT) AS pk,
+           CAST(SUM(sq) AS BIGINT) AS sk
+    FROM labeled GROUP BY 1
+),
+pre AS (
+    SELECT b, nk, pk, sk,
+           CAST(SUM(nk) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+           CAST(SUM(pk) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+    FROM bins
+),
+grid AS (
+    SELECT j.b AS jb, j.nk AS jn, j.pk AS jp, j.sk AS js,
+           k.b AS kb,
+           (k.cp - j.cp + j.pk) * 1.0 / (k.cn - j.cn + j.nk) AS g
+    FROM pre j JOIN pre k ON j.b <= k.b
+),
+smin AS (
+    SELECT jb, jn, jp, js, kb,
+           MIN(g) OVER (PARTITION BY jb ORDER BY kb DESC
+                        ROWS UNBOUNDED PRECEDING) AS s
+    FROM grid
+),
+fmax AS (
+    SELECT jb, jn, jp, js, kb,
+           MAX(s) OVER (PARTITION BY kb ORDER BY jb
+                        ROWS UNBOUNDED PRECEDING) AS f
+    FROM smin
+),
+fit AS (
+    SELECT jb AS b, jn AS nk, jp AS pk, js AS sk, f
+    FROM fmax WHERE jb = kb
+),
+terms AS (
+    SELECT b, nk, pk, sk, f,
+           CAST(FLOOR(ABS(sk * 1.0 / nk / 1000000.0 - pk * 1.0 / nk)
+                * nk * 1000000000 + 0.5) AS BIGINT) AS raw9,
+           CAST(FLOOR(ABS(f - pk * 1.0 / nk)
+                * nk * 1000000000 + 0.5) AS BIGINT) AS iso9,
+           CAST(FLOOR(f * nk * 1000000000 + 0.5) AS BIGINT) AS fm9
+    FROM fit
+)
+SELECT b, nk, pk,
+       {sql_dround('pk * 1.0 / nk', 6)} AS emp_rate,
+       {sql_dround('sk * 1.0 / nk / 1000000.0', 6)} AS avg_score,
+       {sql_dround('f', 6)} AS iso_rate,
+       {sql_dround('CAST(SUM(raw9) OVER () AS DOUBLE) * 1.0 '
+                   '/ CAST(SUM(nk) OVER () AS DOUBLE) / 1000000000.0', 6)}
+           AS ece_raw,
+       {sql_dround('CAST(SUM(iso9) OVER () AS DOUBLE) * 1.0 '
+                   '/ CAST(SUM(nk) OVER () AS DOUBLE) / 1000000000.0', 6)}
+           AS ece_iso,
+       CAST(SUM(fm9) OVER () - SUM(pk) OVER () * 1000000000 AS BIGINT)
+           AS mass_gap9
+FROM terms
+""",
+)
+def isotonic_calibration_pav(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic (PAV) calibration of the logistic quality score against
+    dup truth, via the minimax identity fit(i) = max_{j<=i} min_{k>=i}
+    mean(pos over bins j..k).
+
+    Scale: scores quantize onto a FIXED 1e-3 grid, so the bin grain is
+    bounded at 1001 rows regardless of corpus size — the B^2 pair grid
+    (<=1e6 rows) and the two windows over it are O(1) in the data; the
+    only data-sized work is the map-side scoring + one groupBy(bin).
+    The two-window decomposition (suffix-min per start-bin, then
+    prefix-max per end-bin) replaces the stack-based sequential PAVA
+    sweep with shuffle-friendly grid passes. Self-checks: mass_gap9
+    pins the PAVA mass-conservation property (sum nk*fit == sum pk, up
+    to per-bin 1e-9 rounding); ece_iso <= ece_raw by construction.
+    The reference has no calibration op (closest: quality scoring,
+    transform.py:1); this extends the classifier family
+    (classifier_reliability_bins / brier_score_decomposition).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ws = T.words("text")
+    wc = F.size(ws)
+    awl = (
+        F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+        * 1.0
+        / F.size(ws)
+    )
+    dwr = F.size(F.array_distinct(ws)) * 1.0 / F.size(ws)
+    z = (
+        F.lit(_QC_W0)
+        + F.lit(_QC_W_WC) * wc
+        + F.lit(_QC_W_AWL) * awl
+        + F.lit(_QC_W_DWR) * dwr
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        F.sha2(F.substring(norm, 1, 80), 256).alias("content_hash"),
+        F.floor(1.0 / (1.0 + F.exp(-z)) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("sq"),
+    )
+    wdup = Window.partitionBy("content_hash")
+    labeled = scored.select(
+        "sq",
+        F.when(F.count("*").over(wdup) >= 2, 1).otherwise(0).alias("pos"),
+    )
+    bins = labeled.groupBy(
+        F.floor(F.col("sq") / 1000.0).cast("bigint").alias("b")
+    ).agg(
+        F.count("*").cast("bigint").alias("nk"),
+        F.sum("pos").cast("bigint").alias("pk"),
+        F.sum("sq").cast("bigint").alias("sk"),
+    )
+    # bounded grain (<=1001 rows): a single-task window here is O(1)
+    # in the data, not a scale trap
+    wpre = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = bins.select(
+        "b",
+        "nk",
+        "pk",
+        "sk",
+        F.sum("nk").over(wpre).cast("bigint").alias("cn"),
+        F.sum("pk").over(wpre).cast("bigint").alias("cp"),
+    )
+    j = pre.select(
+        F.col("b").alias("jb"),
+        F.col("nk").alias("jn"),
+        F.col("pk").alias("jp"),
+        F.col("sk").alias("js"),
+        F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+    )
+    k = pre.select(
+        F.col("b").alias("kb"),
+        F.col("cn").alias("kcn"),
+        F.col("cp").alias("kcp"),
+    )
+    grid = j.join(F.broadcast(k), F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "jn",
+        "jp",
+        "js",
+        "kb",
+        (
+            (F.col("kcp") - F.col("jcp") + F.col("jp"))
+            * 1.0
+            / (F.col("kcn") - F.col("jcn") + F.col("jn"))
+        ).alias("g"),
+    )
+    wmin = Window.partitionBy("jb").orderBy(F.col("kb").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    smin = grid.select(
+        "jb", "jn", "jp", "js", "kb", F.min("g").over(wmin).alias("s")
+    )
+    wmax = Window.partitionBy("kb").orderBy("jb").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fmax = smin.select(
+        "jb", "jn", "jp", "js", "kb", F.max("s").over(wmax).alias("f")
+    )
+    fit = fmax.filter(F.col("jb") == F.col("kb")).select(
+        F.col("jb").alias("b"),
+        F.col("jn").alias("nk"),
+        F.col("jp").alias("pk"),
+        F.col("js").alias("sk"),
+        "f",
+    )
+    terms = fit.select(
+        "b",
+        "nk",
+        "pk",
+        "sk",
+        "f",
+        F.floor(
+            F.abs(
+                F.col("sk") * 1.0 / F.col("nk") / 1000000.0
+                - F.col("pk") * 1.0 / F.col("nk")
+            )
+            * F.col("nk")
+            * 1000000000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("raw9"),
+        F.floor(
+            F.abs(F.col("f") - F.col("pk") * 1.0 / F.col("nk"))
+            * F.col("nk")
+            * 1000000000
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("iso9"),
+        F.floor(F.col("f") * F.col("nk") * 1000000000 + 0.5)
+        .cast("bigint")
+        .alias("fm9"),
+    )
+    wall = Window.partitionBy()
+    return terms.select(
+        "b",
+        "nk",
+        "pk",
+        dround(F.col("pk") * 1.0 / F.col("nk"), 6).alias("emp_rate"),
+        dround(F.col("sk") * 1.0 / F.col("nk") / 1000000.0, 6).alias(
+            "avg_score"
+        ),
+        dround(F.col("f"), 6).alias("iso_rate"),
+        dround(
+            F.sum("raw9").over(wall).cast("double")
+            * 1.0
+            / F.sum("nk").over(wall).cast("double")
+            / 1000000000.0,
+            6,
+        ).alias("ece_raw"),
+        dround(
+            F.sum("iso9").over(wall).cast("double")
+            * 1.0
+            / F.sum("nk").over(wall).cast("double")
+            / 1000000000.0,
+            6,
+        ).alias("ece_iso"),
+        (
+            F.sum("fm9").over(wall)
+            - F.sum("pk").over(wall) * F.lit(1000000000)
+        )
+        .cast("bigint")
+        .alias("mass_gap9"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Confident-learning noise matrix (Northcutt et al. 2021) — label-noise
+# estimation from predicted probabilities with EXACT integer threshold
+# tests (class thresholds are rational means; every comparison is a
+# cross-multiplied bigint test, so the confusion counts reproduce at
+# any partitioning).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "confident_learning_noise",
+    oracle=f"""
+WITH feats AS (
+    SELECT sha256(substring(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), 1, 80))
+               AS content_hash,
+           len(string_split_regex(TRIM(text), '\\s+')) AS wc,
+           LENGTH(REGEXP_REPLACE(text, '\\s', '', 'g')) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS awl,
+           len(list_distinct(string_split_regex(TRIM(text), '\\s+'))) * 1.0
+               / len(string_split_regex(TRIM(text), '\\s+')) AS dwr
+    FROM documents
+    WHERE text IS NOT NULL
+),
+scored AS (
+    SELECT content_hash,
+           CAST(FLOOR(1.0 / (1.0 + exp(-({_QC_W0} + {_QC_W_WC} * wc
+                + {_QC_W_AWL} * awl + {_QC_W_DWR} * dwr)))
+                * 1000000 + 0.5) AS BIGINT) AS sq
+    FROM feats
+),
+labeled AS (
+    SELECT sq,
+           CASE WHEN COUNT(*) OVER (PARTITION BY content_hash) >= 2
+                THEN 1 ELSE 0 END AS y
+    FROM scored
+),
+cls AS (
+    SELECT CAST(COUNT(*) FILTER (WHERE y = 1) AS BIGINT) AS n1,
+           CAST(COUNT(*) FILTER (WHERE y = 0) AS BIGINT) AS n0,
+           CAST(COALESCE(SUM(sq) FILTER (WHERE y = 1), 0) AS BIGINT) AS s1,
+           CAST(COALESCE(SUM(sq) FILTER (WHERE y = 0), 0) AS BIGINT) AS s0,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM labeled
+),
+conf AS (
+    SELECT l.y, l.sq, c.n, c.n0, c.n1,
+           (c.n1 > 0 AND l.sq * c.n1 >= c.s1) AS in1,
+           (c.n0 > 0 AND c.s0 >= l.sq * c.n0) AS in0
+    FROM labeled l CROSS JOIN cls c
+),
+pred AS (
+    SELECT y, n, n0, n1,
+           CASE
+               WHEN in1 AND in0 THEN CASE WHEN sq >= 500000 THEN 1 ELSE 0 END
+               WHEN in1 THEN 1
+               WHEN in0 THEN 0
+               ELSE -1
+           END AS yp
+    FROM conf
+),
+cm AS (
+    SELECT y AS y_given, yp AS y_pred,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           MAX(n) AS n, MAX(n0) AS n0, MAX(n1) AS n1
+    FROM pred WHERE yp >= 0 GROUP BY 1, 2
+),
+rowt AS (
+    SELECT y_given, y_pred, cnt, n, n0, n1,
+           CAST(SUM(cnt) OVER (PARTITION BY y_given) AS BIGINT) AS row_cnt
+    FROM cm
+)
+SELECT y_given, y_pred, cnt,
+       {sql_dround('cnt * 1.0 / row_cnt', 6)} AS row_rate,
+       {sql_dround('''(cnt * 1.0 / row_cnt)
+            * (CASE WHEN y_given = 1 THEN n1 ELSE n0 END * 1.0 / n)''', 6)}
+           AS q_joint,
+       CAST(n - SUM(cnt) OVER () AS BIGINT) AS n_unconfident,
+       {sql_dround('''SUM(CASE WHEN y_given <> y_pred THEN
+            (cnt * 1.0 / row_cnt)
+            * (CASE WHEN y_given = 1 THEN n1 ELSE n0 END * 1.0 / n)
+            ELSE 0.0 END) OVER ()''', 6)} AS est_noise_frac
+FROM rowt
+""",
+)
+def confident_learning_noise(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Confident-learning 2x2 noise matrix: dup truth as the noisy label,
+    the pinned logistic score as the model, per-class confident
+    thresholds t_j = mean p_j over class j.
+
+    Every threshold test is cross-multiplied into bigint space
+    (p_1 >= t_1 <=> sq*n1 >= S1), so the confident counts C[i][j] are
+    exact at any partitioning; only the final calibrated joint
+    Q[i][j] = (C[i][j]/row) * prior divides. Scale: one class-stats agg
+    broadcast to a map-side predicate pass + one 4-cell groupBy — no
+    data-sized shuffle beyond the score scan. Ties (p_1 == p_0 at
+    sq == 500000) break to class 1 on both engines. Extends the
+    classifier family (brier/threshold-sweep); the reference has no
+    label-noise op (closest: quality flags, transform.py:1).
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    from pyspark.sql.window import Window
+
+    ws = T.words("text")
+    wc = F.size(ws)
+    awl = (
+        F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+        * 1.0
+        / F.size(ws)
+    )
+    dwr = F.size(F.array_distinct(ws)) * 1.0 / F.size(ws)
+    z = (
+        F.lit(_QC_W0)
+        + F.lit(_QC_W_WC) * wc
+        + F.lit(_QC_W_AWL) * awl
+        + F.lit(_QC_W_DWR) * dwr
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    scored = docs.filter(F.col("text").isNotNull()).select(
+        F.sha2(F.substring(norm, 1, 80), 256).alias("content_hash"),
+        F.floor(1.0 / (1.0 + F.exp(-z)) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("sq"),
+    )
+    wdup = Window.partitionBy("content_hash")
+    labeled = scored.select(
+        "sq",
+        F.when(F.count("*").over(wdup) >= 2, 1).otherwise(0).alias("y"),
+    )
+    cls = labeled.agg(
+        F.count(F.when(F.col("y") == 1, 1)).cast("bigint").alias("n1"),
+        F.count(F.when(F.col("y") == 0, 1)).cast("bigint").alias("n0"),
+        F.coalesce(F.sum(F.when(F.col("y") == 1, F.col("sq"))), F.lit(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.coalesce(F.sum(F.when(F.col("y") == 0, F.col("sq"))), F.lit(0))
+        .cast("bigint")
+        .alias("s0"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    conf = labeled.join(F.broadcast(cls)).select(
+        "y",
+        "sq",
+        "n",
+        "n0",
+        "n1",
+        (
+            (F.col("n1") > 0)
+            & (F.col("sq") * F.col("n1") >= F.col("s1"))
+        ).alias("in1"),
+        (
+            (F.col("n0") > 0)
+            & (F.col("s0") >= F.col("sq") * F.col("n0"))
+        ).alias("in0"),
+    )
+    pred = conf.select(
+        "y",
+        "n",
+        "n0",
+        "n1",
+        F.when(
+            F.col("in1") & F.col("in0"),
+            F.when(F.col("sq") >= 500000, 1).otherwise(0),
+        )
+        .when(F.col("in1"), 1)
+        .when(F.col("in0"), 0)
+        .otherwise(-1)
+        .alias("yp"),
+    )
+    cm = (
+        pred.filter(F.col("yp") >= 0)
+        .groupBy(F.col("y").alias("y_given"), F.col("yp").alias("y_pred"))
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.max("n").alias("n"),
+            F.max("n0").alias("n0"),
+            F.max("n1").alias("n1"),
+        )
+    )
+    wrow = Window.partitionBy("y_given")
+    wall = Window.partitionBy()
+    rowt = cm.select(
+        "y_given",
+        "y_pred",
+        "cnt",
+        "n",
+        "n0",
+        "n1",
+        F.sum("cnt").over(wrow).cast("bigint").alias("row_cnt"),
+    )
+    prior = (
+        F.when(F.col("y_given") == 1, F.col("n1")).otherwise(F.col("n0"))
+        * 1.0
+        / F.col("n")
+    )
+    qj = (F.col("cnt") * 1.0 / F.col("row_cnt")) * prior
+    return rowt.select(
+        "y_given",
+        "y_pred",
+        "cnt",
+        dround(F.col("cnt") * 1.0 / F.col("row_cnt"), 6).alias("row_rate"),
+        dround(qj, 6).alias("q_joint"),
+        (F.col("n") - F.sum("cnt").over(wall))
+        .cast("bigint")
+        .alias("n_unconfident"),
+        dround(
+            F.sum(
+                F.when(F.col("y_given") != F.col("y_pred"), qj).otherwise(
+                    0.0
+                )
+            ).over(wall),
+            6,
+        ).alias("est_noise_frac"),
+    )
