@@ -1105,3 +1105,203 @@ def adamic_adar_copurchase(
             6,
         ).alias("jaccard"),
     )
+
+
+# --------------------------------------------------------------------------
+# Densest subgraph via parallel peeling (Bahmani/Kumar/Vassilvitskii,
+# VLDB 2012): repeatedly drop every node whose induced degree is
+# <= 2(1+eps)*rho(S) and keep the densest prefix — a (2+2eps)-approx
+# in O(log N) rounds, the MapReduce formulation exactly. eps = 0.5 so
+# the keep test is the pure-integer d*N > 3*E and 25-node backbones
+# empty within 10 rounds. Entirely integer until the displayed
+# density; the best round is picked by exact cross-multiplied
+# fraction comparison (E_i*N_j vs E_j*N_i), never by rounded doubles.
+# --------------------------------------------------------------------------
+
+_DS_ROUNDS = 10
+
+
+def _ds_round_sql(i: int) -> str:
+    p = i - 1
+    return f"""
+ds_{i} AS MATERIALIZED (
+    SELECT n FROM (
+        SELECT x.n, COUNT(*) AS d,
+               MAX(st.nn) AS nn, MAX(st.ee) AS ee
+        FROM (
+            SELECT u.a AS n, u.b AS m FROM und u
+            UNION ALL SELECT u.b, u.a FROM und u
+        ) x
+        JOIN ds_{p} sa ON x.n = sa.n
+        JOIN ds_{p} sb ON x.m = sb.n
+        CROSS JOIN (
+            SELECT CAST((SELECT COUNT(*) FROM ds_{p}) AS BIGINT) AS nn,
+                   CAST((SELECT COUNT(*) FROM und u
+                         JOIN ds_{p} ia ON u.a = ia.n
+                         JOIN ds_{p} ib ON u.b = ib.n) AS BIGINT) AS ee
+        ) st
+        GROUP BY 1
+    ) WHERE d * nn > 3 * ee
+)"""
+
+
+_DS_STATS = "\nUNION ALL\n".join(
+    f"""
+    SELECT {i} AS round,
+           CAST((SELECT COUNT(*) FROM ds_{i}) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM und u
+                 JOIN ds_{i} ia ON u.a = ia.n
+                 JOIN ds_{i} ib ON u.b = ib.n) AS BIGINT) AS n_edges"""
+    for i in range(0, _DS_ROUNDS + 1)
+)
+
+
+@query(
+    "densest_subgraph_peel",
+    oracle=f"""
+WITH {_BACKBONE_SQL.lstrip()},
+ds_0 AS MATERIALIZED (
+    SELECT a AS n FROM und UNION SELECT b FROM und
+),
+{",".join(_ds_round_sql(i).lstrip() for i in range(1, _DS_ROUNDS + 1))},
+stats AS MATERIALIZED ({_DS_STATS}),
+flagged AS (
+    SELECT s.round, s.n_nodes, s.n_edges,
+           NOT EXISTS (
+               SELECT 1 FROM stats o
+               WHERE o.n_nodes > 0 AND s.n_nodes > 0
+                 AND (o.n_edges * s.n_nodes > s.n_edges * o.n_nodes
+                      OR (o.n_edges * s.n_nodes = s.n_edges * o.n_nodes
+                          AND o.round < s.round))
+           ) AND s.n_nodes > 0 AS is_densest
+    FROM stats s
+)
+SELECT round, n_nodes, n_edges,
+       CASE WHEN n_nodes > 0
+            THEN {sql_dround('n_edges * 1.0 / n_nodes', 6)} END AS density,
+       is_densest
+FROM flagged
+""",
+)
+def densest_subgraph_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bahmani-et-al parallel peeling on the nation trade backbone.
+
+    Scale: the edge build is the one data-sized stage (same plan as
+    kcore_trade_backbone); every peel round is a degree agg over the
+    bounded backbone with the shrinking node set broadcast, and the
+    per-round state collected to the driver is TWO scalars (N_i, E_i)
+    — O(rounds) driver state, never O(data). The keep test
+    d*N > 3*E and the best-round pick are exact bigint arithmetic, so
+    the peel trajectory reproduces at any partitioning; only the
+    displayed density divides. Reference has no graph ops (closest:
+    groupby rollups, transform.py:1); completes the graph family's
+    descriptive set (pagerank/k-core/HITS) with the density extremum.
+    """
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier"
+    )
+    edges0 = (
+        t["lineitem"]
+        .join(
+            t["orders"],
+            t["lineitem"].l_orderkey == t["orders"].o_orderkey,
+        )
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"]),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    dir_e = edges0.filter(F.col("src") != F.col("dst"))
+    tot = dir_e.agg(
+        F.count("*").cast("bigint").alias("n_e"),
+        F.sum("w").cast("bigint").alias("w_t"),
+    )
+    und = (
+        dir_e.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") * F.col("n_e") > 2 * F.col("w_t"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.lit(1).alias("_one"))
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    stubs = und.select(
+        F.col("a").alias("n"), F.col("b").alias("m")
+    ).unionAll(und.select(F.col("b").alias("n"), F.col("a").alias("m")))
+
+    cur = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    stats: list[tuple[int, int, int]] = []
+    for i in range(_DS_ROUNDS + 1):
+        if stats and stats[-1][1] == 0:
+            stats.append((i, 0, 0))  # empty is absorbing: no job needed
+            continue
+        nn = cur.count()
+        ee = (
+            und.join(F.broadcast(cur.withColumnRenamed("n", "a")), "a")
+            .join(F.broadcast(cur.withColumnRenamed("n", "b")), "b")
+            .count()
+        )
+        stats.append((i, nn, ee))
+        if i < _DS_ROUNDS and nn > 0:
+            cur = (
+                stubs.join(F.broadcast(cur), "n")
+                .join(F.broadcast(cur.withColumnRenamed("n", "m")), "m")
+                .groupBy("n")
+                .agg(F.count("*").alias("d"))
+                .filter(F.col("d") * F.lit(nn) > 3 * F.lit(ee))
+                .select("n")
+                .localCheckpoint(eager=True)
+            )
+    rows = []
+    for i, nn, ee in stats:
+        best = nn > 0 and not any(
+            on > 0
+            and (
+                oe * nn > ee * on
+                or (oe * nn == ee * on and oi < i)
+            )
+            for oi, on, oe in stats
+        )
+        dens = (
+            None
+            if nn == 0
+            else __import__("math").floor(ee * 1.0 / nn * 1000000 + 0.5)
+            / 1000000.0
+        )
+        rows.append((i, nn, ee, dens, best))
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("round", IntegerType()),
+            StructField("n_nodes", LongType()),
+            StructField("n_edges", LongType()),
+            StructField("density", DoubleType()),
+            StructField("is_densest", BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
