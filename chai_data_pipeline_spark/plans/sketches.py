@@ -647,3 +647,229 @@ def join_cardinality_cms_estimate(
             ),
         ).alias("relative_error"),
     )
+
+
+# --------------------------------------------------------------------------
+# V-optimal histogram (Jagadish et al., VLDB 1998): partition the daily
+# event-count series into K buckets minimizing total within-bucket SSE,
+# by exact dynamic programming over the bounded day grain. SSE terms
+# come from integer prefix sums (one IEEE division each), DP additions
+# follow the identical recurrence tree on both engines, and every
+# argmin is tie-broken on the split index — so the chosen boundary SET
+# is deterministic, not just the cost.
+# --------------------------------------------------------------------------
+
+_VOPT_K = 5
+
+
+def _vopt_dp_sql() -> str:
+    parts = []
+    for k in range(2, _VOPT_K + 1):
+        p = k - 1
+        parts.append(f"""
+dp{k} AS MATERIALIZED (
+    SELECT i, d, si, qi, cost, bounds FROM (
+        SELECT pi.i, pi.d, pi.si, pi.qi,
+               dp.cost + ((pi.qi - dp.qi)
+                   - (pi.si - dp.si) * (pi.si - dp.si) * 1.0
+                     / (pi.i - dp.i)) AS cost,
+               list_append(dp.bounds, dp.i) AS bounds,
+               ROW_NUMBER() OVER (
+                   PARTITION BY pi.i
+                   ORDER BY dp.cost + ((pi.qi - dp.qi)
+                       - (pi.si - dp.si) * (pi.si - dp.si) * 1.0
+                         / (pi.i - dp.i)), dp.i
+               ) AS rn
+        FROM dp{p} dp JOIN pre pi ON pi.i > dp.i
+    ) WHERE rn = 1
+)""")
+    return ",".join(parts)
+
+
+@query(
+    "voptimal_histogram_dp",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS v
+    FROM events GROUP BY 1
+),
+pre AS MATERIALIZED (
+    SELECT d, v,
+           CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i,
+           CAST(SUM(v) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS si,
+           CAST(SUM(v * v) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS qi
+    FROM daily
+),
+dp1 AS MATERIALIZED (
+    SELECT i, d, si, qi,
+           qi - si * si * 1.0 / i AS cost,
+           CAST([] AS BIGINT[]) AS bounds
+    FROM pre
+),
+{_vopt_dp_sql().lstrip()},
+fin AS (
+    SELECT dp.cost AS total_sse, dp.bounds, dp.i AS t
+    FROM dp{_VOPT_K} dp
+    WHERE dp.i = (SELECT MAX(i) FROM pre)
+),
+buckets AS (
+    SELECT m.m AS bucket,
+           CASE WHEN m.m = 1 THEN 1 ELSE f.bounds[m.m - 1] + 1 END AS a,
+           CASE WHEN m.m = {_VOPT_K} THEN f.t ELSE f.bounds[m.m] END AS b,
+           f.total_sse
+    FROM fin f CROSS JOIN (SELECT UNNEST(range(1, {_VOPT_K + 1})) AS m) m
+),
+out AS (
+    SELECT bk.bucket,
+           pa.d AS start_day, pb.d AS end_day,
+           CAST(bk.b - bk.a + 1 AS BIGINT) AS n_days,
+           CAST(pb.si - COALESCE(pj.si, 0) AS BIGINT) AS sum_events,
+           (pb.qi - COALESCE(pj.qi, 0))
+               - (pb.si - COALESCE(pj.si, 0))
+                 * (pb.si - COALESCE(pj.si, 0)) * 1.0
+                 / (bk.b - bk.a + 1) AS sse,
+           bk.total_sse
+    FROM buckets bk
+    JOIN pre pa ON pa.i = bk.a
+    JOIN pre pb ON pb.i = bk.b
+    LEFT JOIN pre pj ON pj.i = bk.a - 1
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, start_day, end_day, n_days,
+       sum_events,
+       {sql_dround('sse', 6)} AS sse,
+       {sql_dround('total_sse', 6)} AS total_sse
+FROM out
+""",
+)
+def voptimal_histogram_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=5 v-optimal bucketing of the daily event-count series.
+
+    Scale: the only data-sized stage is the date-grain count; the DP
+    runs on the bounded day grain (T days → T² candidate splits per
+    level, K-1 levels), where each level is one self-join + per-i
+    argmin — the standard distributed formulation of the O(T²K)
+    Jagadish DP. Driver holds no per-day state. At 100 TB the day
+    grain is still thousands of rows; the T² grid stays a broadcast
+    join. Integer prefix sums make every SSE a single-division double,
+    so DP costs are bit-identical across engines and the boundary SET
+    (not just the cost) is pinned by the argmin tie-break on split
+    index. Reference has no synopsis ops (closest: daily rollups,
+    transform.py:1).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import dround
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("v")
+    )
+    wd = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = daily.select(
+        "d",
+        "v",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("i"),
+        F.sum("v").over(wd).cast("bigint").alias("si"),
+        F.sum(F.col("v") * F.col("v")).over(wd).cast("bigint").alias("qi"),
+    ).localCheckpoint(eager=True)
+
+    dp = pre.select(
+        "i",
+        "d",
+        "si",
+        "qi",
+        (F.col("qi") - F.col("si") * F.col("si") * 1.0 / F.col("i")).alias(
+            "cost"
+        ),
+        F.array().cast("array<bigint>").alias("bounds"),
+    )
+    for k in range(2, _VOPT_K + 1):
+        prev = dp.select(
+            F.col("i").alias("ji"),
+            F.col("si").alias("jsi"),
+            F.col("qi").alias("jqi"),
+            F.col("cost").alias("jcost"),
+            F.col("bounds").alias("jbounds"),
+        )
+        cand = pre.join(
+            F.broadcast(prev), F.col("i") > F.col("ji")
+        ).select(
+            "i",
+            "d",
+            "si",
+            "qi",
+            (
+                F.col("jcost")
+                + (
+                    (F.col("qi") - F.col("jqi"))
+                    - (F.col("si") - F.col("jsi"))
+                    * (F.col("si") - F.col("jsi"))
+                    * 1.0
+                    / (F.col("i") - F.col("ji"))
+                )
+            ).alias("cost"),
+            F.concat(F.col("jbounds"), F.array(F.col("ji"))).alias(
+                "bounds"
+            ),
+            F.col("ji"),
+        )
+        wk = Window.partitionBy("i").orderBy("cost", "ji")
+        dp = (
+            cand.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "ji")
+        )
+
+    tmax = pre.agg(F.max("i").alias("t"))
+    fin = dp.join(F.broadcast(tmax), F.col("i") == F.col("t")).select(
+        F.col("cost").alias("total_sse"), "bounds", "t"
+    )
+    ms = spark.range(1, _VOPT_K + 1).select(
+        (F.col("id")).cast("int").alias("bucket")
+    )
+    buckets = fin.crossJoin(F.broadcast(ms)).select(
+        "bucket",
+        F.when(F.col("bucket") == 1, F.lit(1).cast("bigint"))
+        .otherwise(F.element_at("bounds", F.col("bucket") - 1) + 1)
+        .alias("a"),
+        F.when(F.col("bucket") == _VOPT_K, F.col("t"))
+        .otherwise(F.element_at("bounds", F.col("bucket")))
+        .alias("b"),
+        "total_sse",
+    )
+    pa = pre.select(F.col("i").alias("a"), F.col("d").alias("start_day"))
+    pb = pre.select(
+        F.col("i").alias("b"),
+        F.col("d").alias("end_day"),
+        F.col("si").alias("bsi"),
+        F.col("qi").alias("bqi"),
+    )
+    pj = pre.select(
+        (F.col("i") + 1).alias("a"),
+        F.col("si").alias("jsi"),
+        F.col("qi").alias("jqi"),
+    )
+    out = (
+        buckets.join(F.broadcast(pa), "a")
+        .join(F.broadcast(pb), "b")
+        .join(F.broadcast(pj), "a", "left")
+    )
+    nsd = F.col("b") - F.col("a") + 1
+    sd = F.col("bsi") - F.coalesce(F.col("jsi"), F.lit(0))
+    sse = (
+        (F.col("bqi") - F.coalesce(F.col("jqi"), F.lit(0)))
+        - sd * sd * 1.0 / nsd
+    )
+    return out.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "start_day",
+        "end_day",
+        nsd.cast("bigint").alias("n_days"),
+        sd.cast("bigint").alias("sum_events"),
+        dround(sse, 6).alias("sse"),
+        dround(F.col("total_sse"), 6).alias("total_sse"),
+    )
