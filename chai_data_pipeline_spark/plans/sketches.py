@@ -873,3 +873,158 @@ def voptimal_histogram_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(sse, 6).alias("sse"),
         dround(F.col("total_sse"), 6).alias("total_sse"),
     )
+
+
+# --------------------------------------------------------------------------
+# Haar wavelet synopsis (Matias/Vitter/Wang, SIGMOD 1998): top-C
+# largest-energy Haar coefficients of the daily event-count series.
+# Unnormalized sum/difference coefficients are exact bigints; the
+# orthonormal energy of detail (s,k) is d²/2^s, compared on the common
+# ×32 integer scale e32 = d²·2^(5-s) — so selection, dropped-SSE, and
+# the Parseval identity 32·Σv² = c0² + Σe32 are all pure integer
+# arithmetic (parseval_gap32 pins it to 0).
+# --------------------------------------------------------------------------
+
+_HAAR_C = 8
+
+
+@query(
+    "haar_wavelet_synopsis",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS v
+    FROM events GROUP BY 1
+),
+pre AS MATERIALIZED (
+    SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS j
+    FROM daily QUALIFY ROW_NUMBER() OVER (ORDER BY d) <= 32
+),
+levels(s, bs, hs, w) AS (
+    VALUES (1, 2, 1, 16), (2, 4, 2, 8), (3, 8, 4, 4),
+           (4, 16, 8, 2), (5, 32, 16, 1)
+),
+coefs AS MATERIALIZED (
+    SELECT l.s, p.j // l.bs AS k, l.w,
+           CAST(SUM(p.v * (1 - 2 * ((p.j // l.hs) % 2))) AS BIGINT) AS coef
+    FROM pre p CROSS JOIN levels l
+    GROUP BY 1, 2, 3
+),
+en AS (
+    SELECT s, k, coef, CAST(coef * coef * w AS BIGINT) AS e32
+    FROM coefs
+),
+tot AS (
+    SELECT CAST(SUM(v) AS BIGINT) AS c0,
+           CAST(32 * SUM(v * v) AS BIGINT) AS q32
+    FROM pre
+),
+alle AS (
+    SELECT CAST(SUM(e32) AS BIGINT) AS e32_total,
+           CAST(COUNT(*) AS BIGINT) AS n_coefs
+    FROM en
+),
+top AS (
+    SELECT s, k, coef, e32
+    FROM en
+    QUALIFY ROW_NUMBER() OVER (ORDER BY e32 DESC, s, k) <= {_HAAR_C}
+)
+SELECT CAST(t.s AS INTEGER) AS s, t.k, t.coef, t.e32,
+       a.n_coefs, o.c0,
+       CAST(o.q32 - o.c0 * o.c0 - a.e32_total AS BIGINT) AS parseval_gap32,
+       {sql_dround('(a.e32_total - SUM(t.e32) OVER ()) / 32.0', 6)}
+           AS dropped_sse
+FROM top t CROSS JOIN tot o CROSS JOIN alle a
+""",
+)
+def haar_wavelet_synopsis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 Haar coefficients of the daily series, all-integer.
+
+    Scale: the data-sized stage is the date-grain count; the transform
+    is a 5-way level fan-out of the bounded day grain (<=160 rows) and
+    one (s,k) groupBy — each coefficient a partial-aggregable integer
+    sum, so the synopsis builds in one shuffle-free-after-count pass
+    at any SF. Headroom: coef <= Σv_day over one block; e32 = coef²·32
+    needs the DECIMAL(38) swap once daily volume passes ~5e8 events
+    (moments_skew_kurtosis precedent). Self-check: parseval_gap32 == 0
+    pins the transform's orthogonality end-to-end. Reference has no
+    synopsis ops; pairs with voptimal_histogram_dp as the two classic
+    SSE-optimal summaries.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import dround
+
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("v")
+    )
+    wj = Window.orderBy("d")
+    pre = (
+        daily.select(
+            "v",
+            (F.row_number().over(wj) - 1).cast("bigint").alias("j"),
+        )
+        .filter(F.col("j") < 32)
+        .localCheckpoint(eager=True)
+    )
+    levels = spark.createDataFrame(
+        [(1, 2, 1, 16), (2, 4, 2, 8), (3, 8, 4, 4), (4, 16, 8, 2),
+         (5, 32, 16, 1)],
+        "s int, bs int, hs int, w int",
+    )
+    coefs = (
+        pre.crossJoin(F.broadcast(levels))
+        .groupBy(
+            "s",
+            F.expr("j div bs").alias("k"),
+            "w",
+        )
+        .agg(
+            F.sum(
+                F.col("v") * (1 - 2 * (F.expr("j div hs") % 2))
+            )
+            .cast("bigint")
+            .alias("coef")
+        )
+    )
+    en = coefs.select(
+        "s",
+        "k",
+        "coef",
+        (F.col("coef") * F.col("coef") * F.col("w"))
+        .cast("bigint")
+        .alias("e32"),
+    )
+    tot = pre.agg(
+        F.sum("v").cast("bigint").alias("c0"),
+        (32 * F.sum(F.col("v") * F.col("v"))).cast("bigint").alias("q32"),
+    )
+    alle = en.agg(
+        F.sum("e32").cast("bigint").alias("e32_total"),
+        F.count("*").cast("bigint").alias("n_coefs"),
+    )
+    wtop = Window.orderBy(F.col("e32").desc(), "s", "k")
+    top = (
+        en.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= _HAAR_C)
+        .drop("rn")
+    )
+    wall = Window.partitionBy()
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(alle))
+        .select(
+            F.col("s").cast("int").alias("s"),
+            "k",
+            "coef",
+            "e32",
+            "n_coefs",
+            "c0",
+            (F.col("q32") - F.col("c0") * F.col("c0") - F.col("e32_total"))
+            .cast("bigint")
+            .alias("parseval_gap32"),
+            dround(
+                (F.col("e32_total") - F.sum("e32").over(wall)) / 32.0, 6
+            ).alias("dropped_sse"),
+        )
+    )
