@@ -691,7 +691,7 @@ dp{k} AS MATERIALIZED (
     oracle=f"""
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS v
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 pre AS MATERIALIZED (
     SELECT d, v,
@@ -763,8 +763,10 @@ def voptimal_histogram_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import dround
 
     ev = load_tables(spark, sf_dir, "events")["events"]
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count("*").cast("bigint").alias("v")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("v"))
     )
     wd = Window.orderBy("d").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -893,7 +895,7 @@ _HAAR_C = 8
     oracle=f"""
 WITH daily AS (
     SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS v
-    FROM events GROUP BY 1
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 pre AS MATERIALIZED (
     SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS j
@@ -955,8 +957,10 @@ def haar_wavelet_synopsis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import dround
 
     ev = load_tables(spark, sf_dir, "events")["events"]
-    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
-        F.count("*").cast("bigint").alias("v")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("v"))
     )
     wj = Window.orderBy("d")
     pre = (
