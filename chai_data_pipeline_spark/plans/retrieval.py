@@ -523,3 +523,176 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack(2, '{p1}', d1, s1, '{p2}', d2, s2)"
         " AS (phrase, docs_with_phrase, occurrences)",
     ).select("lang", "phrase", "n_docs", "docs_with_phrase", "occurrences")
+
+
+# --------------------------------------------------------------------------
+# Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+# SIGIR 2001) — the LM counterpart to BM25 above, same pinned query.
+# score6(d) = Σ_{t∈q∩d} q6(ln(1 + tf·T/(μ·cf_t))) + Σ_t q6(ln(μ·cf_t/T))
+#             − |q|·q6(ln(dl_d + μ)),  q6(x) = floor(x·1e6 + 0.5)
+# Each part quantizes to ×1e6 ints BEFORE any sum, so the score is an
+# exact integer. The SPARK side computes the decomposed posting-list
+# form (matched postings + a doc-length map + one broadcast constant);
+# the ORACLE expands the naive docs×terms product with zero-tf rows —
+# the hash match PROVES the decomposition that makes QL runnable off
+# an inverted index at 100 TB.
+# --------------------------------------------------------------------------
+
+_QL_MU = 2000.0
+_QL_TOPK = 10
+
+
+@query(
+    "ql_dirichlet_retrieval",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws
+    FROM documents WHERE text IS NOT NULL
+),
+dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t FROM dl),
+terms(word) AS (VALUES ({_TERMS_SQL.replace(", ", "), (")})),
+cf AS (
+    SELECT t.word, CAST(COUNT(w.word) AS BIGINT) AS cf
+    FROM terms t
+    LEFT JOIN (SELECT unnest(ws) AS word FROM d) w ON w.word = t.word
+    GROUP BY 1
+),
+bconst AS (
+    SELECT CAST(SUM(CAST(FLOOR(ln({_QL_MU} * c.cf / o.t) * 1000000 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS b6,
+           CAST(COUNT(*) AS BIGINT) AS nq
+    FROM cf c CROSS JOIN tot o
+),
+tf AS (
+    SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(ws) AS word FROM d)
+    WHERE word IN ({_TERMS_SQL})
+    GROUP BY 1, 2
+),
+-- naive form: every (doc, term) pair, zero-tf rows contributing 0
+a6 AS (
+    SELECT l.doc_id,
+           CAST(SUM(CASE WHEN f.tf IS NOT NULL THEN
+               CAST(FLOOR(ln(1.0 + (f.tf * o.t) * 1.0 / ({_QL_MU} * c.cf))
+                    * 1000000 + 0.5) AS BIGINT)
+               ELSE 0 END) AS BIGINT) AS a6,
+           CAST(COUNT(*) FILTER (WHERE f.tf IS NOT NULL) AS BIGINT)
+               AS matched_terms
+    FROM dl l
+    CROSS JOIN cf c
+    CROSS JOIN tot o
+    LEFT JOIN tf f ON f.doc_id = l.doc_id AND f.word = c.word
+    GROUP BY 1
+)
+SELECT a.doc_id, a.matched_terms,
+       CAST(a.a6 + b.b6 - b.nq *
+            CAST(FLOOR(ln(l.dl + {_QL_MU}) * 1000000 + 0.5) AS BIGINT)
+            AS BIGINT) AS score6,
+       CAST(CAST(a.a6 + b.b6 - b.nq *
+            CAST(FLOOR(ln(l.dl + {_QL_MU}) * 1000000 + 0.5) AS BIGINT)
+            AS BIGINT) AS DOUBLE) / 1000000.0 AS ql_score
+FROM a6 a JOIN dl l USING (doc_id) CROSS JOIN bconst b
+ORDER BY score6 DESC, a.doc_id
+LIMIT {_QL_TOPK}
+""",
+)
+def ql_dirichlet_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood top-k via the posting-list form.
+
+    Scale: unlike the oracle's docs×terms expansion, only MATCHED
+    postings are scored (the zero-tf mass folds into one broadcast
+    constant b6 and a per-doc length term) — at 100 TB this is the
+    inverted-index access path: |postings(q)| + one map over dl, never
+    |docs|·|q| rows. Headroom: tf·T stays under 2^63 until the corpus
+    passes ~1e15 tokens per term occurrence. Finisher is
+    TakeOrderedAndProject on (score6, doc_id).
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    d = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", T.words("text").alias("ws")
+    )
+    dl = d.select("doc_id", F.size("ws").alias("dl"))
+    tot = dl.agg(F.sum("dl").cast("bigint").alias("t"))
+    words = d.select(F.explode("ws").alias("word"))
+    terms = spark.createDataFrame(
+        [(t,) for t in _BM25_TERMS], "word string"
+    )
+    cf = (
+        terms.join(words, "word", "left")
+        .groupBy("word")
+        .agg(F.count("word").cast("bigint").alias("cf"))
+    )
+    bconst = (
+        cf.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.log(F.lit(_QL_MU) * F.col("cf") / F.col("t"))
+                    * 1000000
+                    + 0.5
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("b6"),
+            F.count("*").cast("bigint").alias("nq"),
+        )
+    )
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("word"))
+        .filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    a6 = (
+        tf.join(F.broadcast(cf), "word")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.log(
+                        1.0
+                        + (F.col("tf") * F.col("t"))
+                        * 1.0
+                        / (F.lit(_QL_MU) * F.col("cf"))
+                    )
+                    * 1000000
+                    + 0.5
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("a6"),
+            F.count("*").cast("bigint").alias("matched_terms"),
+        )
+    )
+    len6 = F.floor(
+        F.log(F.col("dl") + F.lit(_QL_MU)) * 1000000 + 0.5
+    ).cast("bigint")
+    scored = (
+        dl.join(a6, "doc_id", "left")
+        .crossJoin(F.broadcast(bconst))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("matched_terms"), F.lit(0))
+            .cast("bigint")
+            .alias("matched_terms"),
+            (
+                F.coalesce(F.col("a6"), F.lit(0))
+                + F.col("b6")
+                - F.col("nq") * len6
+            )
+            .cast("bigint")
+            .alias("score6"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "matched_terms",
+            "score6",
+            (F.col("score6").cast("double") / 1000000.0).alias("ql_score"),
+        )
+        .orderBy(F.col("score6").desc(), "doc_id")
+        .limit(_QL_TOPK)
+    )
