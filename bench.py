@@ -205,14 +205,20 @@ def main() -> None:
                 timings[name] = dt
 
     total = round(sum(timings.values()), 3)
+    # Key order matters: the driver records only the LAST ~2000 chars of
+    # stdout, so the bulky per-query dict goes FIRST and the scalar
+    # headline fields LAST — the recorded tail then always contains a
+    # parsable "value" even when the queries dict is truncated away.
+    # Still exactly one valid JSON line with the same fields.
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
                 "queries": timings,
+                "n_queries": len(timings),
                 "sf": sf,
+                "metric": "headline_queries_total",
+                "unit": "sec",
+                "value": total,
             }
         )
     )

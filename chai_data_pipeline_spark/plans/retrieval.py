@@ -552,12 +552,15 @@ WITH d AS (
 dl AS (SELECT doc_id, len(ws) AS dl FROM d),
 tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t FROM dl),
 terms(word) AS (VALUES ({_TERMS_SQL.replace(", ", "), (")})),
-cf AS (
+cf0 AS (
     SELECT t.word, CAST(COUNT(w.word) AS BIGINT) AS cf
     FROM terms t
     LEFT JOIN (SELECT unnest(ws) AS word FROM d) w ON w.word = t.word
     GROUP BY 1
 ),
+-- OOV guard: a query term absent from the corpus is DROPPED (standard
+-- QL treatment) so cf=0 can never reach ln()/division on either engine
+cf AS (SELECT * FROM cf0 WHERE cf > 0),
 bconst AS (
     SELECT CAST(SUM(CAST(FLOOR(ln({_QL_MU} * c.cf / o.t) * 1000000 + 0.5)
                     AS BIGINT)) AS BIGINT) AS b6,
@@ -618,10 +621,23 @@ def ql_dirichlet_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = spark.createDataFrame(
         [(t,) for t in _BM25_TERMS], "word string"
     )
-    cf = (
-        terms.join(words, "word", "left")
+    # Count the RIGHT side, not the coalesced USING key: pre-aggregate
+    # corpus term frequencies, left-join onto the term spine, coalesce
+    # to 0, then drop OOV terms (cf=0) — identical to the oracle's
+    # COUNT(w.word) + cf>0 guard. (A USING-join key is non-null even
+    # for an unmatched term, which silently made cf=1 before.)
+    wcount = (
+        words.filter(F.col("word").isin(*_BM25_TERMS))
         .groupBy("word")
-        .agg(F.count("word").cast("bigint").alias("cf"))
+        .agg(F.count("*").cast("bigint").alias("cf0"))
+    )
+    cf = (
+        terms.join(wcount, "word", "left")
+        .select(
+            "word",
+            F.coalesce(F.col("cf0"), F.lit(0)).cast("bigint").alias("cf"),
+        )
+        .filter(F.col("cf") > 0)
     )
     bconst = (
         cf.crossJoin(F.broadcast(tot))
