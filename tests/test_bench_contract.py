@@ -135,6 +135,7 @@ def test_driver_rank_invariants():
         if n in plans._GREENS
         and n not in plans._FRONT
         and n not in plans._FORCE_FRONT  # changed-semantics re-checks
+        and n not in plans._RECONFIRM  # standing re-confirm quota
     ]
     no_oracle = [n for n in order if n not in plans.ORACLES]
     if unchecked and greens:
@@ -149,6 +150,44 @@ def test_driver_rank_invariants():
     for n in plans._FRONT:
         if n in plans._GREENS and n not in plans._FORCE_FRONT:
             assert plans._rank(n)[0] != 0
+
+
+def test_reconfirm_quota_invariants():
+    """The standing re-confirm quota (judge advice r9 item 7): exactly
+    QUOTA oracle-bearing greens with the OLDEST green evidence rank
+    ahead of never-checked work each round, so a vacuous-parity kill
+    cannot hide for a full ~7-round green cycle."""
+    import sys
+
+    sys.path.insert(0, REPO)
+    from chai_data_pipeline_spark import plans
+
+    q = plans._RECONFIRM
+    assert len(q) <= plans._RECONFIRM_QUOTA
+    # all picks are oracle-bearing greens
+    assert all(n in plans.ORACLES and n in plans._GREENS for n in q)
+    # picks are the stalest: no non-pick green has an older green round
+    if len(q) == plans._RECONFIRM_QUOTA:
+        newest_pick = max(plans._GREEN_ROUND.get(n, 0) for n in q)
+        others = [
+            plans._GREEN_ROUND.get(n, 0)
+            for n in plans._GREENS
+            if n in plans.ORACLES and n not in q
+        ]
+        if others:
+            assert min(others) >= newest_pick
+    # quota ranks after every active pin but before rank-1 unchecked
+    pos = {n: i for i, n in enumerate(plans.QUERIES)}
+    unchecked = [
+        n
+        for n in plans.QUERIES
+        if n in plans.ORACLES and n not in plans._CHECKED
+    ]
+    if q and unchecked:
+        assert max(pos[n] for n in q) < min(pos[n] for n in unchecked)
+    for n in q:
+        rank = plans._rank(n)
+        assert rank[0] == 0 and rank[1] >= 10**6, (n, rank)
 
 
 def test_force_front_self_expiry():
