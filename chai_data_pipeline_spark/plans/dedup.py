@@ -535,10 +535,10 @@ _MH_SIG_SPARK = ", ".join(
 )
 
 
-@query(
-    "dedup_minhash_lsh_checked",
-    oracle=f"""
-WITH sh AS (
+# Shared LSH-candidate CTE chain (md5-deterministic recipe): shingle →
+# hash once → minhash → banded buckets → distinct candidate pairs.
+# Reused by dedup_minhash_lsh_checked and curation_near_dup_end_to_end.
+_LSH_CAND_SQL = f"""sh AS (
     SELECT doc_id,
            list_distinct(list_transform(
                range(1, GREATEST(LENGTH(text) - 2, 0) + 1),
@@ -568,7 +568,13 @@ cand AS (
     FROM buckets a JOIN buckets b
       ON a.band = b.band AND a.band_sig = b.band_sig
          AND a.doc_id < b.doc_id
-)
+)"""
+
+
+@query(
+    "dedup_minhash_lsh_checked",
+    oracle=f"""
+WITH {_LSH_CAND_SQL}
 SELECT id_a, id_b,
        {sql_dround('''len(list_intersect(ga, gb)) * 1.0
         / (len(ga) + len(gb) - len(list_intersect(ga, gb)))''', 6)} AS jaccard
@@ -579,6 +585,20 @@ WHERE len(list_intersect(ga, gb)) * 1.0
 )
 def dedup_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import dround
+
+    cand = _lsh_md5_candidate_pairs(spark, sf_dir)
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size("ga") + F.size("gb") - inter
+    jac = inter * 1.0 / union
+    return cand.filter(jac >= 0.5).select(
+        "id_a", "id_b", dround(jac, 6).alias("jaccard")
+    )
+
+
+def _lsh_md5_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, ga, gb) MinHash-LSH candidate pairs via the
+    md5-deterministic recipe (shared by dedup_minhash_lsh_checked and
+    the near-dup curation composition)."""
     from ..operators.dedup import shingles
 
     docs = load_tables(spark, sf_dir, "documents")["documents"]
@@ -631,11 +651,197 @@ def dedup_minhash_lsh_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
     )
+    return cand
+
+
+# --------------------------------------------------------------------------
+# Near-dup curation END TO END — the apply arc for MinHash-LSH, the
+# composition curation_end_to_end provides for exact dedup: LSH
+# candidates (md5-deterministic recipe) → exact-Jaccard verify →
+# connected components → keep-canonical decision → per-source
+# kept/dropped TOKEN accounting. This is the table a training-data
+# owner actually reads before a near-dup dedup run: how many documents
+# and tokens each source loses, and how much of the loss is
+# cross-source (a source's content surviving only via another source's
+# canonical copy). Hash-checking the final per-source token totals
+# pins the ENTIRE five-stage composition at once.
+# --------------------------------------------------------------------------
+
+_ND_TOKENS_DUCK = """CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+                ELSE len(string_split_regex(TRIM(text), '\\s+')) END"""
+
+# Min-label + pointer-jump closure, UNROLLED: the LSH near-dup graph is
+# far denser than the Jaccard-blocked one (candidates cross length
+# buckets), and DuckDB's UNION-recursive reach CTE materializes every
+# (node, reachable-label) pair — Σ comp_size² rows and |E|·|comp| join
+# work per iteration (43 s at sf0.01 vs 2.5 s for the blocked graph).
+# Instead: K rounds of  nm_i(v) = min(l(v), min_nbr l(u))  followed by
+# one pointer jump  l_{i+1}(v) = min(nm_i(v), nm_i(nm_i(v)))  — each
+# round O(|E|) with per-node state, AS MATERIALIZED per the kcore
+# precedent (a plain CTE referenced twice per round expands
+# exponentially). Jumping makes convergence O(log diameter): K=8
+# covers any component this side of diameter ~2^8. Convergence is NOT
+# assumed: the final select is gated on l_K == l_{K-1} for every node,
+# so a pathological graph yields zero rows (a loud row-count mismatch
+# against Spark's exact fixpoint), never a silently wrong clustering.
+_ND_CC_ROUNDS = 8
+
+
+def _nd_closure_sql(k: int = _ND_CC_ROUNDS) -> str:
+    parts = [
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym)",
+        "l0 AS MATERIALIZED (SELECT node, node AS l FROM nodes)",
+    ]
+    for i in range(k):
+        parts.append(f"""nm{i} AS MATERIALIZED (
+    SELECT n.node, LEAST(n.l, COALESCE(MIN(x.l), n.l)) AS l
+    FROM l{i} n
+    LEFT JOIN sym s ON s.src = n.node
+    LEFT JOIN l{i} x ON x.node = s.dst
+    GROUP BY n.node, n.l
+)""")
+        parts.append(f"""l{i + 1} AS MATERIALIZED (
+    SELECT a.node, LEAST(a.l, b.l) AS l
+    FROM nm{i} a JOIN nm{i} b ON b.node = a.l
+)""")
+    parts.append(
+        f"conv AS (SELECT BOOL_AND(a.l = b.l) AS ok "
+        f"FROM l{k} a JOIN l{k - 1} b USING (node))"
+    )
+    parts.append(
+        f"clusters AS (SELECT node, l AS cluster_id FROM l{k} "
+        "CROSS JOIN conv WHERE conv.ok)"
+    )
+    return ",\n".join(parts)
+
+
+@query(
+    "curation_near_dup_end_to_end",
+    oracle=f"""
+WITH {_LSH_CAND_SQL},
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM cand
+    WHERE len(list_intersect(ga, gb)) * 1.0
+          / (len(ga) + len(gb) - len(list_intersect(ga, gb))) >= 0.5
+),
+sym AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+{_nd_closure_sql()},
+docs_t AS (
+    SELECT doc_id, source,
+           {_ND_TOKENS_DUCK} AS n_tokens
+    FROM documents
+),
+assigned AS (
+    SELECT d.doc_id, d.source, d.n_tokens,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+    FROM docs_t d LEFT JOIN clusters c ON d.doc_id = c.node
+),
+canon AS (
+    SELECT a.source, a.n_tokens, a.cluster_id,
+           (a.doc_id = a.cluster_id) AS is_kept,
+           k.source AS canon_source
+    FROM assigned a JOIN docs_t k ON a.cluster_id = k.doc_id
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE is_kept) AS n_kept,
+       COUNT(*) FILTER (WHERE NOT is_kept) AS n_dropped,
+       COUNT(*) FILTER (WHERE NOT is_kept AND canon_source <> source)
+           AS n_dropped_cross_source,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters_touched,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN is_kept THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_kept,
+       CAST(SUM(CASE WHEN NOT is_kept THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS tokens_dropped,
+       {sql_dround(
+           '''CASE WHEN SUM(n_tokens) > 0 THEN
+                SUM(CASE WHEN NOT is_kept THEN n_tokens ELSE 0 END)
+                * 1.0 / SUM(n_tokens) END''', 6)} AS dropped_token_frac
+FROM canon
+GROUP BY source
+""",
+)
+def curation_near_dup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-dup dedup impact: docs/tokens kept vs dropped.
+
+    Composition: `_lsh_md5_candidate_pairs` (banded bucket equi-join,
+    never all-pairs) → exact-Jaccard verify (cost scales with true-dup
+    density) → `connected_components` min-label propagation (touches
+    only docs WITH edges, ≪ corpus) → left join back to the corpus →
+    one per-source aggregate. Stages are the same operators the
+    standalone queries use, fused into one declarative plan so Catalyst
+    optimizes across stage boundaries.
+
+    Scale: the only corpus-sized stages are the shingle scan and the
+    final map-side token count + groupBy(source); the cluster table
+    and edge list are duplicate-density-sized. The canonical-source
+    lookup joins the assignment to the corpus on cluster_id — an
+    equi-join on the same doc_id domain, co-partitionable with the
+    assignment shuffle. Conservation is structural (kept + dropped
+    token sums partition the total) and cross-checkable via
+    n_kept ≤ n_clusters_touched per source. Reference has no near-dup
+    ops (closest: drop_duplicates, scripts/transform.py:1); models the
+    Lee et al. 2022 dedup accounting at the source grain.
+    """
+    from ..operators.graph import connected_components
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    cand = _lsh_md5_candidate_pairs(spark, sf_dir)
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size("ga") + F.size("gb") - inter
-    jac = inter * 1.0 / union
-    return cand.filter(jac >= 0.5).select(
-        "id_a", "id_b", dround(jac, 6).alias("jaccard")
+    edges = cand.filter(inter * 1.0 / union >= 0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    clusters = connected_components(edges)
+    wc = F.when(
+        F.col("text").isNull() | (F.trim(F.col("text")) == ""), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    docs_t = docs.select("doc_id", "source", wc.alias("n_tokens"))
+    assigned = (
+        docs_t.join(clusters, docs_t["doc_id"] == clusters["node"], "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    canon = assigned.join(
+        docs_t.select(
+            F.col("doc_id").alias("cluster_id"),
+            F.col("source").alias("canon_source"),
+        ),
+        "cluster_id",
+    ).select(
+        "source",
+        "n_tokens",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
+        "canon_source",
+    )
+    kept = F.col("is_kept")
+    tokens_total = F.sum("n_tokens")
+    tokens_dropped = F.sum(F.when(~kept, F.col("n_tokens")).otherwise(0))
+    return canon.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.count(F.when(~kept, 1)).alias("n_dropped"),
+        F.count(F.when(~kept & (F.col("canon_source") != F.col("source")), 1))
+        .alias("n_dropped_cross_source"),
+        F.countDistinct("cluster_id").cast("bigint")
+        .alias("n_clusters_touched"),
+        tokens_total.cast("bigint").alias("tokens_total"),
+        F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        tokens_dropped.cast("bigint").alias("tokens_dropped"),
+        dround(
+            F.when(
+                tokens_total > 0, tokens_dropped * 1.0 / tokens_total
+            ),
+            6,
+        ).alias("dropped_token_frac"),
     )
 
 
