@@ -1988,3 +1988,125 @@ def random_projection_jl_audit(
         dround(F.min("rm") / 1000000.0, 6).alias("min_ratio"),
         dround(F.max("rm") / 1000000.0, 6).alias("max_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# Diagonal-Mahalanobis embedding outliers — the covariance-aware
+# completion of embedding_norm_outliers (norm outliers miss vectors
+# that are extreme in a LOW-variance dimension). Two passes: one
+# 64-row moment aggregate (S_d, Q_d per dimension, exact ints on the
+# ×2^20 quantized grid), then a map-side score join — the 100 TB
+# shape: no per-pair work, no global sort until the bounded top-k.
+# Every per-dim term is one fixed-order double chain from exact ints
+# ((v·N−S)² / (Q·N−S²), both int64-exact at this data's range),
+# quantized ×1e9 to an integer BEFORE the cross-dimension sum, so the
+# Mahalanobis² is an exact integer sum at any partitioning.
+# Headroom: Q·N and S² stay under 2^63 while N·|x|²·2^40 < 2^63 —
+# at |x|≤0.6 that is N ≲ 16M vectors; past that, swap the moment
+# sums to DECIMAL(38,0) (moments_skew_kurtosis precedent).
+# --------------------------------------------------------------------------
+
+_MAHA_TOPK = 20
+
+
+@query(
+    "embedding_mahalanobis_outliers",
+    oracle=f"""
+WITH v AS (
+    SELECT vec_id, label, u.d,
+           CAST(FLOOR(CAST(embedding[u.d] AS DOUBLE) * 1048576) AS BIGINT)
+               AS q
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS d) u
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+st AS (
+    SELECT d, CAST(SUM(q) AS BIGINT) AS s,
+           CAST(SUM(q * q) AS BIGINT) AS qq
+    FROM v GROUP BY d
+),
+terms AS (
+    SELECT v.vec_id, v.label,
+           CAST(FLOOR(
+               CAST(v.q * nn.n - st.s AS DOUBLE)
+               * CAST(v.q * nn.n - st.s AS DOUBLE)
+               / CAST(st.qq * nn.n - st.s * st.s AS DOUBLE)
+               * 1000000000 + 0.5) AS BIGINT) AS t
+    FROM v JOIN st USING (d) CROSS JOIN nn
+    WHERE st.qq * nn.n - st.s * st.s > 0
+),
+md AS (
+    SELECT vec_id, label, CAST(SUM(t) AS BIGINT) AS md2_9
+    FROM terms GROUP BY 1, 2
+)
+SELECT vec_id, label, md2_9,
+       {sql_dround('md2_9 / 1000000000.0', 6)} AS mahalanobis_sq
+FROM md
+ORDER BY md2_9 DESC, vec_id
+LIMIT {_MAHA_TOPK}
+""",
+)
+def embedding_mahalanobis_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-20 diagonal-Mahalanobis outliers over the embedding corpus.
+
+    Scale: pass 1 shuffles 64 (dim) keys of exact-int partial moments
+    (map-side combined); pass 2 is a broadcast join of the 64-row
+    stats onto the exploded (vec, dim) grid + one groupBy(vec_id) of
+    integer terms; finisher is TakeOrderedAndProject on
+    (md2_9 DESC, vec_id). The per-dim variance denominator uses the
+    N-scaled identity Q·N − S² (no mean materialization, no division
+    until the final double chain). Zero-variance dimensions are
+    excluded identically on both engines. Reference has no embedding
+    ops; completes the outlier family (norm → covariance-aware).
+    """
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, 64), d -> struct(d AS d, "
+                "CAST(FLOOR(CAST(element_at(embedding, d) AS DOUBLE)"
+                " * 1048576) AS BIGINT) AS q))"
+            )
+        ).alias("e"),
+    ).select("vec_id", "label", "e.d", "e.q")
+    nn = emb.agg(F.count("*").cast("bigint").alias("n"))
+    st = v.groupBy("d").agg(
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("qq"),
+    )
+    num = F.col("q") * F.col("n") - F.col("s")
+    den = F.col("qq") * F.col("n") - F.col("s") * F.col("s")
+    terms = (
+        v.join(F.broadcast(st), "d")
+        .crossJoin(F.broadcast(nn))
+        .filter(den > 0)
+        .select(
+            "vec_id",
+            "label",
+            F.floor(
+                num.cast("double")
+                * num.cast("double")
+                / den.cast("double")
+                * 1000000000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("t"),
+        )
+    )
+    md = terms.groupBy("vec_id", "label").agg(
+        F.sum("t").cast("bigint").alias("md2_9")
+    )
+    return (
+        md.select(
+            "vec_id",
+            "label",
+            "md2_9",
+            dround(F.col("md2_9") / 1000000000.0, 6).alias("mahalanobis_sq"),
+        )
+        .orderBy(F.col("md2_9").desc(), "vec_id")
+        .limit(_MAHA_TOPK)
+    )

@@ -35,14 +35,14 @@ def streaming_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a register digest as a batch DataFrame."""
     from ..operators.sketch import hll_estimate, hll_registers
     from ..sources.writers import merge_into, recover_merge
-    from .windows import _events_stream
+    from .windows import _events_stream, stream_scratch_dir
 
     base = "chai_stream_hll"
     stale_re = re.compile(
         rf"{base}_[0-9a-f]{{8}}"
         rf"(_chk|__old_[0-9a-f]+|__merge_[0-9a-f]+|__merge_marker)?$"
     )
-    for stale in glob.glob(os.path.join(tempfile.gettempdir(), f"{base}_*")):
+    for stale in glob.glob(os.path.join(stream_scratch_dir(), f"{base}_*")):
         name = os.path.basename(stale)
         if stale_re.search(name):
             if re.fullmatch(rf"{base}_[0-9a-f]{{8}}", name):
@@ -52,7 +52,7 @@ def streaming_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     pass
             shutil.rmtree(stale, ignore_errors=True)
     target = os.path.join(
-        tempfile.gettempdir(), f"{base}_{uuid.uuid4().hex[:8]}"
+        stream_scratch_dir(), f"{base}_{uuid.uuid4().hex[:8]}"
     )
 
     ev = _events_stream(

@@ -46,7 +46,7 @@ def streaming_upsert_latest(
     DataFrame. Same bounded-temp-dir discipline as run_streaming_query:
     one live result per process, anchored cleanup glob."""
     from ..sources.writers import merge_into
-    from .windows import _events_stream
+    from .windows import _events_stream, stream_scratch_dir
 
     base = "chai_stream_upsert"
     # Sweep covers the live dirs AND a crashed merge_into's debris
@@ -60,7 +60,7 @@ def streaming_upsert_latest(
         rf"{base}_[0-9a-f]{{8}}"
         rf"(_chk|__old_[0-9a-f]+|__merge_[0-9a-f]+|__merge_marker)?$"
     )
-    for stale in glob.glob(os.path.join(tempfile.gettempdir(), f"{base}_*")):
+    for stale in glob.glob(os.path.join(stream_scratch_dir(), f"{base}_*")):
         name = os.path.basename(stale)
         if stale_re.search(name):
             if re.fullmatch(rf"{base}_[0-9a-f]{{8}}", name):
@@ -70,7 +70,7 @@ def streaming_upsert_latest(
                     pass
             shutil.rmtree(stale, ignore_errors=True)
     target = os.path.join(
-        tempfile.gettempdir(), f"{base}_{uuid.uuid4().hex[:8]}"
+        stream_scratch_dir(), f"{base}_{uuid.uuid4().hex[:8]}"
     )
 
     ev = _events_stream(

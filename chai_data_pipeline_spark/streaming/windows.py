@@ -29,6 +29,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def stream_scratch_dir() -> str:
+    """Scratch root for streaming checkpoints, staged sources, and file
+    sinks. Prefers the RAM-backed /dev/shm when writable: every
+    micro-batch commits one state file per partition per stateful
+    operator plus offset/commit WAL entries, each fsync'd — on a
+    disk-backed /tmp those small synchronous writes are the dominant
+    FIXED cost of a local streaming run. Falls back to the system temp
+    dir. These dirs are per-run scratch by design (fresh uuid each run,
+    stale dirs of the same name reaped) — durability is a non-goal in
+    the local harness; production checkpoints go to durable object
+    storage via session.object_store_conf instead."""
+    import tempfile
+
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    return tempfile.gettempdir()
+
+
 def _events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -47,8 +66,6 @@ def _events_stream(
     an at-least-once source redelivering every record — for exercising
     streaming deduplication.
     """
-    import tempfile
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # same tz pin + NTZ conversion as the batch reader
     # (session.load_tables): window bucketing on an instant would
@@ -58,7 +75,7 @@ def _events_stream(
     batch = spark.read.parquet(src)
 
     stage = os.path.join(
-        tempfile.gettempdir(),
+        stream_scratch_dir(),
         "chai_stream_src_dup" if duplicate_delivery else "chai_stream_src",
         os.path.basename(os.path.normpath(sf_dir)),
     )
@@ -271,12 +288,12 @@ def _run_stream_inner(
             rf"chai_stream_out_{re.escape(name)}_[0-9a-f]{{8}}(_chk)?$"
         )
         for stale in glob.glob(
-            os.path.join(tempfile.gettempdir(), f"chai_stream_out_{name}_*")
+            os.path.join(stream_scratch_dir(), f"chai_stream_out_{name}_*")
         ):
             if stale_re.search(os.path.basename(stale)):
                 shutil.rmtree(stale, ignore_errors=True)
         out = os.path.join(
-            tempfile.gettempdir(),
+            stream_scratch_dir(),
             f"chai_stream_out_{name}_{uuid.uuid4().hex[:8]}",
         )
         q = (
@@ -291,10 +308,32 @@ def _run_stream_inner(
         finally:
             q.stop()
         return spark.read.parquet(out)
+    # memory-sink branch: without an explicit checkpointLocation Spark
+    # places the (still fsync'd) offset/state checkpoint under
+    # java.io.tmpdir — route it through the scratch root too, with the
+    # same name-scoped stale reap as the file-sink branch
+    import glob
+    import re
+    import shutil
+    import uuid
+
+    stale_re = re.compile(
+        rf"chai_stream_chk_{re.escape(name)}_[0-9a-f]{{8}}$"
+    )
+    for stale in glob.glob(
+        os.path.join(stream_scratch_dir(), f"chai_stream_chk_{name}_*")
+    ):
+        if stale_re.search(os.path.basename(stale)):
+            shutil.rmtree(stale, ignore_errors=True)
+    chk = os.path.join(
+        stream_scratch_dir(),
+        f"chai_stream_chk_{name}_{uuid.uuid4().hex[:8]}",
+    )
     q = (
         df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", chk)
         .start()
     )
     try:
@@ -377,12 +416,12 @@ def window_topk_run(
     agg = tumbling_counts_stream(spark, sf_dir)
     stale_re = re.compile(r"chai_stream_topk_[0-9a-f]{8}(_chk)?$")
     for stale in glob.glob(
-        os.path.join(tempfile.gettempdir(), "chai_stream_topk_*")
+        os.path.join(stream_scratch_dir(), "chai_stream_topk_*")
     ):
         if stale_re.search(os.path.basename(stale)):
             shutil.rmtree(stale, ignore_errors=True)
     out = os.path.join(
-        tempfile.gettempdir(), f"chai_stream_topk_{uuid.uuid4().hex[:8]}"
+        stream_scratch_dir(), f"chai_stream_topk_{uuid.uuid4().hex[:8]}"
     )
 
     def emit(batch_df: DataFrame, batch_id: int) -> None:
