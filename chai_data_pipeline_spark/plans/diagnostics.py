@@ -1288,3 +1288,100 @@ def wasserstein_value_drift(
             6,
         ).alias("w1_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# DP Laplace release of the event-type histogram — the MECHANISM
+# companion to dp_sensitivity_advisor (which only advises sensitivity).
+# A per-key count histogram has L1 sensitivity 1, so Laplace(1/eps)
+# noise per cell gives eps-DP. The noise is DERIVED, not drawn: a
+# sha256-seeded uniform u in (-0.5, 0.5) pushed through the Laplace
+# inverse CDF  -b*sign(u)*ln(1-2|u|)  — bit-identical in both engines
+# (same recipe class as the JL sign matrix: hash-derived randomness,
+# no stored model), so the "random" release is value-hash-checkable.
+# The +0.5 offset keeps u strictly inside the open interval (h is an
+# integer in [0, 2^32), so 1-2|u| can never hit ln(0)).
+# Scale: one map-side seed + one groupBy(event_type) — the histogram
+# grain, not the event grain, carries the noise math.
+# --------------------------------------------------------------------------
+
+_DP_EPS = 1.0
+
+
+def _dp_uniform_sql(expr: str) -> str:
+    return (
+        f"((CAST(concat('0x', substring(sha256({expr}), 1, 8)) AS BIGINT)"
+        " + 0.5) / 4294967296.0 - 0.5)"
+    )
+
+
+@query(
+    "dp_laplace_histogram",
+    oracle=f"""
+WITH h AS (
+    SELECT COALESCE(event_type, '__null__') AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS true_count
+    FROM events GROUP BY 1
+),
+n AS (
+    SELECT event_type, true_count,
+           {_dp_uniform_sql("concat('dp:', event_type)")} AS u
+    FROM h
+)
+SELECT event_type, true_count,
+       {sql_dround(f"-(1.0 / {_DP_EPS}) * SIGN(u) * ln(1.0 - 2.0 * ABS(u))", 6)}
+           AS noise,
+       CAST(GREATEST(FLOOR(true_count
+            + (-(1.0 / {_DP_EPS}) * SIGN(u) * ln(1.0 - 2.0 * ABS(u)))
+            + 0.5), 0) AS BIGINT) AS released_count
+FROM n
+""",
+)
+def dp_laplace_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eps-DP Laplace release of the event-type histogram.
+
+    The released count rounds via the explicit FLOOR(x+0.5) (DuckDB's
+    double→int cast ROUNDS while Spark's TRUNCATES — the
+    uplift_qini_deciles precedent) and clamps at 0 (counts are
+    non-negative post-processing, which preserves DP). NULL event_type
+    is released as its own '__null__' cell — hiding it would leak the
+    presence of the NULL class. Reference has no privacy ops; extends
+    the k-anonymity/l-diversity/t-closeness/DP-advisor family with the
+    actual release mechanism.
+    """
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    h = ev.groupBy(
+        F.coalesce(F.col("event_type"), F.lit("__null__")).alias("event_type")
+    ).agg(F.count("*").cast("bigint").alias("true_count"))
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(F.concat(F.lit("dp:"), F.col("event_type")), 256),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + 0.5
+        )
+        / 4294967296.0
+        - 0.5
+    )
+    n = h.select("event_type", "true_count", u.alias("u"))
+    noise = (
+        F.lit(-(1.0 / _DP_EPS))
+        * F.signum(F.col("u"))
+        * F.log(1.0 - 2.0 * F.abs(F.col("u")))
+    )
+    return n.select(
+        "event_type",
+        "true_count",
+        dround(noise, 6).alias("noise"),
+        F.greatest(
+            F.floor(F.col("true_count") + noise + 0.5), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("released_count"),
+    )
