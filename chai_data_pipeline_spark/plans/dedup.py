@@ -3085,3 +3085,96 @@ def fellegi_sunter_em_weights(
             ),
         ).alias("w_disagree"),
     )
+
+
+# --------------------------------------------------------------------------
+# Memorization-risk ranking (Carlini et al. 2022 / Lee et al. 2022):
+# the empirical drivers of verbatim memorization are how many TIMES a
+# sequence appears and how LONG it is. Risk proxy per document:
+# risk = n_copies × n_tokens (exact int on the content-hash grain),
+# summarized as per-source top-risk mass — the table a privacy/IP
+# review reads before training. Shares the normalized-content-hash
+# grain with dedup_exact_content; everything after the hash groupBy is
+# cluster-grain.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "memorization_risk_ranking",
+    oracle="""
+WITH h AS (
+    SELECT doc_id, source,
+           sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+               AS content_hash,
+           CASE WHEN TRIM(text) = '' THEN 0
+                ELSE len(string_split_regex(TRIM(text), '\\s+')) END
+               AS n_tokens
+    FROM documents WHERE text IS NOT NULL
+),
+c AS (
+    SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(n_tokens) AS n_tokens
+    FROM h GROUP BY 1
+),
+r AS (
+    SELECT h.doc_id, h.source, c.n_copies, c.n_tokens,
+           CAST(c.n_copies * c.n_tokens AS BIGINT) AS risk
+    FROM h JOIN c USING (content_hash)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE n_copies > 1) AS n_duplicated,
+       CAST(MAX(risk) AS BIGINT) AS max_risk,
+       CAST(SUM(risk) AS BIGINT) AS total_risk,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN risk ELSE 0 END) AS BIGINT)
+           AS duplicated_risk
+FROM r GROUP BY source
+""",
+)
+def memorization_risk_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source memorization-risk mass from the exact-dup grain.
+
+    Scale: one map-side hash+token projection, one groupBy of 32-byte
+    hashes (map-side combined), one hash-keyed join back (same key
+    domain — co-partitionable), one groupBy(source). n_tokens rides
+    MIN() on the cluster grain (copies of one hash normalize to the
+    same content; MIN pins the tie exactly). Reference has no dedup
+    ops (closest: drop_duplicates, scripts/transform.py:1).
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
+        # NULL text would NULL the content hash, which then silently
+        # falls out of the hash-keyed join on both engines — exclude it
+        # explicitly so the universe is stated, not accidental
+        F.col("text").isNotNull()
+    )
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    wc = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.sha2(norm, 256).alias("content_hash"),
+        wc.alias("n_tokens"),
+    )
+    c = h.groupBy("content_hash").agg(
+        F.count("*").cast("bigint").alias("n_copies"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    r = h.select("doc_id", "source", "content_hash").join(
+        c, "content_hash"
+    ).select(
+        "source",
+        "n_copies",
+        (F.col("n_copies") * F.col("n_tokens")).cast("bigint").alias("risk"),
+    )
+    dup = F.col("n_copies") > 1
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(dup, 1)).alias("n_duplicated"),
+        F.max("risk").cast("bigint").alias("max_risk"),
+        F.sum("risk").cast("bigint").alias("total_risk"),
+        F.sum(F.when(dup, F.col("risk")).otherwise(0))
+        .cast("bigint")
+        .alias("duplicated_risk"),
+    )

@@ -103,3 +103,92 @@ FROM documents, (SELECT unnest(range(0, 4)) AS f) frames
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     return sample_frames(attach_fake_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# Content-addressed dedup / storage accounting — the dedup arc for the
+# multimodal family. At 100 TB of media, exact dedup is the
+# content-addressed-storage shape: shuffle 32-byte digests (never
+# payloads), group, keep-first; savings are computable from the
+# (digest, n_copies, n_bytes) grain alone. Modality is derived from a
+# digest byte (same stub recipe as multimodal_decode_meta — the
+# image/audio libs aren't in this container), so the per-modality
+# rollup exercises the real production grouping without real media.
+# --------------------------------------------------------------------------
+
+from ..functions import dround, sql_dround  # noqa: E402
+
+
+@query(
+    "multimodal_dedup_storage",
+    oracle=f"""
+WITH a AS (
+    SELECT doc_id AS asset_id,
+           sha256(COALESCE(text, '')) AS h,
+           CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS nb
+    FROM documents
+),
+m AS (
+    SELECT h,
+           CAST(('0x' || substring(h, 5, 2)) AS INTEGER) % 3 AS mod3,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(nb) AS nb
+    FROM a GROUP BY 1, 2
+)
+SELECT CASE mod3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                 ELSE 'video' END AS modality,
+       CAST(SUM(n_copies) AS BIGINT) AS n_assets,
+       COUNT(*) AS n_unique,
+       CAST(SUM(n_copies * nb) AS BIGINT) AS bytes_total,
+       CAST(SUM(nb) AS BIGINT) AS bytes_unique,
+       CAST(SUM((n_copies - 1) * nb) AS BIGINT) AS bytes_saved,
+       {sql_dround(
+           '''CASE WHEN SUM(n_copies * nb) > 0 THEN
+                SUM((n_copies - 1) * nb) * 1.0 / SUM(n_copies * nb)
+              END''', 6)} AS saved_frac
+FROM m GROUP BY 1
+""",
+)
+def multimodal_dedup_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality exact-dedup storage savings on the digest grain.
+
+    Scale: one map-side digest + byte-length projection, one
+    groupBy(h) of 32-byte keys with map-side combine, one 3-row
+    modality rollup — payload bytes never shuffle. Copies of the same
+    digest have identical length by construction (MIN(nb) pins it), so
+    savings are exact integers. saved_frac is non-vacuous at sf0.01:
+    the regenerated corpus plants exact duplicates
+    (dedup_exact_content precedent).
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    a = attach_fake_payload(docs).select(
+        "asset_id",
+        F.sha2("payload", 256).alias("h"),
+        F.length("payload").cast("bigint").alias("nb"),
+    )
+    mod3 = (
+        F.conv(F.substring(F.col("h"), 5, 2), 16, 10).cast("int") % 3
+    )
+    m = a.groupBy("h").agg(
+        F.count("*").cast("bigint").alias("n_copies"),
+        F.min("nb").alias("nb"),
+    ).select(
+        "h", "n_copies", "nb", mod3.alias("mod3")
+    )
+    total = F.sum(F.col("n_copies") * F.col("nb"))
+    saved = F.sum((F.col("n_copies") - 1) * F.col("nb"))
+    return m.groupBy(
+        F.when(F.col("mod3") == 0, "image")
+        .when(F.col("mod3") == 1, "audio")
+        .otherwise("video")
+        .alias("modality")
+    ).agg(
+        F.sum("n_copies").cast("bigint").alias("n_assets"),
+        F.count("*").alias("n_unique"),
+        total.cast("bigint").alias("bytes_total"),
+        F.sum("nb").cast("bigint").alias("bytes_unique"),
+        saved.cast("bigint").alias("bytes_saved"),
+        dround(
+            F.when(total > 0, saved * 1.0 / total), 6
+        ).alias("saved_frac"),
+    )

@@ -2110,3 +2110,160 @@ def embedding_mahalanobis_outliers(
         .orderBy(F.col("md2_9").desc(), "vec_id")
         .limit(_MAHA_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# Facility-location prototype selection (greedy 1-1/e submodular
+# maximization) — the corpus-representative counterpart to MMR:
+# MMR re-ranks a QUERY's candidates; this selects K prototypes that
+# jointly cover the sample, the standard coreset/diverse-subset
+# primitive for training-data selection. Objective
+# F(S) = Σ_v max(0, max_{s∈S} sim(v, s)) over the FIXED 100-vector
+# sample (audit-on-sample like random_projection_jl_audit; the apply —
+# assign every corpus vector to its nearest prototype — is map-only).
+# Similarity is the ×2^20-quantized integer dot product, so every
+# objective/marginal is an EXACT integer and the greedy trajectory
+# (with vec_id tie-break) reproduces at any partitioning. The oracle
+# unrolls the K greedy rounds as AS-MATERIALIZED CTEs; the Spark side
+# computes the sample×sample sim grid distributed and collects only
+# that model-sized matrix for the greedy loop (the documented MMR
+# pattern, ≤ sample² rows).
+# --------------------------------------------------------------------------
+
+_FL_SAMPLE = 100
+_FL_K = 5
+
+
+def _fl_round_sql(i: int) -> str:
+    prev_best = f"best{i - 1}"
+    excl = " UNION ALL ".join(
+        f"SELECT vec_id FROM pick{j}" for j in range(1, i)
+    )
+    where = f"WHERE p.c NOT IN ({excl})" if i > 1 else ""
+    return f"""gain{i} AS MATERIALIZED (
+    SELECT p.c, CAST(SUM(GREATEST(b.best, p.sim)) AS BIGINT) AS tot
+    FROM fl_pairs p JOIN {prev_best} b ON p.v = b.v
+    {where}
+    GROUP BY 1
+),
+pick{i} AS MATERIALIZED (
+    SELECT c AS vec_id, tot FROM gain{i} ORDER BY tot DESC, c LIMIT 1
+),
+best{i} AS MATERIALIZED (
+    SELECT b.v, GREATEST(b.best, p.sim) AS best
+    FROM best{i - 1} b
+    JOIN fl_pairs p ON p.v = b.v
+    JOIN pick{i} k ON p.c = k.vec_id
+)"""
+
+
+def _fl_final_sql() -> str:
+    rows = []
+    for i in range(1, _FL_K + 1):
+        prev = (
+            "CAST(0 AS BIGINT)" if i == 1 else f"(SELECT tot FROM pick{i - 1})"
+        )
+        rows.append(
+            f"SELECT CAST({i} AS INTEGER) AS rank, k.vec_id, s.label,"
+            f" k.tot AS objective, CAST(k.tot - {prev} AS BIGINT)"
+            f" AS marginal_gain"
+            f" FROM pick{i} k JOIN sv s ON s.vec_id = k.vec_id"
+        )
+    return " UNION ALL ".join(rows)
+
+
+@query(
+    "facility_location_prototypes",
+    oracle=f"""
+WITH sv AS MATERIALIZED (
+    SELECT vec_id, label,
+           list_transform(range(1, 65), i ->
+               CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1048576)
+                    AS BIGINT)) AS qa
+    FROM embeddings
+    WHERE vec_id < {_FL_SAMPLE} AND embedding IS NOT NULL
+),
+fl_pairs AS MATERIALIZED (
+    SELECT a.vec_id AS v, b.vec_id AS c,
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> a.qa[i] * b.qa[i])) AS BIGINT) AS sim
+    FROM sv a, sv b
+),
+best0 AS MATERIALIZED (SELECT vec_id AS v, CAST(0 AS BIGINT) AS best FROM sv),
+{",".join(_fl_round_sql(i) for i in range(1, _FL_K + 1))}
+{_fl_final_sql()}
+ORDER BY rank
+""",
+)
+def facility_location_prototypes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greedy facility-location selection of 5 prototypes from the
+    fixed 100-vector sample; exact-integer objective trajectory.
+
+    Scale: the sim grid is computed distributed (broadcast cross join
+    of the 100-row sample against itself) and only that model-sized
+    matrix (≤ sample² = 10k integer rows) is collected for the greedy
+    loop — driver state O(sample²), never O(data). At 100 TB the
+    sample stays 100 vectors by construction and the selected
+    prototypes apply corpus-wide as a map-only nearest-prototype
+    assignment (the IVF-assignment plan shape). Reference has no
+    embedding ops; completes the selection family (MMR re-ranks per
+    query, k-means averages, this PICKS exemplars).
+    """
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    sv = emb.filter(
+        (F.col("vec_id") < _FL_SAMPLE) & F.col("embedding").isNotNull()
+    ).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(sequence(1, 64), i -> "
+            "CAST(FLOOR(CAST(element_at(embedding, i) AS DOUBLE)"
+            " * 1048576) AS BIGINT))"
+        ).alias("qa"),
+    )
+    a = sv.select(F.col("vec_id").alias("v"), F.col("qa").alias("pa"))
+    b = sv.select(F.col("vec_id").alias("c"), F.col("qa").alias("pb"))
+    pairs = a.crossJoin(F.broadcast(b)).select(
+        "v",
+        "c",
+        F.expr(
+            "CAST(aggregate(zip_with(pa, pb, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (acc, t) -> acc + t) AS BIGINT)"
+        ).alias("sim"),
+    )
+    # model-sized collects (MMR precedent): sample ids/labels + sim grid
+    labels = {
+        r.vec_id: r.label for r in sv.select("vec_id", "label").collect()
+    }
+    sims: dict[tuple[int, int], int] = {
+        (r.v, r.c): int(r.sim) for r in pairs.collect()
+    }
+    ids = sorted(labels)
+    best = {v: 0 for v in ids}
+    chosen: list[int] = []
+    out = []
+    prev_obj = 0
+    for rank in range(1, _FL_K + 1):
+        pick = None
+        for c in ids:
+            if c in chosen:
+                continue
+            tot = sum(max(best[v], sims[(v, c)]) for v in ids)
+            key = (-tot, c)
+            if pick is None or key < pick[0]:
+                pick = (key, c, tot)
+        if pick is None:
+            break
+        _, c, tot = pick
+        chosen.append(c)
+        out.append((rank, c, labels[c], tot, tot - prev_obj))
+        prev_obj = tot
+        for v in ids:
+            best[v] = max(best[v], sims[(v, c)])
+    return spark.createDataFrame(
+        out,
+        "rank int, vec_id long, label int, objective long,"
+        " marginal_gain long",
+    )
