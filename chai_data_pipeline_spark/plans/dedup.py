@@ -3089,92 +3089,91 @@ def fellegi_sunter_em_weights(
 
 # --------------------------------------------------------------------------
 # Memorization-risk ranking (Carlini et al. 2022 / Lee et al. 2022):
-# the empirical drivers of verbatim memorization are how many TIMES a
-# sequence appears and how LONG it is. Risk proxy per document:
-# risk = n_copies × n_tokens (exact int on the content-hash grain),
-# summarized as per-source top-risk mass — the table a privacy/IP
-# review reads before training. Shares the normalized-content-hash
-# grain with dedup_exact_content; everything after the hash groupBy is
-# cluster-grain.
+# the empirical drivers of verbatim memorization are how many TIMES
+# content repeats and how LONG it is. This corpus has NO exact
+# duplicates at the gate SF (checked: 500/500 distinct normalized
+# texts at sf0.01 — an exact-dup grain would be the vacuous-parity
+# class), so repetition is counted at the NEAR-DUP CLUSTER grain: the
+# proven Jaccard-block connected components (dedup_cluster_components
+# machinery). risk = cluster_size x n_tokens, exact ints; summarized
+# as per-source risk mass — the table a privacy/IP review reads
+# before training.
 # --------------------------------------------------------------------------
 
 
 @query(
     "memorization_risk_ranking",
-    oracle="""
-WITH h AS (
-    SELECT doc_id, source,
-           sha256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
-               AS content_hash,
-           CASE WHEN TRIM(text) = '' THEN 0
-                ELSE len(string_split_regex(TRIM(text), '\\s+')) END
-               AS n_tokens
-    FROM documents WHERE text IS NOT NULL
+    oracle=f"""
+WITH RECURSIVE {_JACCARD_BLOCK_SQL},
+{_CLUSTER_SQL},
+sizes AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM clusters GROUP BY 1
 ),
-c AS (
-    SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS n_copies,
-           MIN(n_tokens) AS n_tokens
-    FROM h GROUP BY 1
+csize AS (
+    SELECT c.node AS doc_id, s.n_copies
+    FROM clusters c JOIN sizes s USING (cluster_id)
 ),
 r AS (
-    SELECT h.doc_id, h.source, c.n_copies, c.n_tokens,
-           CAST(c.n_copies * c.n_tokens AS BIGINT) AS risk
-    FROM h JOIN c USING (content_hash)
+    SELECT d.doc_id, d.source,
+           COALESCE(cs.n_copies, 1) AS n_copies,
+           CASE WHEN d.text IS NULL OR TRIM(d.text) = '' THEN 0
+                ELSE len(string_split_regex(TRIM(d.text), '\\s+')) END
+               AS n_tokens
+    FROM documents d LEFT JOIN csize cs USING (doc_id)
 )
 SELECT source,
        COUNT(*) AS n_docs,
        COUNT(*) FILTER (WHERE n_copies > 1) AS n_duplicated,
-       CAST(MAX(risk) AS BIGINT) AS max_risk,
-       CAST(SUM(risk) AS BIGINT) AS total_risk,
-       CAST(SUM(CASE WHEN n_copies > 1 THEN risk ELSE 0 END) AS BIGINT)
-           AS duplicated_risk
+       CAST(MAX(n_copies * n_tokens) AS BIGINT) AS max_risk,
+       CAST(SUM(n_copies * n_tokens) AS BIGINT) AS total_risk,
+       CAST(SUM(CASE WHEN n_copies > 1 THEN n_copies * n_tokens
+                     ELSE 0 END) AS BIGINT) AS duplicated_risk
 FROM r GROUP BY source
 """,
 )
 def memorization_risk_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source memorization-risk mass from the exact-dup grain.
+    """Per-source memorization-risk mass from the near-dup cluster grain.
 
-    Scale: one map-side hash+token projection, one groupBy of 32-byte
-    hashes (map-side combined), one hash-keyed join back (same key
-    domain — co-partitionable), one groupBy(source). n_tokens rides
-    MIN() on the cluster grain (copies of one hash normalize to the
-    same content; MIN pins the tie exactly). Reference has no dedup
-    ops (closest: drop_duplicates, scripts/transform.py:1).
+    Scale: reuses the capped-block inverted-index edge build +
+    min-label components (duplicate-density-sized); the corpus-sized
+    stages are the shingle scan, one doc_id-keyed left join, and the
+    per-source aggregate. Docs outside any cluster (incl. NULL/short
+    text, which the shingle guard excludes from edges) count as
+    n_copies = 1 via COALESCE — the stated universe is ALL documents.
+    Reference has no dedup ops (closest: drop_duplicates,
+    scripts/transform.py:1).
     """
-    docs = load_tables(spark, sf_dir, "documents")["documents"].filter(
-        # NULL text would NULL the content hash, which then silently
-        # falls out of the hash-keyed join on both engines — exclude it
-        # explicitly so the universe is stated, not accidental
-        F.col("text").isNotNull()
+    from ..operators.graph import connected_components
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    clusters = connected_components(_jaccard_edges(spark, sf_dir))
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("bigint").alias("n_copies")
     )
-    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    wc = F.when(F.trim(F.col("text")) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    csize = clusters.join(sizes, "cluster_id").select(
+        F.col("node").alias("doc_id"), "n_copies"
     )
-    h = docs.select(
-        "doc_id",
-        "source",
-        F.sha2(norm, 256).alias("content_hash"),
-        wc.alias("n_tokens"),
+    wc = F.when(
+        F.col("text").isNull() | (F.trim(F.col("text")) == ""), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+    r = (
+        docs.select("doc_id", "source", wc.alias("n_tokens"))
+        .join(csize, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("n_copies", F.lit(1)).cast("bigint").alias("n_copies"),
+            "n_tokens",
+        )
     )
-    c = h.groupBy("content_hash").agg(
-        F.count("*").cast("bigint").alias("n_copies"),
-        F.min("n_tokens").alias("n_tokens"),
-    )
-    r = h.select("doc_id", "source", "content_hash").join(
-        c, "content_hash"
-    ).select(
-        "source",
-        "n_copies",
-        (F.col("n_copies") * F.col("n_tokens")).cast("bigint").alias("risk"),
-    )
+    risk = (F.col("n_copies") * F.col("n_tokens")).cast("bigint")
     dup = F.col("n_copies") > 1
     return r.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.count(F.when(dup, 1)).alias("n_duplicated"),
-        F.max("risk").cast("bigint").alias("max_risk"),
-        F.sum("risk").cast("bigint").alias("total_risk"),
-        F.sum(F.when(dup, F.col("risk")).otherwise(0))
+        F.max(risk).cast("bigint").alias("max_risk"),
+        F.sum(risk).cast("bigint").alias("total_risk"),
+        F.sum(F.when(dup, risk).otherwise(0))
         .cast("bigint")
         .alias("duplicated_risk"),
     )

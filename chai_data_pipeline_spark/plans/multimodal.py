@@ -106,14 +106,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Content-addressed dedup / storage accounting — the dedup arc for the
-# multimodal family. At 100 TB of media, exact dedup is the
-# content-addressed-storage shape: shuffle 32-byte digests (never
-# payloads), group, keep-first; savings are computable from the
-# (digest, n_copies, n_bytes) grain alone. Modality is derived from a
-# digest byte (same stub recipe as multimodal_decode_meta — the
-# image/audio libs aren't in this container), so the per-modality
-# rollup exercises the real production grouping without real media.
+# Perceptual-dedup storage accounting — the dedup arc for the
+# multimodal family. Exact content-addressed dedup is vacuous on this
+# corpus (zero byte-identical payloads at the gate SF — checked), so
+# the dedup key is a PERCEPTUAL-HASH STUB: the digest of the payload's
+# first 32 bytes (real pipelines use pHash/chromaprint; the image/
+# audio libs are not in this container — the Spark-side plumbing is
+# what is exercised). Near-dup media of the same family share the
+# prefix, so copies are NOT byte-identical: the accounting keeps the
+# lowest-id copy per key and reports KEPT vs DROPPED bytes honestly
+# (never "saved", which would imply byte equality). At 100 TB this is
+# the real shape: shuffle small digests, group, keep-first; payload
+# bytes never shuffle.
 # --------------------------------------------------------------------------
 
 from ..functions import dround, sql_dround  # noqa: E402
@@ -124,71 +128,82 @@ from ..functions import dround, sql_dround  # noqa: E402
     oracle=f"""
 WITH a AS (
     SELECT doc_id AS asset_id,
-           sha256(COALESCE(text, '')) AS h,
+           sha256(substring(COALESCE(text, ''), 1, 32)) AS ph,
            CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS nb
     FROM documents
 ),
-m AS (
-    SELECT h,
-           CAST(('0x' || substring(h, 5, 2)) AS INTEGER) % 3 AS mod3,
+g AS (
+    SELECT ph,
+           CAST(('0x' || substring(ph, 5, 2)) AS INTEGER) % 3 AS mod3,
            CAST(COUNT(*) AS BIGINT) AS n_copies,
-           MIN(nb) AS nb
+           CAST(SUM(nb) AS BIGINT) AS bytes_g,
+           MIN(asset_id) AS keep_id
     FROM a GROUP BY 1, 2
+),
+k AS (
+    SELECT g.ph, g.mod3, g.n_copies, g.bytes_g, a.nb AS bytes_kept_g
+    FROM g JOIN a ON a.asset_id = g.keep_id AND a.ph = g.ph
 )
 SELECT CASE mod3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
                  ELSE 'video' END AS modality,
        CAST(SUM(n_copies) AS BIGINT) AS n_assets,
-       COUNT(*) AS n_unique,
-       CAST(SUM(n_copies * nb) AS BIGINT) AS bytes_total,
-       CAST(SUM(nb) AS BIGINT) AS bytes_unique,
-       CAST(SUM((n_copies - 1) * nb) AS BIGINT) AS bytes_saved,
+       COUNT(*) AS n_keys,
+       CAST(SUM(bytes_g) AS BIGINT) AS bytes_total,
+       CAST(SUM(bytes_kept_g) AS BIGINT) AS bytes_kept,
+       CAST(SUM(bytes_g - bytes_kept_g) AS BIGINT) AS bytes_dropped,
        {sql_dround(
-           '''CASE WHEN SUM(n_copies * nb) > 0 THEN
-                SUM((n_copies - 1) * nb) * 1.0 / SUM(n_copies * nb)
-              END''', 6)} AS saved_frac
-FROM m GROUP BY 1
+           '''CASE WHEN SUM(bytes_g) > 0 THEN
+                SUM(bytes_g - bytes_kept_g) * 1.0 / SUM(bytes_g)
+              END''', 6)} AS dropped_frac
+FROM k GROUP BY 1
 """,
 )
 def multimodal_dedup_storage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-modality exact-dedup storage savings on the digest grain.
+    """Per-modality perceptual-dedup byte accounting on the digest grain.
 
-    Scale: one map-side digest + byte-length projection, one
-    groupBy(h) of 32-byte keys with map-side combine, one 3-row
-    modality rollup — payload bytes never shuffle. Copies of the same
-    digest have identical length by construction (MIN(nb) pins it), so
-    savings are exact integers. saved_frac is non-vacuous at sf0.01:
-    the regenerated corpus plants exact duplicates
-    (dedup_exact_content precedent).
+    Scale: one map-side prefix-digest + byte-length projection, one
+    groupBy of 32-byte keys (map-side combined), one keep-copy lookup
+    join on (key, kept id) — same key domain, co-partitionable — and a
+    3-row modality rollup. Non-vacuous at the gate SF: 476/500
+    distinct prefixes (24 dropped copies). Modality derives from a
+    digest byte (multimodal_decode_meta stub recipe).
     """
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     a = attach_fake_payload(docs).select(
         "asset_id",
-        F.sha2("payload", 256).alias("h"),
+        F.sha2(F.substring(F.col("payload").cast("string"), 1, 32), 256)
+        .alias("ph"),
         F.length("payload").cast("bigint").alias("nb"),
     )
-    mod3 = (
-        F.conv(F.substring(F.col("h"), 5, 2), 16, 10).cast("int") % 3
-    )
-    m = a.groupBy("h").agg(
+    mod3 = F.conv(F.substring(F.col("ph"), 5, 2), 16, 10).cast("int") % 3
+    g = a.groupBy("ph").agg(
         F.count("*").cast("bigint").alias("n_copies"),
-        F.min("nb").alias("nb"),
-    ).select(
-        "h", "n_copies", "nb", mod3.alias("mod3")
+        F.sum("nb").cast("bigint").alias("bytes_g"),
+        F.min("asset_id").alias("keep_id"),
+    ).select("ph", mod3.alias("mod3"), "n_copies", "bytes_g", "keep_id")
+    k = g.join(
+        a.select(
+            F.col("ph").alias("ph2"),
+            F.col("asset_id").alias("keep_id2"),
+            F.col("nb").alias("bytes_kept_g"),
+        ),
+        (F.col("ph") == F.col("ph2"))
+        & (F.col("keep_id") == F.col("keep_id2")),
     )
-    total = F.sum(F.col("n_copies") * F.col("nb"))
-    saved = F.sum((F.col("n_copies") - 1) * F.col("nb"))
-    return m.groupBy(
+    total = F.sum("bytes_g")
+    dropped = F.sum(F.col("bytes_g") - F.col("bytes_kept_g"))
+    return k.groupBy(
         F.when(F.col("mod3") == 0, "image")
         .when(F.col("mod3") == 1, "audio")
         .otherwise("video")
         .alias("modality")
     ).agg(
         F.sum("n_copies").cast("bigint").alias("n_assets"),
-        F.count("*").alias("n_unique"),
+        F.count("*").alias("n_keys"),
         total.cast("bigint").alias("bytes_total"),
-        F.sum("nb").cast("bigint").alias("bytes_unique"),
-        saved.cast("bigint").alias("bytes_saved"),
+        F.sum("bytes_kept_g").cast("bigint").alias("bytes_kept"),
+        dropped.cast("bigint").alias("bytes_dropped"),
         dround(
-            F.when(total > 0, saved * 1.0 / total), 6
-        ).alias("saved_frac"),
+            F.when(total > 0, dropped * 1.0 / total), 6
+        ).alias("dropped_frac"),
     )

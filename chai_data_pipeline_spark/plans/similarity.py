@@ -2267,3 +2267,186 @@ def facility_location_prototypes(
         "rank int, vec_id long, label int, objective long,"
         " marginal_gain long",
     )
+
+
+# --------------------------------------------------------------------------
+# Cluster-quality eval: purity + NMI of the deterministic k-means
+# assignment (first-k codebook, the embedding_kmeans_checked posture)
+# against the ground-truth label column — the standard external
+# clustering eval a curation pipeline runs before trusting cluster-
+# based ops (SemDeDup pruning, stratified mixing). The contingency
+# table is ≤ k × |labels| cells; every MI/entropy term is one double
+# chain from exact integer counts, ×1e12 int-quantized BEFORE the
+# cross-cell sum, so MI/H/NMI are bit-identical at any partitioning.
+# --------------------------------------------------------------------------
+
+
+def _nmi_oracle() -> str:
+    cos = cosine_sql_duckdb("e.embedding", "c.cvec", DIM)
+    t12 = "1000000000000"
+    return f"""
+WITH e AS (
+    SELECT vec_id, label, embedding FROM embeddings
+    WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+cents AS (
+    SELECT embedding AS cvec,
+           ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id
+    FROM e ORDER BY vec_id LIMIT {_KM_K}
+),
+assigned AS (
+    SELECT e.vec_id, e.label, c.cluster_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {cos} DESC, c.cluster_id ASC
+           ) AS rn
+    FROM e CROSS JOIN cents c
+),
+cells AS (
+    SELECT cluster_id, label, CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned WHERE rn = 1 GROUP BY 1, 2
+),
+nn AS (SELECT CAST(SUM(n) AS BIGINT) AS nv FROM cells),
+cs AS (SELECT cluster_id, CAST(SUM(n) AS BIGINT) AS nc FROM cells GROUP BY 1),
+ls AS (SELECT label, CAST(SUM(n) AS BIGINT) AS nl FROM cells GROUP BY 1),
+mi AS (
+    SELECT CAST(SUM(CAST(FLOOR(
+        (CAST(c.n AS DOUBLE) / o.nv)
+        * ln((CAST(o.nv AS DOUBLE) * c.n) / (CAST(s.nc AS DOUBLE) * l.nl))
+        * {t12} + 0.5) AS BIGINT)) AS BIGINT) AS mi12
+    FROM cells c
+    JOIN cs s USING (cluster_id) JOIN ls l USING (label) CROSS JOIN nn o
+),
+hc AS (
+    SELECT CAST(SUM(CAST(FLOOR(
+        -(CAST(nc AS DOUBLE) / o.nv) * ln(CAST(nc AS DOUBLE) / o.nv)
+        * {t12} + 0.5) AS BIGINT)) AS BIGINT) AS hc12
+    FROM cs CROSS JOIN nn o
+),
+hl AS (
+    SELECT CAST(SUM(CAST(FLOOR(
+        -(CAST(nl AS DOUBLE) / o.nv) * ln(CAST(nl AS DOUBLE) / o.nv)
+        * {t12} + 0.5) AS BIGINT)) AS BIGINT) AS hl12
+    FROM ls CROSS JOIN nn o
+),
+pur AS (
+    SELECT CAST(SUM(mx) AS BIGINT) AS pnum
+    FROM (SELECT cluster_id, MAX(n) AS mx FROM cells GROUP BY 1)
+),
+cnt AS (
+    SELECT (SELECT COUNT(*) FROM cs) AS n_clusters,
+           (SELECT COUNT(*) FROM ls) AS n_labels
+)
+SELECT o.nv AS n_vectors,
+       CAST(cnt.n_clusters AS BIGINT) AS n_clusters,
+       CAST(cnt.n_labels AS BIGINT) AS n_labels,
+       {sql_dround('CAST(pur.pnum AS DOUBLE) / o.nv', 6)} AS purity,
+       {sql_dround(f'CAST(mi.mi12 AS DOUBLE) / {t12}.0', 6)} AS mi,
+       {sql_dround(f'CAST(hc.hc12 AS DOUBLE) / {t12}.0', 6)} AS h_cluster,
+       {sql_dround(f'CAST(hl.hl12 AS DOUBLE) / {t12}.0', 6)} AS h_label,
+       {sql_dround(
+           f'''CASE WHEN hc.hc12 > 0 AND hl.hl12 > 0 THEN
+                 (CAST(mi.mi12 AS DOUBLE) / {t12}.0)
+                 / sqrt((CAST(hc.hc12 AS DOUBLE) / {t12}.0)
+                        * (CAST(hl.hl12 AS DOUBLE) / {t12}.0))
+               END''', 6)} AS nmi
+FROM nn o CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl
+CROSS JOIN pur CROSS JOIN cnt
+"""
+
+
+@query("embedding_cluster_purity_nmi", oracle=_nmi_oracle())
+def embedding_cluster_purity_nmi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Purity + NMI of the deterministic first-k k-means assignment
+    vs ground-truth labels, one row.
+
+    Scale: assignment is the map-only literal-codebook argmax
+    (kmeans_assign — the plan-shape-tested IVF posture); the
+    contingency table is one groupBy of ≤ k·|labels| cells and all
+    entropy math runs on that bounded grain. The hash match rides on
+    embedding_kmeans_checked's proven property that the SQL cosine and
+    the sequential-fold literal-norm cosine are bit-identical.
+    """
+    from ..operators.kmeans import kmeans_assign, kmeans_fit
+
+    emb = (
+        load_tables(spark, sf_dir, "embeddings")["embeddings"]
+        .filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
+    )
+    codebook = kmeans_fit(emb, k=_KM_K, iters=0)
+    cells = (
+        kmeans_assign(emb, codebook)
+        .groupBy("cluster_id", "label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    nn = cells.agg(F.sum("n").cast("bigint").alias("nv"))
+    cs = cells.groupBy("cluster_id").agg(
+        F.sum("n").cast("bigint").alias("nc")
+    )
+    ls = cells.groupBy("label").agg(F.sum("n").cast("bigint").alias("nl"))
+    t12 = 1000000000000
+    mi_term = F.floor(
+        (F.col("n").cast("double") / F.col("nv"))
+        * F.log(
+            (F.col("nv").cast("double") * F.col("n"))
+            / (F.col("nc").cast("double") * F.col("nl"))
+        )
+        * t12
+        + 0.5
+    ).cast("bigint")
+    mi = (
+        cells.join(F.broadcast(cs), "cluster_id")
+        .join(F.broadcast(ls), "label")
+        .crossJoin(F.broadcast(nn))
+        .agg(F.sum(mi_term).cast("bigint").alias("mi12"))
+    )
+
+    def _h12(sizes: DataFrame, col: str, out: str) -> DataFrame:
+        term = F.floor(
+            -(F.col(col).cast("double") / F.col("nv"))
+            * F.log(F.col(col).cast("double") / F.col("nv"))
+            * t12
+            + 0.5
+        ).cast("bigint")
+        return sizes.crossJoin(F.broadcast(nn)).agg(
+            F.sum(term).cast("bigint").alias(out)
+        )
+
+    hc = _h12(cs, "nc", "hc12")
+    hl = _h12(ls, "nl", "hl12")
+    pur = (
+        cells.groupBy("cluster_id")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("pnum"))
+    )
+    cnt = cs.agg(F.count("*").alias("n_clusters")).crossJoin(
+        ls.agg(F.count("*").alias("n_labels"))
+    )
+    j = (
+        nn.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(cnt))
+    )
+    mi_d = F.col("mi12").cast("double") / float(t12)
+    hc_d = F.col("hc12").cast("double") / float(t12)
+    hl_d = F.col("hl12").cast("double") / float(t12)
+    return j.select(
+        F.col("nv").alias("n_vectors"),
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        F.col("n_labels").cast("bigint").alias("n_labels"),
+        dround(F.col("pnum").cast("double") / F.col("nv"), 6).alias("purity"),
+        dround(mi_d, 6).alias("mi"),
+        dround(hc_d, 6).alias("h_cluster"),
+        dround(hl_d, 6).alias("h_label"),
+        dround(
+            F.when(
+                (F.col("hc12") > 0) & (F.col("hl12") > 0),
+                mi_d / F.sqrt(hc_d * hl_d),
+            ),
+            6,
+        ).alias("nmi"),
+    )
