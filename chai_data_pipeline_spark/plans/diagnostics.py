@@ -1385,3 +1385,87 @@ def dp_laplace_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("released_count"),
     )
+
+
+# --------------------------------------------------------------------------
+# DP top-k via report-noisy-max (one-shot Gumbel trick): adding
+# Gumbel(2k/eps) noise to each utility and taking the top k is
+# equivalent to k rounds of the exponential mechanism (Durfee &
+# Rogers 2019). Companion mechanism to dp_laplace_histogram — counts
+# get Laplace, SELECTION gets Gumbel. Noise is hash-derived like the
+# Laplace one (u in (0,1) open on both ends via the +0.5 offset;
+# Gumbel = -ln(-ln(u))), so the "random" selection is value-hash-
+# checkable. Released: the k winners and their noisy rank — true
+# counts of non-winners stay unreleased (that is the point of the
+# mechanism; winners' counts are assumed released via the Laplace
+# histogram's budget).
+# --------------------------------------------------------------------------
+
+_DPTK_K = 3
+_DPTK_EPS = 1.0
+
+
+@query(
+    "dp_topk_noisy_max",
+    oracle=f"""
+WITH h AS (
+    SELECT COALESCE(event_type, '__null__') AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS true_count
+    FROM events GROUP BY 1
+),
+n AS (
+    SELECT event_type, true_count,
+           ((CAST(concat('0x', substring(sha256(concat('dptk:', event_type)),
+                 1, 8)) AS BIGINT) + 0.5) / 4294967296.0) AS u
+    FROM h
+),
+sc AS (
+    SELECT event_type,
+           {sql_dround(
+               f"true_count + (2.0 * {_DPTK_K} / {_DPTK_EPS})"
+               " * (-ln(-ln(u)))", 6)} AS noisy_score
+    FROM n
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY noisy_score DESC, event_type)
+            AS INTEGER) AS noisy_rank,
+       event_type, noisy_score
+FROM sc
+ORDER BY noisy_rank
+LIMIT {_DPTK_K}
+""",
+)
+def dp_topk_noisy_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eps-DP top-k selection over event types (one-shot Gumbel).
+
+    Scale: the noise/selection math runs on the histogram grain after
+    one groupBy; the finisher is a k-row TakeOrderedAndProject. The
+    tie-break on event_type makes the released ranking total-ordered
+    (a Gumbel tie is measure-zero but hash-derived noise is discrete).
+    """
+    ev = load_tables(spark, sf_dir, "events")["events"]
+    h = ev.groupBy(
+        F.coalesce(F.col("event_type"), F.lit("__null__")).alias("event_type")
+    ).agg(F.count("*").cast("bigint").alias("true_count"))
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(F.concat(F.lit("dptk:"), F.col("event_type")), 256),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 0.5
+    ) / 4294967296.0
+    score = F.col("true_count") + F.lit(2.0 * _DPTK_K / _DPTK_EPS) * (
+        -F.log(-F.log(u))
+    )
+    sc = h.select("event_type", dround(score, 6).alias("noisy_score"))
+    w = Window.orderBy(F.col("noisy_score").desc(), "event_type")
+    return (
+        sc.withColumn("noisy_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("noisy_rank") <= _DPTK_K)
+        .select("noisy_rank", "event_type", "noisy_score")
+        .orderBy("noisy_rank")
+    )

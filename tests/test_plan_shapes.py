@@ -533,3 +533,33 @@ def test_hash_once_per_shingle_no_lambda_inline(spark, sf_dir):
     # production path: base xxhash64 transform + per-band sig hashing
     # (8 bands); 32-perm inlining would show ~32+
     assert opt("dedup_minhash_lsh").count("xxhash64") <= 12
+
+
+def test_mahalanobis_finisher_and_broadcast(spark, sf_dir):
+    """The Mahalanobis outlier query must finish with
+    TakeOrderedAndProject (never a global window over all vectors) and
+    join the 64-row moment stats by broadcast — the scoring pass must
+    not shuffle the exploded (vec, dim) grid for the stats join."""
+    plan = _plan(spark, "embedding_mahalanobis_outliers", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dp_mechanisms_are_histogram_grain_jvm(spark, sf_dir):
+    """DP release mechanisms run their noise math AFTER the aggregate
+    (histogram grain) with no Python in the plan; the event scan is the
+    only data-sized stage."""
+    for name in ("dp_laplace_histogram", "dp_topk_noisy_max"):
+        plan = _plan(spark, name, sf_dir)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_multimodal_dedup_never_shuffles_payload_bytes(spark, sf_dir):
+    """The perceptual-dedup accounting must group on digests: the
+    payload column may appear only below the first aggregate, never in
+    a shuffle above it."""
+    plan = _plan(spark, "multimodal_dedup_storage", sf_dir)
+    # the digest groupBy must partial-aggregate map-side
+    assert "partial_" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
