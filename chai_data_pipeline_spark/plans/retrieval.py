@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import sql_dround
 from ..operators import text as T
 from ..operators.similarity import dot_sql_duckdb
 from ..operators.text import word_ngrams, word_ngrams_sql_duckdb
@@ -711,4 +712,140 @@ def ql_dirichlet_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("score6").desc(), "doc_id")
         .limit(_QL_TOPK)
+    )
+
+
+# --------------------------------------------------------------------------
+# Ranking-quality evaluation: P@k / recall@k / MRR for a lexical ranker
+# against a relevance oracle that is INDEPENDENT of the ranking score —
+# relevance = the query term appears in the document's first 5 words (a
+# title proxy), ranking = term-density score floor(tf*1e9/dl). The
+# nDCG audit (retrieval_ndcg_audit) grades graded relevance; this adds
+# the binary-relevance metric family every retrieval eval reports.
+# --------------------------------------------------------------------------
+
+_EVAL_K = 10
+
+
+@query(
+    "retrieval_eval_mrr_pk",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR TRIM(text) = '' THEN []
+                ELSE string_split_regex(TRIM(text), '\\s+') END AS ws
+    FROM documents
+),
+q AS (SELECT unnest([{_TERMS_SQL}]) AS term),
+tf AS (
+    SELECT term, doc_id, tf, dl,
+           list_contains(ws5, term) AS rel
+    FROM (
+        SELECT q.term, d.doc_id,
+               len(list_filter(d.ws, w -> w = q.term)) AS tf,
+               len(d.ws) AS dl, d.ws[1:5] AS ws5
+        FROM d CROSS JOIN q
+    )
+    WHERE tf >= 1
+),
+rel_total AS (
+    SELECT q.term,
+           (SELECT COUNT(*) FROM d
+            WHERE list_contains(d.ws[1:5], q.term)) AS n_relevant
+    FROM q
+),
+ranked AS (
+    SELECT term, doc_id, rel,
+           ROW_NUMBER() OVER (
+               PARTITION BY term
+               ORDER BY FLOOR(tf * 1000000000.0 / dl) DESC, doc_id
+           ) AS rnk
+    FROM tf
+),
+topk AS (SELECT * FROM ranked WHERE rnk <= {_EVAL_K})
+SELECT r.term,
+       CAST(r.n_relevant AS BIGINT) AS n_relevant,
+       CAST(COALESCE(t.hits, 0) AS BIGINT) AS hits_at_k,
+       {sql_dround(f'COALESCE(t.hits, 0) * 1.0 / {_EVAL_K}', 6)} AS p_at_k,
+       CASE WHEN r.n_relevant = 0 THEN 0.0
+            ELSE {sql_dround('COALESCE(t.hits, 0) * 1.0 / r.n_relevant', 6)}
+       END AS recall_at_k,
+       CASE WHEN t.first_rel IS NULL THEN 0.0
+            ELSE {sql_dround('1.0 / t.first_rel', 6)} END AS mrr
+FROM rel_total r
+LEFT JOIN (
+    SELECT term,
+           COUNT(*) FILTER (WHERE rel) AS hits,
+           MIN(CASE WHEN rel THEN rnk END) AS first_rel
+    FROM topk GROUP BY 1
+) t USING (term)
+""",
+)
+def retrieval_eval_mrr_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P@k, recall@k, MRR for the term-density ranker vs a title proxy.
+
+    Scale: the posting build is the word explode filtered to the query
+    terms (|terms|-bounded fan-in, same shape as BM25); the per-term
+    ranking is a window over that filtered candidate set — at 100 TB
+    the rank-filter is the standard top-k-per-group plan (partial
+    TopK under AQE), never a corpus sort. Relevance labels come from a
+    map-side first-5-words test; the k-row-per-term finisher joins a
+    |terms|-row label-total table (broadcast). Reference analog: none
+    (retrieval-eval extension beside retrieval_ndcg_audit).
+    """
+    from pyspark.sql.window import Window as _W
+
+    from ..functions import dround
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    empty = F.col("text").isNull() | (F.trim(F.col("text")) == "")
+    ws = F.when(empty, F.array().cast("array<string>")).otherwise(
+        T.words("text")
+    )
+    d = docs.select("doc_id", ws.alias("ws"))
+    q = spark.createDataFrame([(t,) for t in _BM25_TERMS], ["term"])
+    tf = (
+        d.crossJoin(F.broadcast(q))
+        .select(
+            "term",
+            "doc_id",
+            F.size(F.expr("filter(ws, w -> w = term)")).alias("tf"),
+            F.size("ws").alias("dl"),
+            F.array_contains(F.slice("ws", 1, 5), F.col("term")).alias("rel"),
+        )
+        .filter(F.col("tf") >= 1)
+    )
+    rel_total = (
+        d.crossJoin(F.broadcast(q))
+        .select(
+            "term",
+            F.array_contains(F.slice("ws", 1, 5), F.col("term")).alias("r5"),
+        )
+        .groupBy("term")
+        .agg(F.count_if(F.col("r5")).alias("n_relevant"))
+    )
+    w = _W.partitionBy("term").orderBy(
+        F.floor(F.col("tf") * 1000000000.0 / F.col("dl")).desc(),
+        F.col("doc_id"),
+    )
+    topk = tf.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _EVAL_K
+    )
+    agg = topk.groupBy("term").agg(
+        F.count_if(F.col("rel")).alias("hits"),
+        F.min(F.when(F.col("rel"), F.col("rnk"))).alias("first_rel"),
+    )
+    out = rel_total.join(F.broadcast(agg), "term", "left")
+    hits = F.coalesce(F.col("hits"), F.lit(0))
+    return out.select(
+        "term",
+        F.col("n_relevant").cast("bigint").alias("n_relevant"),
+        hits.cast("bigint").alias("hits_at_k"),
+        dround(hits * 1.0 / _EVAL_K, 6).alias("p_at_k"),
+        F.when(F.col("n_relevant") == 0, F.lit(0.0))
+        .otherwise(dround(hits * 1.0 / F.col("n_relevant"), 6))
+        .alias("recall_at_k"),
+        F.when(F.col("first_rel").isNull(), F.lit(0.0))
+        .otherwise(dround(F.lit(1.0) / F.col("first_rel"), 6))
+        .alias("mrr"),
     )

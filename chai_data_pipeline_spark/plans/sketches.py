@@ -1032,3 +1032,203 @@ def haar_wavelet_synopsis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dropped_sse"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch — the third checked
+# distinct estimator beside exact COUNT(DISTINCT) and HLL. KMV keeps
+# the k smallest normalized hash values; estimate = (k-1)/u_(k). Unlike
+# HLL it supports an UNBIASED intersection estimate via the merged
+# bottom-k (Beyer et al., "On Synopses for Distinct-Value Estimation
+# Under Multiset Operations", SIGMOD'07): rho = |K ∩ sk_A ∩ sk_B| / |K|
+# over the union sketch K, est_inter = rho * est_union. Every hash is
+# sha256-derived so both engines build bit-identical sketches and the
+# driver hash proves estimator math end to end.
+#
+# Key grain: (user_id, activity day) pairs — ~1.6k per event segment at
+# sf0.01 (users alone are only 150 — all segments would intersect
+# fully, a vacuous-intersection leg).
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_A = "view"
+_KMV_B = "click"
+_KMV_SCALE = float(1 << 60)  # hashes are 15 hex chars = 60 bits
+
+
+def _kmv_sql(tag: str, pred: str) -> str:
+    return f"""
+k_{tag} AS (
+    SELECT DISTINCT CAST(concat('0x', substring(sha256(
+               CAST(user_id AS VARCHAR) || '|'
+               || CAST(CAST(ts AS DATE) AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+    FROM events
+    WHERE user_id IS NOT NULL AND ts IS NOT NULL AND ({pred})
+),
+sk_{tag} AS (SELECT h FROM k_{tag} ORDER BY h LIMIT {_KMV_K}),
+st_{tag} AS (SELECT COUNT(*) AS c, MAX(h) AS mx FROM sk_{tag}),
+ex_{tag} AS (SELECT COUNT(*) AS ex FROM k_{tag})"""
+
+
+def _kmv_est_sql(tag: str) -> str:
+    return (
+        f"(CASE WHEN (SELECT c FROM st_{tag}) < {_KMV_K} "
+        f"THEN CAST((SELECT c FROM st_{tag}) AS DOUBLE) "
+        f"ELSE {_KMV_K - 1} * {_KMV_SCALE!r} / (SELECT mx FROM st_{tag}) END)"
+    )
+
+
+@query(
+    "approx_distinct_kmv_checked",
+    oracle=f"""
+WITH {_kmv_sql('a', f"event_type = '{_KMV_A}'").lstrip()},
+{_kmv_sql('b', f"event_type = '{_KMV_B}'").lstrip()},
+{_kmv_sql('u', f"event_type IN ('{_KMV_A}', '{_KMV_B}')").lstrip()},
+sk_m AS (
+    SELECT h FROM (SELECT h FROM sk_a UNION SELECT h FROM sk_b)
+    ORDER BY h LIMIT {_KMV_K}
+),
+st_m AS (SELECT COUNT(*) AS c, MAX(h) AS mx FROM sk_m),
+inter_m AS (
+    SELECT COUNT(*) AS m FROM sk_m
+    WHERE h IN (SELECT h FROM sk_a) AND h IN (SELECT h FROM sk_b)
+),
+ex_i AS (
+    SELECT COUNT(*) AS ex FROM
+    (SELECT h FROM k_a INTERSECT SELECT h FROM k_b)
+),
+est_m AS (
+    SELECT CASE WHEN c < {_KMV_K} THEN CAST(c AS DOUBLE)
+                ELSE {_KMV_K - 1} * {_KMV_SCALE!r} / mx END AS e,
+           c FROM st_m
+),
+raw AS (
+    SELECT 'kmv_a' AS metric, {_kmv_est_sql('a')} AS est,
+           (SELECT ex FROM ex_a) AS exact_count
+    UNION ALL
+    SELECT 'kmv_b', {_kmv_est_sql('b')}, (SELECT ex FROM ex_b)
+    UNION ALL
+    SELECT 'kmv_union_merged', (SELECT e FROM est_m),
+           (SELECT ex FROM ex_u)
+    UNION ALL
+    SELECT 'kmv_intersection',
+           CASE WHEN (SELECT c FROM est_m) = 0 THEN 0.0
+                ELSE (SELECT m FROM inter_m) * 1.0 / (SELECT c FROM est_m)
+                     * (SELECT e FROM est_m) END,
+           (SELECT ex FROM ex_i)
+)
+SELECT metric,
+       {sql_dround('est', 4)} AS estimate,
+       CAST(exact_count AS BIGINT) AS exact_count,
+       CASE WHEN exact_count = 0 THEN 0
+            ELSE CAST(FLOOR(ABS(est - exact_count) * 1000000.0
+                            / exact_count + 0.5) AS BIGINT)
+       END AS err_ppm
+FROM raw
+""",
+)
+def approx_distinct_kmv_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k distinct sketch: per-segment, merged-union, intersection.
+
+    Scale: the distinct-hash build is a map-side-combinable GROUP BY on
+    a 60-bit hash (shuffles hashes, never keys); bottom-k is
+    TakeOrderedAndProject (per-partition k then a k-row merge — no full
+    sort). The union MERGE touches only 2k sketch rows — constant
+    state, which is the point: a 1000-executor distinct-count pipeline
+    ships 64-row sketches, not keysets, and intersection cardinality
+    falls out of the same state with no re-scan. Exact counts ride
+    along purely to check the estimates (err_ppm is hashed).
+    Reference analog: none (sketch family extension).
+    """
+    from ..functions import dround
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+
+    def keyset(pred) -> DataFrame:
+        key = F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.col("ts").cast("date").cast("string"),
+        )
+        h = F.conv(F.substring(F.sha2(key, 256), 1, 15), 16, 10).cast("bigint")
+        return (
+            events.filter(
+                F.col("user_id").isNotNull() & F.col("ts").isNotNull() & pred
+            )
+            .select(h.alias("h"))
+            .distinct()
+        )
+
+    def sketch(ks: DataFrame) -> DataFrame:
+        return ks.orderBy("h").limit(_KMV_K)
+
+    def stats(sk: DataFrame) -> DataFrame:
+        return sk.agg(F.count("*").alias("c"), F.max("h").alias("mx"))
+
+    def est_col():
+        return F.when(F.col("c") < _KMV_K, F.col("c").cast("double")).otherwise(
+            F.lit(float(_KMV_K - 1)) * F.lit(_KMV_SCALE) / F.col("mx")
+        )
+
+    ka = keyset(F.col("event_type") == _KMV_A)
+    kb = keyset(F.col("event_type") == _KMV_B)
+    ku = keyset(F.col("event_type").isin(_KMV_A, _KMV_B))
+    ska, skb = sketch(ka), sketch(kb)
+    skm = sketch(ska.union(skb).distinct())
+    # membership of merged bottom-k in both input sketches: k-row joins
+    m_inter = (
+        skm.join(ska.withColumnRenamed("h", "h2"), skm["h"] == F.col("h2"))
+        .drop("h2")
+        .join(skb.withColumnRenamed("h", "h3"), F.col("h") == F.col("h3"))
+        .agg(F.count("*").alias("m"))
+    )
+    ex_i = (
+        ka.join(kb.withColumnRenamed("h", "h2"), ka["h"] == F.col("h2"))
+        .agg(F.count("*").alias("ex"))
+    )
+
+    def one(metric: str, st: DataFrame, ex: DataFrame) -> DataFrame:
+        return (
+            st.crossJoin(ex)
+            .select(
+                F.lit(metric).alias("metric"),
+                est_col().alias("est"),
+                F.col("ex").cast("bigint").alias("exact_count"),
+            )
+        )
+
+    exa = ka.agg(F.count("*").alias("ex"))
+    exb = kb.agg(F.count("*").alias("ex"))
+    exu = ku.agg(F.count("*").alias("ex"))
+    stm = stats(skm)
+    rows = (
+        one("kmv_a", stats(ska), exa)
+        .unionAll(one("kmv_b", stats(skb), exb))
+        .unionAll(one("kmv_union_merged", stm, exu))
+        .unionAll(
+            stm.crossJoin(m_inter)
+            .crossJoin(ex_i)
+            .select(
+                F.lit("kmv_intersection").alias("metric"),
+                F.when(F.col("c") == 0, F.lit(0.0))
+                .otherwise(F.col("m") * 1.0 / F.col("c") * est_col())
+                .alias("est"),
+                F.col("ex").cast("bigint").alias("exact_count"),
+            )
+        )
+    )
+    return rows.select(
+        "metric",
+        dround(F.col("est"), 4).alias("estimate"),
+        "exact_count",
+        F.when(F.col("exact_count") == 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.abs(F.col("est") - F.col("exact_count")) * 1000000.0
+                / F.col("exact_count")
+                + 0.5
+            )
+        )
+        .cast("bigint")
+        .alias("err_ppm"),
+    )

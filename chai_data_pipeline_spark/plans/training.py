@@ -3039,3 +3039,110 @@ def curation_mixture_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("repeated_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# Blocklist (wordlist) filter APPLY — the standard toxicity/NSFW-style
+# curation gate: block a document when the DENSITY of blocklisted
+# tokens crosses a threshold (pure presence is useless on real crawls —
+# and on this corpus, where every vocab word appears in ~77% of docs).
+# The apply-arc pattern: per-source kept/dropped docs AND token mass,
+# so the conservation invariant (kept + blocked == total) is part of
+# the hash-checked output.
+# --------------------------------------------------------------------------
+
+# Pinned blocklist + density threshold (≥10% of tokens blocklisted →
+# drop). Integer comparison b*10 >= n is exact on both engines; n == 0
+# (NULL/whitespace-only text) is explicitly KEPT (a density filter has
+# no evidence to block on).
+_BLOCK_TERMS = ("slow", "batch", "dup")
+_BLOCK_SQL = ", ".join(f"'{t}'" for t in _BLOCK_TERMS)
+
+
+@query(
+    "blocklist_filter_apply",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, source,
+           CASE WHEN text IS NULL OR TRIM(text) = '' THEN []
+                ELSE string_split_regex(TRIM(text), '\\s+') END AS ws
+    FROM documents
+),
+den AS (
+    SELECT source, len(ws) AS n,
+           len(list_filter(ws, w -> w IN ({_BLOCK_SQL}))) AS b
+    FROM d
+),
+flagged AS (
+    SELECT source, n, b,
+           (n > 0 AND b * 10 >= n) AS blocked
+    FROM den
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) FILTER (WHERE blocked) AS n_blocked,
+       CAST(SUM(n) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN blocked THEN n ELSE 0 END) AS BIGINT)
+           AS tokens_blocked,
+       CAST(SUM(CASE WHEN blocked THEN 0 ELSE n END) AS BIGINT)
+           AS tokens_kept,
+       CAST(SUM(CASE WHEN blocked THEN b ELSE 0 END) AS BIGINT)
+           AS blocked_term_hits,
+       CASE WHEN SUM(n) = 0 THEN 0
+            ELSE CAST(FLOOR(SUM(CASE WHEN blocked THEN n ELSE 0 END)
+                            * 1000000.0 / SUM(n) + 0.5) AS BIGINT)
+       END AS drop_rate_ppm
+FROM flagged GROUP BY 1
+""",
+)
+def blocklist_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-threshold blocklist filter with per-source conservation.
+
+    Scale: one map-side projection computes (n, b, blocked) per doc —
+    the blocklist is a literal in the plan (in production a broadcast
+    set); the only shuffle is the source-grain aggregate with map-side
+    combine. Token conservation (tokens_kept + tokens_blocked ==
+    tokens_total) is carried in the hashed output, so the gate proves
+    the apply step loses nothing. Reference analog: none (LLM-pipeline
+    extension; same family as gopher_quality_rules / pii_redaction).
+    """
+    from ..operators import text as T
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    empty = F.col("text").isNull() | (F.trim(F.col("text")) == "")
+    ws = F.when(empty, F.array().cast("array<string>")).otherwise(
+        T.words("text")
+    )
+    d = docs.select("doc_id", "source", ws.alias("ws"))
+    den = d.select(
+        "source",
+        F.size("ws").alias("n"),
+        F.size(
+            F.filter("ws", lambda w: w.isin(*_BLOCK_TERMS))
+        ).alias("b"),
+    )
+    flagged = den.select(
+        "source",
+        "n",
+        "b",
+        ((F.col("n") > 0) & (F.col("b") * 10 >= F.col("n"))).alias("blocked"),
+    )
+    blocked_n = F.when(F.col("blocked"), F.col("n")).otherwise(F.lit(0))
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_if(F.col("blocked")).alias("n_blocked"),
+        F.sum("n").cast("bigint").alias("tokens_total"),
+        F.sum(blocked_n).cast("bigint").alias("tokens_blocked"),
+        F.sum(F.when(F.col("blocked"), F.lit(0)).otherwise(F.col("n")))
+        .cast("bigint")
+        .alias("tokens_kept"),
+        F.sum(F.when(F.col("blocked"), F.col("b")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("blocked_term_hits"),
+        F.when(F.sum("n") == 0, F.lit(0))
+        .otherwise(
+            F.floor(F.sum(blocked_n) * 1000000.0 / F.sum("n") + 0.5)
+        )
+        .cast("bigint")
+        .alias("drop_rate_ppm"),
+    )
