@@ -1477,3 +1477,171 @@ def trade_modularity_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(q_total, 6).alias("q_total"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Closeness centrality (4-hop truncated multi-source BFS) — the
+# distance-based centrality beside the spectral (pagerank/HITS) and
+# density-based (k-core/densest/modularity) families. Truncation at 4
+# hops is explicit semantics ("k-step reach closeness"): both engines
+# run the SAME 4 relaxation rounds, so parity holds at any density,
+# and on the observed trade graph (diameter ≤ 2) 4 rounds IS the full
+# BFS. Harmonic closeness is carried as an exact ×1e6 integer sum
+# (1/d quantized per pair) so cross-engine double-summation order can
+# never flip the hash.
+# --------------------------------------------------------------------------
+
+_CLO_HOPS = 4
+
+
+def _clo_round_sql(prev: str, cur: str) -> str:
+    # AS MATERIALIZED: each round references the previous one twice —
+    # plain CTEs would inline exponentially (kcore precedent).
+    return f"""
+{cur} AS MATERIALIZED (
+    SELECT origin, node, MIN(dist) AS dist FROM (
+        SELECT origin, node, dist FROM {prev}
+        UNION ALL
+        SELECT d.origin, e.dst AS node, d.dist + 1 AS dist
+        FROM {prev} d JOIN cedges e ON e.src = d.node
+    ) GROUP BY 1, 2
+)"""
+
+
+@query(
+    "closeness_centrality_trade",
+    oracle=f"""
+WITH cdir AS MATERIALIZED (
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+    GROUP BY 1, 2
+),
+ctot AS (SELECT COUNT(*) AS n_e, CAST(SUM(w) AS BIGINT) AS w_t FROM cdir),
+cund AS MATERIALIZED (
+    -- 2x-mean backbone cut (kcore precedent): the full trade graph is
+    -- COMPLETE at sf0.01 (closeness would be constant 1.0 — the
+    -- vacuous-output class); distances only vary on a sparse backbone
+    SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM cdir, ctot WHERE cdir.w * ctot.n_e > 2 * ctot.w_t
+    GROUP BY 1, 2
+),
+cedges AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM cund
+    UNION
+    SELECT b AS src, a AS dst FROM cund
+),
+d0 AS MATERIALIZED (
+    SELECT n_nationkey AS origin, n_nationkey AS node, 0 AS dist
+    FROM nation
+),
+{','.join(_clo_round_sql(f'd{i}', f'd{i + 1}').lstrip() for i in range(_CLO_HOPS))}
+SELECT na.n_name AS nation,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_reachable,
+       CAST(SUM(dist) AS BIGINT) AS sum_dist,
+       CASE WHEN SUM(dist) = 0 THEN 0.0
+            ELSE (FLOOR((COUNT(*) - 1) * 1.0 / SUM(dist) * 1000000 + 0.5)
+                  / 1000000.0) END AS closeness,
+       CAST(SUM(CASE WHEN dist > 0
+                     THEN CAST(FLOOR(1000000.0 / dist) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 1000000.0 AS harmonic
+FROM d{_CLO_HOPS} d
+JOIN nation na ON na.n_nationkey = d.origin
+GROUP BY 1
+""",
+)
+def closeness_centrality_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closeness + harmonic centrality per nation, 4-hop truncated BFS.
+
+    Scale: the edge build is the single full-scan stage (same
+    lineitem⋈orders shuffle as pagerank_trade_graph, dims broadcast)
+    collapsing to ≤625 directed pairs; each BFS round is a
+    broadcast-join + MIN-combine over the ≤|V|² distance table (625
+    rows) — model-sized state, re-broadcast per superstep, exactly the
+    Pregel shape. Harmonic sums are ×1e6-quantized integers (order-
+    independent); closeness is one final division.
+    Reference analog: none (graph-analytics extension).
+    """
+    t = load_tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
+    )
+    cdir = (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(
+            F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").cast("bigint").alias("src"),
+            F.col("s_nationkey").cast("bigint").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    ctot = cdir.agg(
+        F.count("*").alias("n_e"), F.sum("w").cast("bigint").alias("w_t")
+    )
+    # 2x-mean backbone cut — see oracle comment (full graph is complete)
+    cund = (
+        cdir.crossJoin(F.broadcast(ctot))
+        .filter(F.col("w") * F.col("n_e") > 2 * F.col("w_t"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    edges = (
+        cund.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(cund.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = t["nation"].select(
+        F.col("n_nationkey").cast("bigint").alias("origin")
+    )
+    d = nodes.select(
+        "origin", F.col("origin").alias("node"), F.lit(0).alias("dist")
+    )
+    for _ in range(_CLO_HOPS):
+        step = (
+            d.join(F.broadcast(edges), d["node"] == edges["src"])
+            .select("origin", F.col("dst").alias("node"),
+                    (F.col("dist") + 1).alias("dist"))
+        )
+        d = (
+            d.union(step)
+            .groupBy("origin", "node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    harm_fp = F.when(
+        F.col("dist") > 0, F.floor(1000000.0 / F.col("dist")).cast("bigint")
+    ).otherwise(F.lit(0))
+    agg = d.groupBy("origin").agg(
+        (F.count("*") - 1).cast("bigint").alias("n_reachable"),
+        F.sum("dist").cast("bigint").alias("sum_dist"),
+        F.sum(harm_fp).cast("bigint").alias("harm_i"),
+    )
+    nation = t["nation"].select(
+        F.col("n_nationkey").cast("bigint").alias("origin"),
+        F.col("n_name").alias("nation"),
+    )
+    return agg.join(F.broadcast(nation), "origin").select(
+        "nation",
+        "n_reachable",
+        "sum_dist",
+        F.when(F.col("sum_dist") == 0, F.lit(0.0))
+        .otherwise(
+            F.floor(
+                F.col("n_reachable") * 1.0 / F.col("sum_dist") * 1000000 + 0.5
+            )
+            / 1000000.0
+        )
+        .alias("closeness"),
+        (F.col("harm_i").cast("double") / 1000000.0).alias("harmonic"),
+    )

@@ -6036,3 +6036,156 @@ def interval_overlap_peak_hours(
             ).alias("avg_overlap_seconds"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Changepoint location via binary segmentation (one level): choose the
+# day boundary that minimizes SSE_left + SSE_right of the daily-revenue
+# series. Complements cusum_change_detection (drift ALARM, online) with
+# the offline WHERE-did-the-level-shift-happen estimator that seeds
+# PELT/BinSeg-style pipelines. Exact math: daily sums are 2-decimal
+# money → ×100 cents BIGINTs; prefix sums S_i, Q_i are exact integers;
+# SSE = Q - S²/n needs S² ≤ ~2.5e15 < 2^53, exact in double — both
+# engines compute bit-identical SSEs, so the argmin never flips.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "changepoint_binary_segmentation",
+    oracle=f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS x
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+pfx AS (
+    SELECT d, x,
+           ROW_NUMBER() OVER (ORDER BY d) AS i,
+           CAST(SUM(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS s,
+           CAST(SUM(x * x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS q
+    FROM daily
+),
+tot AS (
+    SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sn,
+           CAST(SUM(x * x) AS BIGINT) AS qn FROM daily
+),
+cand AS (
+    SELECT p.d, p.i, t.n,
+           (p.q - CAST(p.s AS DOUBLE) * p.s / p.i)
+           + ((t.qn - p.q)
+              - CAST(t.sn - p.s AS DOUBLE) * (t.sn - p.s) / (t.n - p.i))
+               AS sse_split,
+           CAST(p.s AS DOUBLE) / p.i AS mean_l_c,
+           CAST(t.sn - p.s AS DOUBLE) / (t.n - p.i) AS mean_r_c,
+           t.qn - CAST(t.sn AS DOUBLE) * t.sn / t.n AS sse_total
+    FROM pfx p CROSS JOIN tot t
+    -- min segment size 5: without it the argmin degenerates to the
+    -- single-outlier-day edge split (classic BinSeg artifact)
+    WHERE p.i >= 5 AND p.i <= t.n - 5
+)
+SELECT d AS split_day,
+       CAST(i AS BIGINT) AS n_left,
+       CAST(n - i AS BIGINT) AS n_right,
+       {sql_dround('mean_l_c / 100.0', 4)} AS mean_left,
+       {sql_dround('mean_r_c / 100.0', 4)} AS mean_right,
+       {sql_dround('sse_total / 10000.0', 4)} AS sse_total,
+       {sql_dround('sse_split / 10000.0', 4)} AS sse_split,
+       CASE WHEN sse_total = 0 THEN 0.0
+            ELSE {sql_dround('(sse_total - sse_split) / sse_total', 6)}
+       END AS var_reduction
+FROM cand
+ORDER BY sse_split, d LIMIT 1
+""",
+)
+def changepoint_binary_segmentation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Best single-split changepoint of the daily revenue series.
+
+    Scale: the only data-sized stage is the day-grain aggregate
+    (map-side combine); everything after runs on ≤|days| rows —
+    prefix sums over the day spine, a |days|-row candidate scan, and
+    a 1-row TakeOrdered argmin. At 100 TB the day grain is still
+    bounded (years ≈ thousands of rows), so the "single window over
+    days" is not a data-volume window. Deeper BinSeg recursion =
+    re-running this plan per segment. Reference analog: none
+    (time-series extension beside cusum_change_detection).
+    """
+    from pyspark.sql.window import Window as _W
+
+    from ..functions import dround
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    v_fp = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5).cast(
+        "bigint"
+    )
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(v_fp).cast("bigint").alias("x"))
+    )
+    w = _W.orderBy("d").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    pfx = daily.select(
+        "d",
+        "x",
+        F.row_number().over(_W.orderBy("d")).alias("i"),
+        F.sum("x").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("q"),
+    )
+    tot = daily.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").alias("sn"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("qn"),
+    )
+    cand = (
+        pfx.crossJoin(F.broadcast(tot))
+        .filter((F.col("i") >= 5) & (F.col("i") <= F.col("n") - 5))
+        .select(
+            "d",
+            "i",
+            "n",
+            (
+                (F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("i"))
+                + (
+                    (F.col("qn") - F.col("q"))
+                    - (F.col("sn") - F.col("s")).cast("double")
+                    * (F.col("sn") - F.col("s"))
+                    / (F.col("n") - F.col("i"))
+                )
+            ).alias("sse_split"),
+            (F.col("s").cast("double") / F.col("i")).alias("mean_l_c"),
+            (
+                (F.col("sn") - F.col("s")).cast("double")
+                / (F.col("n") - F.col("i"))
+            ).alias("mean_r_c"),
+            (
+                F.col("qn")
+                - F.col("sn").cast("double") * F.col("sn") / F.col("n")
+            ).alias("sse_total"),
+        )
+    )
+    return (
+        cand.orderBy("sse_split", "d")
+        .limit(1)
+        .select(
+            F.col("d").alias("split_day"),
+            F.col("i").cast("bigint").alias("n_left"),
+            (F.col("n") - F.col("i")).cast("bigint").alias("n_right"),
+            dround(F.col("mean_l_c") / 100.0, 4).alias("mean_left"),
+            dround(F.col("mean_r_c") / 100.0, 4).alias("mean_right"),
+            dround(F.col("sse_total") / 10000.0, 4).alias("sse_total"),
+            dround(F.col("sse_split") / 10000.0, 4).alias("sse_split"),
+            F.when(F.col("sse_total") == 0, F.lit(0.0))
+            .otherwise(
+                dround(
+                    (F.col("sse_total") - F.col("sse_split"))
+                    / F.col("sse_total"),
+                    6,
+                )
+            )
+            .alias("var_reduction"),
+        )
+    )
