@@ -815,3 +815,206 @@ def file_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("read_amplification"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hilbert-curve layout audit — the locality upgrade over Z-order.
+# Morton interleave has "seams": consecutive Z-values can jump across
+# the full grid, so file bounding boxes stay wider than necessary.
+# The Hilbert curve visits every cell of the 2^b x 2^b grid with
+# unit steps, which is why lakehouse clustering (Delta/Iceberg) offers
+# it beside Z-order. Audited with the SAME file statistic as
+# zorder_layout_audit (min/max bounding-box area per file), with all
+# three layouts in one result so the ordering hilbert <= zorder <<
+# linear is a hashed fact, not a claim.
+#
+# The xy->d transform is the standard per-bit rotation automaton
+# (public domain, e.g. Wikipedia "Hilbert curve"): sequential state
+# per bit level. Spark runs it as F.aggregate over the 8 level sizes
+# with a struct accumulator — lambda variables are VALUES, so each
+# level is evaluated once (no exponential expression inlining; the
+# winnowing let-bind precedent). The oracle unrolls the same 8 levels
+# as chained MATERIALIZED CTEs.
+# --------------------------------------------------------------------------
+
+_H_LEVELS = [128, 64, 32, 16, 8, 4, 2, 1]  # bit-plane sizes for 8-bit dims
+_H_FILES = 64
+
+
+def _hilbert_spark(x: str, y: str) -> Column:
+    """Hilbert d of two 8-bit ints, via aggregate over bit planes."""
+    steps = ",".join(str(s) for s in _H_LEVELS)
+    return F.expr(
+        f"""
+aggregate(
+  array({steps}),
+  named_struct('hx', CAST({x} AS INT), 'hy', CAST({y} AS INT),
+               'hd', CAST(0 AS BIGINT)),
+  (acc, s) -> named_struct(
+    'hx', CASE WHEN (acc.hy & s) = 0
+               THEN CASE WHEN (acc.hx & s) > 0
+                         THEN s - 1 - acc.hy ELSE acc.hy END
+               ELSE acc.hx END,
+    'hy', CASE WHEN (acc.hy & s) = 0
+               THEN CASE WHEN (acc.hx & s) > 0
+                         THEN s - 1 - acc.hx ELSE acc.hx END
+               ELSE acc.hy END,
+    'hd', acc.hd + CAST(s AS BIGINT) * s *
+          ((3 * (CASE WHEN (acc.hx & s) > 0 THEN 1 ELSE 0 END))
+           ^ (CASE WHEN (acc.hy & s) > 0 THEN 1 ELSE 0 END))
+  ),
+  acc -> acc.hd
+)"""
+    )
+
+
+def _hilbert_sql_ctes() -> str:
+    """hl0..hl8 chained CTEs computing the same fold."""
+    parts = [
+        """
+hl0 AS MATERIALIZED (
+    SELECT x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd FROM hdims
+)"""
+    ]
+    for i, s in enumerate(_H_LEVELS):
+        parts.append(f"""
+hl{i + 1} AS MATERIALIZED (
+    SELECT x, y,
+           CASE WHEN (hy & {s}) = 0
+                THEN CASE WHEN (hx & {s}) > 0
+                          THEN {s - 1} - hy ELSE hy END
+                ELSE hx END AS hx,
+           CASE WHEN (hy & {s}) = 0
+                THEN CASE WHEN (hx & {s}) > 0
+                          THEN {s - 1} - hx ELSE hx END
+                ELSE hy END AS hy,
+           hd + CAST({s} AS BIGINT) * {s} *
+           xor(3 * (CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END),
+               (CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)) AS hd
+    FROM hl{i}
+)""")
+    return ",".join(parts)
+
+
+@query(
+    "hilbert_layout_audit",
+    oracle=f"""
+WITH hraw AS (
+    SELECT LEAST(CAST(FLOOR(value / 2) AS INT), 255) AS x,
+           CAST(FLOOR(((EXTRACT(hour FROM ts) * 60
+                        + EXTRACT(minute FROM ts)) * 256) / 1440.0)
+                AS INT) AS y
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+),
+cells0 AS (SELECT x, y, COUNT(*) AS n FROM hraw GROUP BY 1, 2),
+hdims AS (SELECT x, y FROM cells0),
+{_hilbert_sql_ctes().lstrip()},
+hcells AS (
+    SELECT h.x, h.y, c.n, h.hd, {sql_zvalue('h.x', 'h.y')} AS zv
+    FROM hl{len(_H_LEVELS)} h JOIN cells0 c ON c.x = h.x AND c.y = h.y
+),
+htiled AS (
+    SELECT x, y, n,
+           ntile({_H_FILES}) OVER (ORDER BY hd, x, y) AS hilbert_file,
+           ntile({_H_FILES}) OVER (ORDER BY zv, x, y) AS z_file,
+           ntile({_H_FILES}) OVER (ORDER BY x, y) AS linear_file
+    FROM hcells
+),
+hper_file AS (
+    SELECT 'hilbert' AS layout, hilbert_file AS file_id,
+           CAST(SUM(n) AS BIGINT) AS n,
+           MAX(x) - MIN(x) + 1 AS xs, MAX(y) - MIN(y) + 1 AS ys
+    FROM htiled GROUP BY hilbert_file
+    UNION ALL
+    SELECT 'zorder', z_file, CAST(SUM(n) AS BIGINT),
+           MAX(x) - MIN(x) + 1, MAX(y) - MIN(y) + 1
+    FROM htiled GROUP BY z_file
+    UNION ALL
+    SELECT 'linear_x', linear_file, CAST(SUM(n) AS BIGINT),
+           MAX(x) - MIN(x) + 1, MAX(y) - MIN(y) + 1
+    FROM htiled GROUP BY linear_file
+)
+SELECT layout,
+       COUNT(*) AS n_files,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(xs * ys) AS BIGINT) AS total_span_area,
+       {sql_dround('SUM(xs) * 1.0 / COUNT(*)', 4)} AS avg_x_span,
+       {sql_dround('SUM(ys) * 1.0 / COUNT(*)', 4)} AS avg_y_span,
+       {sql_dround('SUM(xs * ys) * 1.0 / COUNT(*)', 4)} AS avg_span_area
+FROM hper_file
+GROUP BY layout
+""",
+)
+def hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit: Hilbert vs Z-order vs linear clustering.
+
+    Unlike zorder_layout_audit's fixed top-bit file cuts (which align
+    to squares and cannot tell the curves apart), files here are
+    EQUAL-FREQUENCY cuts along each curve order — exactly what
+    repartitionByRange-on-the-curve-key produces on a real writer.
+    Per-file stats run at the CELL grain (≤2^16 rows — bounded model
+    state, so the three ntile windows are grid-bounded, never
+    data-sized). Dims are full-range probe dimensions (value-range ×
+    minute-of-day). The hashed facts: hilbert's avg bounding-box area
+    beats zorder (unit-step locality vs Morton seams), and linear_x
+    shows the degenerate avg_y_span=256 that makes single-column
+    clustering unprunable on the second dimension.
+    """
+    from pyspark.sql.window import Window as _W
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    x = F.least(F.floor(F.col("value") / 2).cast("int"), F.lit(255))
+    y = F.floor(
+        (F.hour("ts") * 60 + F.minute("ts")) * 256 / 1440.0
+    ).cast("int")
+    cells = (
+        events.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(x.alias("x"), y.alias("y"))
+        .agg(F.count("*").alias("n"))
+    )
+    keyed = cells.select(
+        "x",
+        "y",
+        "n",
+        _hilbert_spark("x", "y").alias("hd"),
+        zvalue(F.col("x"), F.col("y")).alias("zv"),
+    )
+    tiled = keyed.select(
+        "x",
+        "y",
+        "n",
+        F.ntile(_H_FILES).over(_W.orderBy("hd", "x", "y")).alias(
+            "hilbert_file"
+        ),
+        F.ntile(_H_FILES).over(_W.orderBy("zv", "x", "y")).alias("z_file"),
+        F.ntile(_H_FILES).over(_W.orderBy("x", "y")).alias("linear_file"),
+    )
+
+    def _per_file(file_col: str, label: str) -> DataFrame:
+        return (
+            tiled.groupBy(F.col(file_col).alias("file_id"))
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                (F.max("x") - F.min("x") + 1).alias("xs"),
+                (F.max("y") - F.min("y") + 1).alias("ys"),
+            )
+            .select(F.lit(label).alias("layout"), "file_id", "n", "xs", "ys")
+        )
+
+    per_file = (
+        _per_file("hilbert_file", "hilbert")
+        .unionAll(_per_file("z_file", "zorder"))
+        .unionAll(_per_file("linear_file", "linear_x"))
+    )
+    return per_file.groupBy("layout").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum(F.col("xs") * F.col("ys")).cast("bigint").alias(
+            "total_span_area"
+        ),
+        dround(F.sum("xs") * 1.0 / F.count("*"), 4).alias("avg_x_span"),
+        dround(F.sum("ys") * 1.0 / F.count("*"), 4).alias("avg_y_span"),
+        dround(F.sum(F.col("xs") * F.col("ys")) * 1.0 / F.count("*"), 4).alias(
+            "avg_span_area"
+        ),
+    )

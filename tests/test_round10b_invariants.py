@@ -1,0 +1,120 @@
+"""Semantic invariants for the round-10 session-2 operator wave.
+
+Parity proves Spark == oracle; these pin conservation, bounds, and
+live-leg properties a hash match cannot express, plus a direct unit
+check of the Hilbert transform against the reference automaton.
+"""
+
+from __future__ import annotations
+
+from chai_data_pipeline_spark import plans
+
+
+def _rows(spark, sf_dir, name):
+    return plans.QUERIES[name](spark, sf_dir).collect()
+
+
+def test_blocklist_conservation_and_live(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "blocklist_filter_apply")
+    assert rows
+    for r in rows:
+        assert r["tokens_kept"] + r["tokens_blocked"] == r["tokens_total"]
+        assert 0 <= r["n_blocked"] <= r["n_docs"]
+        # a blocked doc has >= 10% blocklisted mass by construction
+        if r["n_blocked"]:
+            assert r["blocked_term_hits"] * 10 >= r["tokens_blocked"]
+    # live filter: blocks somewhere AND keeps somewhere
+    assert any(r["n_blocked"] > 0 for r in rows)
+    assert any(r["n_blocked"] < r["n_docs"] for r in rows)
+
+
+def test_kmv_bounds_and_live(spark, sf_dir):
+    rows = {r["metric"]: r for r in _rows(spark, sf_dir, "approx_distinct_kmv_checked")}
+    assert set(rows) == {"kmv_a", "kmv_b", "kmv_union_merged", "kmv_intersection"}
+    a, b = rows["kmv_a"], rows["kmv_b"]
+    u, i = rows["kmv_union_merged"], rows["kmv_intersection"]
+    # exact set algebra: |A∪B| >= max, |A∩B| <= min, inclusion-exclusion
+    assert u["exact_count"] >= max(a["exact_count"], b["exact_count"])
+    assert i["exact_count"] <= min(a["exact_count"], b["exact_count"])
+    assert u["exact_count"] + i["exact_count"] == a["exact_count"] + b["exact_count"]
+    # estimator sanity: within 30% of exact on every leg that has data
+    for r in rows.values():
+        if r["exact_count"] > 0:
+            assert r["estimate"] > 0
+            assert r["err_ppm"] < 300_000
+
+
+def test_retrieval_eval_bounds_and_live(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "retrieval_eval_mrr_pk")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["p_at_k"] <= 1.0
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert 0.0 <= r["mrr"] <= 1.0
+        assert r["hits_at_k"] <= min(10, r["n_relevant"]) or r["n_relevant"] == 0
+    assert any(r["hits_at_k"] > 0 for r in rows)
+    assert any(r["mrr"] > 0 for r in rows)
+
+
+def test_changepoint_split_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "changepoint_binary_segmentation")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_left"] >= 5 and r["n_right"] >= 5
+    assert r["sse_split"] <= r["sse_total"]
+    assert 0.0 <= r["var_reduction"] < 1.0
+
+
+def test_closeness_bounds_and_varied(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "closeness_centrality_trade")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["closeness"] <= 1.0
+        assert r["harmonic"] <= r["n_reachable"]
+        assert r["sum_dist"] >= r["n_reachable"]
+    # the backbone cut must leave a NON-complete graph (the complete
+    # trade graph made closeness a constant 1.0 — vacuous-output class)
+    assert len({r["closeness"] for r in rows}) > 1
+    assert any(r["sum_dist"] > r["n_reachable"] for r in rows)
+
+
+def test_hilbert_beats_zorder_and_linear_degenerate(spark, sf_dir):
+    rows = {r["layout"]: r for r in _rows(spark, sf_dir, "hilbert_layout_audit")}
+    assert set(rows) == {"hilbert", "zorder", "linear_x"}
+    h, z, lx = rows["hilbert"], rows["zorder"], rows["linear_x"]
+    # every layout files the same rows
+    assert h["n_rows"] == z["n_rows"] == lx["n_rows"]
+    # the headline claim: unit-step locality beats Morton seams
+    assert h["total_span_area"] < z["total_span_area"]
+    # single-column clustering cannot prune the second dimension
+    assert lx["avg_y_span"] > 4 * h["avg_y_span"]
+
+
+def test_hilbert_transform_matches_reference_automaton(spark):
+    # direct unit check of the per-bit rotation fold on a random sample
+    import random
+
+    from pyspark.sql import functions as F
+
+    from chai_data_pipeline_spark.plans.layout import _hilbert_spark
+
+    def ref_xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(64)]
+    df = spark.createDataFrame(pts, ["x", "y"]).select(
+        "x", "y", _hilbert_spark("x", "y").alias("hd")
+    )
+    for x, y, hd in df.collect():
+        assert hd == ref_xy2d(256, x, y), (x, y, hd)
