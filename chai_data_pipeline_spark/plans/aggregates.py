@@ -4931,3 +4931,226 @@ def kruskal_wallis_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("epsilon_sq"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bayesian A/B: EXACT posterior P(p_B > p_A) under Beta(1,1) priors via
+# the closed-form finite sum (Evan Miller, "Formulas for Bayesian A/B
+# Testing"): P = sum_{i=0}^{a_B-1} B(a_A+i, b_A+b_B) /
+# ((b_B+i) B(1+i, b_B) B(a_A, b_A)). The frequentist twins
+# (welch_ttest_arms, conversion_rate_wilson_ci) answer "is the
+# difference significant"; this answers the decision question "what is
+# the probability B is better". All arguments are small integers, so
+# every log-gamma is a ln-factorial prefix sum — quantized to ×1e12
+# BIGINTs (exact, order-independent), and each exp() term re-quantized
+# before the final integer sum: both engines produce the bit-identical
+# posterior.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "bayes_beta_binomial_ab",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN {_sql_hb('user_id')} < 50 THEN 'A' ELSE 'B' END AS arm,
+           MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                    THEN 1 ELSE 0 END) AS conv
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+st AS (
+    SELECT
+        COUNT(*) FILTER (WHERE arm = 'A') AS n_a,
+        COUNT(*) FILTER (WHERE arm = 'A' AND conv = 1) AS s_a,
+        COUNT(*) FILTER (WHERE arm = 'B') AS n_b,
+        COUNT(*) FILTER (WHERE arm = 'B' AND conv = 1) AS s_b
+    FROM per_user
+),
+pr AS (
+    SELECT n_a, s_a, n_b, s_b,
+           s_a + 1 AS aa, n_a - s_a + 1 AS ba,
+           s_b + 1 AS ab, n_b - s_b + 1 AS bb
+    FROM st
+),
+lnf0 AS (
+    SELECT unnest(range(1, (SELECT n_a + n_b + 4 FROM pr))) AS j
+),
+lnf1 AS (
+    SELECT j, CAST(FLOOR(ln(CAST(j AS DOUBLE)) * 1000000000000 + 0.5)
+                   AS BIGINT) AS lq
+    FROM lnf0
+),
+lnf AS (
+    SELECT 0 AS n, CAST(0 AS BIGINT) AS f
+    UNION ALL
+    SELECT j AS n,
+           CAST(SUM(lq) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS f
+    FROM lnf1
+),
+terms AS (
+    SELECT p.*, t.i FROM pr p
+    CROSS JOIN (SELECT unnest(range(0, (SELECT ab FROM pr))) AS i) t
+),
+tq AS (
+    SELECT t.i,
+           (l1.f + l2.f - l3.f)
+           - CAST(FLOOR(ln(CAST(t.bb + t.i AS DOUBLE)) * 1000000000000
+                        + 0.5) AS BIGINT)
+           - (l4.f + l5.f - l6.f)
+           - (l7.f + l8.f - l9.f) AS ltq
+    FROM terms t
+    JOIN lnf l1 ON l1.n = t.aa + t.i - 1
+    JOIN lnf l2 ON l2.n = t.ba + t.bb - 1
+    JOIN lnf l3 ON l3.n = t.aa + t.i + t.ba + t.bb - 1
+    JOIN lnf l4 ON l4.n = t.i
+    JOIN lnf l5 ON l5.n = t.bb - 1
+    JOIN lnf l6 ON l6.n = t.i + t.bb
+    JOIN lnf l7 ON l7.n = t.aa - 1
+    JOIN lnf l8 ON l8.n = t.ba - 1
+    JOIN lnf l9 ON l9.n = t.aa + t.ba - 1
+),
+p AS (
+    SELECT CAST(SUM(CAST(FLOOR(exp(ltq / 1000000000000.0) * 1000000000000
+                               + 0.5) AS BIGINT)) AS BIGINT) AS pq
+    FROM tq
+)
+SELECT CAST(pr.n_a AS BIGINT) AS n_a,
+       CAST(pr.s_a AS BIGINT) AS conversions_a,
+       CAST(pr.n_b AS BIGINT) AS n_b,
+       CAST(pr.s_b AS BIGINT) AS conversions_b,
+       {sql_dround('pr.aa * 1.0 / (pr.aa + pr.ba)', 6)} AS post_mean_a,
+       {sql_dround('pr.ab * 1.0 / (pr.ab + pr.bb)', 6)} AS post_mean_b,
+       {sql_dround('pr.ab * 1.0 / (pr.ab + pr.bb) - pr.aa * 1.0 / (pr.aa + pr.ba)', 6)}
+           AS expected_uplift,
+       {sql_dround('p.pq / 1000000000000.0', 6)} AS p_b_beats_a
+FROM pr CROSS JOIN p
+""",
+)
+def bayes_beta_binomial_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Beta-Binomial posterior P(B beats A) for user conversion.
+
+    Scale: the only data-sized stage is the per-user conversion rollup
+    (one map-side-combinable GROUP BY); everything downstream operates
+    on the 1-row count summary, a ≤(n_a+n_b)-row ln-factorial spine
+    (exploded from the summary itself — no driver round trip), and an
+    (s_b+1)-row term table with nine broadcast lookups into the spine.
+    The posterior is exact — no Monte Carlo — and integer-quantized at
+    every float boundary. Reference analog: none (experimentation
+    family beside welch_ttest_arms / conversion_rate_wilson_ci).
+    """
+    from .training import hash_bucket
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 150),
+                    1,
+                ).otherwise(0)
+            ).alias("conv")
+        )
+        .select(
+            F.when(hash_bucket("user_id") < 50, "A").otherwise("B").alias(
+                "arm"
+            ),
+            "conv",
+        )
+    )
+    st = per_user.agg(
+        F.count_if(F.col("arm") == "A").alias("n_a"),
+        F.count_if((F.col("arm") == "A") & (F.col("conv") == 1)).alias("s_a"),
+        F.count_if(F.col("arm") == "B").alias("n_b"),
+        F.count_if((F.col("arm") == "B") & (F.col("conv") == 1)).alias("s_b"),
+    )
+    pr = st.select(
+        "*",
+        (F.col("s_a") + 1).alias("aa"),
+        (F.col("n_a") - F.col("s_a") + 1).alias("ba"),
+        (F.col("s_b") + 1).alias("ab"),
+        (F.col("n_b") - F.col("s_b") + 1).alias("bb"),
+    ).localCheckpoint(eager=True)
+    q12 = F.lit(1000000000000)
+    lnf1 = pr.select(
+        F.explode(
+            F.sequence(F.lit(1), F.col("n_a") + F.col("n_b") + 3)
+        ).alias("j")
+    ).select(
+        "j",
+        F.floor(F.log(F.col("j").cast("double")) * q12 + 0.5)
+        .cast("bigint")
+        .alias("lq"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.orderBy("j").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    lnf = (
+        lnf1.select(
+            F.col("j").alias("n"),
+            F.sum("lq").over(w).cast("bigint").alias("f"),
+        )
+        .union(spark.range(1).select(F.lit(0).alias("n"), F.lit(0).cast("bigint").alias("f")))
+        .localCheckpoint(eager=True)
+    )
+    terms = pr.select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("ab") - 1)).alias("i")
+    )
+
+    def lk(tag: str, key):
+        return F.broadcast(
+            lnf.select(F.col("n").alias(f"n_{tag}"), F.col("f").alias(f"f_{tag}"))
+        ), key
+
+    j = terms
+    for tag, key in [
+        ("1", F.col("aa") + F.col("i") - 1),
+        ("2", F.col("ba") + F.col("bb") - 1),
+        ("3", F.col("aa") + F.col("i") + F.col("ba") + F.col("bb") - 1),
+        ("4", F.col("i")),
+        ("5", F.col("bb") - 1),
+        ("6", F.col("i") + F.col("bb")),
+        ("7", F.col("aa") - 1),
+        ("8", F.col("ba") - 1),
+        ("9", F.col("aa") + F.col("ba") - 1),
+    ]:
+        tbl, k = lk(tag, key)
+        j = j.join(tbl, k == F.col(f"n_{tag}"))
+    ltq = (
+        (F.col("f_1") + F.col("f_2") - F.col("f_3"))
+        - F.floor(
+            F.log((F.col("bb") + F.col("i")).cast("double")) * q12 + 0.5
+        ).cast("bigint")
+        - (F.col("f_4") + F.col("f_5") - F.col("f_6"))
+        - (F.col("f_7") + F.col("f_8") - F.col("f_9"))
+    )
+    p = j.select(ltq.alias("ltq")).agg(
+        F.sum(
+            F.floor(F.exp(F.col("ltq") / 1000000000000.0) * q12 + 0.5).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("pq")
+    )
+    return pr.crossJoin(p).select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("s_a").cast("bigint").alias("conversions_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("s_b").cast("bigint").alias("conversions_b"),
+        dround(F.col("aa") * 1.0 / (F.col("aa") + F.col("ba")), 6).alias(
+            "post_mean_a"
+        ),
+        dround(F.col("ab") * 1.0 / (F.col("ab") + F.col("bb")), 6).alias(
+            "post_mean_b"
+        ),
+        dround(
+            F.col("ab") * 1.0 / (F.col("ab") + F.col("bb"))
+            - F.col("aa") * 1.0 / (F.col("aa") + F.col("ba")),
+            6,
+        ).alias("expected_uplift"),
+        dround(F.col("pq") / 1000000000000.0, 6).alias("p_b_beats_a"),
+    )

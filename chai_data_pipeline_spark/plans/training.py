@@ -3146,3 +3146,90 @@ def blocklist_filter_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("drop_rate_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Curriculum shard interleave — the step between curation and the
+# training loop: distribute documents over S data-parallel shards so
+# every shard sees the SAME length curriculum (short->long mix).
+# Stratify into 10 length deciles, then round-robin each decile across
+# shards: per-shard token mass and length mix are provably balanced
+# (no shard ends up with the long-document tail — the classic cause of
+# stragglers in sequence-parallel training).
+# --------------------------------------------------------------------------
+
+_CUR_SHARDS = 8
+
+
+@query(
+    "curriculum_shard_interleave",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+                ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n
+    FROM documents
+),
+deciled AS (
+    SELECT doc_id, n,
+           ntile(10) OVER (ORDER BY n, doc_id) AS decile
+    FROM d
+),
+sharded AS (
+    SELECT doc_id, n, decile,
+           (ROW_NUMBER() OVER (PARTITION BY decile ORDER BY doc_id) - 1)
+               % {_CUR_SHARDS} AS shard
+    FROM deciled
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS tokens_total,
+       {sql_dround('SUM(n) * 1.0 / COUNT(*)', 4)} AS avg_tokens,
+       COUNT(DISTINCT decile) AS n_deciles,
+       CAST(MIN(n) AS BIGINT) AS min_len,
+       CAST(MAX(n) AS BIGINT) AS max_len
+FROM sharded GROUP BY 1
+""",
+)
+def curriculum_shard_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-decile round-robin assignment to training shards.
+
+    Scale: the decile boundaries come from one bounded sort statistic
+    (at 100 TB: approx quantiles / the range-planner sample — the
+    exact ntile here is the semantic oracle, same posture as
+    sequence_packing vs sequence_packing_sharded); the round-robin
+    window partitions BY DECILE, so the sort work is 10 parallel
+    partitions, and the output grain is S=8 rows. Balance is hashed:
+    every shard covers all 10 deciles with near-equal token mass.
+    Reference analog: none (training-prep family).
+    """
+    from pyspark.sql.window import Window as _W
+
+    from ..operators import text as T
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    empty = F.col("text").isNull() | (F.trim(F.col("text")) == "")
+    n = F.when(empty, F.lit(0)).otherwise(F.size(T.words("text")))
+    d = docs.select("doc_id", n.alias("n"))
+    deciled = d.select(
+        "doc_id", "n", F.ntile(10).over(_W.orderBy("n", "doc_id")).alias("decile")
+    )
+    sharded = deciled.select(
+        "doc_id",
+        "n",
+        "decile",
+        (
+            (F.row_number().over(_W.partitionBy("decile").orderBy("doc_id")) - 1)
+            % _CUR_SHARDS
+        )
+        .cast("bigint")
+        .alias("shard"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("tokens_total"),
+        dround(F.sum("n") * 1.0 / F.count("*"), 4).alias("avg_tokens"),
+        F.countDistinct("decile").alias("n_deciles"),
+        F.min("n").cast("bigint").alias("min_len"),
+        F.max("n").cast("bigint").alias("max_len"),
+    )

@@ -118,3 +118,42 @@ def test_hilbert_transform_matches_reference_automaton(spark):
     )
     for x, y, hd in df.collect():
         assert hd == ref_xy2d(256, x, y), (x, y, hd)
+
+
+def test_bayes_posterior_matches_lgamma_reference(spark, sf_dir):
+    import math
+
+    rows = _rows(spark, sf_dir, "bayes_beta_binomial_ab")
+    assert len(rows) == 1
+    r = rows[0]
+    aa, ba = r["conversions_a"] + 1, r["n_a"] - r["conversions_a"] + 1
+    ab, bb = r["conversions_b"] + 1, r["n_b"] - r["conversions_b"] + 1
+
+    def lbeta(a, b):
+        return math.lgamma(a) + math.lgamma(b) - math.lgamma(a + b)
+
+    p = sum(
+        math.exp(
+            lbeta(aa + i, ba + bb)
+            - math.log(bb + i)
+            - lbeta(1 + i, bb)
+            - lbeta(aa, ba)
+        )
+        for i in range(ab)
+    )
+    assert abs(r["p_b_beats_a"] - p) < 5e-6
+    assert 0.0 < r["p_b_beats_a"] < 1.0
+    assert r["conversions_a"] > 0 and r["conversions_b"] > 0  # live legs
+
+
+def test_curriculum_shards_balanced(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "curriculum_shard_interleave")
+    assert len(rows) == 8
+    docs = [r["n_docs"] for r in rows]
+    toks = [r["tokens_total"] for r in rows]
+    # round-robin over 10 deciles: shard sizes differ by at most 10
+    assert max(docs) - min(docs) <= 10
+    # every shard must carry the full curriculum mix
+    assert all(r["n_deciles"] == 10 for r in rows)
+    # token mass balanced within 25%
+    assert max(toks) <= 1.25 * min(toks)
