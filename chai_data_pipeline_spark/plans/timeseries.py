@@ -6189,3 +6189,223 @@ def changepoint_binary_segmentation(
             .alias("var_reduction"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Exact dynamic-time-warping distance between event-type daily series —
+# the alignment-aware similarity the lockstep correlation family
+# (lead_lag_cross_correlation, kendall/spearman) cannot express: two
+# series with the same shape shifted by a day are "far" in lockstep L1
+# but near under DTW. Costs are integer |Δcount|, so the whole DP is
+# exact integer min-plus — bit-identical across engines.
+#
+# Oracle form: the row recursion D(i,j) = c(i,j) + min(D(i-1,j),
+# D(i-1,j-1), D(i,j-1)) is made window-parallel per row via the
+# prefix-min transformation D(i,j) = P_i(j) + min_{k<=j}(A(k) -
+# P_i(k-1)) with A(k) = min(D(i-1,k), D(i-1,k-1)) — each of the 30
+# unrolled MATERIALIZED rounds is two window passes, never a
+# cell-by-cell recursion. Spark runs the grouped DP through
+# applyInPandas (Arrow; one group per pair — the mapInPandas custom-
+# operator escape hatch, same posture as trend_applyinpandas).
+# --------------------------------------------------------------------------
+
+_DTW_N = 30  # series length: the data-relative 30-day spine
+_DTW_INF = 1 << 62
+
+
+def _dtw_row_sql(i: int) -> str:
+    return f"""
+r{i} AS MATERIALIZED (
+    SELECT ta, tb, j,
+           CAST(pfx + MIN(am) OVER (PARTITION BY ta, tb ORDER BY j
+                                    ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS dv
+    FROM (
+        SELECT c.ta, c.tb, c.j,
+               SUM(c.c) OVER (PARTITION BY c.ta, c.tb ORDER BY c.j
+                              ROWS UNBOUNDED PRECEDING) AS pfx,
+               LEAST(p.dv,
+                     COALESCE(LAG(p.dv) OVER (PARTITION BY c.ta, c.tb
+                                              ORDER BY c.j),
+                              {_DTW_INF}))
+               - (SUM(c.c) OVER (PARTITION BY c.ta, c.tb ORDER BY c.j
+                                 ROWS UNBOUNDED PRECEDING) - c.c) AS am
+        FROM dcost c
+        JOIN r{i - 1} p ON p.ta = c.ta AND p.tb = c.tb AND p.j = c.j
+        WHERE c.i = {i}
+    )
+)"""
+
+
+@query(
+    "dtw_event_type_daily",
+    oracle=f"""
+WITH ddaily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+dbounds AS (SELECT MIN(d) AS dmin FROM ddaily),
+dspine AS (
+    SELECT t.event_type, CAST(g.day AS DATE) AS d,
+           ROW_NUMBER() OVER (PARTITION BY t.event_type ORDER BY g.day) AS j
+    FROM (SELECT DISTINCT event_type FROM ddaily) t
+    CROSS JOIN (
+        SELECT unnest(generate_series(b.dmin,
+                                      b.dmin + INTERVAL {_DTW_N - 1} DAY,
+                                      INTERVAL 1 DAY)) AS day
+        FROM dbounds b
+    ) g
+),
+dfilled AS MATERIALIZED (
+    SELECT s.event_type, s.j, COALESCE(dd.n, 0) AS n
+    FROM dspine s LEFT JOIN ddaily dd
+      ON dd.event_type = s.event_type AND dd.d = s.d
+),
+dpairs AS (
+    SELECT a.event_type AS ta, b.event_type AS tb
+    FROM (SELECT DISTINCT event_type FROM ddaily) a
+    JOIN (SELECT DISTINCT event_type FROM ddaily) b
+      ON a.event_type < b.event_type
+),
+dcost AS MATERIALIZED (
+    SELECT p.ta, p.tb, fa.j AS i, fb.j AS j,
+           CAST(ABS(fa.n - fb.n) AS BIGINT) AS c
+    FROM dpairs p
+    JOIN dfilled fa ON fa.event_type = p.ta
+    JOIN dfilled fb ON fb.event_type = p.tb
+),
+r1 AS MATERIALIZED (
+    SELECT ta, tb, j,
+           CAST(SUM(c) OVER (PARTITION BY ta, tb ORDER BY j
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS dv
+    FROM dcost WHERE i = 1
+),
+{','.join(_dtw_row_sql(i).lstrip() for i in range(2, _DTW_N + 1))},
+dlock AS (
+    SELECT ta, tb, CAST(SUM(c) AS BIGINT) AS lockstep,
+           COUNT(*) AS n_steps
+    FROM dcost WHERE i = j GROUP BY 1, 2
+)
+SELECT f.ta AS type_a, f.tb AS type_b,
+       CAST(l.n_steps AS BIGINT) AS n_steps,
+       f.dv AS dtw_cost,
+       l.lockstep AS lockstep_cost,
+       CASE WHEN l.lockstep = 0 THEN 0
+            ELSE CAST(FLOOR((l.lockstep - f.dv) * 1000000.0 / l.lockstep
+                            + 0.5) AS BIGINT)
+       END AS alignment_gain_ppm
+FROM (SELECT * FROM r{_DTW_N} WHERE j = {_DTW_N}) f
+JOIN dlock l ON l.ta = f.ta AND l.tb = f.tb
+""",
+)
+def dtw_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DTW vs lockstep L1 for every event-type pair's daily series.
+
+    Scale: the data-sized stage is the (type, day) aggregate; the DP
+    runs per pair over 30-element series — |pairs| independent Arrow
+    groups, each O(n²) integer work, embarrassingly parallel across
+    executors. At 100 TB the pair count (not the row count) is the
+    driver: K series → K²/2 bounded-size groups. The SQL oracle proves
+    the same DP via 30 window-parallel unrolled rounds.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.count("*").alias("n"))
+    )
+    types = daily.select("event_type").distinct()
+    bounds = daily.agg(F.min("d").alias("dmin"))
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.col("dmin"), F.date_add(F.col("dmin"), _DTW_N - 1)
+                )
+            ).alias("d"),
+        )
+        .select(
+            "event_type",
+            "d",
+            F.row_number()
+            .over(Window.partitionBy("event_type").orderBy("d"))
+            .alias("j"),
+        )
+    )
+    filled = (
+        spine.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type", "j", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = (
+        types.withColumnRenamed("event_type", "ta")
+        .join(
+            types.withColumnRenamed("event_type", "tb"),
+            F.col("ta") < F.col("tb"),
+        )
+    )
+    fa = filled.select(
+        F.col("event_type").alias("ta"), F.col("j"), F.col("n").alias("xa")
+    )
+    fb = filled.select(
+        F.col("event_type").alias("tb2"),
+        F.col("j").alias("jb"),
+        F.col("n").alias("xb"),
+    )
+    rows = (
+        pairs.join(fa, "ta")
+        .join(fb, (F.col("tb") == F.col("tb2")) & (F.col("j") == F.col("jb")))
+        .select("ta", "tb", "j", "xa", "xb")
+    )
+
+    def dtw_group(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("j").reset_index(drop=True)
+        x = [int(v) for v in pdf["xa"]]
+        y = [int(v) for v in pdf["xb"]]
+        n = len(x)
+        inf = 1 << 62
+        prev = None
+        for i in range(n):
+            cur = [0] * n
+            for j in range(n):
+                c = abs(x[i] - y[j])
+                if i == 0:
+                    cur[j] = c + (cur[j - 1] if j > 0 else 0)
+                else:
+                    best = prev[j]
+                    if j > 0:
+                        if prev[j - 1] < best:
+                            best = prev[j - 1]
+                        if cur[j - 1] < best:
+                            best = cur[j - 1]
+                    cur[j] = c + best
+            prev = cur
+        dtw = prev[n - 1] if n else 0
+        lock = sum(abs(a - b) for a, b in zip(x, y))
+        gain = 0 if lock == 0 else int(
+            ((lock - dtw) * 1000000.0 / lock + 0.5) // 1
+        )
+        return pd.DataFrame(
+            {
+                "type_a": [pdf["ta"].iloc[0]],
+                "type_b": [pdf["tb"].iloc[0]],
+                "n_steps": [n],
+                "dtw_cost": [dtw],
+                "lockstep_cost": [lock],
+                "alignment_gain_ppm": [gain],
+            }
+        )
+
+    return rows.groupBy("ta", "tb").applyInPandas(
+        dtw_group,
+        "type_a string, type_b string, n_steps long, dtw_cost long,"
+        " lockstep_cost long, alignment_gain_ppm long",
+    )

@@ -157,3 +157,16 @@ def test_curriculum_shards_balanced(spark, sf_dir):
     assert all(r["n_deciles"] == 10 for r in rows)
     # token mass balanced within 25%
     assert max(toks) <= 1.25 * min(toks)
+
+
+def test_dtw_bounds_and_live(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "dtw_event_type_daily")
+    # 5 event types -> 10 unordered pairs
+    assert len(rows) == 10
+    for r in rows:
+        # warping can only HELP vs the lockstep alignment
+        assert 0 <= r["dtw_cost"] <= r["lockstep_cost"]
+        assert 0 <= r["alignment_gain_ppm"] <= 1_000_000
+        assert r["n_steps"] == 30
+    # live: alignment actually buys something on at least one pair
+    assert any(r["alignment_gain_ppm"] > 0 for r in rows)
