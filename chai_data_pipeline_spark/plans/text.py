@@ -3919,3 +3919,170 @@ def confident_learning_noise(
             6,
         ).alias("est_noise_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram perplexity — the modern-smoothing
+# sibling of bigram_lm_perplexity (add-0.5 Lidstone). KN discounts
+# every seen bigram by a fixed d=0.75 and redistributes the mass via
+# the CONTINUATION distribution (how many contexts a word follows),
+# which is what makes it the default n-gram smoother (Chen & Goodman
+# 1999). All model quantities are integer count ratios, so both
+# engines compute bit-identical probabilities; each log is ×1e6
+# quantized before the weighted integer sum (the bigram_lm pattern).
+# --------------------------------------------------------------------------
+
+_KN_D = 0.75
+
+
+@query(
+    "kn_bigram_perplexity",
+    oracle=f"""
+WITH train_bg AS (
+    SELECT bg, COUNT(*) AS c2
+    FROM (SELECT unnest({word_ngrams_sql_duckdb('text', 2)}) AS bg
+          FROM documents
+          WHERE text IS NOT NULL AND {_SQL_HB_DOC} < 80)
+    GROUP BY 1
+),
+kctx AS (
+    SELECT split_part(bg, ' ', 1) AS w1,
+           CAST(SUM(c2) AS BIGINT) AS c1,
+           COUNT(*) AS nf
+    FROM train_bg GROUP BY 1
+),
+kcont AS (
+    SELECT split_part(bg, ' ', 2) AS w2, COUNT(*) AS np
+    FROM train_bg GROUP BY 1
+),
+ktot AS (SELECT COUNT(*) AS d FROM train_bg),
+test_types AS (
+    SELECT lang, bg, split_part(bg, ' ', 1) AS w1,
+           split_part(bg, ' ', 2) AS w2, COUNT(*) AS n
+    FROM (SELECT lang, unnest({word_ngrams_sql_duckdb('text', 2)}) AS bg
+          FROM documents
+          WHERE text IS NOT NULL AND {_SQL_HB_DOC} >= 80)
+    GROUP BY 1, 2, 3, 4
+),
+scored AS (
+    SELECT tt.lang, tt.n,
+           COALESCE(tb.c2, 0) AS c2,
+           GREATEST(
+               CASE WHEN COALESCE(cx.c1, 0) > 0
+                    THEN GREATEST(COALESCE(tb.c2, 0)
+                                  - CAST({_KN_D} AS DOUBLE), 0.0)
+                         / (CASE WHEN COALESCE(cx.c1, 0) > 0
+                                 THEN COALESCE(cx.c1, 0) END)
+                         + (CAST({_KN_D} AS DOUBLE) * COALESCE(cx.nf, 0)
+                            / (CASE WHEN COALESCE(cx.c1, 0) > 0
+                                    THEN COALESCE(cx.c1, 0) END))
+                           * (COALESCE(co.np, 0) * 1.0
+                              / (CASE WHEN t.d > 0 THEN t.d END))
+                    ELSE COALESCE(co.np, 0) * 1.0
+                         / (CASE WHEN t.d > 0 THEN t.d END)
+               END,
+               1e-9) AS p
+    FROM test_types tt
+    LEFT JOIN train_bg tb ON tt.bg = tb.bg
+    LEFT JOIN kctx cx ON tt.w1 = cx.w1
+    LEFT JOIN kcont co ON tt.w2 = co.w2
+    CROSS JOIN ktot t
+),
+lqd AS (
+    SELECT lang, n, c2,
+           CAST(FLOOR(ln(p) * 1000000 + 0.5) AS BIGINT) AS lq
+    FROM scored
+)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_test_bigrams,
+       CAST(COALESCE(SUM(CASE WHEN c2 = 0 THEN n END), 0) AS BIGINT)
+           AS n_unseen_bigrams,
+       {sql_dround('exp(-(CAST(SUM(CAST(n AS HUGEINT) * lq) AS DOUBLE)'
+                   ' / 1000000.0) / SUM(n))', 4)} AS ppl_kn
+FROM lqd GROUP BY 1
+""",
+)
+def kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out interpolated-KN bigram perplexity per language.
+
+    Scale: the model is three count tables (bigram types, context
+    totals+follower counts, continuation counts) — all map-side-
+    combinable aggregates over the train split's bigram stream; scoring
+    joins the test TYPE table (types, not tokens) against them. The
+    continuation distribution is the piece add-k smoothing lacks, and
+    it falls out of the same GROUP BYs. Reference analog: none (LM
+    family extension).
+    """
+    from ..operators.text import word_ngrams
+    from .training import hash_bucket
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    toks = docs.filter(F.col("text").isNotNull()).select(
+        "lang",
+        T.words("text").alias("t"),
+        hash_bucket("doc_id").alias("hb"),
+    )
+    bgs = toks.select(
+        "lang", "hb", F.explode(word_ngrams("t", 2, presplit=True)).alias("bg")
+    )
+    train_bg = (
+        bgs.filter(F.col("hb") < 80).groupBy("bg").agg(F.count("*").alias("c2"))
+    )
+    kctx = train_bg.groupBy(
+        F.substring_index("bg", " ", 1).alias("w1")
+    ).agg(
+        F.sum("c2").cast("bigint").alias("c1"), F.count("*").alias("nf")
+    )
+    kcont = train_bg.groupBy(
+        F.substring_index("bg", " ", -1).alias("w2")
+    ).agg(F.count("*").alias("np"))
+    ktot = train_bg.agg(F.count("*").alias("d"))
+    test_types = (
+        bgs.filter(F.col("hb") >= 80)
+        .groupBy(
+            "lang",
+            "bg",
+            F.substring_index("bg", " ", 1).alias("w1"),
+            F.substring_index("bg", " ", -1).alias("w2"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    c2 = F.coalesce(F.col("c2"), F.lit(0))
+    c1 = F.coalesce(F.col("c1"), F.lit(0))
+    nf = F.coalesce(F.col("nf"), F.lit(0))
+    np_ = F.coalesce(F.col("np"), F.lit(0))
+    c1_safe = F.when(c1 > 0, c1)  # NULL when 0: guard lives in denominator
+    d_safe = F.when(F.col("d") > 0, F.col("d"))
+    pcont = np_ * 1.0 / d_safe
+    p = F.greatest(
+        F.when(
+            c1 > 0,
+            F.greatest(c2 - _KN_D, F.lit(0.0)) / c1_safe
+            + (F.lit(_KN_D) * nf / c1_safe) * pcont,
+        ).otherwise(pcont),
+        F.lit(1e-9),
+    )
+    scored = (
+        test_types.join(train_bg, "bg", "left")
+        .join(kctx, "w1", "left")
+        .join(kcont, "w2", "left")
+        .crossJoin(F.broadcast(ktot))
+        .select(
+            "lang",
+            "n",
+            c2.alias("c2k"),
+            F.floor(F.log(p) * 1000000 + 0.5).cast("bigint").alias("lq"),
+        )
+    )
+    s_micro = F.sum(F.col("n").cast("decimal(38,0)") * F.col("lq")).cast(
+        "double"
+    )
+    return scored.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_test_bigrams"),
+        F.coalesce(
+            F.sum(F.when(F.col("c2k") == 0, F.col("n"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_unseen_bigrams"),
+        dround(F.exp(-(s_micro / 1000000.0) / F.sum("n")), 4).alias("ppl_kn"),
+    )

@@ -6409,3 +6409,212 @@ def dtw_event_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_a string, type_b string, n_steps long, dtw_cost long,"
         " lockstep_cost long, alignment_gain_ppm long",
     )
+
+
+# --------------------------------------------------------------------------
+# SAX (Symbolic Aggregate approXimation, Lin et al. 2003): PAA-compress
+# each event type's daily-revenue series 3:1, z-normalize, and map
+# segments onto a 4-letter alphabet at the N(0,1) quartile breakpoints
+# ±0.6745 — then census the repeated 3-letter motifs. This is the
+# symbolic-TS-mining member of the series family (DTW = alignment,
+# autocorrelation/Hurst = memory, SAX = discretized shape). All inputs
+# are exact cents integers; z-comparisons are rearranged to
+# (paa − μ) < bp·σ so no division is ever taken (σ = 0 degenerates to
+# the 'd' symbol identically on both engines). S² stays under 2^53 up
+# to sf1-scale daily sums — exact doubles throughout.
+# --------------------------------------------------------------------------
+
+_SAX_W = 3  # PAA window (days per segment)
+_SAX_BP = 0.6745  # N(0,1) quartile breakpoint
+
+
+@query(
+    "sax_motif_census",
+    oracle=f"""
+WITH xdaily AS (
+    SELECT event_type, CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS x
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+xbounds AS (SELECT MIN(d) AS dmin FROM xdaily),
+xspine AS (
+    SELECT t.event_type, CAST(g.day AS DATE) AS d,
+           ROW_NUMBER() OVER (PARTITION BY t.event_type ORDER BY g.day) AS j
+    FROM (SELECT DISTINCT event_type FROM xdaily) t
+    CROSS JOIN (
+        SELECT unnest(generate_series(b.dmin, b.dmin + INTERVAL 29 DAY,
+                                      INTERVAL 1 DAY)) AS day
+        FROM xbounds b
+    ) g
+),
+xfill AS (
+    SELECT s.event_type, s.j, COALESCE(xd.x, 0) AS x
+    FROM xspine s LEFT JOIN xdaily xd
+      ON xd.event_type = s.event_type AND xd.d = s.d
+),
+xstat AS (
+    SELECT event_type,
+           CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu,
+           sqrt((CAST(SUM(x * x) AS DOUBLE)
+                 - CAST(SUM(x) AS DOUBLE) * SUM(x) / COUNT(*))
+                / COUNT(*)) AS sigma
+    FROM xfill GROUP BY 1
+),
+paa AS (
+    SELECT event_type, (j - 1) // {_SAX_W} + 1 AS seg,
+           CAST(SUM(x) AS DOUBLE) / {_SAX_W} AS pv
+    FROM xfill GROUP BY 1, 2
+),
+sym AS (
+    SELECT p.event_type, p.seg,
+           CASE WHEN p.pv - s.mu < -{_SAX_BP} * s.sigma THEN 'a'
+                WHEN p.pv - s.mu < 0 THEN 'b'
+                WHEN p.pv - s.mu < {_SAX_BP} * s.sigma THEN 'c'
+                ELSE 'd' END AS sym
+    FROM paa p JOIN xstat s USING (event_type)
+),
+words AS (
+    SELECT event_type,
+           string_agg(sym, '' ORDER BY seg) AS sax_word
+    FROM sym GROUP BY 1
+),
+tg AS (
+    SELECT event_type, tg3 FROM (
+        SELECT event_type,
+               sym || LEAD(sym, 1) OVER w || LEAD(sym, 2) OVER w AS tg3
+        FROM sym
+        WINDOW w AS (PARTITION BY event_type ORDER BY seg)
+    ) WHERE tg3 IS NOT NULL
+),
+tgc AS (
+    SELECT event_type, tg3, COUNT(*) AS cnt FROM tg GROUP BY 1, 2
+),
+top AS (
+    SELECT event_type, tg3, cnt FROM (
+        SELECT event_type, tg3, cnt,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, tg3) AS rn
+        FROM tgc
+    ) WHERE rn = 1
+)
+SELECT w.event_type,
+       w.sax_word,
+       (SELECT COUNT(*) FROM tgc c
+        WHERE c.event_type = w.event_type) AS n_distinct_trigrams,
+       t.tg3 AS top_motif,
+       CAST(t.cnt AS BIGINT) AS top_motif_count
+FROM words w JOIN top t ON t.event_type = w.event_type
+""",
+)
+def sax_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX words + repeated-trigram motif census per event type.
+
+    Scale: one (type, day)-grain aggregate is the only data-sized
+    stage; PAA, z-symbolization, the word agg, and the motif census
+    all run on ≤|types|×30 bounded rows. At 100 TB the alphabet/PAA
+    parameters are the knobs; the plan shape is unchanged.
+    """
+    from pyspark.sql.window import Window as _W
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    v_fp = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5).cast(
+        "bigint"
+    )
+    xdaily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(v_fp).cast("bigint").alias("x"))
+    )
+    types = xdaily.select("event_type").distinct()
+    bounds = xdaily.agg(F.min("d").alias("dmin"))
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("dmin"), F.date_add(F.col("dmin"), 29))
+            ).alias("d"),
+        )
+        .select(
+            "event_type",
+            "d",
+            F.row_number()
+            .over(_W.partitionBy("event_type").orderBy("d"))
+            .alias("j"),
+        )
+    )
+    xfill = spine.join(xdaily, ["event_type", "d"], "left").select(
+        "event_type", "j", F.coalesce(F.col("x"), F.lit(0)).alias("x")
+    ).localCheckpoint(eager=True)
+    xstat = xfill.groupBy("event_type").agg(
+        (F.sum("x").cast("double") / F.count("*")).alias("mu"),
+        F.sqrt(
+            (
+                F.sum(F.col("x") * F.col("x")).cast("double")
+                - F.sum("x").cast("double") * F.sum("x") / F.count("*")
+            )
+            / F.count("*")
+        ).alias("sigma"),
+    )
+    paa = xfill.groupBy(
+        "event_type",
+        (F.expr(f"CAST((j - 1) DIV {_SAX_W} AS INT)") + 1).alias("seg"),
+    ).agg((F.sum("x").cast("double") / _SAX_W).alias("pv"))
+    diff = F.col("pv") - F.col("mu")
+    sym = paa.join(xstat, "event_type").select(
+        "event_type",
+        "seg",
+        F.when(diff < -_SAX_BP * F.col("sigma"), "a")
+        .when(diff < 0, "b")
+        .when(diff < _SAX_BP * F.col("sigma"), "c")
+        .otherwise("d")
+        .alias("sym"),
+    ).localCheckpoint(eager=True)
+    words = sym.groupBy("event_type").agg(
+        F.concat_ws(
+            "", F.array_sort(F.collect_list(F.struct("seg", "sym"))).getField(
+                "sym"
+            )
+        ).alias("sax_word")
+    )
+    w = _W.partitionBy("event_type").orderBy("seg")
+    tg = (
+        sym.select(
+            "event_type",
+            F.concat(
+                F.col("sym"),
+                F.lead("sym", 1).over(w),
+                F.lead("sym", 2).over(w),
+            ).alias("tg3"),
+        )
+        .filter(F.col("tg3").isNotNull())
+    )
+    tgc = tg.groupBy("event_type", "tg3").agg(F.count("*").alias("cnt"))
+    top = (
+        tgc.withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("event_type").orderBy(
+                    F.desc("cnt"), F.col("tg3")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("tg3").alias("top_motif"),
+                F.col("cnt").cast("bigint").alias("top_motif_count"))
+    )
+    ndist = tgc.groupBy("event_type").agg(
+        F.count("*").alias("n_distinct_trigrams")
+    )
+    return (
+        words.join(ndist, "event_type")
+        .join(top, "event_type")
+        .select(
+            "event_type",
+            "sax_word",
+            "n_distinct_trigrams",
+            "top_motif",
+            "top_motif_count",
+        )
+    )

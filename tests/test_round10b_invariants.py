@@ -170,3 +170,26 @@ def test_dtw_bounds_and_live(spark, sf_dir):
         assert r["n_steps"] == 30
     # live: alignment actually buys something on at least one pair
     assert any(r["alignment_gain_ppm"] > 0 for r in rows)
+
+
+def test_kn_perplexity_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "kn_bigram_perplexity")
+    assert rows
+    for r in rows:
+        assert r["ppl_kn"] > 1.0
+        assert 0 <= r["n_unseen_bigrams"] <= r["n_test_bigrams"]
+    # near-uniform synthetic corpus: ppl should sit near vocab size (31)
+    assert all(5 < r["ppl_kn"] < 40 for r in rows)
+
+
+def test_sax_words_well_formed(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "sax_motif_census")
+    assert rows
+    for r in rows:
+        assert len(r["sax_word"]) == 10
+        assert set(r["sax_word"]) <= set("abcd")
+        assert len(r["top_motif"]) == 3
+        assert 1 <= r["top_motif_count"] <= 8
+        assert 1 <= r["n_distinct_trigrams"] <= 8
+    # z-normalization must actually spread symbols somewhere
+    assert any(len(set(r["sax_word"])) >= 3 for r in rows)
