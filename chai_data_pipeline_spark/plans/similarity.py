@@ -2450,3 +2450,175 @@ def embedding_cluster_purity_nmi(
             6,
         ).alias("nmi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Binary (sign-bit) quantization audit — the 1-bit member of the
+# compression family (int8 = scalar_quantization_audit, PQ, JL,
+# matryoshka): code every embedding as its 64 sign bits packed into
+# two 32-bit words (CLAUDE.md shift rule: DuckDB overflow-checks
+# 1<<63, so never build 64-bit masks in one word), then measure how
+# well Hamming distance preserves the exact-cosine ranking — the
+# statistic that decides whether a 64x-smaller index can serve as a
+# first-pass filter. Hamming is exact integer; cosine reuses the
+# proven sequential-fold form rounded to 6dp before ranking.
+# --------------------------------------------------------------------------
+
+_BQ_QUERIES = 8
+_BQ_K = 10
+
+
+@query(
+    "binary_quantization_hamming_audit",
+    oracle=f"""
+WITH bq AS (
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN x > 0 AND dim < 32
+                         THEN (CAST(1 AS BIGINT) << dim) ELSE 0 END)
+                AS BIGINT) AS w0,
+           CAST(SUM(CASE WHEN x > 0 AND dim >= 32
+                         THEN (CAST(1 AS BIGINT) << (dim - 32)) ELSE 0 END)
+                AS BIGINT) AS w1
+    FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS x
+          FROM embeddings WHERE embedding IS NOT NULL)
+    GROUP BY 1
+),
+q AS (
+    SELECT vec_id AS qid, embedding AS qv FROM embeddings
+    WHERE vec_id < {_BQ_QUERIES} AND embedding IS NOT NULL
+),
+pairs AS (
+    SELECT q.qid, e.vec_id,
+           {sql_dround(cosine_sql_duckdb('e.embedding', 'q.qv', DIM), 6)}
+               AS cosine
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.qid AND e.embedding IS NOT NULL
+),
+ham AS (
+    SELECT p.qid, p.vec_id, p.cosine,
+           CAST(bit_count(xor(a.w0, b.w0))
+                + bit_count(xor(a.w1, b.w1)) AS BIGINT) AS hamming
+    FROM pairs p
+    JOIN bq a ON a.vec_id = p.qid
+    JOIN bq b ON b.vec_id = p.vec_id
+),
+rankedb AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, vec_id) AS rc,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY hamming, vec_id) AS rh
+    FROM ham
+)
+SELECT qid AS q_vec_id,
+       COUNT(*) FILTER (WHERE rc <= {_BQ_K} AND rh <= {_BQ_K})
+           AS overlap_at_k,
+       {sql_dround(f'SUM(CASE WHEN rc <= {_BQ_K} THEN hamming END) * 1.0 / {_BQ_K}', 4)}
+           AS ham_mean_cos_topk,
+       {sql_dround('SUM(hamming) * 1.0 / COUNT(*)', 4)} AS ham_mean_all,
+       CAST(MAX(CASE WHEN rc = 1 THEN hamming END) AS BIGINT)
+           AS cos_top1_hamming
+FROM rankedb
+GROUP BY 1
+""",
+)
+def binary_quantization_hamming_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hamming-vs-cosine rank agreement for 1-bit sign codes.
+
+    Scale: code build is one map-side posexplode aggregate (two 32-bit
+    words per vector — a 64x index shrink); the audit's brute-force
+    pair stage is query-capped (8 × corpus), the same exact-baseline
+    posture as similarity_knn_join. In production the Hamming leg is
+    the cheap first-pass filter (XOR+popcount over packed words,
+    SIMD-friendly) and this audit's overlap@k is the go/no-go metric.
+    """
+    from ..operators.similarity import dot_sql_spark
+
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    nn = emb.filter(F.col("embedding").isNotNull())
+    flat = nn.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
+    bq = flat.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                (F.col("x") > 0) & (F.col("dim") < 32),
+                F.expr("shiftleft(CAST(1 AS BIGINT), dim)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("w0"),
+        F.sum(
+            F.when(
+                (F.col("x") > 0) & (F.col("dim") >= 32),
+                F.expr("shiftleft(CAST(1 AS BIGINT), dim - 32)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("w1"),
+    )
+    base = nn.withColumn(
+        "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding')})")
+    )
+    q = base.filter(F.col("vec_id") < _BQ_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("__n").alias("__qn"),
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            dround(
+                F.expr(dot_sql_spark("embedding", "qv"))
+                / (F.col("__n") * F.col("__qn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    ha = bq.select(
+        F.col("vec_id").alias("qid"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = (
+        pairs.join(F.broadcast(ha), "qid")
+        .join(F.broadcast(bq), "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            "cosine",
+            (
+                F.bit_count(F.expr("qw0 ^ w0"))
+                + F.bit_count(F.expr("qw1 ^ w1"))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )
+    wc = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    wh = Window.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    ranked = ham.select(
+        "*",
+        F.row_number().over(wc).alias("rc"),
+        F.row_number().over(wh).alias("rh"),
+    )
+    return ranked.groupBy(F.col("qid").alias("q_vec_id")).agg(
+        F.count_if((F.col("rc") <= _BQ_K) & (F.col("rh") <= _BQ_K)).alias(
+            "overlap_at_k"
+        ),
+        dround(
+            F.sum(F.when(F.col("rc") <= _BQ_K, F.col("hamming"))) * 1.0
+            / _BQ_K,
+            4,
+        ).alias("ham_mean_cos_topk"),
+        dround(F.sum("hamming") * 1.0 / F.count("*"), 4).alias("ham_mean_all"),
+        F.max(F.when(F.col("rc") == 1, F.col("hamming")))
+        .cast("bigint")
+        .alias("cos_top1_hamming"),
+    )

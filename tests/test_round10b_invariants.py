@@ -193,3 +193,18 @@ def test_sax_words_well_formed(spark, sf_dir):
         assert 1 <= r["n_distinct_trigrams"] <= 8
     # z-normalization must actually spread symbols somewhere
     assert any(len(set(r["sax_word"])) >= 3 for r in rows)
+
+
+def test_binary_quantization_signal(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "binary_quantization_hamming_audit")
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r["overlap_at_k"] <= 10
+        assert 0 <= r["cos_top1_hamming"] <= 64
+        assert 0.0 <= r["ham_mean_cos_topk"] <= 64.0
+    # the 1-bit code must carry SOME cosine signal on average: cosine
+    # top-10 neighbors are closer in Hamming than the corpus mean
+    better = sum(
+        1 for r in rows if r["ham_mean_cos_topk"] < r["ham_mean_all"]
+    )
+    assert better >= 6
