@@ -849,3 +849,179 @@ def retrieval_eval_mrr_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dround(F.lit(1.0) / F.col("first_rel"), 6))
         .alias("mrr"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rank-biased overlap (Webber et al. 2010) between two rankers — the
+# standard top-weighted similarity for comparing ranked lists when
+# neither is ground truth (nDCG/MRR need labels; RBO needs only the
+# lists). Compared rankers: BM25 (idf- and length-aware) vs raw
+# tf-density floor(tf*1e9/dl) — per pinned query term. RBO_min at
+# depth 10, p=0.9: (1-p) Σ_d p^(d-1)·|A_d ∩ B_d|/d, every term ×1e9
+# quantized before the integer sum.
+# --------------------------------------------------------------------------
+
+_RBO_P = 0.9
+_RBO_DEPTH = 10
+# (1-p)p^(d-1) precomputed in PYTHON: both engines get the bit-identical
+# double literal — never engine-side pow(), whose libm rounding may
+# differ by an ulp between DuckDB and the JVM.
+_RBO_W = [(d, (1.0 - _RBO_P) * _RBO_P ** (d - 1)) for d in range(1, _RBO_DEPTH + 1)]
+_RBO_W_SQL = ", ".join(f"({d}, CAST({w!r} AS DOUBLE))" for d, w in _RBO_W)
+
+
+@query(
+    "ranking_rbo_bm25_vs_density",
+    oracle=f"""
+WITH d AS (
+    SELECT doc_id, string_split_regex(TRIM(text), '\\s+') AS ws
+    FROM documents WHERE text IS NOT NULL AND TRIM(text) <> ''
+),
+dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+stats AS (
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, word, COUNT(*) AS tf
+    FROM (SELECT doc_id, unnest(ws) AS word FROM d)
+    WHERE word IN ({_TERMS_SQL})
+    GROUP BY 1, 2
+),
+dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+    SELECT t.word AS term, t.doc_id,
+           CAST(FLOOR(
+               ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+               * (t.tf * {_BM25_K1 + 1.0})
+               / (t.tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * l.dl / s.avgdl))
+               * 1000000 + 0.5) AS BIGINT) AS bm25_fp,
+           CAST(FLOOR(t.tf * 1000000000.0 / l.dl) AS BIGINT) AS dens_fp
+    FROM tf t
+    JOIN dfreq f USING (word)
+    JOIN dl l USING (doc_id)
+    CROSS JOIN stats s
+),
+rr AS (
+    SELECT term, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY term
+                              ORDER BY bm25_fp DESC, doc_id) AS ra,
+           ROW_NUMBER() OVER (PARTITION BY term
+                              ORDER BY dens_fp DESC, doc_id) AS rb
+    FROM scored
+),
+depths AS (SELECT * FROM (VALUES {_RBO_W_SQL}) t(dep, w)),
+xd AS (
+    SELECT dep, w,
+           r.term,
+           COUNT(*) FILTER (WHERE r.ra <= dep AND r.rb <= dep) AS x
+    FROM rr r CROSS JOIN depths
+    GROUP BY 1, 2, 3
+),
+terms_rbo AS (
+    SELECT term,
+           CAST(SUM(CAST(FLOOR(w * x * 1000000000.0 / dep + 0.5)
+                         AS BIGINT)) AS BIGINT) AS rq,
+           MAX(CASE WHEN dep = {_RBO_DEPTH} THEN x END) AS overlap_at_10
+    FROM xd GROUP BY 1
+)
+SELECT t.term,
+       CAST(c.n_cand AS BIGINT) AS n_candidates,
+       CAST(t.overlap_at_10 AS BIGINT) AS overlap_at_10,
+       {sql_dround('t.rq / 1000000000.0', 6)} AS rbo_min
+FROM terms_rbo t
+JOIN (SELECT term, COUNT(*) AS n_cand FROM rr GROUP BY 1) c USING (term)
+""",
+)
+def ranking_rbo_bm25_vs_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBO between the BM25 and tf-density rankings per query term.
+
+    Scale: the posting build is the term-filtered word explode (same
+    plan prefix as bm25_doc_retrieval); both rank columns come from
+    ONE window pass each over the bounded candidate set; the depth
+    expansion is a 10-row literal spine. The p^(d-1) weights are
+    fixed-point-quantized per depth so the RBO sum is exact integer
+    arithmetic. Reference analog: none (retrieval-eval extension).
+    """
+    from pyspark.sql.window import Window as _W
+
+    from ..functions import dround
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    nonempty = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    d = docs.filter(nonempty).select("doc_id", T.words("text").alias("ws"))
+    dl = d.select("doc_id", F.size("ws").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", F.explode("ws").alias("word"))
+        .filter(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    joined = (
+        tf.join(F.broadcast(dfreq), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    bm25_fp = F.floor(
+        idf
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+        )
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    dens_fp = F.floor(F.col("tf") * 1000000000.0 / F.col("dl")).cast("bigint")
+    scored = joined.select(
+        F.col("word").alias("term"),
+        "doc_id",
+        bm25_fp.alias("bm25_fp"),
+        dens_fp.alias("dens_fp"),
+    )
+    rr = scored.select(
+        "term",
+        "doc_id",
+        F.row_number()
+        .over(_W.partitionBy("term").orderBy(F.desc("bm25_fp"), "doc_id"))
+        .alias("ra"),
+        F.row_number()
+        .over(_W.partitionBy("term").orderBy(F.desc("dens_fp"), "doc_id"))
+        .alias("rb"),
+    )
+    depths = spark.createDataFrame(_RBO_W, ["dep", "w"])
+    xd = (
+        rr.crossJoin(F.broadcast(depths))
+        .groupBy("dep", "w", "term")
+        .agg(
+            F.count_if(
+                (F.col("ra") <= F.col("dep")) & (F.col("rb") <= F.col("dep"))
+            ).alias("x")
+        )
+    )
+    rq_term = F.floor(
+        F.col("w") * F.col("x") * 1000000000.0 / F.col("dep") + 0.5
+    ).cast("bigint")
+    terms_rbo = xd.groupBy("term").agg(
+        F.sum(rq_term).cast("bigint").alias("rq"),
+        F.max(
+            F.when(F.col("dep") == _RBO_DEPTH, F.col("x"))
+        ).alias("overlap_at_10"),
+    )
+    n_cand = rr.groupBy("term").agg(F.count("*").alias("n_cand"))
+    return terms_rbo.join(F.broadcast(n_cand), "term").select(
+        "term",
+        F.col("n_cand").cast("bigint").alias("n_candidates"),
+        F.col("overlap_at_10").cast("bigint").alias("overlap_at_10"),
+        dround(F.col("rq") / 1000000000.0, 6).alias("rbo_min"),
+    )
