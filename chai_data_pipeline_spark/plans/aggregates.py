@@ -5154,3 +5154,159 @@ def bayes_beta_binomial_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("expected_uplift"),
         dround(F.col("pq") / 1000000000000.0, 6).alias("p_b_beats_a"),
     )
+
+
+# --------------------------------------------------------------------------
+# Fisher re-randomization test — design-based inference: the original
+# arms ARE hash-Bernoulli assignments (hash_bucket < 50), so the exact
+# null distribution of the mean difference comes from re-running the
+# SAME assignment mechanism B times with hash(user, b) coins. No
+# distributional assumptions (the Welch/Mann-Whitney siblings need
+# them); the p-value is (1 + #extreme) / (B + 1) (Phipson & Smyth
+# 2010 add-one). Every statistic is a ratio of exact cents integers —
+# bit-identical doubles on both engines, so the |stat_b| >= |obs|
+# indicator never flips.
+# --------------------------------------------------------------------------
+
+_PERM_B = 200
+
+
+@query(
+    "rerandomization_test_arms",
+    oracle=f"""
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN {_sql_hb('user_id')} < 50 THEN 0 ELSE 1 END AS arm,
+           CAST(SUM(CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS y
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+obs AS (
+    SELECT
+        COUNT(*) AS n_users,
+        COUNT(*) FILTER (WHERE arm = 0) AS n_a,
+        COUNT(*) FILTER (WHERE arm = 1) AS n_b,
+        CAST(SUM(CASE WHEN arm = 0 THEN y END) AS DOUBLE)
+            / (CASE WHEN COUNT(*) FILTER (WHERE arm = 0) > 0
+                    THEN COUNT(*) FILTER (WHERE arm = 0) END)
+        - CAST(SUM(CASE WHEN arm = 1 THEN y END) AS DOUBLE)
+            / (CASE WHEN COUNT(*) FILTER (WHERE arm = 1) > 0
+                    THEN COUNT(*) FILTER (WHERE arm = 1) END) AS d_obs
+    FROM per_user
+),
+perms AS (
+    SELECT u.user_id, u.y, b.b,
+           CAST(concat('0x', substring(sha256(
+               CAST(u.user_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)
+           ), 1, 8)) AS BIGINT) % 2 AS arm
+    FROM per_user u
+    CROSS JOIN (SELECT unnest(range(1, {_PERM_B + 1})) AS b) b
+),
+pstat AS (
+    SELECT b,
+           CAST(SUM(CASE WHEN arm = 0 THEN y END) AS DOUBLE)
+               / (CASE WHEN COUNT(*) FILTER (WHERE arm = 0) > 0
+                       THEN COUNT(*) FILTER (WHERE arm = 0) END)
+           - CAST(SUM(CASE WHEN arm = 1 THEN y END) AS DOUBLE)
+               / (CASE WHEN COUNT(*) FILTER (WHERE arm = 1) > 0
+                       THEN COUNT(*) FILTER (WHERE arm = 1) END) AS d
+    FROM perms GROUP BY 1
+),
+ext AS (
+    SELECT COUNT(*) FILTER (
+        WHERE ABS(d) >= (SELECT ABS(d_obs) FROM obs)
+    ) AS n_extreme
+    FROM pstat
+)
+SELECT CAST(o.n_users AS BIGINT) AS n_users,
+       CAST(o.n_a AS BIGINT) AS n_a,
+       CAST(o.n_b AS BIGINT) AS n_b,
+       {sql_dround('o.d_obs / 100.0', 4)} AS obs_diff,
+       CAST(e.n_extreme AS BIGINT) AS n_extreme,
+       {sql_dround(f'(1 + e.n_extreme) * 1.0 / {_PERM_B + 1}', 6)} AS p_value
+FROM obs o CROSS JOIN ext e
+""",
+)
+def rerandomization_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-randomization (Fisher) p-value for the A/B mean difference.
+
+    Scale: one per-user rollup is the data-sized stage; the B=200
+    re-randomizations explode the |users|-row summary (users × B rows,
+    map-generated — at 1e9 users you'd flip signs on per-partition
+    PARTIAL sums instead, same math, 200×P rows). Coins are
+    hash(user, b) — reproducible on any cluster layout.
+    """
+    from .training import hash_bucket
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    per_user = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("y")
+        )
+        .select(
+            "user_id",
+            F.when(hash_bucket("user_id") < 50, 0).otherwise(1).alias("arm"),
+            "y",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def diff_col():
+        na = F.count_if(F.col("arm") == 0)
+        nb = F.count_if(F.col("arm") == 1)
+        sa = F.sum(F.when(F.col("arm") == 0, F.col("y"))).cast("double")
+        sb = F.sum(F.when(F.col("arm") == 1, F.col("y"))).cast("double")
+        return sa / F.when(na > 0, na) - sb / F.when(nb > 0, nb)
+
+    obs = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count_if(F.col("arm") == 0).alias("n_a"),
+        F.count_if(F.col("arm") == 1).alias("n_b"),
+        diff_col().alias("d_obs"),
+    )
+    bspine = spark.range(1, _PERM_B + 1).select(F.col("id").alias("b"))
+    coin = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    perms = per_user.crossJoin(F.broadcast(bspine)).select(
+        "y", "b", coin.alias("arm")
+    )
+    pstat = perms.groupBy("b").agg(diff_col().alias("d"))
+    ext = pstat.crossJoin(F.broadcast(obs.select("d_obs"))).agg(
+        F.count_if(F.abs(F.col("d")) >= F.abs(F.col("d_obs"))).alias(
+            "n_extreme"
+        )
+    )
+    return obs.crossJoin(ext).select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        dround(F.col("d_obs") / 100.0, 4).alias("obs_diff"),
+        F.col("n_extreme").cast("bigint").alias("n_extreme"),
+        dround((1 + F.col("n_extreme")) * 1.0 / (_PERM_B + 1), 6).alias(
+            "p_value"
+        ),
+    )

@@ -2622,3 +2622,145 @@ def binary_quantization_hamming_audit(
         .cast("bigint")
         .alias("cos_top1_hamming"),
     )
+
+
+# --------------------------------------------------------------------------
+# Centroid silhouette by label — the internal clustering-quality
+# metric beside the external ones (purity/NMI need the k-means
+# assignment; silhouette needs only labels + geometry): a(v) =
+# distance to own-label centroid, b(v) = nearest other-label
+# centroid, s = (b - a)/max(a, b). Centroids come from exact ×1e9
+# fixed-point sums; per-(vector, label) squared distances are
+# per-dim-quantized integers before the cross-dim sum, so no float
+# fold order can differ; sqrt/compare/divide are then identical IEEE
+# ops on identical inputs.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "embedding_silhouette_by_label",
+    oracle=f"""
+WITH sflat AS (
+    SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM embeddings WHERE embedding IS NOT NULL AND label IS NOT NULL
+),
+cent AS (
+    SELECT label, dim,
+           CAST(SUM(CAST(FLOOR(x * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (1000000000.0 * COUNT(*)) AS c
+    FROM sflat GROUP BY 1, 2
+),
+d2 AS (
+    SELECT f.vec_id, f.label AS own, c.label AS other,
+           CAST(SUM(CAST(FLOOR((f.x - c.c) * (f.x - c.c) * 1000000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS dq
+    FROM sflat f JOIN cent c USING (dim)
+    GROUP BY 1, 2, 3
+),
+ab AS (
+    SELECT vec_id, own,
+           sqrt(MAX(CASE WHEN own = other THEN dq END) / 1000000000.0) AS a,
+           sqrt(MIN(CASE WHEN own <> other THEN dq END) / 1000000000.0) AS b
+    FROM d2 GROUP BY 1, 2
+),
+sil AS (
+    SELECT vec_id, own,
+           CASE WHEN GREATEST(a, b) > 0
+                THEN CAST(FLOOR((b - a) / GREATEST(a, b) * 1000000000 + 0.5)
+                          AS BIGINT)
+                ELSE 0 END AS sq,
+           CAST(FLOOR(a * 1000000 + 0.5) AS BIGINT) AS aq,
+           CAST(FLOOR(b * 1000000 + 0.5) AS BIGINT) AS bq
+    FROM ab
+)
+SELECT own AS label,
+       COUNT(*) AS n_vectors,
+       {sql_dround('SUM(sq) / (1000000000.0 * COUNT(*))', 6)}
+           AS avg_silhouette,
+       {sql_dround('SUM(aq) / (1000000.0 * COUNT(*))', 4)} AS mean_a,
+       {sql_dround('SUM(bq) / (1000000.0 * COUNT(*))', 4)} AS mean_b
+FROM sil GROUP BY 1
+""",
+)
+def embedding_silhouette_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label centroid silhouette over the embedding corpus.
+
+    Scale: centroid build is a map-side-combinable (label, dim)
+    aggregate — |labels|×dim model state; scoring joins the broadcast
+    centroid table and reduces per (vector, label) — never a
+    vector-vector pair stage (the full silhouette's O(n²) is exactly
+    what the centroid variant removes at scale). Per-vector s values
+    are ×1e9 ints so the label average is order-independent.
+    """
+    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    sflat = (
+        emb.filter(F.col("embedding").isNotNull() & F.col("label").isNotNull())
+        .select("vec_id", "label", F.posexplode("embedding").alias("dim", "xf"))
+        .select("vec_id", "label", "dim", F.col("xf").cast("double").alias("x"))
+    )
+    cent = sflat.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        (
+            F.sum(F.floor(F.col("x") * 1000000000 + 0.5).cast("bigint"))
+            .cast("double")
+            / (F.lit(1000000000.0) * F.count("*"))
+        ).alias("c")
+    )
+    d2 = (
+        sflat.join(F.broadcast(cent), "dim")
+        .groupBy(
+            "vec_id", F.col("label").alias("own"), F.col("clabel").alias("other")
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("x") - F.col("c"))
+                    * (F.col("x") - F.col("c"))
+                    * 1000000000
+                    + 0.5
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("dq")
+        )
+    )
+    ab = d2.groupBy("vec_id", "own").agg(
+        F.sqrt(
+            F.max(F.when(F.col("own") == F.col("other"), F.col("dq")))
+            / 1000000000.0
+        ).alias("a"),
+        F.sqrt(
+            F.min(F.when(F.col("own") != F.col("other"), F.col("dq")))
+            / 1000000000.0
+        ).alias("b"),
+    )
+    sil = ab.select(
+        "own",
+        F.when(
+            F.greatest("a", "b") > 0,
+            F.floor(
+                (F.col("b") - F.col("a"))
+                / F.greatest("a", "b")
+                * 1000000000
+                + 0.5
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+        .alias("sq"),
+        F.floor(F.col("a") * 1000000 + 0.5).cast("bigint").alias("aq"),
+        F.floor(F.col("b") * 1000000 + 0.5).cast("bigint").alias("bq"),
+    )
+    return sil.groupBy(F.col("own").alias("label")).agg(
+        F.count("*").alias("n_vectors"),
+        dround(
+            F.sum("sq") / (F.lit(1000000000.0) * F.count("*")), 6
+        ).alias("avg_silhouette"),
+        dround(F.sum("aq") / (F.lit(1000000.0) * F.count("*")), 4).alias(
+            "mean_a"
+        ),
+        dround(F.sum("bq") / (F.lit(1000000.0) * F.count("*")), 4).alias(
+            "mean_b"
+        ),
+    )

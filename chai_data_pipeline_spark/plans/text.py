@@ -4086,3 +4086,150 @@ def kn_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_unseen_bigrams"),
         dround(F.exp(-(s_micro / 1000000.0) / F.sum("n")), 4).alias("ppl_kn"),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source unigram Jensen-Shannon divergence — the TEXT drift metric
+# beside the numeric ones (jensen_shannon_drift / psi / KS over
+# values): how far each source's word distribution sits from the
+# corpus mixture, plus its most over-represented word. JS is bounded
+# [0, ln 2] and symmetric, the standard corpus-datasheet citation.
+# Every p·ln(p/m) term is ×1e12-quantized before the per-source sum;
+# p, q, m are ratios of exact counts with the division order written
+# identically on both engines.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "unigram_js_by_source",
+    oracle=f"""
+WITH words AS (
+    SELECT source, unnest(string_split_regex(TRIM(text), '\\s+')) AS w
+    FROM documents WHERE text IS NOT NULL AND TRIM(text) <> ''
+),
+swc AS (SELECT source, w, COUNT(*) AS c FROM words GROUP BY 1, 2),
+stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM swc GROUP BY 1),
+cwc AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM swc GROUP BY 1),
+ctot AS (SELECT CAST(SUM(cw) AS BIGINT) AS nt FROM cwc),
+grid AS (
+    SELECT s.source, s.ns, v.w, v.cw, t.nt, COALESCE(sw.c, 0) AS c
+    FROM stot s
+    CROSS JOIN cwc v
+    CROSS JOIN ctot t
+    LEFT JOIN swc sw ON sw.source = s.source AND sw.w = v.w
+),
+terms AS (
+    SELECT source, ns, c,
+           CAST(FLOOR(
+               (0.5 * (CASE WHEN c > 0
+                       THEN (c * 1.0 / ns)
+                            * ln((c * 1.0 / ns)
+                                 / ((c * 1.0 / ns + cw * 1.0 / nt) / 2))
+                       ELSE 0.0 END)
+                + 0.5 * ((cw * 1.0 / nt)
+                         * ln((cw * 1.0 / nt)
+                              / ((c * 1.0 / ns + cw * 1.0 / nt) / 2))))
+               * 1000000000000 + 0.5) AS BIGINT) AS jq,
+           CASE WHEN c > 0
+                THEN CAST(FLOOR((c * 1.0 / ns) / (cw * 1.0 / nt) * 1000000
+                                + 0.5) AS BIGINT)
+                ELSE 0 END AS ratio_fp,
+           w
+    FROM grid
+),
+agg AS (
+    SELECT source,
+           MAX(ns) AS n_tokens,
+           COUNT(*) FILTER (WHERE c > 0) AS n_vocab_present,
+           CAST(SUM(jq) AS BIGINT) AS jsq
+    FROM terms GROUP BY 1
+),
+top AS (
+    SELECT source, w AS top_word, ratio_fp FROM (
+        SELECT source, w, ratio_fp,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY ratio_fp DESC, w) AS rn
+        FROM terms
+    ) WHERE rn = 1
+)
+SELECT a.source,
+       CAST(a.n_tokens AS BIGINT) AS n_tokens,
+       CAST(a.n_vocab_present AS BIGINT) AS n_vocab_present,
+       {sql_dround('a.jsq / 1000000000000.0', 6)} AS js_divergence,
+       t.top_word,
+       {sql_dround('t.ratio_fp / 1000000.0', 4)} AS top_word_lift
+FROM agg a JOIN top t USING (source)
+""",
+)
+def unigram_js_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram JS divergence of each source vs the corpus mixture.
+
+    Scale: two map-side-combinable count aggregates build the model
+    ((source, word) and corpus word totals — vocabulary-bounded); the
+    scoring grid is |sources| × |vocab| rows with the corpus side
+    broadcast. No document text survives past the first explode.
+    """
+    from pyspark.sql.window import Window as _W
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    nonempty = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    words = docs.filter(nonempty).select(
+        "source", F.explode(T.words("text")).alias("w")
+    )
+    swc = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    stot = swc.groupBy("source").agg(F.sum("c").cast("bigint").alias("ns"))
+    cwc = swc.groupBy("w").agg(F.sum("c").cast("bigint").alias("cw"))
+    ctot = cwc.agg(F.sum("cw").cast("bigint").alias("nt"))
+    grid = (
+        stot.crossJoin(F.broadcast(cwc))
+        .crossJoin(F.broadcast(ctot))
+        .join(swc, ["source", "w"], "left")
+        .select(
+            "source", "ns", "w", "cw", "nt",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    p = F.col("c") * 1.0 / F.col("ns")
+    q = F.col("cw") * 1.0 / F.col("nt")
+    m = (p + q) / 2
+    jq = F.floor(
+        (
+            F.lit(0.5)
+            * F.when(F.col("c") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+            + F.lit(0.5) * (q * F.log(q / m))
+        )
+        * 1000000000000
+        + 0.5
+    ).cast("bigint")
+    ratio_fp = (
+        F.when(
+            F.col("c") > 0,
+            F.floor(p / q * 1000000 + 0.5).cast("bigint"),
+        ).otherwise(F.lit(0))
+    )
+    terms = grid.select(
+        "source", "ns", "c", "w", jq.alias("jq"), ratio_fp.alias("ratio_fp")
+    )
+    agg = terms.groupBy("source").agg(
+        F.max("ns").cast("bigint").alias("n_tokens"),
+        F.count_if(F.col("c") > 0).alias("n_vocab_present"),
+        F.sum("jq").cast("bigint").alias("jsq"),
+    )
+    top = (
+        terms.withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("source").orderBy(F.desc("ratio_fp"), "w")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("w").alias("top_word"), "ratio_fp")
+    )
+    return agg.join(top, "source").select(
+        "source",
+        "n_tokens",
+        "n_vocab_present",
+        dround(F.col("jsq") / 1000000000000.0, 6).alias("js_divergence"),
+        "top_word",
+        dround(F.col("ratio_fp") / 1000000.0, 4).alias("top_word_lift"),
+    )

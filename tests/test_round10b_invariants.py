@@ -208,3 +208,36 @@ def test_binary_quantization_signal(spark, sf_dir):
         1 for r in rows if r["ham_mean_cos_topk"] < r["ham_mean_all"]
     )
     assert better >= 6
+
+
+def test_rerandomization_null_is_calibrated(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "rerandomization_test_arms")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_a"] + r["n_b"] == r["n_users"]
+    assert 0.0 < r["p_value"] <= 1.0
+    # arms are hash splits of the SAME population: the null is true by
+    # construction, so the test must NOT reject at alpha=0.01
+    assert r["p_value"] > 0.01
+
+
+def test_silhouette_bounds(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "embedding_silhouette_by_label")
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["avg_silhouette"] <= 1.0
+        assert r["mean_a"] > 0 and r["mean_b"] > 0
+    # synthetic labels are not geometric clusters: |s| should be small,
+    # and the metric must not be a constant
+    assert len({r["avg_silhouette"] for r in rows}) > 1
+
+
+def test_unigram_js_bounds_and_live(spark, sf_dir):
+    import math
+
+    rows = _rows(spark, sf_dir, "unigram_js_by_source")
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["js_divergence"] <= math.log(2) + 1e-9
+        assert r["top_word_lift"] >= 1.0 - 1e-9
+    assert len({r["js_divergence"] for r in rows}) > 1
