@@ -6618,3 +6618,150 @@ def sax_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_motif_count",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Sequence-anomaly ranking: score every user's event-type sequence
+# under the corpus first-order Markov model (the event_transition_
+# matrix) and surface the users whose behavior the model finds most
+# surprising — average transition NLL, the sequence-level sibling of
+# the value-level outlier family (zscore/MAD/Mahalanobis). Transition
+# probabilities are exact count ratios; each -ln p is ×1e9-quantized
+# so per-user sums are order-independent integers.
+# --------------------------------------------------------------------------
+
+_SEQ_ANOM_K = 20
+_SEQ_ANOM_MIN = 10  # minimum transitions for a stable average
+
+
+@query(
+    "user_sequence_anomaly_nll",
+    oracle=f"""
+WITH seq AS (
+    SELECT user_id, event_type AS from_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS to_type
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+tr AS (SELECT user_id, from_type, to_type FROM seq WHERE to_type IS NOT NULL),
+model AS (
+    SELECT from_type, to_type, COUNT(*) AS n FROM tr GROUP BY 1, 2
+),
+marg AS (
+    SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_total
+    FROM model GROUP BY 1
+),
+scoredq AS (
+    SELECT t.user_id,
+           CAST(FLOOR(-ln(m.n * 1.0 / g.row_total) * 1000000000 + 0.5)
+                AS BIGINT) AS nllq,
+           m.from_type || '>' || m.to_type AS edge
+    FROM tr t
+    JOIN model m ON m.from_type = t.from_type AND m.to_type = t.to_type
+    JOIN marg g ON g.from_type = t.from_type
+),
+per_user AS (
+    SELECT user_id,
+           COUNT(*) AS n_transitions,
+           CAST(SUM(nllq) AS BIGINT) AS sq,
+           MAX(nllq) AS mx
+    FROM scoredq GROUP BY 1
+),
+rare AS (
+    SELECT user_id, edge AS rarest_edge FROM (
+        SELECT user_id, edge,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY nllq DESC, edge) AS rn
+        FROM scoredq
+    ) WHERE rn = 1
+)
+SELECT p.user_id,
+       CAST(p.n_transitions AS BIGINT) AS n_transitions,
+       {sql_dround('p.sq * 1.0 / (p.n_transitions * 1000000000.0)', 6)}
+           AS avg_nll,
+       {sql_dround('p.mx / 1000000000.0', 6)} AS max_nll,
+       r.rarest_edge
+FROM per_user p JOIN rare r USING (user_id)
+WHERE p.n_transitions >= {_SEQ_ANOM_MIN}
+ORDER BY p.sq * 1.0 / p.n_transitions DESC, p.user_id
+LIMIT {_SEQ_ANOM_K}
+""",
+)
+def user_sequence_anomaly_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users whose event sequences the Markov model finds oddest.
+
+    Scale: the model is the ≤|types|² transition table (broadcast);
+    scoring is one map-side join pass over the lead-chained sequence
+    (the only shuffle is the per-user window, partitioned on the same
+    user key the aggregate reuses); the finisher is TakeOrdered over
+    user-grain rows. In-sample scoring is intentional: this ranks
+    relative surprise, not held-out likelihood (kn_bigram_perplexity
+    is the held-out member of the family).
+    """
+    from pyspark.sql.window import Window as _W
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    events = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    tr = seq.filter(F.col("to_type").isNotNull())
+    model = tr.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    marg = model.groupBy("from_type").agg(
+        F.sum("n").cast("bigint").alias("row_total")
+    )
+    scoredq = (
+        tr.join(F.broadcast(model), ["from_type", "to_type"])
+        .join(F.broadcast(marg), "from_type")
+        .select(
+            "user_id",
+            F.floor(
+                -F.log(F.col("n") * 1.0 / F.col("row_total")) * 1000000000
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("nllq"),
+            F.concat(
+                F.col("from_type"), F.lit(">"), F.col("to_type")
+            ).alias("edge"),
+        )
+    )
+    per_user = scoredq.groupBy("user_id").agg(
+        F.count("*").alias("n_transitions"),
+        F.sum("nllq").cast("bigint").alias("sq"),
+        F.max("nllq").alias("mx"),
+    )
+    rare = (
+        scoredq.withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("user_id").orderBy(F.desc("nllq"), "edge")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("edge").alias("rarest_edge"))
+    )
+    return (
+        per_user.join(rare, "user_id")
+        .filter(F.col("n_transitions") >= _SEQ_ANOM_MIN)
+        .orderBy(
+            (F.col("sq") * 1.0 / F.col("n_transitions")).desc(), "user_id"
+        )
+        .limit(_SEQ_ANOM_K)
+        .select(
+            "user_id",
+            F.col("n_transitions").cast("bigint").alias("n_transitions"),
+            dround(
+                F.col("sq") * 1.0 / (F.col("n_transitions") * 1000000000.0), 6
+            ).alias("avg_nll"),
+            dround(F.col("mx") / 1000000000.0, 6).alias("max_nll"),
+            "rarest_edge",
+        )
+    )
