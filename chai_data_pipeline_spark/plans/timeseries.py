@@ -6765,3 +6765,150 @@ def user_sequence_anomaly_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rarest_edge",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Periodogram of the daily revenue series — frequency-domain cycle
+# detection beside the time-domain members (autocorrelation_daily
+# = lag correlation, intraday_seasonality = hour-grain F-ratio):
+# spectral power at candidate periods 2..10 days via explicit
+# cos/sin projections. ALL trig values are PYTHON-precomputed for the
+# (period, day mod period) grid and injected as double literals —
+# engine libm (cos/sin) is never called, so no ulp divergence is
+# possible. Projection terms are ×1e3-quantized integers before the
+# sums; power ratios are single divisions of identical doubles.
+# --------------------------------------------------------------------------
+
+import math as _math  # noqa: E402
+
+_PGRAM_PERIODS = range(2, 11)
+_PGRAM_TRIG = [
+    (p, k, _math.cos(2 * _math.pi * k / p), _math.sin(2 * _math.pi * k / p))
+    for p in _PGRAM_PERIODS
+    for k in range(p)
+]
+_PGRAM_TRIG_SQL = ", ".join(
+    f"({p}, {k}, CAST({c!r} AS DOUBLE), CAST({s!r} AS DOUBLE))"
+    for p, k, c, s in _PGRAM_TRIG
+)
+
+
+@query(
+    "periodogram_daily_power",
+    oracle=f"""
+WITH pdaily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS x
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+pidx AS (
+    SELECT x, ROW_NUMBER() OVER (ORDER BY d) - 1 AS j FROM pdaily
+),
+pstat AS (
+    SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu, COUNT(*) AS n FROM pidx
+),
+trig AS (SELECT * FROM (VALUES {_PGRAM_TRIG_SQL}) t(p, k, c, s)),
+proj AS (
+    SELECT t.p,
+           CAST(SUM(CAST(FLOOR((i.x - st.mu) * t.c * 1000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS aq,
+           CAST(SUM(CAST(FLOOR((i.x - st.mu) * t.s * 1000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS bq
+    FROM pidx i
+    CROSS JOIN pstat st
+    JOIN trig t ON t.k = i.j % t.p
+    GROUP BY 1
+),
+ptot AS (
+    SELECT CAST(SUM(CAST(FLOOR((i.x - st.mu) * (i.x - st.mu) + 0.5)
+                         AS BIGINT)) AS BIGINT) AS ss
+    FROM pidx i CROSS JOIN pstat st
+)
+SELECT CAST(p.p AS BIGINT) AS period_days,
+       {sql_dround('(CAST(p.aq AS DOUBLE) * p.aq + CAST(p.bq AS DOUBLE) * p.bq)'
+                   ' / (1000000.0 * (CASE WHEN t.ss > 0 THEN t.ss END))'
+                   ' / (SELECT n FROM pstat)', 6)} AS power_frac,
+       CAST(ROW_NUMBER() OVER (
+           ORDER BY (CAST(p.aq AS DOUBLE) * p.aq + CAST(p.bq AS DOUBLE) * p.bq)
+               DESC, p.p
+       ) AS BIGINT) AS power_rank
+FROM proj p CROSS JOIN ptot t
+""",
+)
+def periodogram_daily_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral power of the daily revenue series at periods 2-10 days.
+
+    Scale: day-grain aggregate, then a 54-row literal trig join over
+    ≤|days| rows — bounded at any data volume. A flat spectrum is a
+    finding too (this corpus has no weekly cycle; the ranked powers
+    prove it rather than assume it).
+    """
+    from pyspark.sql.window import Window as _W
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    v_fp = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5).cast(
+        "bigint"
+    )
+    pdaily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(v_fp).cast("bigint").alias("x"))
+    )
+    pidx = pdaily.select(
+        "x", (F.row_number().over(_W.orderBy("d")) - 1).alias("j")
+    )
+    pstat = pidx.agg(
+        (F.sum("x").cast("double") / F.count("*")).alias("mu"),
+        F.count("*").alias("n"),
+    )
+    trig = spark.createDataFrame(_PGRAM_TRIG, ["p", "k", "c", "s"])
+    proj = (
+        pidx.crossJoin(F.broadcast(pstat))
+        .join(F.broadcast(trig), F.col("k") == F.col("j") % F.col("p"))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.floor((F.col("x") - F.col("mu")) * F.col("c") * 1000 + 0.5)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("aq"),
+            F.sum(
+                F.floor((F.col("x") - F.col("mu")) * F.col("s") * 1000 + 0.5)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("bq"),
+        )
+    )
+    ptot = pidx.crossJoin(F.broadcast(pstat)).agg(
+        F.sum(
+            F.floor(
+                (F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu")) + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("ss")
+    )
+    power = F.col("aq").cast("double") * F.col("aq") + F.col("bq").cast(
+        "double"
+    ) * F.col("bq")
+    out = (
+        proj.crossJoin(F.broadcast(ptot))
+        .crossJoin(F.broadcast(pstat.select("n")))
+        .select(
+            F.col("p").cast("bigint").alias("period_days"),
+            dround(
+                power
+                / (F.lit(1000000.0) * F.when(F.col("ss") > 0, F.col("ss")))
+                / F.col("n"),
+                6,
+            ).alias("power_frac"),
+            F.row_number()
+            .over(_W.orderBy(power.desc(), F.col("p")))
+            .cast("bigint")
+            .alias("power_rank"),
+        )
+    )
+    return out
