@@ -3233,3 +3233,92 @@ def curriculum_shard_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").cast("bigint").alias("min_len"),
         F.max("n").cast("bigint").alias("max_len"),
     )
+
+
+# --------------------------------------------------------------------------
+# Feature-hashing (hashing-trick) collision audit — before a pipeline
+# hashes its vocabulary into a fixed-width feature vector, measure
+# what each width costs: how many distinct words collide and how much
+# token MASS sits in collided buckets (mass matters — colliding two
+# rare words is cheap, colliding 'the' with anything is not).
+# Buckets are sha256-derived (the repo-wide cross-engine hash).
+# --------------------------------------------------------------------------
+
+_FH_WIDTHS = (16, 32, 64, 128)
+
+
+def _fh_leg_sql(width: int) -> str:
+    return f"""
+SELECT {width} AS width,
+       COUNT(DISTINCT b) AS n_buckets_used,
+       COUNT(*) AS n_words,
+       CAST(SUM(cnt) AS BIGINT) AS mass_total,
+       COUNT(*) FILTER (WHERE n_in_bucket > 1) AS n_collided_words,
+       CAST(SUM(CASE WHEN n_in_bucket > 1 THEN cnt ELSE 0 END)
+            AS BIGINT) AS mass_collided
+FROM (
+    SELECT w, cnt, b, COUNT(*) OVER (PARTITION BY b) AS n_in_bucket
+    FROM (SELECT w, cnt, {sql_hash_bucket('w', width)} AS b FROM fh_vocab)
+)"""
+
+
+@query(
+    "feature_hashing_collision_audit",
+    oracle=f"""
+WITH fh_vocab AS (
+    SELECT w, COUNT(*) AS cnt
+    FROM (SELECT unnest(string_split_regex(TRIM(text), '\\s+')) AS w
+          FROM documents WHERE text IS NOT NULL AND TRIM(text) <> '')
+    GROUP BY 1
+)
+{' UNION ALL '.join(_fh_leg_sql(w) for w in _FH_WIDTHS)}
+""",
+)
+def feature_hashing_collision_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Collision cost of the hashing trick at widths 16/32/64/128.
+
+    Scale: the vocab table is the only aggregate over data (map-side
+    combinable, vocabulary-bounded); each width leg is a bucket window
+    over |vocab| rows. At web scale the vocab table is exactly what
+    the hashing trick avoids materializing — this audit is the
+    one-off design study that picks the width, run on a sample.
+    """
+    from pyspark.sql.window import Window as _W
+
+    from .registry import query as _q  # noqa: F401
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    nonempty = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    from ..operators import text as T
+
+    vocab = (
+        docs.filter(nonempty)
+        .select(F.explode(T.words("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+
+    def leg(width: int) -> DataFrame:
+        b = hash_bucket("w", width)
+        binned = vocab.select("w", "cnt", b.alias("b")).select(
+            "*", F.count("*").over(_W.partitionBy("b")).alias("n_in_bucket")
+        )
+        return binned.agg(
+            F.countDistinct("b").alias("n_buckets_used"),
+            F.count("*").alias("n_words"),
+            F.sum("cnt").cast("bigint").alias("mass_total"),
+            F.count_if(F.col("n_in_bucket") > 1).alias("n_collided_words"),
+            F.sum(
+                F.when(F.col("n_in_bucket") > 1, F.col("cnt")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("mass_collided"),
+        ).select(F.lit(width).alias("width"), "*")
+
+    out = leg(_FH_WIDTHS[0])
+    for wd in _FH_WIDTHS[1:]:
+        out = out.unionAll(leg(wd))
+    return out
