@@ -6912,3 +6912,200 @@ def periodogram_daily_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# --------------------------------------------------------------------------
+# Rank-1 ALS factorization of the user × event-type value matrix — the
+# recommender-system primitive (implicit-feedback factorization à la
+# Hu/Koren/Volinsky, reduced to its exactly-solvable rank-1 core):
+# alternate u_i = Σ_j r_ij v_j / Σ_j v_j² and v_j = Σ_i r_ij u_i /
+# Σ_i u_i², 3 rounds from v = 1. Every cross-term is ×1e9-quantized
+# before the (shuffled) sums, so the alternating updates are
+# bit-identical across engines and partitionings. Reported: the item
+# factor vector and the fit R² of the rank-1 reconstruction.
+# --------------------------------------------------------------------------
+
+_ALS_ROUNDS = 3
+
+
+def _als_sql_round(i: int) -> str:
+    """u{i} from v{i-1}, then v{i} from u{i}."""
+    p = i - 1
+    return f"""
+u{i} AS MATERIALIZED (
+    SELECT r.user_id,
+           CAST(SUM(CAST(FLOOR(r.r * v.v * 1000000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000.0
+           / ((SELECT SUM(CAST(FLOOR(v2.v * v2.v * 1000000 + 0.5)
+                               AS BIGINT)) FROM v{p} v2)
+              / 1000000.0) AS u
+    FROM als_r r JOIN v{p} v ON v.event_type = r.event_type
+    GROUP BY 1
+),
+v{i} AS MATERIALIZED (
+    SELECT r.event_type,
+           CAST(SUM(CAST(FLOOR(r.r * u.u * 1000000 + 0.5) AS BIGINT))
+                AS DOUBLE) / 1000000.0
+           / ((SELECT SUM(CAST(FLOOR(u2.u * u2.u * 1000000 + 0.5)
+                               AS BIGINT)) FROM u{i} u2)
+              / 1000000.0) AS v
+    FROM als_r r JOIN u{i} u ON u.user_id = r.user_id
+    GROUP BY 1
+)"""
+
+
+@query(
+    "als_rank1_factorization",
+    oracle=f"""
+WITH als_r AS MATERIALIZED (
+    SELECT user_id, event_type,
+           CAST(SUM(CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS r
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
+),
+v0 AS (SELECT DISTINCT event_type, CAST(1.0 AS DOUBLE) AS v FROM als_r),
+{','.join(_als_sql_round(i).lstrip() for i in range(1, _ALS_ROUNDS + 1))},
+recon AS (
+    SELECT r.r, u.u * v.v AS rhat
+    FROM als_r r
+    JOIN u{_ALS_ROUNDS} u ON u.user_id = r.user_id
+    JOIN v{_ALS_ROUNDS} v ON v.event_type = r.event_type
+),
+fit AS (
+    SELECT CAST(SUM(CAST(FLOOR((r - rhat) * (r - rhat) * 1000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS sse_q,
+           CAST(SUM(CAST(FLOOR(r * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS s_q,
+           CAST(SUM(CAST(FLOOR(r * r * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS ss_q,
+           COUNT(*) AS n
+    FROM recon
+)
+SELECT v.event_type,
+       (FLOOR(v.v * 1000000 + 0.5) / 1000000.0) AS item_factor,
+       (FLOOR((1.0 - (f.sse_q * 1.0
+                      / (CASE WHEN (f.ss_q - CAST(f.s_q AS DOUBLE) * f.s_q
+                                    / (f.n * 1000.0)) > 0
+                              THEN f.ss_q - CAST(f.s_q AS DOUBLE) * f.s_q
+                                   / (f.n * 1000.0) END)))
+              * 1000000 + 0.5) / 1000000.0) AS r2_rank1
+FROM v{_ALS_ROUNDS} v CROSS JOIN fit f
+""",
+)
+def als_rank1_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round rank-1 ALS over the user × event-type revenue matrix.
+
+    Scale: the ratings build is one (user, type) aggregate; each ALS
+    half-step is a broadcast join against the |types|- or |users|-row
+    factor vector plus a quantized-integer aggregate — the exact
+    alternating-least-squares dataflow (factors re-broadcast per
+    half-step, ratings never re-shuffled: both updates group on keys
+    the ratings already carry). Driver state is never more than the
+    factor vectors. Reference analog: none (ML-primitive extension).
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    v_fp = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5).cast(
+        "bigint"
+    )
+    r = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg((F.sum(v_fp).cast("double") / 100.0).alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    v = r.select("event_type").distinct().select(
+        "event_type", F.lit(1.0).alias("v")
+    )
+    u = None
+    for _ in range(_ALS_ROUNDS):
+        vss = v.agg(
+            (
+                F.sum(
+                    F.floor(F.col("v") * F.col("v") * 1000000 + 0.5)
+                    .cast("bigint")
+                )
+                / 1000000.0
+            ).alias("vss")
+        )
+        u = (
+            r.join(F.broadcast(v), "event_type")
+            .groupBy("user_id")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("r") * F.col("v") * 1000000 + 0.5)
+                        .cast("bigint")
+                    ).cast("double")
+                    / 1000000.0
+                ).alias("num")
+            )
+            .crossJoin(F.broadcast(vss))
+            .select("user_id", (F.col("num") / F.col("vss")).alias("u"))
+        )
+        uss = u.agg(
+            (
+                F.sum(
+                    F.floor(F.col("u") * F.col("u") * 1000000 + 0.5)
+                    .cast("bigint")
+                )
+                / 1000000.0
+            ).alias("uss")
+        )
+        v = (
+            r.join(u, "user_id")
+            .groupBy("event_type")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(F.col("r") * F.col("u") * 1000000 + 0.5)
+                        .cast("bigint")
+                    ).cast("double")
+                    / 1000000.0
+                ).alias("num")
+            )
+            .crossJoin(F.broadcast(uss))
+            .select("event_type", (F.col("num") / F.col("uss")).alias("v"))
+        )
+    recon = (
+        r.join(u, "user_id")
+        .join(F.broadcast(v), "event_type")
+        .select("r", (F.col("u") * F.col("v")).alias("rhat"))
+    )
+    fit = recon.agg(
+        F.sum(
+            F.floor(
+                (F.col("r") - F.col("rhat"))
+                * (F.col("r") - F.col("rhat"))
+                * 1000
+                + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sse_q"),
+        F.sum(F.floor(F.col("r") * 1000 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("s_q"),
+        F.sum(F.floor(F.col("r") * F.col("r") * 1000 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("ss_q"),
+        F.count("*").alias("n"),
+    )
+    var_q = F.col("ss_q") - F.col("s_q").cast("double") * F.col("s_q") / (
+        F.col("n") * 1000.0
+    )
+    return v.crossJoin(F.broadcast(fit)).select(
+        "event_type",
+        (F.floor(F.col("v") * 1000000 + 0.5) / 1000000.0).alias(
+            "item_factor"
+        ),
+        (
+            F.floor(
+                (
+                    1.0
+                    - F.col("sse_q") * 1.0 / F.when(var_q > 0, var_q)
+                )
+                * 1000000
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("r2_rank1"),
+    )
