@@ -4233,3 +4233,214 @@ def unigram_js_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_word",
         dround(F.col("ratio_fp") / 1000000.0, 4).alias("top_word_lift"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier, trained on the 80%
+# hash split and evaluated held-out — the TRAINED sibling of the
+# heuristic lang_id (langid_confusion_matrix grades that heuristic;
+# this one learns add-1 word likelihoods + doc priors from data).
+# Every log term is ×1e9-quantized so per-doc scores are exact
+# integer sums; argmax ties break lexicographically on lang. The
+# corpus's langs share one vocabulary, so near-prior accuracy is the
+# EXPECTED honest outcome — the confusion column shows where the
+# probability mass actually goes.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "naive_bayes_langid_eval",
+    oracle=f"""
+WITH nbtok AS (
+    SELECT doc_id, lang, {_SQL_HB_DOC} AS hb,
+           unnest(string_split_regex(TRIM(text), '\\s+')) AS w
+    FROM documents
+    WHERE text IS NOT NULL AND TRIM(text) <> '' AND lang IS NOT NULL
+),
+tr_wc AS (
+    SELECT lang, w, COUNT(*) AS c FROM nbtok WHERE hb < 80 GROUP BY 1, 2
+),
+tr_lang AS (
+    SELECT lang, CAST(SUM(c) AS BIGINT) AS nl FROM tr_wc GROUP BY 1
+),
+tr_prior AS (
+    SELECT lang, COUNT(DISTINCT doc_id) AS docs
+    FROM nbtok WHERE hb < 80 GROUP BY 1
+),
+tr_v AS (SELECT COUNT(DISTINCT w) AS v FROM tr_wc),
+te_wc AS (
+    SELECT doc_id, lang AS actual, w, COUNT(*) AS cnt
+    FROM nbtok WHERE hb >= 80 GROUP BY 1, 2, 3
+),
+grid AS (
+    SELECT t.doc_id, t.actual, t.w, t.cnt, l.lang, l.nl, v.v,
+           COALESCE(m.c, 0) AS c
+    FROM te_wc t
+    CROSS JOIN tr_lang l
+    CROSS JOIN tr_v v
+    LEFT JOIN tr_wc m ON m.lang = l.lang AND m.w = t.w
+),
+scoredg AS (
+    SELECT doc_id, actual, lang,
+           CAST(SUM(cnt * CAST(FLOOR(ln((c + 1.0) / (nl + v))
+                                     * 1000000000 + 0.5) AS BIGINT))
+                AS BIGINT) AS like_q
+    FROM grid GROUP BY 1, 2, 3
+),
+withprior AS (
+    SELECT s.doc_id, s.actual, s.lang,
+           s.like_q + CAST(FLOOR(ln(p.docs * 1.0 /
+                                    (SELECT SUM(docs) FROM tr_prior))
+                                 * 1000000000 + 0.5) AS BIGINT) AS score_q
+    FROM scoredg s JOIN tr_prior p ON p.lang = s.lang
+),
+pred AS (
+    SELECT doc_id, actual, lang AS predicted FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score_q DESC, lang) AS rn
+        FROM withprior
+    ) WHERE rn = 1
+),
+conf AS (
+    SELECT actual, predicted, COUNT(*) AS n FROM pred GROUP BY 1, 2
+)
+SELECT a.actual AS lang,
+       CAST(a.n_docs AS BIGINT) AS n_test_docs,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_correct,
+       {sql_dround('COALESCE(c.n, 0) * 1.0 / a.n_docs', 4)} AS accuracy,
+       t.top_pred AS top_predicted
+FROM (SELECT actual, SUM(n) AS n_docs FROM conf GROUP BY 1) a
+LEFT JOIN conf c ON c.actual = a.actual AND c.predicted = a.actual
+JOIN (
+    SELECT actual, predicted AS top_pred FROM (
+        SELECT actual, predicted,
+               ROW_NUMBER() OVER (PARTITION BY actual
+                                  ORDER BY n DESC, predicted) AS rn
+        FROM conf
+    ) WHERE rn = 1
+) t ON t.actual = a.actual
+""",
+)
+def naive_bayes_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out accuracy of a trained multinomial-NB language classifier.
+
+    Scale: the model is (lang, word) counts + lang totals + priors —
+    all vocabulary-bounded, broadcast; scoring explodes held-out docs
+    once and reduces per (doc, lang). The |langs|-way fan-out is a
+    broadcast nested-loop over a 5-row table, not a shuffle. The
+    classic MapReduce NB dataflow.
+    """
+    from pyspark.sql.window import Window as _W
+
+    from .training import hash_bucket
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    ok = (
+        F.col("text").isNotNull()
+        & (F.trim(F.col("text")) != "")
+        & F.col("lang").isNotNull()
+    )
+    nbtok = docs.filter(ok).select(
+        "doc_id",
+        "lang",
+        hash_bucket("doc_id").alias("hb"),
+        F.explode(T.words("text")).alias("w"),
+    )
+    tr = nbtok.filter(F.col("hb") < 80)
+    tr_wc = tr.groupBy(F.col("lang").alias("mlang"), "w").agg(
+        F.count("*").alias("c")
+    )
+    tr_lang = tr_wc.groupBy(F.col("mlang").alias("lang")).agg(
+        F.sum("c").cast("bigint").alias("nl")
+    )
+    tr_prior = tr.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("docs")
+    )
+    tr_v = tr_wc.agg(F.countDistinct("w").alias("v"))
+    prior_tot = tr_prior.agg(F.sum("docs").alias("tot"))
+    te_wc = (
+        nbtok.filter(F.col("hb") >= 80)
+        .groupBy("doc_id", F.col("lang").alias("actual"), "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    grid = (
+        te_wc.crossJoin(F.broadcast(tr_lang))
+        .crossJoin(F.broadcast(tr_v))
+        .join(
+            F.broadcast(tr_wc),
+            (F.col("mlang") == F.col("lang")) & (tr_wc["w"] == te_wc["w"]),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "actual",
+            "lang",
+            "cnt",
+            "nl",
+            "v",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    lq = F.floor(
+        F.log((F.col("c") + 1.0) / (F.col("nl") + F.col("v"))) * 1000000000
+        + 0.5
+    ).cast("bigint")
+    scoredg = grid.groupBy("doc_id", "actual", "lang").agg(
+        F.sum(F.col("cnt") * lq).cast("bigint").alias("like_q")
+    )
+    prior_q = F.floor(
+        F.log(F.col("docs") * 1.0 / F.col("tot")) * 1000000000 + 0.5
+    ).cast("bigint")
+    withprior = (
+        scoredg.join(F.broadcast(tr_prior), "lang")
+        .crossJoin(F.broadcast(prior_tot))
+        .select(
+            "doc_id",
+            "actual",
+            "lang",
+            (F.col("like_q") + prior_q).alias("score_q"),
+        )
+    )
+    pred = (
+        withprior.withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("doc_id").orderBy(F.desc("score_q"), "lang")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "actual", F.col("lang").alias("predicted"))
+    )
+    conf = pred.groupBy("actual", "predicted").agg(F.count("*").alias("n"))
+    totals = conf.groupBy("actual").agg(
+        F.sum("n").cast("bigint").alias("n_docs")
+    )
+    correct = conf.filter(F.col("actual") == F.col("predicted")).select(
+        "actual", F.col("n").alias("n_corr")
+    )
+    top = (
+        conf.withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("actual").orderBy(F.desc("n"), "predicted")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("actual", F.col("predicted").alias("top_predicted"))
+    )
+    return (
+        totals.join(correct, "actual", "left")
+        .join(top, "actual")
+        .select(
+            F.col("actual").alias("lang"),
+            F.col("n_docs").cast("bigint").alias("n_test_docs"),
+            F.coalesce(F.col("n_corr"), F.lit(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            dround(
+                F.coalesce(F.col("n_corr"), F.lit(0)) * 1.0 / F.col("n_docs"),
+                4,
+            ).alias("accuracy"),
+            "top_predicted",
+        )
+    )
