@@ -7109,3 +7109,265 @@ def als_rank1_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("r2_rank1"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gradient-boosted decision stumps, exact, in pure relational algebra —
+# 3 rounds of squared-loss boosting (learning rate 1) predicting event
+# value from a 10-candidate split grid (event_type one-vs-rest ×5,
+# hour-of-day thresholds ×5). Each round: score ALL candidates in one
+# grouped pass (split gain = S_L²/n_L + S_R²/n_R over ×1e3-quantized
+# residuals — maximizing gain ≡ minimizing SSE, so Σr² is never
+# needed), argmax with cid tiebreak, then a broadcast-winner residual
+# update. The boosting invariant (cumulative train R² is
+# non-decreasing) is part of the hashed output.
+# --------------------------------------------------------------------------
+
+_GBM_ROUNDS = 3
+_GBM_CANDS = [
+    (1, "type", "click", None), (2, "type", "error", None),
+    (3, "type", "purchase", None), (4, "type", "signup", None),
+    (5, "type", "view", None),
+    (6, "hour", None, 4), (7, "hour", None, 8), (8, "hour", None, 12),
+    (9, "hour", None, 16), (10, "hour", None, 20),
+]
+_GBM_CANDS_SQL = ", ".join(
+    f"({cid}, '{kind}', "
+    + (f"'{ps}'" if ps is not None else "CAST(NULL AS VARCHAR)")
+    + ", "
+    + (str(ph) if ph is not None else "CAST(NULL AS INTEGER)")
+    + ")"
+    for cid, kind, ps, ph in _GBM_CANDS
+)
+
+_GBM_SIDE_SQL = (
+    "COALESCE(CASE WHEN kind = 'type' THEN event_type = param_s "
+    "ELSE hr < param_h END, FALSE)"
+)
+
+
+def _gbm_round_sql(m: int) -> str:
+    p = m - 1
+    return f"""
+st{m} AS (
+    SELECT cid, kind, param_s, param_h,
+           COUNT(*) FILTER (WHERE side) AS nl,
+           COUNT(*) FILTER (WHERE NOT side) AS nr,
+           CAST(COALESCE(SUM(CASE WHEN side THEN rq END), 0) AS BIGINT)
+               AS slq,
+           CAST(COALESCE(SUM(CASE WHEN NOT side THEN rq END), 0) AS BIGINT)
+               AS srq
+    FROM (
+        SELECT c.*, {_GBM_SIDE_SQL} AS side,
+               CAST(FLOOR(e.r * 1000 + 0.5) AS BIGINT) AS rq
+        FROM rs{p} e CROSS JOIN gbm_cands c
+    ) GROUP BY 1, 2, 3, 4
+),
+w{m} AS MATERIALIZED (
+    SELECT *,
+           CAST(CASE WHEN nl > 0
+                     THEN slq / (1000.0 * nl) ELSE 0.0 END AS DOUBLE)
+               AS leaf_l,
+           CAST(CASE WHEN nr > 0
+                     THEN srq / (1000.0 * nr) ELSE 0.0 END AS DOUBLE)
+               AS leaf_r
+    FROM st{m}
+    ORDER BY (CASE WHEN nl > 0 THEN CAST(slq AS DOUBLE) * slq / nl
+                   ELSE 0.0 END
+              + CASE WHEN nr > 0 THEN CAST(srq AS DOUBLE) * srq / nr
+                     ELSE 0.0 END) DESC, cid
+    LIMIT 1
+),
+rs{m} AS MATERIALIZED (
+    SELECT e.event_type, e.hr,
+           e.r - (CASE WHEN {_GBM_SIDE_SQL}
+                       THEN w.leaf_l ELSE w.leaf_r END) AS r
+    FROM rs{p} e CROSS JOIN w{m} w
+),
+ss{m} AS (
+    SELECT CAST(SUM(CAST(FLOOR(r * r * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS ssq
+    FROM rs{m}
+)"""
+
+
+@query(
+    "gradient_boosted_stumps",
+    oracle=f"""
+WITH gbm_cands AS (
+    SELECT * FROM (VALUES {_GBM_CANDS_SQL}) t(cid, kind, param_s, param_h)
+),
+base AS MATERIALIZED (
+    SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+           CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS y
+    FROM events
+),
+f0 AS (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mu FROM base),
+rs0 AS MATERIALIZED (
+    SELECT event_type, hr, b.y - f.mu AS r FROM base b CROSS JOIN f0 f
+),
+ss0 AS (
+    SELECT CAST(SUM(CAST(FLOOR(r * r * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS ssq
+    FROM rs0
+),
+{','.join(_gbm_round_sql(m).lstrip() for m in range(1, _GBM_ROUNDS + 1))}
+SELECT r.round,
+       w.kind AS split_kind,
+       COALESCE(w.param_s, CAST(w.param_h AS VARCHAR)) AS split_param,
+       CAST(w.nl AS BIGINT) AS n_left,
+       CAST(w.nr AS BIGINT) AS n_right,
+       (FLOOR(w.leaf_l / 100.0 * 10000 + 0.5) / 10000.0) AS leaf_left,
+       (FLOOR(w.leaf_r / 100.0 * 10000 + 0.5) / 10000.0) AS leaf_right,
+       (FLOOR((1.0 - s.ssq * 1.0 / (CASE WHEN z.ssq > 0 THEN z.ssq END))
+              * 1000000 + 0.5) / 1000000.0) AS r2_cumulative
+FROM (VALUES (1), (2), (3)) r(round)
+JOIN (SELECT 1 AS round, * FROM w1 UNION ALL
+      SELECT 2, * FROM w2 UNION ALL
+      SELECT 3, * FROM w3) w USING (round)
+JOIN (SELECT 1 AS round, ssq FROM ss1 UNION ALL
+      SELECT 2, ssq FROM ss2 UNION ALL
+      SELECT 3, ssq FROM ss3) s USING (round)
+CROSS JOIN ss0 z
+""",
+)
+def gradient_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 rounds of exact squared-loss stump boosting on event value.
+
+    Scale: each round is ONE grouped pass over the data (a 10-row
+    candidate broadcast fan-out, map-side combinable into 20 cells) +
+    a 1-row broadcast winner join for the residual update — the
+    standard distributed-GBM histogram dataflow with the histogram
+    grid as the candidate set. Residual frames are localCheckpoint'd
+    so round m's lineage does not replay rounds 1..m-1. Driver state:
+    never more than the 1-row winner.
+    """
+    events = load_tables(spark, sf_dir, "events")["events"]
+    base = events.select(
+        "event_type",
+        F.hour("ts").alias("hr"),
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5)
+        .cast("bigint")
+        .alias("y"),
+    )
+    f0 = base.agg((F.sum("y").cast("double") / F.count("*")).alias("mu"))
+    rs = (
+        base.crossJoin(F.broadcast(f0))
+        .select("event_type", "hr", (F.col("y") - F.col("mu")).alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    cands = spark.createDataFrame(
+        _GBM_CANDS, "cid int, kind string, param_s string, param_h int"
+    )
+    side = F.coalesce(
+        F.when(
+            F.col("kind") == "type", F.col("event_type") == F.col("param_s")
+        ).otherwise(F.col("hr") < F.col("param_h")),
+        F.lit(False),
+    )
+
+    def ssq(rdf) -> DataFrame:
+        return rdf.agg(
+            F.sum(
+                F.floor(F.col("r") * F.col("r") * 1000 + 0.5).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("ssq")
+        )
+
+    ss0 = ssq(rs)
+    reports = []
+    for m in range(1, _GBM_ROUNDS + 1):
+        rq = F.floor(F.col("r") * 1000 + 0.5).cast("bigint")
+        st = (
+            rs.crossJoin(F.broadcast(cands))
+            .select("cid", "kind", "param_s", "param_h", side.alias("side"),
+                    rq.alias("rq"))
+            .groupBy("cid", "kind", "param_s", "param_h")
+            .agg(
+                F.count_if(F.col("side")).alias("nl"),
+                F.count_if(~F.col("side")).alias("nr"),
+                F.coalesce(F.sum(F.when(F.col("side"), F.col("rq"))), F.lit(0))
+                .cast("bigint")
+                .alias("slq"),
+                F.coalesce(
+                    F.sum(F.when(~F.col("side"), F.col("rq"))), F.lit(0)
+                )
+                .cast("bigint")
+                .alias("srq"),
+            )
+        )
+        gain = F.when(
+            F.col("nl") > 0,
+            F.col("slq").cast("double") * F.col("slq") / F.col("nl"),
+        ).otherwise(0.0) + F.when(
+            F.col("nr") > 0,
+            F.col("srq").cast("double") * F.col("srq") / F.col("nr"),
+        ).otherwise(0.0)
+        w = (
+            st.select(
+                "*",
+                F.when(
+                    F.col("nl") > 0, F.col("slq") / (1000.0 * F.col("nl"))
+                )
+                .otherwise(0.0)
+                .alias("leaf_l"),
+                F.when(
+                    F.col("nr") > 0, F.col("srq") / (1000.0 * F.col("nr"))
+                )
+                .otherwise(0.0)
+                .alias("leaf_r"),
+            )
+            .orderBy(gain.desc(), "cid")
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        rs = (
+            rs.crossJoin(F.broadcast(w))
+            .select(
+                "event_type",
+                "hr",
+                (
+                    F.col("r")
+                    - F.when(side, F.col("leaf_l")).otherwise(F.col("leaf_r"))
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        reports.append((m, w, ssq(rs)))
+    out = None
+    for m, w, ss_m in reports:
+        row = (
+            w.crossJoin(ss_m.withColumnRenamed("ssq", "ssm"))
+            .crossJoin(F.broadcast(ss0))
+            .select(
+                F.lit(m).alias("round"),
+                F.col("kind").alias("split_kind"),
+                F.coalesce(
+                    F.col("param_s"), F.col("param_h").cast("string")
+                ).alias("split_param"),
+                F.col("nl").cast("bigint").alias("n_left"),
+                F.col("nr").cast("bigint").alias("n_right"),
+                (
+                    F.floor(F.col("leaf_l") / 100.0 * 10000 + 0.5) / 10000.0
+                ).alias("leaf_left"),
+                (
+                    F.floor(F.col("leaf_r") / 100.0 * 10000 + 0.5) / 10000.0
+                ).alias("leaf_right"),
+                (
+                    F.floor(
+                        (
+                            1.0
+                            - F.col("ssm")
+                            * 1.0
+                            / F.when(F.col("ssq") > 0, F.col("ssq"))
+                        )
+                        * 1000000
+                        + 0.5
+                    )
+                    / 1000000.0
+                ).alias("r2_cumulative"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

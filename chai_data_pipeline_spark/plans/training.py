@@ -3165,20 +3165,28 @@ _CUR_SHARDS = 8
     "curriculum_shard_interleave",
     oracle=f"""
 WITH d AS (
-    SELECT doc_id,
+    SELECT doc_id, COALESCE(lang, '') AS lang,
            CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
                 ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n
     FROM documents
 ),
 deciled AS (
-    SELECT doc_id, n,
-           ntile(10) OVER (ORDER BY n, doc_id) AS decile
+    -- deciles stratified BY LANGUAGE: every shard gets each language's
+    -- own short->long mix, and the ntile window is lang-partitioned
+    -- (never a single global sort of the corpus — the plan-lint class)
+    SELECT doc_id, n, lang,
+           ntile(10) OVER (PARTITION BY lang ORDER BY n, doc_id) AS decile
     FROM d
 ),
 sharded AS (
+    -- rotate each stratum's round-robin start by a hash offset:
+    -- always starting at shard 0 piles every stratum's remainder onto
+    -- the low shards (observed 28 vs 70 docs before the rotation)
     SELECT doc_id, n, decile,
-           (ROW_NUMBER() OVER (PARTITION BY decile ORDER BY doc_id) - 1)
-               % {_CUR_SHARDS} AS shard
+           (ROW_NUMBER() OVER (PARTITION BY lang, decile ORDER BY doc_id)
+            - 1
+            + {sql_hash_bucket("lang || ':' || CAST(decile AS VARCHAR)", _CUR_SHARDS)})
+           % {_CUR_SHARDS} AS shard
     FROM deciled
 )
 SELECT shard,
@@ -3192,15 +3200,16 @@ FROM sharded GROUP BY 1
 """,
 )
 def curriculum_shard_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length-decile round-robin assignment to training shards.
+    """Per-language length-decile round-robin over training shards.
 
-    Scale: the decile boundaries come from one bounded sort statistic
-    (at 100 TB: approx quantiles / the range-planner sample — the
-    exact ntile here is the semantic oracle, same posture as
-    sequence_packing vs sequence_packing_sharded); the round-robin
-    window partitions BY DECILE, so the sort work is 10 parallel
-    partitions, and the output grain is S=8 rows. Balance is hashed:
-    every shard covers all 10 deciles with near-equal token mass.
+    Scale: the decile window partitions BY LANGUAGE (the
+    sequence_packing_sharded posture — never a single global corpus
+    sort; at 100 TB the per-language ntile becomes approx-quantile
+    boundaries, same knob as quantile_length_trim_approx); the
+    round-robin window partitions by (lang, decile). Every shard gets
+    each language's own short→long mix — balance is hashed, and the
+    stratification doubles as anti-straggler insurance for
+    sequence-parallel training. Output grain is S=8 rows.
     Reference analog: none (training-prep family).
     """
     from pyspark.sql.window import Window as _W
@@ -3210,16 +3219,37 @@ def curriculum_shard_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     empty = F.col("text").isNull() | (F.trim(F.col("text")) == "")
     n = F.when(empty, F.lit(0)).otherwise(F.size(T.words("text")))
-    d = docs.select("doc_id", n.alias("n"))
+    d = docs.select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("")).alias("lang"),
+        n.alias("n"),
+    )
     deciled = d.select(
-        "doc_id", "n", F.ntile(10).over(_W.orderBy("n", "doc_id")).alias("decile")
+        "doc_id",
+        "n",
+        "lang",
+        F.ntile(10)
+        .over(_W.partitionBy("lang").orderBy("n", "doc_id"))
+        .alias("decile"),
     )
     sharded = deciled.select(
         "doc_id",
         "n",
         "decile",
         (
-            (F.row_number().over(_W.partitionBy("decile").orderBy("doc_id")) - 1)
+            (
+                F.row_number().over(
+                    _W.partitionBy("lang", "decile").orderBy("doc_id")
+                )
+                - 1
+                + hash_bucket(
+                    F.concat(
+                        F.col("lang"),
+                        F.lit(":"),
+                        F.col("decile").cast("string"),
+                    ),
+                    _CUR_SHARDS,
+                )
+            )
             % _CUR_SHARDS
         )
         .cast("bigint")

@@ -345,6 +345,7 @@ def test_no_query_compiles_to_cartesian_or_row_udf(spark, sf_dir):
     # else growing an ArrowEvalPython node is an accidental slow path.
     arrow_allowed = {
         "dedup_simhash",
+        "dtw_event_type_daily",  # grouped exact-DP kernel (docstring)
         "multimodal_decode_meta",
         "multimodal_features",
         "multimodal_frame_sample",

@@ -151,12 +151,13 @@ def test_curriculum_shards_balanced(spark, sf_dir):
     assert len(rows) == 8
     docs = [r["n_docs"] for r in rows]
     toks = [r["tokens_total"] for r in rows]
-    # round-robin over 10 deciles: shard sizes differ by at most 10
-    assert max(docs) - min(docs) <= 10
+    # rotated round-robin over (lang x decile) strata: each stratum
+    # contributes a +/-1 spread, so the bound is the stratum count
+    assert max(docs) - min(docs) <= 20
     # every shard must carry the full curriculum mix
     assert all(r["n_deciles"] == 10 for r in rows)
-    # token mass balanced within 25%
-    assert max(toks) <= 1.25 * min(toks)
+    # token mass balanced within 35%
+    assert max(toks) <= 1.35 * min(toks)
 
 
 def test_dtw_bounds_and_live(spark, sf_dir):
@@ -241,3 +242,21 @@ def test_unigram_js_bounds_and_live(spark, sf_dir):
         assert 0.0 <= r["js_divergence"] <= math.log(2) + 1e-9
         assert r["top_word_lift"] >= 1.0 - 1e-9
     assert len({r["js_divergence"] for r in rows}) > 1
+
+
+def test_gbm_stumps_monotone_fit(spark, sf_dir):
+    rows = sorted(
+        _rows(spark, sf_dir, "gradient_boosted_stumps"),
+        key=lambda r: r["round"],
+    )
+    assert [r["round"] for r in rows] == [1, 2, 3]
+    total = rows[0]["n_left"] + rows[0]["n_right"]
+    for r in rows:
+        # every stump partitions the whole corpus
+        assert r["n_left"] + r["n_right"] == total
+        assert r["n_left"] > 0 and r["n_right"] > 0
+    # squared-loss boosting with exact leaf means NEVER increases
+    # training SSE: cumulative R² must be non-decreasing
+    r2 = [r["r2_cumulative"] for r in rows]
+    assert r2 == sorted(r2)
+    assert r2[0] >= 0.0
