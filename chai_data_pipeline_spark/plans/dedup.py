@@ -3177,3 +3177,185 @@ def memorization_risk_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("duplicated_risk"),
     )
+
+
+# --------------------------------------------------------------------------
+# b-bit MinHash audit (Li & König 2010): store only the lowest b bits
+# of each permutation's min-hash and correct the collision floor —
+# Ĵ_b = max((P_match − r)/(1 − r), 0) with r = 2^-b. The audit runs
+# full-width and b ∈ {1,2,4,8} estimators against EXACT Jaccard on a
+# pinned 20-doc pair grid (190 pairs × 16 perms), hashing the
+# bias/accuracy-vs-storage tradeoff that decides a near-dup index's
+# width. Rides the md5-deterministic signature recipe shared with
+# dedup_minhash_lsh_checked.
+# --------------------------------------------------------------------------
+
+_BBIT_DOCS = 20
+_BBIT_BS = (1, 2, 4, 8)
+
+
+def _bbit_leg_sql(name: str, bits: int, mcol: str, r: float) -> str:
+    est = (
+        f"(GREATEST(({mcol} / {float(_MINHASH_PERMS)} - CAST({r!r} AS DOUBLE))"
+        f" / (1.0 - CAST({r!r} AS DOUBLE)), 0.0))"
+        if r > 0
+        else f"({mcol} / {float(_MINHASH_PERMS)})"
+    )
+    return f"""
+SELECT '{name}' AS estimator, {bits} AS bits_per_perm,
+       COUNT(*) AS n_pairs,
+       CAST(FLOOR(SUM(CAST(FLOOR(ABS({est} - jx) * 1000000 + 0.5)
+                           AS BIGINT)) * 1.0 / COUNT(*) + 0.5) AS BIGINT)
+           AS mae_ppm,
+       CAST(FLOOR(SUM(CAST(FLOOR(({est} - jx) * 1000000 + 0.5)
+                           AS BIGINT)) * 1.0 / COUNT(*) + 0.5) AS BIGINT)
+           AS bias_ppm
+FROM bb_perpair"""
+
+
+@query(
+    "bbit_minhash_audit",
+    oracle=f"""
+WITH bb_sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, GREATEST(LENGTH(text) - 2, 0) + 1),
+               i -> text[i : i + 2]
+           )) AS grams
+    FROM documents WHERE LENGTH(text) >= 3 AND doc_id < {_BBIT_DOCS}
+),
+bb_hb AS (
+    SELECT doc_id, grams,
+           list_transform(grams, g ->
+               CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)) AS hs
+    FROM bb_sh
+),
+bb_mh AS (
+    SELECT doc_id, grams, [{_MH_SIG_DUCK}] AS sig FROM bb_hb
+),
+bb_pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.grams, b.grams)) * 1.0
+           / (len(a.grams) + len(b.grams)
+              - len(list_intersect(a.grams, b.grams))) AS jx,
+           a.sig AS siga, b.sig AS sigb
+    FROM bb_mh a JOIN bb_mh b ON a.doc_id < b.doc_id
+),
+bb_perpair AS (
+    SELECT id_a, id_b, jx,
+           SUM(CASE WHEN va = vb THEN 1 ELSE 0 END) AS m_full,
+           SUM(CASE WHEN va % 2 = vb % 2 THEN 1 ELSE 0 END) AS m_b1,
+           SUM(CASE WHEN va % 4 = vb % 4 THEN 1 ELSE 0 END) AS m_b2,
+           SUM(CASE WHEN va % 16 = vb % 16 THEN 1 ELSE 0 END) AS m_b4,
+           SUM(CASE WHEN va % 256 = vb % 256 THEN 1 ELSE 0 END) AS m_b8
+    FROM (
+        SELECT id_a, id_b, jx, p.p,
+               siga[p.p] AS va, sigb[p.p] AS vb
+        FROM bb_pairs,
+             (SELECT unnest(range(1, {_MINHASH_PERMS + 1})) AS p) p
+    ) GROUP BY 1, 2, 3
+)
+{_bbit_leg_sql('full', 32, 'm_full', 0.0)}
+UNION ALL {_bbit_leg_sql('b1', 1, 'm_b1', 0.5)}
+UNION ALL {_bbit_leg_sql('b2', 2, 'm_b2', 0.25)}
+UNION ALL {_bbit_leg_sql('b4', 4, 'm_b4', 0.0625)}
+UNION ALL {_bbit_leg_sql('b8', 8, 'm_b8', 0.00390625)}
+""",
+)
+def bbit_minhash_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy-vs-storage of b-bit MinHash against exact Jaccard.
+
+    Scale: the audited pair grid is pinned (20 docs → 190 pairs — an
+    exact-baseline design study, same posture as the ANN recall
+    audits); signatures are the production 16-perm arithmetic over
+    once-hashed shingles. The estimator math is what a 32×-smaller
+    1-bit index would serve, and the hashed bias/MAE columns are the
+    go/no-go numbers for shrinking the near-dup index.
+    """
+    from ..functions import dround  # noqa: F401
+    from ..operators.dedup import shingles
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sh = docs.filter(
+        (F.length("text") >= 3) & (F.col("doc_id") < _BBIT_DOCS)
+    ).select("doc_id", shingles("text", 3).alias("grams"))
+    hs_expr = (
+        "transform(grams, g -> "
+        "cast(conv(substring(md5(g), 1, 8), 16, 10) AS bigint))"
+    )
+    mh = sh.withColumn("hs", F.expr(hs_expr)).select(
+        "doc_id", "grams", F.expr(f"array({_MH_SIG_SPARK})").alias("sig")
+    )
+    a = mh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("grams").alias("ga"),
+        F.col("sig").alias("siga"),
+    )
+    b = mh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("grams").alias("gb"),
+        F.col("sig").alias("sigb"),
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    jx = inter * 1.0 / (F.size("ga") + F.size("gb") - inter)
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jx.alias("jx"), "siga", "sigb")
+    )
+    pspine = spark.range(1, _MINHASH_PERMS + 1).select(
+        F.col("id").cast("int").alias("p")
+    )
+    expl = pairs.crossJoin(F.broadcast(pspine)).select(
+        "id_a",
+        "id_b",
+        "jx",
+        F.expr("siga[p - 1]").alias("va"),
+        F.expr("sigb[p - 1]").alias("vb"),
+    )
+    perpair = expl.groupBy("id_a", "id_b", "jx").agg(
+        F.sum(F.when(F.col("va") == F.col("vb"), 1).otherwise(0)).alias(
+            "m_full"
+        ),
+        *[
+            F.sum(
+                F.when(
+                    F.col("va") % (1 << bb) == F.col("vb") % (1 << bb), 1
+                ).otherwise(0)
+            ).alias(f"m_b{bb}")
+            for bb in _BBIT_BS
+        ],
+    )
+
+    def leg(name: str, bits: int, mcol: str, r: float) -> DataFrame:
+        if r > 0:
+            est = F.greatest(
+                (F.col(mcol) / float(_MINHASH_PERMS) - F.lit(r))
+                / (1.0 - F.lit(r)),
+                F.lit(0.0),
+            )
+        else:
+            est = F.col(mcol) / float(_MINHASH_PERMS)
+        errq = F.floor(F.abs(est - F.col("jx")) * 1000000 + 0.5).cast(
+            "bigint"
+        )
+        biasq = F.floor((est - F.col("jx")) * 1000000 + 0.5).cast("bigint")
+        return perpair.agg(
+            F.count("*").alias("n_pairs"),
+            F.floor(F.sum(errq) * 1.0 / F.count("*") + 0.5)
+            .cast("bigint")
+            .alias("mae_ppm"),
+            F.floor(F.sum(biasq) * 1.0 / F.count("*") + 0.5)
+            .cast("bigint")
+            .alias("bias_ppm"),
+        ).select(
+            F.lit(name).alias("estimator"),
+            F.lit(bits).alias("bits_per_perm"),
+            "n_pairs",
+            "mae_ppm",
+            "bias_ppm",
+        )
+
+    out = leg("full", 32, "m_full", 0.0)
+    for bb, r in zip(_BBIT_BS, (0.5, 0.25, 0.0625, 0.00390625)):
+        out = out.unionAll(leg(f"b{bb}", bb, f"m_b{bb}", r))
+    return out
