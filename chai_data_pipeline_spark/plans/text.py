@@ -4444,3 +4444,150 @@ def naive_bayes_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_predicted",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Collocation strength via Dunning's log-likelihood ratio (G², Dunning
+# 1993) — the statistically sound alternative to word_pmi_cooccurrence
+# for sparse counts (PMI explodes for rare pairs; G² is a proper
+# 2×2-contingency likelihood test). Computed with the xlogx identity
+# G² = 2(ΣS(k) + S(N) − ΣS(margins)), S(x)=x·ln x, S(0)=0 — every
+# argument an exact integer count, every S identical IEEE, the final
+# G² ×1e6-quantized before ranking.
+# --------------------------------------------------------------------------
+
+_G2_TOPK = 15
+
+
+def _sql_xlogx(x: str) -> str:
+    return f"(CASE WHEN ({x}) > 0 THEN ({x}) * ln(CAST(({x}) AS DOUBLE)) ELSE 0.0 END)"
+
+
+@query(
+    "bigram_llr_collocations",
+    oracle=f"""
+WITH bg AS (
+    SELECT bgr, COUNT(*) AS k11
+    FROM (SELECT unnest({word_ngrams_sql_duckdb('text', 2)}) AS bgr
+          FROM documents WHERE text IS NOT NULL)
+    GROUP BY 1
+),
+m1 AS (
+    SELECT split_part(bgr, ' ', 1) AS w1, CAST(SUM(k11) AS BIGINT) AS r1
+    FROM bg GROUP BY 1
+),
+m2 AS (
+    SELECT split_part(bgr, ' ', 2) AS w2, CAST(SUM(k11) AS BIGINT) AS c1
+    FROM bg GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(k11) AS BIGINT) AS n FROM bg),
+cells AS (
+    SELECT b.bgr, b.k11,
+           m1.r1 - b.k11 AS k12,
+           m2.c1 - b.k11 AS k21,
+           t.n - m1.r1 - m2.c1 + b.k11 AS k22,
+           m1.r1, m2.c1, t.n
+    FROM bg b
+    JOIN m1 ON m1.w1 = split_part(b.bgr, ' ', 1)
+    JOIN m2 ON m2.w2 = split_part(b.bgr, ' ', 2)
+    CROSS JOIN tot t
+),
+g AS (
+    SELECT bgr, k11, r1, c1, n,
+           CAST(FLOOR(2.0 * ({_sql_xlogx('k11')} + {_sql_xlogx('k12')}
+                             + {_sql_xlogx('k21')} + {_sql_xlogx('k22')}
+                             + {_sql_xlogx('n')}
+                             - {_sql_xlogx('r1')} - {_sql_xlogx('n - r1')}
+                             - {_sql_xlogx('c1')} - {_sql_xlogx('n - c1')})
+                      * 1000000 + 0.5) AS BIGINT) AS g2q
+    FROM cells
+)
+SELECT bgr AS bigram,
+       CAST(k11 AS BIGINT) AS n_obs,
+       {sql_dround('r1 * 1.0 * c1 / n', 4)} AS n_expected,
+       {sql_dround('g2q / 1000000.0', 4)} AS g2
+FROM g
+ORDER BY g2q DESC, bgr
+LIMIT {_G2_TOPK}
+""",
+)
+def bigram_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 collocations by Dunning G² (2×2 likelihood-ratio test).
+
+    Scale: one bigram-type aggregate + two margin aggregates (all
+    map-side combinable, vocabulary-bounded); the scoring join is
+    type-grain with broadcast margins; finisher TakeOrdered. The
+    xlogx identity avoids materializing expectation tables.
+    """
+    from ..operators.text import word_ngrams
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    bg = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            F.explode(word_ngrams("text", 2)).alias("bgr")
+        )
+        .groupBy("bgr")
+        .agg(F.count("*").alias("k11"))
+    )
+    m1 = bg.groupBy(F.substring_index("bgr", " ", 1).alias("w1")).agg(
+        F.sum("k11").cast("bigint").alias("r1")
+    )
+    m2 = bg.groupBy(F.substring_index("bgr", " ", -1).alias("w2")).agg(
+        F.sum("k11").cast("bigint").alias("c1")
+    )
+    tot = bg.agg(F.sum("k11").cast("bigint").alias("n"))
+
+    def xlogx(c):
+        return F.when(c > 0, c * F.log(c.cast("double"))).otherwise(F.lit(0.0))
+
+    cells = (
+        bg.join(
+            F.broadcast(m1), F.substring_index("bgr", " ", 1) == F.col("w1")
+        )
+        .join(
+            F.broadcast(m2), F.substring_index("bgr", " ", -1) == F.col("w2")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bgr",
+            "k11",
+            (F.col("r1") - F.col("k11")).alias("k12"),
+            (F.col("c1") - F.col("k11")).alias("k21"),
+            (F.col("n") - F.col("r1") - F.col("c1") + F.col("k11")).alias(
+                "k22"
+            ),
+            "r1",
+            "c1",
+            "n",
+        )
+    )
+    g2q = F.floor(
+        2.0
+        * (
+            xlogx(F.col("k11"))
+            + xlogx(F.col("k12"))
+            + xlogx(F.col("k21"))
+            + xlogx(F.col("k22"))
+            + xlogx(F.col("n"))
+            - xlogx(F.col("r1"))
+            - xlogx(F.col("n") - F.col("r1"))
+            - xlogx(F.col("c1"))
+            - xlogx(F.col("n") - F.col("c1"))
+        )
+        * 1000000
+        + 0.5
+    ).cast("bigint")
+    return (
+        cells.select("bgr", "k11", "r1", "c1", "n", g2q.alias("g2q"))
+        .orderBy(F.desc("g2q"), "bgr")
+        .limit(_G2_TOPK)
+        .select(
+            F.col("bgr").alias("bigram"),
+            F.col("k11").cast("bigint").alias("n_obs"),
+            dround(F.col("r1") * 1.0 * F.col("c1") / F.col("n"), 4).alias(
+                "n_expected"
+            ),
+            dround(F.col("g2q") / 1000000.0, 4).alias("g2"),
+        )
+    )
