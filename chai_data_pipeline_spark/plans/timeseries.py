@@ -7371,3 +7371,138 @@ def gradient_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard — the estimator-family twin of
+# survival_curve_km (KM multiplies survival factors; NA sums hazard
+# increments d_i/n_i, is defined even through wipeout ties, and its
+# exp(−H) transform is the standard KM cross-check). Same subjects,
+# censoring rule, and duration grain as the KM query; each hazard
+# increment is ×1e9-quantized so the cumsum is exact integers, and
+# the Greenwood-style variance Σ d/n² rides along the same way.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "nelson_aalen_hazard",
+    oracle=f"""
+WITH span AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_d,
+           MAX(CAST(ts AS DATE)) AS last_d
+    FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    GROUP BY 1
+),
+subj AS (
+    SELECT user_id,
+           CAST(last_d - first_d AS BIGINT) AS dur,
+           CAST(last_d < DATE '{_KM_AS_OF}' - {_KM_CENSOR_DAYS} AS BIGINT)
+               AS death
+    FROM span
+),
+g AS (
+    SELECT dur, CAST(SUM(death) AS BIGINT) AS deaths, COUNT(*) AS n_at_dur
+    FROM subj GROUP BY 1
+),
+r AS (
+    SELECT dur, deaths, n_at_dur,
+           CAST((SELECT COUNT(*) FROM subj)
+                - COALESCE(SUM(n_at_dur) OVER (
+                      ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS at_risk
+    FROM g
+),
+h AS (
+    SELECT dur, deaths, at_risk,
+           CAST(SUM(CAST(FLOOR(deaths * 1000000000.0 / at_risk + 0.5)
+                         AS BIGINT)) OVER (
+               ORDER BY dur ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hq,
+           CAST(SUM(CAST(FLOOR(deaths * 1000000000.0 / at_risk / at_risk
+                               + 0.5) AS BIGINT)) OVER (
+               ORDER BY dur ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vq
+    FROM r
+)
+SELECT dur AS day, deaths, at_risk,
+       (FLOOR(hq / 1000000000.0 * 1000000 + 0.5) / 1000000.0)
+           AS cum_hazard,
+       (FLOOR(exp(-hq / 1000000000.0) * 1000000 + 0.5) / 1000000.0)
+           AS survival_na,
+       (FLOOR(vq / 1000000000.0 * 1000000 + 0.5) / 1000000.0)
+           AS hazard_var
+FROM h
+WHERE deaths > 0
+""",
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard over user activity spans.
+
+    Scale: identical dataflow to survival_curve_km — one user-grain
+    shuffle, then duration-grain bounded windows; the hazard cumsum is
+    integer-exact at any partitioning. exp(−H) gives the
+    Fleming-Harrington survival estimate, the standard KM cross-check
+    (pinned ≥ KM pointwise in tests — FH never dips below KM).
+    """
+    from pyspark.sql.window import Window
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    events = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    span = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_d"),
+        F.max(F.to_date("ts")).alias("last_d"),
+    )
+    censor_cut = F.date_sub(F.lit(_KM_AS_OF).cast("date"), _KM_CENSOR_DAYS)
+    subj = span.select(
+        F.datediff("last_d", "first_d").cast("bigint").alias("dur"),
+        (F.col("last_d") < censor_cut).cast("bigint").alias("death"),
+    )
+    total = subj.agg(F.count("*").alias("n_total"))
+    g = subj.groupBy("dur").agg(
+        F.sum("death").cast("bigint").alias("deaths"),
+        F.count("*").alias("n_at_dur"),
+    )
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    r = (
+        g.crossJoin(F.broadcast(total))
+        .select(
+            "dur",
+            "deaths",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("n_at_dur").over(w), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("at_risk"),
+        )
+    )
+    wc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    hq_inc = F.floor(
+        F.col("deaths") * 1000000000.0 / F.col("at_risk") + 0.5
+    ).cast("bigint")
+    vq_inc = F.floor(
+        F.col("deaths") * 1000000000.0 / F.col("at_risk") / F.col("at_risk")
+        + 0.5
+    ).cast("bigint")
+    h = r.select(
+        "dur",
+        "deaths",
+        "at_risk",
+        F.sum(hq_inc).over(wc).cast("bigint").alias("hq"),
+        F.sum(vq_inc).over(wc).cast("bigint").alias("vq"),
+    )
+    return h.filter(F.col("deaths") > 0).select(
+        F.col("dur").alias("day"),
+        "deaths",
+        "at_risk",
+        (F.floor(F.col("hq") / 1000000000.0 * 1000000 + 0.5) / 1000000.0)
+        .alias("cum_hazard"),
+        (
+            F.floor(F.exp(-F.col("hq") / 1000000000.0) * 1000000 + 0.5)
+            / 1000000.0
+        ).alias("survival_na"),
+        (F.floor(F.col("vq") / 1000000000.0 * 1000000 + 0.5) / 1000000.0)
+        .alias("hazard_var"),
+    )

@@ -260,3 +260,18 @@ def test_gbm_stumps_monotone_fit(spark, sf_dir):
     r2 = [r["r2_cumulative"] for r in rows]
     assert r2 == sorted(r2)
     assert r2[0] >= 0.0
+
+
+def test_nelson_aalen_dominates_km(spark, sf_dir):
+    na = {r["day"]: r for r in _rows(spark, sf_dir, "nelson_aalen_hazard")}
+    km = {r["day"]: r for r in _rows(spark, sf_dir, "survival_curve_km")}
+    assert na and set(na) == set(km)
+    prev_h = 0.0
+    for day in sorted(na):
+        r = na[day]
+        # hazard accumulates; variance is positive once deaths occur
+        assert r["cum_hazard"] >= prev_h
+        prev_h = r["cum_hazard"]
+        assert r["hazard_var"] > 0
+        # Fleming-Harrington exp(-H) never dips below Kaplan-Meier
+        assert r["survival_na"] >= km[day]["survival"] - 1e-9
