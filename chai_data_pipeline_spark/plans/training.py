@@ -3352,3 +3352,176 @@ def feature_hashing_collision_audit(
     for wd in _FH_WIDTHS[1:]:
         out = out.unionAll(leg(wd))
     return out
+
+
+# --------------------------------------------------------------------------
+# Shuffle-quality audit — how well does each candidate shard layout
+# decorrelate adjacent training samples? Gradient quality degrades
+# when consecutive samples share a source (correlated batches), so
+# the writer's ordering choice is a real training knob. Three
+# layouts, each as the SHARDS a writer would emit (adjacency is
+# within-shard — windows stay shard-partitioned, never a global sort):
+#   by_source    — shard per source, doc_id order (the worst case);
+#   by_doc_id    — 16 contiguous ingestion-order blocks (key
+#                  arithmetic, no sort);
+#   hash_shuffle — shard/order by the sha256 position (the standard
+#                  training shuffle).
+# Metrics: lag-1 same-source rate vs the independence expectation
+# Σ n_s(n_s−1)/(N(N−1)).
+# --------------------------------------------------------------------------
+
+_SHUF_SHARDS = 16
+
+
+@query(
+    "shuffle_quality_audit",
+    oracle=f"""
+WITH sdocs AS (
+    SELECT doc_id, COALESCE(source, '') AS source,
+           CAST(concat('0x', substring(sha256(CAST(doc_id AS VARCHAR)),
+                                       1, 12)) AS BIGINT) AS h
+    FROM documents
+),
+layouts AS (
+    SELECT 'by_source' AS layout, source AS shard_key,
+           CAST(doc_id AS BIGINT) AS ord1, doc_id, source
+    FROM sdocs
+    UNION ALL
+    SELECT 'by_doc_id', CAST(doc_id // 32 AS VARCHAR),
+           CAST(doc_id AS BIGINT), doc_id, source
+    FROM sdocs
+    UNION ALL
+    SELECT 'hash_shuffle', CAST(h % {_SHUF_SHARDS} AS VARCHAR),
+           h, doc_id, source
+    FROM sdocs
+),
+lagged AS (
+    SELECT layout, shard_key, source,
+           LAG(source) OVER (PARTITION BY layout, shard_key
+                             ORDER BY ord1, doc_id) AS prev_source
+    FROM layouts
+),
+flags AS (
+    SELECT layout, shard_key, source, prev_source,
+           CASE WHEN prev_source IS NULL THEN NULL
+                WHEN prev_source = source THEN 1 ELSE 0 END AS same_src,
+           CASE WHEN prev_source IS NULL
+                     OR prev_source <> source THEN 1 ELSE 0 END AS brk
+    FROM lagged
+),
+exp_rate AS (
+    SELECT CAST(SUM(ns * (ns - 1)) AS DOUBLE)
+           / ((SELECT COUNT(*) FROM sdocs)
+              * ((SELECT COUNT(*) FROM sdocs) - 1.0)) AS expected
+    FROM (SELECT COUNT(*) AS ns FROM sdocs GROUP BY source)
+)
+SELECT layout,
+       CAST(COUNT(same_src) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(SUM(same_src), 0) AS BIGINT) AS same_source_pairs,
+       CASE WHEN COUNT(same_src) = 0 THEN 0.0
+            ELSE (FLOOR(SUM(same_src) * 1.0 / COUNT(same_src)
+                        * 1000000 + 0.5) / 1000000.0) END AS same_rate,
+       (FLOOR((SELECT expected FROM exp_rate) * 1000000 + 0.5)
+        / 1000000.0) AS expected_rate
+FROM flags
+GROUP BY 1
+""",
+)
+def shuffle_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 source correlation of three training-shard layouts.
+
+    Scale: each layout's adjacency is within-shard (the files a writer
+    would emit), so every window partitions by (layout, shard) —
+    never a global sort; the metric table is 3 rows. hash_shuffle
+    should sit at the independence expectation, by_source at ~1.0 —
+    both hashed, so the shuffle actually decorrelating batches is a
+    verified fact, not an assumption.
+    """
+    from pyspark.sql.window import Window as _W
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    sdocs = docs.select(
+        "doc_id",
+        F.coalesce(F.col("source"), F.lit("")).alias("source"),
+        F.conv(F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    lay = (
+        sdocs.select(
+            F.lit("by_source").alias("layout"),
+            F.col("source").alias("shard_key"),
+            F.col("doc_id").cast("bigint").alias("ord1"),
+            "doc_id",
+            "source",
+        )
+        .unionAll(
+            sdocs.select(
+                F.lit("by_doc_id").alias("layout"),
+                F.floor(F.col("doc_id") / 32).cast("string").alias("shard_key"),
+                F.col("doc_id").cast("bigint").alias("ord1"),
+                "doc_id",
+                "source",
+            )
+        )
+        .unionAll(
+            sdocs.select(
+                F.lit("hash_shuffle").alias("layout"),
+                (F.col("h") % _SHUF_SHARDS).cast("string").alias("shard_key"),
+                F.col("h").alias("ord1"),
+                "doc_id",
+                "source",
+            )
+        )
+    )
+    w = _W.partitionBy("layout", "shard_key").orderBy("ord1", "doc_id")
+    flags = lay.select(
+        "layout",
+        "source",
+        F.lag("source").over(w).alias("prev_source"),
+    ).select(
+        "layout",
+        F.when(F.col("prev_source").isNull(), None)
+        .when(F.col("prev_source") == F.col("source"), 1)
+        .otherwise(0)
+        .alias("same_src"),
+    )
+    ns = sdocs.groupBy("source").agg(F.count("*").alias("nsrc"))
+    ntot = sdocs.agg(F.count("*").alias("nt"))
+    exp_rate = (
+        ns.crossJoin(F.broadcast(ntot))
+        .agg(
+            (
+                F.sum(F.col("nsrc") * (F.col("nsrc") - 1)).cast("double")
+                / (F.max("nt") * (F.max("nt") - 1.0))
+            ).alias("expected")
+        )
+    )
+    return (
+        flags.groupBy("layout")
+        .agg(
+            F.count("same_src").cast("bigint").alias("n_pairs"),
+            F.coalesce(F.sum("same_src"), F.lit(0))
+            .cast("bigint")
+            .alias("same_source_pairs"),
+            F.when(F.count("same_src") == 0, F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    F.sum("same_src") * 1.0 / F.count("same_src") * 1000000
+                    + 0.5
+                )
+                / 1000000.0
+            )
+            .alias("same_rate"),
+        )
+        .crossJoin(F.broadcast(exp_rate))
+        .select(
+            "layout",
+            "n_pairs",
+            "same_source_pairs",
+            "same_rate",
+            (F.floor(F.col("expected") * 1000000 + 0.5) / 1000000.0).alias(
+                "expected_rate"
+            ),
+        )
+    )

@@ -275,3 +275,13 @@ def test_nelson_aalen_dominates_km(spark, sf_dir):
         assert r["hazard_var"] > 0
         # Fleming-Harrington exp(-H) never dips below Kaplan-Meier
         assert r["survival_na"] >= km[day]["survival"] - 1e-9
+
+
+def test_shuffle_quality_separates_layouts(spark, sf_dir):
+    rows = {r["layout"]: r for r in _rows(spark, sf_dir, "shuffle_quality_audit")}
+    assert set(rows) == {"by_source", "by_doc_id", "hash_shuffle"}
+    # clustering by source is the worst case
+    assert rows["by_source"]["same_rate"] > 0.9
+    # the hash shuffle must sit near the independence expectation
+    hs = rows["hash_shuffle"]
+    assert abs(hs["same_rate"] - hs["expected_rate"]) < 0.05
