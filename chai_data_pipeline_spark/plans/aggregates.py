@@ -5310,3 +5310,155 @@ def rerandomization_test_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_value"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Group-sequential monitoring with O'Brien-Fleming-shaped boundaries —
+# the industry-standard "peek 5 times without inflating alpha"
+# procedure beside the fully-sequential SPRT (sprt_sequential_test).
+# Five interim looks over the observation window; at look k of K the
+# two-proportion z is compared to the OBF-shaped boundary
+# c·sqrt(K/k) (early looks need overwhelming evidence, the final
+# look spends ~nominal alpha). The boundary constant is pinned
+# (c = 2.04, the K=5 / two-sided-5% OBF shape constant) — a
+# monitoring-policy literal, not an engine-computed quantile.
+# --------------------------------------------------------------------------
+
+_GSEQ_LOOKS = 5
+_GSEQ_C = 2.04
+
+
+@query(
+    "group_sequential_obf_looks",
+    oracle=f"""
+WITH bounds AS (
+    -- the experiment population's window (user AND ts non-null) —
+    -- the Spark side computes bounds after the same filter; an
+    -- anonymous dated event extending the window would desync cutoffs
+    SELECT MIN(CAST(ts AS DATE)) AS dmin, MAX(CAST(ts AS DATE)) AS dmax
+    FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+looks AS (
+    SELECT k.k,
+           (SELECT dmin FROM bounds)
+           + CAST(FLOOR(((SELECT dmax FROM bounds) - (SELECT dmin FROM bounds)
+                          + 1) * k.k / {_GSEQ_LOOKS}.0) AS INTEGER) - 1
+               AS cutoff
+    FROM (SELECT unnest(range(1, {_GSEQ_LOOKS + 1})) AS k) k
+),
+per_user AS (
+    SELECT user_id, CAST(ts AS DATE) AS d,
+           CASE WHEN {_sql_hb('user_id')} < 50 THEN 'A' ELSE 'B' END AS arm,
+           CASE WHEN event_type = 'purchase' AND value >= 150
+                THEN 1 ELSE 0 END AS conv
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+cum AS (
+    SELECT l.k, l.cutoff, u.arm, u.user_id,
+           MAX(u.conv) AS conv
+    FROM looks l
+    JOIN per_user u ON u.d <= l.cutoff
+    GROUP BY 1, 2, 3, 4
+),
+stats AS (
+    SELECT k, cutoff,
+           COUNT(*) FILTER (WHERE arm = 'A') AS na,
+           COUNT(*) FILTER (WHERE arm = 'B') AS nb,
+           COUNT(*) FILTER (WHERE arm = 'A' AND conv = 1) AS sa,
+           COUNT(*) FILTER (WHERE arm = 'B' AND conv = 1) AS sb
+    FROM cum GROUP BY 1, 2
+),
+z AS (
+    SELECT k, cutoff, na, nb, sa, sb,
+           (sa * 1.0 / na - sb * 1.0 / nb)
+           / sqrt(((sa + sb) * 1.0 / (na + nb))
+                  * (1.0 - (sa + sb) * 1.0 / (na + nb))
+                  * (1.0 / na + 1.0 / nb)) AS zval
+    FROM stats WHERE na > 0 AND nb > 0 AND sa + sb > 0
+               AND sa + sb < na + nb
+)
+SELECT CAST(k AS BIGINT) AS look,
+       cutoff AS look_date,
+       CAST(na + nb AS BIGINT) AS n_users,
+       CAST(sa + sb AS BIGINT) AS n_conversions,
+       (FLOOR(zval * 1000000 + 0.5) / 1000000.0) AS z,
+       (FLOOR({_GSEQ_C} * sqrt({_GSEQ_LOOKS}.0 / k) * 1000000 + 0.5)
+        / 1000000.0) AS obf_boundary,
+       ABS(zval) > {_GSEQ_C} * sqrt({_GSEQ_LOOKS}.0 / k) AS crossed
+FROM z
+""",
+)
+def group_sequential_obf_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five OBF-bounded interim looks at the A/B conversion difference.
+
+    Scale: each look's stats come from ONE pass — the user-grain
+    conversion rollup joins a 5-row look spine (users × looks is a
+    broadcast fan-out, map-side combinable down to 4 cells per look).
+    Every z is a ratio of exact counts; boundaries are policy
+    literals. A/A by construction (hash arms of one population) — no
+    look should cross, which the hashed `crossed` column proves.
+    """
+    from .training import hash_bucket
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    ev = events.filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("dmin"),
+        F.max(F.col("ts").cast("date")).alias("dmax"),
+    )
+    looks = (
+        spark.range(1, _GSEQ_LOOKS + 1)
+        .select(F.col("id").cast("int").alias("k"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "k",
+            F.expr(
+                f"date_add(dmin, CAST(FLOOR((datediff(dmax, dmin) + 1)"
+                f" * k / {_GSEQ_LOOKS}.0) AS INT) - 1)"
+            ).alias("cutoff"),
+        )
+    )
+    per_user = ev.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.when(hash_bucket("user_id") < 50, "A").otherwise("B").alias("arm"),
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") >= 150), 1
+        )
+        .otherwise(0)
+        .alias("conv"),
+    )
+    cum = (
+        per_user.crossJoin(F.broadcast(looks))
+        .filter(F.col("d") <= F.col("cutoff"))
+        .groupBy("k", "cutoff", "arm", "user_id")
+        .agg(F.max("conv").alias("conv"))
+    )
+    stats = cum.groupBy("k", "cutoff").agg(
+        F.count_if(F.col("arm") == "A").alias("na"),
+        F.count_if(F.col("arm") == "B").alias("nb"),
+        F.count_if((F.col("arm") == "A") & (F.col("conv") == 1)).alias("sa"),
+        F.count_if((F.col("arm") == "B") & (F.col("conv") == 1)).alias("sb"),
+    )
+    p = (F.col("sa") + F.col("sb")) * 1.0 / (F.col("na") + F.col("nb"))
+    zval = (F.col("sa") * 1.0 / F.col("na") - F.col("sb") * 1.0 / F.col("nb")) / F.sqrt(
+        p * (1.0 - p) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    bnd = F.lit(_GSEQ_C) * F.sqrt(F.lit(float(_GSEQ_LOOKS)) / F.col("k"))
+    return (
+        stats.filter(
+            (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (F.col("sa") + F.col("sb") > 0)
+            & (F.col("sa") + F.col("sb") < F.col("na") + F.col("nb"))
+        )
+        .select(
+            F.col("k").cast("bigint").alias("look"),
+            F.col("cutoff").alias("look_date"),
+            (F.col("na") + F.col("nb")).cast("bigint").alias("n_users"),
+            (F.col("sa") + F.col("sb")).cast("bigint").alias("n_conversions"),
+            (F.floor(zval * 1000000 + 0.5) / 1000000.0).alias("z"),
+            (F.floor(bnd * 1000000 + 0.5) / 1000000.0).alias("obf_boundary"),
+            (F.abs(zval) > bnd).alias("crossed"),
+        )
+    )

@@ -4591,3 +4591,95 @@ def bigram_llr_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("g2q") / 1000000.0, 4).alias("g2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Word burstiness (Church & Gale 1995): variance-to-mean ratio of
+# per-document counts. A Poisson word has VMR ≈ 1; content-bearing
+# words are BURSTY (VMR >> 1 — they pile into few documents), and
+# burstiness is the classic signal separating topical terms from
+# function words when IDF cannot (both kinds can have similar df).
+# VMR = (Q − S²/N)/S from exact integer moments — identical IEEE ops.
+# --------------------------------------------------------------------------
+
+_BURST_TOPK = 15
+_BURST_MIN_COUNT = 20
+
+
+@query(
+    "word_burstiness_topk",
+    oracle=f"""
+WITH bwc AS (
+    SELECT doc_id, w, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(string_split_regex(TRIM(text), '\\s+')) AS w
+          FROM documents WHERE text IS NOT NULL AND TRIM(text) <> '')
+    GROUP BY 1, 2
+),
+bn AS (
+    SELECT COUNT(DISTINCT doc_id) AS n
+    FROM documents WHERE text IS NOT NULL AND TRIM(text) <> ''
+),
+bm AS (
+    SELECT w,
+           CAST(SUM(c) AS BIGINT) AS s,
+           CAST(SUM(c * c) AS BIGINT) AS q,
+           COUNT(*) AS df
+    FROM bwc GROUP BY 1
+)
+SELECT w AS word,
+       s AS total_count,
+       CAST(df AS BIGINT) AS doc_freq,
+       (FLOOR(s * 1.0 / bn.n * 1000000 + 0.5) / 1000000.0)
+           AS mean_per_doc,
+       (FLOOR((q - CAST(s AS DOUBLE) * s / bn.n) / s * 10000 + 0.5)
+        / 10000.0) AS burstiness_vmr
+FROM bm CROSS JOIN bn
+WHERE s >= {_BURST_MIN_COUNT}
+ORDER BY (q - CAST(s AS DOUBLE) * s / bn.n) / s DESC, w
+LIMIT {_BURST_TOPK}
+""",
+)
+def word_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 bursty words by variance-to-mean ratio of doc counts.
+
+    Scale: one (doc, word) aggregate (map-side combinable), then
+    vocabulary-grain moments — zeros never materialize (the S²/N term
+    accounts for absent docs analytically). Finisher TakeOrdered.
+    """
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    nonempty = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    bwc = (
+        docs.filter(nonempty)
+        .select("doc_id", F.explode(T.words("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    bn = docs.filter(nonempty).agg(
+        F.countDistinct("doc_id").alias("n")
+    )
+    bm = bwc.groupBy("w").agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q"),
+        F.count("*").alias("df"),
+    )
+    vmr_raw = (
+        F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / F.col("s")
+    return (
+        bm.crossJoin(F.broadcast(bn))
+        .filter(F.col("s") >= _BURST_MIN_COUNT)
+        .orderBy(vmr_raw.desc(), "w")
+        .limit(_BURST_TOPK)
+        .select(
+            F.col("w").alias("word"),
+            F.col("s").alias("total_count"),
+            F.col("df").cast("bigint").alias("doc_freq"),
+            (
+                F.floor(F.col("s") * 1.0 / F.col("n") * 1000000 + 0.5)
+                / 1000000.0
+            ).alias("mean_per_doc"),
+            (F.floor(vmr_raw * 10000 + 0.5) / 10000.0).alias(
+                "burstiness_vmr"
+            ),
+        )
+    )
