@@ -5462,3 +5462,152 @@ def group_sequential_obf_looks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(zval) > bnd).alias("crossed"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Delta-method CI for a RATIO metric (revenue per event) — the
+# experimentation family's missing piece: welch_ttest handles per-user
+# MEANS, but production north-stars are ratios of sums (revenue/
+# events, clicks/views), where a naive user-level t-test is simply
+# wrong (users contribute unequal denominators). The delta method
+# linearizes R = ΣX/ΣY around (x̄, ȳ): Var(R) ≈ (s_xx − 2R·s_xy +
+# R²·s_yy) / (n·ȳ²). All moments are exact cents/count integers.
+# --------------------------------------------------------------------------
+
+_DELTA_Z = 1.959963984540054  # N(0,1) 97.5% quantile, policy literal
+
+
+def _delta_arm_sql(tag: str, arm: str) -> str:
+    return f"""
+d_{tag} AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS HUGEINT) AS sxx,
+           CAST(SUM(CAST(y AS BIGINT) * y) AS BIGINT) AS syy,
+           CAST(SUM(x * y) AS HUGEINT) AS sxy
+    FROM d_users WHERE arm = '{arm}'
+),
+v_{tag} AS (
+    SELECT n, sx, sy,
+           CAST(sx AS DOUBLE) / sy AS r,
+           ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n) / (n - 1)
+            - 2 * (CAST(sx AS DOUBLE) / sy)
+              * ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1))
+            + (CAST(sx AS DOUBLE) / sy) * (CAST(sx AS DOUBLE) / sy)
+              * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy / n) / (n - 1)))
+           / (n * (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n)) AS vr
+    FROM d_{tag}
+)"""
+
+
+@query(
+    "ratio_metric_delta_ci",
+    oracle=f"""
+WITH d_users AS (
+    SELECT user_id,
+           CASE WHEN {_sql_hb('user_id')} < 50 THEN 'A' ELSE 'B' END AS arm,
+           CAST(SUM(CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS x,
+           COUNT(*) AS y
+    FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+{_delta_arm_sql('a', 'A').lstrip()},
+{_delta_arm_sql('b', 'B').lstrip()}
+SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       (FLOOR(a.r / 100.0 * 1000000 + 0.5) / 1000000.0) AS ratio_a,
+       (FLOOR(b.r / 100.0 * 1000000 + 0.5) / 1000000.0) AS ratio_b,
+       (FLOOR((b.r - a.r) / 100.0 * 1000000 + 0.5) / 1000000.0) AS diff,
+       (FLOOR(sqrt(a.vr + b.vr) / 100.0 * 1000000 + 0.5) / 1000000.0)
+           AS se_diff,
+       (FLOOR(((b.r - a.r) - {_DELTA_Z!r} * sqrt(a.vr + b.vr)) / 100.0
+              * 1000000 + 0.5) / 1000000.0) AS ci_lo,
+       (FLOOR(((b.r - a.r) + {_DELTA_Z!r} * sqrt(a.vr + b.vr)) / 100.0
+              * 1000000 + 0.5) / 1000000.0) AS ci_hi,
+       (FLOOR((b.r - a.r) / sqrt(a.vr + b.vr) * 1000000 + 0.5)
+        / 1000000.0) AS z
+FROM v_a a CROSS JOIN v_b b
+""",
+)
+def ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for the revenue-per-event ratio, arm B vs A.
+
+    Scale: one user-grain rollup, then two 1-row moment aggregates —
+    the whole inference runs on 12 exact integers. This is the
+    estimator a naive per-user t-test silently gets wrong (ratio
+    metrics weight users by their denominators); linearization
+    variance is the standard fix (also the basis of CUPED-on-ratios).
+    """
+    from .training import hash_bucket
+
+    events = load_tables(spark, sf_dir, "events")["events"]
+    d_users = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("x"),
+            F.count("*").alias("y"),
+        )
+        .select(
+            F.when(hash_bucket("user_id") < 50, "A").otherwise("B").alias(
+                "arm"
+            ),
+            "x",
+            "y",
+        )
+    )
+
+    def arm(tag: str) -> DataFrame:
+        d = d_users.filter(F.col("arm") == tag).agg(
+            F.count("*").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y").cast("bigint") * F.col("y"))
+            .cast("bigint")
+            .alias("syy"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        )
+        r = F.col("sx").cast("double") / F.col("sy")
+        sxx = (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+        ) / (F.col("n") - 1)
+        sxy = (
+            F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy") / F.col("n")
+        ) / (F.col("n") - 1)
+        syy = (
+            F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+        ) / (F.col("n") - 1)
+        ybar = F.col("sy").cast("double") / F.col("n")
+        vr = (sxx - 2 * r * sxy + r * r * syy) / (F.col("n") * ybar * ybar)
+        return d.select(
+            F.col("n").alias(f"n_{tag.lower()}"),
+            r.alias(f"r_{tag.lower()}"),
+            vr.alias(f"vr_{tag.lower()}"),
+        )
+
+    out = arm("A").crossJoin(arm("B"))
+    diff = F.col("r_b") - F.col("r_a")
+    se = F.sqrt(F.col("vr_a") + F.col("vr_b"))
+
+    def fp6(c):
+        return F.floor(c * 1000000 + 0.5) / 1000000.0
+
+    return out.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        fp6(F.col("r_a") / 100.0).alias("ratio_a"),
+        fp6(F.col("r_b") / 100.0).alias("ratio_b"),
+        fp6(diff / 100.0).alias("diff"),
+        fp6(se / 100.0).alias("se_diff"),
+        fp6((diff - F.lit(_DELTA_Z) * se) / 100.0).alias("ci_lo"),
+        fp6((diff + F.lit(_DELTA_Z) * se) / 100.0).alias("ci_hi"),
+        fp6(diff / se).alias("z"),
+    )
