@@ -3525,3 +3525,156 @@ def shuffle_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# James-Stein empirical-Bayes shrinkage of per-source mean document
+# length — the estimator that dominates raw per-group means whenever
+# ≥4 groups are estimated at once (Stein's paradox): each source's
+# mean is pulled toward the grand mean by a factor learned from the
+# data itself, B = (1 − (k−3)·V / Σd²)₊ with V the sampling variance
+# of a group mean (pooled within-variance / n). This is the
+# statistical backbone of per-segment dashboards that do not
+# overreact to small-sample extremes. All moments are exact integer
+# token counts; cross-source double sums are ×1e6-quantized.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "james_stein_source_means",
+    oracle=f"""
+WITH js_docs AS (
+    SELECT source,
+           CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+                ELSE len(string_split_regex(TRIM(text), '\\s+')) END AS n
+    FROM documents WHERE source IS NOT NULL
+),
+js_src AS (
+    SELECT source, COUNT(*) AS nd,
+           CAST(SUM(n) AS BIGINT) AS s,
+           CAST(SUM(CAST(n AS BIGINT) * n) AS BIGINT) AS q
+    FROM js_docs GROUP BY 1
+),
+js_tot AS (
+    SELECT COUNT(*) AS k,
+           CAST(SUM(s) AS BIGINT) AS st,
+           CAST(SUM(nd) AS BIGINT) AS ndt,
+           CAST(SUM(q - CAST(s AS DOUBLE) * s / nd) AS DOUBLE) AS ssw
+    FROM js_src
+),
+js_m AS (
+    SELECT r.source, r.nd,
+           CAST(r.s AS DOUBLE) / r.nd AS m,
+           CAST(t.st AS DOUBLE) / t.ndt AS gm,
+           t.k,
+           (t.ssw / (t.ndt - t.k)) / (CAST(t.ndt AS DOUBLE) / t.k) AS v
+    FROM js_src r CROSS JOIN js_tot t
+),
+js_d AS (
+    SELECT CAST(SUM(CAST(FLOOR((m - gm) * (m - gm) * 1000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS d2q
+    FROM js_m
+),
+js_b AS (
+    SELECT GREATEST(1.0 - (m.k - 3) * m.v
+                          / (CASE WHEN d.d2q > 0
+                                  THEN d.d2q / 1000000.0 END),
+                    0.0) AS b
+    FROM (SELECT MAX(k) AS k, MAX(v) AS v FROM js_m) m
+    CROSS JOIN js_d d
+)
+SELECT s.source,
+       CAST(s.nd AS BIGINT) AS n_docs,
+       (FLOOR(s.m * 10000 + 0.5) / 10000.0) AS raw_mean,
+       (FLOOR((s.gm + b.b * (s.m - s.gm)) * 10000 + 0.5) / 10000.0)
+           AS shrunk_mean,
+       (FLOOR(b.b * 1000000 + 0.5) / 1000000.0) AS shrink_weight
+FROM js_m s CROSS JOIN js_b b
+""",
+)
+def james_stein_source_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS-shrunk per-source mean document length.
+
+    Scale: one source-grain moment aggregate; the shrinkage factor is
+    a scalar from k-row math (broadcast). Every per-source mean moves
+    toward the grand mean by the SAME learned factor — the
+    equal-n James-Stein form (this corpus has 25 docs per source);
+    the positive-part guard is taken identically on both engines.
+    """
+    from ..operators import text as T
+
+    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    empty = F.col("text").isNull() | (F.trim(F.col("text")) == "")
+    nlen = F.when(empty, F.lit(0)).otherwise(F.size(T.words("text")))
+    js_docs = docs.filter(F.col("source").isNotNull()).select(
+        "source", nlen.alias("n")
+    )
+    js_src = js_docs.groupBy("source").agg(
+        F.count("*").alias("nd"),
+        F.sum("n").cast("bigint").alias("s"),
+        F.sum(F.col("n").cast("bigint") * F.col("n"))
+        .cast("bigint")
+        .alias("q"),
+    )
+    js_tot = js_src.agg(
+        F.count("*").alias("k"),
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("nd").cast("bigint").alias("ndt"),
+        F.sum(
+            F.col("q") - F.col("s").cast("double") * F.col("s") / F.col("nd")
+        )
+        .cast("double")
+        .alias("ssw"),
+    )
+    js_m = js_src.crossJoin(F.broadcast(js_tot)).select(
+        "source",
+        "nd",
+        (F.col("s").cast("double") / F.col("nd")).alias("m"),
+        (F.col("st").cast("double") / F.col("ndt")).alias("gm"),
+        "k",
+        (
+            (F.col("ssw") / (F.col("ndt") - F.col("k")))
+            / (F.col("ndt").cast("double") / F.col("k"))
+        ).alias("v"),
+    )
+    js_d = js_m.agg(
+        F.sum(
+            F.floor(
+                (F.col("m") - F.col("gm"))
+                * (F.col("m") - F.col("gm"))
+                * 1000000
+                + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("d2q")
+    )
+    js_b = (
+        js_m.agg(F.max("k").alias("k"), F.max("v").alias("v"))
+        .crossJoin(F.broadcast(js_d))
+        .select(
+            F.greatest(
+                1.0
+                - (F.col("k") - 3)
+                * F.col("v")
+                / F.when(F.col("d2q") > 0, F.col("d2q") / 1000000.0),
+                F.lit(0.0),
+            ).alias("b")
+        )
+    )
+    return js_m.crossJoin(F.broadcast(js_b)).select(
+        "source",
+        F.col("nd").cast("bigint").alias("n_docs"),
+        (F.floor(F.col("m") * 10000 + 0.5) / 10000.0).alias("raw_mean"),
+        (
+            F.floor(
+                (F.col("gm") + F.col("b") * (F.col("m") - F.col("gm")))
+                * 10000
+                + 0.5
+            )
+            / 10000.0
+        ).alias("shrunk_mean"),
+        (F.floor(F.col("b") * 1000000 + 0.5) / 1000000.0).alias(
+            "shrink_weight"
+        ),
+    )

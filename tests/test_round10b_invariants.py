@@ -285,3 +285,20 @@ def test_shuffle_quality_separates_layouts(spark, sf_dir):
     # the hash shuffle must sit near the independence expectation
     hs = rows["hash_shuffle"]
     assert abs(hs["same_rate"] - hs["expected_rate"]) < 0.05
+
+
+def test_james_stein_contraction(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "james_stein_source_means")
+    assert rows
+    gm_approx = sum(r["raw_mean"] * r["n_docs"] for r in rows) / sum(
+        r["n_docs"] for r in rows
+    )
+    b = rows[0]["shrink_weight"]
+    assert all(abs(r["shrink_weight"] - b) < 1e-9 for r in rows)
+    assert 0.0 <= b <= 1.0
+    for r in rows:
+        # shrunk estimate lies between the raw mean and the grand mean
+        lo, hi = sorted((r["raw_mean"], gm_approx))
+        assert lo - 0.01 <= r["shrunk_mean"] <= hi + 0.01
+    # the INPUT must be non-degenerate even when shrinkage is total
+    assert len({r["raw_mean"] for r in rows}) > 1
