@@ -24,6 +24,19 @@ This is not just test plumbing: order-independent aggregation is what
 makes results reproducible run-to-run on a real cluster too (AQE can
 change partitioning between runs, and a 1000-executor sum would
 otherwise never reproduce byte-identical outputs).
+
+Known residual risk class (accepted, low probability): a few queries
+(bayes_beta_binomial_ab, kn_bigram_perplexity, naive_bayes_langid_eval)
+quantize ENGINE-computed transcendentals — ``ln()``/``exp()`` evaluated
+by the JVM on the Spark side and by libm on the DuckDB side — at fixed
+grids like ``FLOOR(x*1e12 + 0.5)``. A ulp difference between the two
+math libraries landing EXACTLY on a grid boundary could flip one
+quantized term. The final coarser rounding (1e-6) absorbs single-term
+flips, so no failure has ever been observed, but if one of those
+queries ever hash-mismatches with no code/data change, triage to libm
+divergence FIRST. The fully-safe pattern (used by the RBO/periodogram
+oracles) is to precompute transcendental constants in Python and ship
+the bit-identical double literal to both engines.
 """
 
 from __future__ import annotations

@@ -3317,8 +3317,6 @@ def feature_hashing_collision_audit(
     """
     from pyspark.sql.window import Window as _W
 
-    from .registry import query as _q  # noqa: F401
-
     docs = load_tables(spark, sf_dir, "documents")["documents"]
     nonempty = F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
     from ..operators import text as T
