@@ -46,13 +46,14 @@ def _centroid_norm(vec: list[float]) -> float:
     return math.sqrt(acc)
 
 
-def _assign_expr(codebook: list[list[float]], vec_col: str) -> str:
-    """SQL expr: argmax cluster id by cosine against literal centroids,
-    ties to the lowest id. Uses the same sequential-fold dot product as
-    operators/similarity (bit-identical across engines/partitions).
-    Centroid norms are baked in as literals and the row norm is read
-    from a pre-hoisted ``__vnorm`` column — the naive form recomputes
-    both k times per row."""
+def _best_struct_expr(codebook: list[list[float]], vec_col: str) -> str:
+    """SQL expr: the winning (sim, neg_cid) struct by cosine against
+    literal centroids — struct max orders by sim first, then neg_cid,
+    so ties break to the LOWEST cluster id. Uses the same
+    sequential-fold dot product as operators/similarity (bit-identical
+    across engines/partitions). Centroid norms are baked in as literals
+    and the row norm is read from a pre-hoisted ``__vnorm`` column —
+    the naive form recomputes both k times per row."""
     from .similarity import dot_sql_spark
 
     elems = []
@@ -63,7 +64,12 @@ def _assign_expr(codebook: list[list[float]], vec_col: str) -> str:
             f" / (__vnorm * {_centroid_norm(vec)!r}) AS sim, "
             f"{-cid} AS neg_cid)"
         )
-    return f"-array_max(array({', '.join(elems)})).neg_cid"
+    return f"array_max(array({', '.join(elems)}))"
+
+
+def _assign_expr(codebook: list[list[float]], vec_col: str) -> str:
+    """SQL expr: argmax cluster id by cosine (ties to the lowest id)."""
+    return f"-{_best_struct_expr(codebook, vec_col)}.neg_cid"
 
 
 def kmeans_assign(
@@ -81,6 +87,35 @@ def kmeans_assign(
         )
         .withColumn(out_col, F.expr(_assign_expr(codebook, vec_col)))
         .drop("__vnorm")
+    )
+
+
+def kmeans_assign_scored(
+    df: DataFrame,
+    codebook: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assignment plus the WINNING cosine in one argmax pass: adds
+    ``cluster_id`` and ``__sim``. The k×dim dot-product fan is built
+    once — re-deriving the similarity afterwards (e.g. a CASE chain on
+    cluster_id, as kmeans_summary once did) duplicates the entire
+    literal-codebook expression tree in the plan, which at codebook
+    scale is the dominant per-query cost (plan construction + codegen,
+    not data). ``__sim`` is bit-identical to the recomputed form: both
+    are the same sequential-fold dot over the same literals."""
+    from .similarity import dot_sql_spark
+
+    return (
+        df.withColumn(
+            "__vnorm", F.expr(f"sqrt({dot_sql_spark(vec_col, vec_col)})")
+        )
+        .withColumn("__best", F.expr(_best_struct_expr(codebook, vec_col)))
+        .select(
+            "*",
+            (-F.col("__best.neg_cid")).alias("cluster_id"),
+            F.col("__best.sim").alias("__sim"),
+        )
+        .drop("__vnorm", "__best")
     )
 
 
@@ -158,23 +193,15 @@ def kmeans_summary(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(cluster_id, n_members, mean_sim) for a fitted codebook —
-    assignment map-only, one bounded aggregation."""
+    assignment map-only, one bounded aggregation. The winning cosine
+    rides out of the assignment argmax itself (kmeans_assign_scored) —
+    sims are bit-identical to a recompute-by-CASE, at half the plan."""
     from ..functions import dround
-    from .similarity import cosine_sql_spark
 
-    assigned = kmeans_assign(df, codebook, vec_col)
-    sim_cases = " ".join(
-        f"WHEN {cid} THEN "
-        + cosine_sql_spark(
-            vec_col,
-            f"array({', '.join(f'cast({x!r} AS double)' for x in vec)})",
-        )
-        for cid, vec in enumerate(codebook)
-    )
-    sim = F.expr(f"CASE cluster_id {sim_cases} END")
+    assigned = kmeans_assign_scored(df, codebook, vec_col)
     # fixed-point-quantized mean (exact integer sum → associative →
     # partition-order-independent), same trick as embedding_centroids
-    qsim = F.floor(sim * _Q).cast("long")
+    qsim = F.floor(F.col("__sim") * _Q).cast("long")
     return assigned.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
         dround(

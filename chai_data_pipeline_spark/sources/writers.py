@@ -149,8 +149,6 @@ def merge_into(
     :func:`upsert_partitions` (rewrites only touched partitions).
     """
     import os
-    import shutil
-    import uuid
 
     from ..operators.merge import upsert
 
@@ -158,10 +156,34 @@ def merge_into(
         merged = upsert(spark.read.parquet(target_dir), source, keys)
     else:
         merged = source
+    atomic_replace(target_dir, merged, partition_by=partition_by)
+
+
+def atomic_replace(
+    target_dir: str,
+    df: DataFrame,
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    """Write ``df`` then atomically swap it in as ``target_dir`` —
+    the commit half of :func:`merge_into`, exposed for sinks that have
+    ALREADY resolved the complete new table state in-plan (e.g. a
+    foreachBatch that unions target ∪ batch and keeps
+    latest-by-event-time: routing that through merge_into would pay a
+    second, redundant key-upsert shuffle against the same target).
+    Same marker-file crash protocol as merge_into; recoverable via
+    :func:`recover_merge`."""
+    import os
+    import shutil
+    import uuid
+
     tmp = f"{target_dir}__merge_{uuid.uuid4().hex[:8]}"
-    # localCheckpoint: cut lineage back to the files we are about to
-    # replace BEFORE the swap (read-overwrite hazard)
-    w = merged.localCheckpoint(eager=True).write.mode("overwrite")
+    # No localCheckpoint needed (r11): the write goes to a SEPARATE tmp
+    # dir and fully executes — reading the live target — before any
+    # rename touches the target, so the read-overwrite hazard a direct
+    # `mode("overwrite")` has (see stateful.run_foreach_batch_upsert,
+    # which does need the checkpoint) cannot occur here; the eager
+    # checkpoint was one full extra materialization per merge.
+    w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)

@@ -34,7 +34,7 @@ def streaming_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch HLL-register merge; return the final one-row estimate
     plus a register digest as a batch DataFrame."""
     from ..operators.sketch import hll_estimate, hll_registers
-    from ..sources.writers import merge_into, recover_merge
+    from ..sources.writers import atomic_replace, recover_merge
     from .windows import _events_stream, stream_scratch_dir
 
     base = "chai_stream_hll"
@@ -69,16 +69,27 @@ def streaming_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("bucket")
                 .agg(F.max("reg").alias("reg"))
             )
-        merge_into(sp, target, regs, keys=["bucket"])
+        # `regs` is already the fully-merged register table (bucket-wise
+        # max over target ∪ batch covers every existing bucket) — commit
+        # directly; merge_into would add a redundant key-upsert shuffle.
+        atomic_replace(target, regs)
 
-    q = (
-        ev.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", target + "_chk")
-        .start()
-    )
+    # 256-row register state: a vanilla session's 200 shuffle
+    # partitions are pure task-launch overhead — pin small for the
+    # stream's lifetime (same discipline as run_streaming_query).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        q.processAllAvailable()
+        q = (
+            ev.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", target + "_chk")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     return hll_estimate(spark.read.parquet(target))

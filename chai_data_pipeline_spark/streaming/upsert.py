@@ -45,7 +45,7 @@ def streaming_upsert_latest(
     return the final target state (latest event per key) as a batch
     DataFrame. Same bounded-temp-dir discipline as run_streaming_query:
     one live result per process, anchored cleanup glob."""
-    from ..sources.writers import merge_into
+    from ..sources.writers import atomic_replace
     from .windows import _events_stream, stream_scratch_dir
 
     base = "chai_stream_upsert"
@@ -99,17 +99,31 @@ def streaming_upsert_latest(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        merge_into(sp, target, latest, keys=key_list)
+        # `latest` IS the complete new table state (it derives from
+        # target ∪ batch, so it covers every existing key) — commit it
+        # directly; merge_into here would re-read the target and pay a
+        # second, redundant key-upsert shuffle before the same swap.
+        atomic_replace(target, latest)
 
-    q = (
-        ev.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", target + "_chk")
-        .start()
-    )
+    # Pin the per-batch shuffle width for the stream's lifetime (same
+    # rationale as run_streaming_query's state_partitions): the window
+    # and checkpoint shuffles are keyed on user_id at table grain, and a
+    # vanilla session's 200 partitions are pure task-launch overhead at
+    # this state volume. Production sizes this to target-table volume.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            ev.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", target + "_chk")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     from ..functions import dround
 

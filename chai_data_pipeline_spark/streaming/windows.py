@@ -257,14 +257,33 @@ def run_streaming_query(
     query in the bench. Append mode therefore goes through a parquet
     file sink (the production shape; supports append only) and is read
     back lazily; complete/update aggregates are small and keep the
-    memory sink."""
+    memory sink.
+
+    No-data micro-batches are disabled for the run (r11): they exist to
+    FINALIZE append-mode windowed aggregates after the watermark passes
+    — none of this engine's streaming topologies needs that (complete/
+    update modes emit on every data batch; the append-mode join and
+    dedup emit at processing time), so the extra batch was a pure
+    state-commit round (~0.25 s each locally, one more full commit
+    cycle per query at any scale). A future append-mode WINDOWED
+    aggregate must re-enable this or its trailing windows never emit.
+    """
     spark = df.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nd = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+    )
     try:
         return _run_stream_inner(spark, df, name, output_mode)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nd
+        )
 
 
 def _run_stream_inner(
@@ -441,7 +460,16 @@ def window_topk_run(
         )
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nd = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    # complete-mode state re-emits on every data batch; the no-data
+    # finalization batch would just overwrite the sink with the same
+    # leaderboard (see run_streaming_query)
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+    )
     try:
         q = (
             agg.writeStream.outputMode("complete")
@@ -455,4 +483,7 @@ def window_topk_run(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nd
+        )
     return spark.read.parquet(out)
