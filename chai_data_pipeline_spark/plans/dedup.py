@@ -882,10 +882,10 @@ _SIMHASH_SPARK = (
 )
 
 
-@query(
-    "dedup_simhash_checked",
-    oracle=f"""
-WITH tok AS (
+# DuckDB twin of _SIMHASH_SPARK: tok + sig CTEs (md5-derived 32-bit
+# sign-fold fingerprint). Shared verbatim by dedup_simhash_checked and
+# the streaming_neardup_guard oracle (plans/streaming.py).
+_SIMHASH_SIG_SQL_DUCKDB = f"""tok AS (
     SELECT doc_id,
            list_transform(
                list_distinct(string_split_regex(lower(trim(text)), '\\s+')),
@@ -904,7 +904,13 @@ sig AS (
                     THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
            )) AS BIGINT) AS simhash
     FROM tok
-),
+)"""
+
+
+@query(
+    "dedup_simhash_checked",
+    oracle=f"""
+WITH {_SIMHASH_SIG_SQL_DUCKDB},
 chunks AS (
     SELECT doc_id, simhash, c.c AS chunk_idx,
            (simhash >> (c.c * 8)) & 255 AS chunk_val

@@ -334,3 +334,48 @@ def streaming_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import window_topk_run
 
     return window_topk_run(spark, sf_dir, k=3)
+
+
+# --------------------------------------------------------------------------
+# Streaming near-dup guard (r11): an ingest stream admitted through the
+# SimHash chunk-blocking + Hamming filter — the streaming sibling of
+# dedup_simhash_checked, completing the batch↔streaming symmetry of the
+# dedup family. A doc is rejected iff ANY lower-id doc already seen
+# (previous micro-batch's committed state OR earlier in this batch)
+# shares an 8-bit fingerprint chunk within Hamming ≤ 6. The greedy
+# any-lower-collision rule makes the decision batching-independent, so
+# the two-micro-batch streaming run must land on exactly this one-shot
+# batch SQL. Fingerprint CTEs shared verbatim with the batch twin
+# (plans/dedup._SIMHASH_SIG_SQL_DUCKDB).
+# --------------------------------------------------------------------------
+
+from .dedup import _SIMHASH_CHK_CHUNKS as _ND_CHUNKS  # noqa: E402
+from .dedup import _SIMHASH_CHK_HAM as _ND_HAM  # noqa: E402
+from .dedup import _SIMHASH_SIG_SQL_DUCKDB as _ND_SIG  # noqa: E402
+
+
+@query(
+    "streaming_neardup_guard",
+    oracle=f"""
+WITH {_ND_SIG},
+chunks AS (
+    SELECT doc_id, simhash, c.c AS chunk_idx,
+           (simhash >> (c.c * 8)) & 255 AS chunk_val
+    FROM sig, (SELECT unnest(range(0, {_ND_CHUNKS})) AS c) c
+),
+rejected AS (
+    SELECT DISTINCT d.doc_id
+    FROM chunks d JOIN chunks e
+      ON d.chunk_idx = e.chunk_idx AND d.chunk_val = e.chunk_val
+         AND e.doc_id < d.doc_id
+    WHERE bit_count(xor(d.simhash, e.simhash)) <= {_ND_HAM}
+)
+SELECT s.doc_id, s.simhash
+FROM sig s LEFT JOIN rejected r ON s.doc_id = r.doc_id
+WHERE r.doc_id IS NULL
+""",
+)
+def streaming_neardup_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.neardup import streaming_neardup_guard as run
+
+    return run(spark, sf_dir)
