@@ -184,17 +184,26 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # share at least one exact 16-bit chunk by pigeonhole when ≤3 chunks
     # are touched; 4-chunk blocking gives exact recall for hamming ≤ 3
     # per-chunk spread and high recall otherwise — the standard trick.
-    chunks = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3),"
-                " c -> struct(c AS chunk_idx,"
-                " shiftright(simhash, c * 16) & 65535 AS chunk_val))"
-            )
-        ).alias("ch"),
-    ).select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    chunks = (
+        sig.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, 3),"
+                    " c -> struct(c AS chunk_idx,"
+                    " shiftright(simhash, c * 16) & 65535 AS chunk_val))"
+                )
+            ).alias("ch"),
+        )
+        .select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+        # materialize ONCE: three consumers (the cap census and both
+        # self-join sides) would otherwise each re-run the tokenize →
+        # xxhash → Arrow sign-fold subplan — the dominant cost. Same
+        # rationale at 100 TB, where the signature table is written
+        # out before blocking (pagerank localCheckpoint precedent).
+        .localCheckpoint(eager=True)
+    )
     # skew cap: same-vocabulary corpora produce near-identical simhashes,
     # so a hot chunk bucket would go quadratic — cap like MinHash-LSH
     sizes = chunks.groupBy("chunk_idx", "chunk_val").agg(
@@ -937,17 +946,23 @@ def dedup_simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", F.expr(_SIMHASH_SPARK).alias("simhash")
     )
-    chunks = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {_SIMHASH_CHK_CHUNKS - 1}),"
-                " c -> struct(c AS chunk_idx,"
-                " shiftright(simhash, c * 8) & 255 AS chunk_val))"
-            )
-        ).alias("ch"),
-    ).select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    chunks = (
+        sig.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {_SIMHASH_CHK_CHUNKS - 1}),"
+                    " c -> struct(c AS chunk_idx,"
+                    " shiftright(simhash, c * 8) & 255 AS chunk_val))"
+                )
+            ).alias("ch"),
+        )
+        .select("doc_id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+        # materialize once — the interpreted higher-order sign-fold is
+        # the dominant cost and has three consumers (see dedup_simhash)
+        .localCheckpoint(eager=True)
+    )
     sizes = chunks.groupBy("chunk_idx", "chunk_val").agg(
         F.count("*").alias("__n")
     )
