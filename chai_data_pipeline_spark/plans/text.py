@@ -573,7 +573,14 @@ def corpus_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ELSE transform(sequence(1, size(w) - 1),"
         " i -> concat_ws(' ', slice(w, i, 2))) END"
     )
-    g = toks.select("source", F.explode(bigrams).alias("g")).distinct()
+    # materialize the posting table once: the per-source counts and
+    # BOTH self-join sides would otherwise each re-run the bigram
+    # explode + distinct shuffle (dedup_simhash precedent)
+    g = (
+        toks.select("source", F.explode(bigrams).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     counts = g.groupBy("source").agg(F.count("*").alias("n"))
     a = g.alias("a")
     b = g.alias("b")
