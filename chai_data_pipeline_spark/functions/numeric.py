@@ -58,16 +58,40 @@ from pyspark.sql import functions as F
 _PREC = 27
 
 
+# Magnitude guard for dround (r11): past 2^53 the scaled value has no
+# representable fractional part, so "round to k decimals" is beyond
+# double resolution — and the two engines' floors DIVERGE there (Spark
+# FLOOR(double) returns LONG and silently SATURATES at 2^63; DuckDB's
+# stays double). Both sides therefore take an identical no-floor branch
+# (x*m/m — the same pair of IEEE ops, bit-identical) when |x*m| >= 2^53.
+# Unreachable on sane data; the adversarial-values sweep (planted 1e12
+# event values → ~1e23 SSEs) is what hits it. NaN/Inf compare >= the
+# threshold in BOTH engines (each treats NaN as greater-than-everything)
+# and flow through the no-floor branch identically.
+_DR_MAX = 9007199254740992.0  # 2^53
+
+
 def dround(col: Column | str, k: int = 4) -> Column:
-    """Deterministic cross-engine round-half-up: floor(x*10^k + 0.5)/10^k."""
+    """Deterministic cross-engine round-half-up: floor(x*10^k + 0.5)/10^k,
+    total over the double range (see the magnitude-guard note above)."""
     c = F.col(col) if isinstance(col, str) else col
     m = 10**k
-    return F.floor(c * F.lit(m) + F.lit(0.5)) / F.lit(float(m))
+    xm = c * F.lit(m)
+    return (
+        F.when(F.abs(xm) >= F.lit(_DR_MAX), xm).otherwise(
+            F.floor(xm + F.lit(0.5))
+        )
+        / F.lit(float(m))
+    )
 
 
 def sql_dround(expr: str, k: int = 4) -> str:
     m = 10**k
-    return f"(FLOOR(({expr}) * {m} + 0.5) / {float(m)})"
+    return (
+        f"(CASE WHEN ABS(({expr}) * {m}) >= CAST({_DR_MAX!r} AS DOUBLE)"
+        f" THEN ({expr}) * {m}"
+        f" ELSE FLOOR(({expr}) * {m} + 0.5) END / {float(m)})"
+    )
 
 
 def dsum(col: Column | str, scale: int = 4) -> Column:

@@ -5480,11 +5480,14 @@ _DELTA_Z = 1.959963984540054  # N(0,1) 97.5% quantile, policy literal
 def _delta_arm_sql(tag: str, arm: str) -> str:
     return f"""
 d_{tag} AS (
+    -- x promoted to HUGEINT BEFORE the product: x is a per-user cents
+    -- sum (~1e14 under the adversarial-values sweep) and an INT64
+    -- x*x overflows before the outer CAST ever sees it
     SELECT COUNT(*) AS n,
            CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-           CAST(SUM(x * x) AS HUGEINT) AS sxx,
+           SUM(CAST(x AS HUGEINT) * x) AS sxx,
            CAST(SUM(CAST(y AS BIGINT) * y) AS BIGINT) AS syy,
-           CAST(SUM(x * y) AS HUGEINT) AS sxy
+           SUM(CAST(x AS HUGEINT) * y) AS sxy
     FROM d_users WHERE arm = '{arm}'
 ),
 v_{tag} AS (

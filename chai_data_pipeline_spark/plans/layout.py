@@ -900,7 +900,10 @@ hl{i + 1} AS MATERIALIZED (
     "hilbert_layout_audit",
     oracle=f"""
 WITH hraw AS (
-    SELECT LEAST(CAST(FLOOR(value / 2) AS INT), 255) AS x,
+    -- clamp BEFORE the INT cast (an adversarial 1e12 value overflows
+    -- CAST in both engines), and pin negatives to cell 0 — the curve
+    -- domain is [0,255]²; real data (0..561) is never clamped
+    SELECT CAST(LEAST(GREATEST(FLOOR(value / 2), 0), 255) AS INT) AS x,
            CAST(FLOOR(((EXTRACT(hour FROM ts) * 60
                         + EXTRACT(minute FROM ts)) * 256) / 1440.0)
                 AS INT) AS y
@@ -963,7 +966,11 @@ def hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as _W
 
     events = load_tables(spark, sf_dir, "events")["events"]
-    x = F.least(F.floor(F.col("value") / 2).cast("int"), F.lit(255))
+    # clamp before the int cast; pin negatives to cell 0 (see oracle)
+    x = F.least(
+        F.greatest(F.floor(F.col("value") / 2), F.lit(0).cast("bigint")),
+        F.lit(255).cast("bigint"),
+    ).cast("int")
     y = F.floor(
         (F.hour("ts") * 60 + F.minute("ts")) * 256 / 1440.0
     ).cast("int")

@@ -6060,17 +6060,20 @@ WITH daily AS (
     FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 pfx AS (
+    -- x² in HUGEINT: a planted extreme value (1e12) makes a daily
+    -- cents sum ~1e14 whose square overflows INT64; the exact integer
+    -- stays exact in 128 bits and the downstream math is double anyway
     SELECT d, x,
            ROW_NUMBER() OVER (ORDER BY d) AS i,
            CAST(SUM(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
                 AS BIGINT) AS s,
-           CAST(SUM(x * x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
-                AS BIGINT) AS q
+           SUM(CAST(x AS HUGEINT) * x)
+               OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS q
     FROM daily
 ),
 tot AS (
     SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sn,
-           CAST(SUM(x * x) AS BIGINT) AS qn FROM daily
+           SUM(CAST(x AS HUGEINT) * x) AS qn FROM daily
 ),
 cand AS (
     SELECT p.d, p.i, t.n,
@@ -6128,17 +6131,22 @@ def changepoint_binary_segmentation(
         .agg(F.sum(v_fp).cast("bigint").alias("x"))
     )
     w = _W.orderBy("d").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    # x² in DECIMAL(38,0) (the Spark twin of the oracle's HUGEINT): an
+    # extreme daily cents sum (~1e14 under the adversarial-values
+    # sweep) squares past INT64; exact-integer semantics are preserved
+    # and every consumer below already lives in double
+    xsq = F.col("x").cast("decimal(38,0)") * F.col("x")
     pfx = daily.select(
         "d",
         "x",
         F.row_number().over(_W.orderBy("d")).alias("i"),
         F.sum("x").over(w).cast("bigint").alias("s"),
-        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("q"),
+        F.sum(xsq).over(w).alias("q"),
     )
     tot = daily.agg(
         F.count("*").alias("n"),
         F.sum("x").cast("bigint").alias("sn"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("qn"),
+        F.sum(xsq).alias("qn"),
     )
     cand = (
         pfx.crossJoin(F.broadcast(tot))
@@ -6454,9 +6462,12 @@ xfill AS (
       ON xd.event_type = s.event_type AND xd.d = s.d
 ),
 xstat AS (
+    -- x² in HUGEINT: an adversarial 1e12 event value makes a daily
+    -- cents sum ~1e14 whose INT64 square overflows before the DOUBLE
+    -- cast (exactness downstream is unchanged — the consumer is double)
     SELECT event_type,
            CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mu,
-           sqrt((CAST(SUM(x * x) AS DOUBLE)
+           sqrt((CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE)
                  - CAST(SUM(x) AS DOUBLE) * SUM(x) / COUNT(*))
                 / COUNT(*)) AS sigma
     FROM xfill GROUP BY 1
@@ -6547,11 +6558,15 @@ def sax_motif_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     xfill = spine.join(xdaily, ["event_type", "d"], "left").select(
         "event_type", "j", F.coalesce(F.col("x"), F.lit(0)).alias("x")
     ).localCheckpoint(eager=True)
+    # x² in DECIMAL(38,0) — the Spark twin of the oracle's HUGEINT
+    # (adversarial daily sums square past INT64; consumer is double)
     xstat = xfill.groupBy("event_type").agg(
         (F.sum("x").cast("double") / F.count("*")).alias("mu"),
         F.sqrt(
             (
-                F.sum(F.col("x") * F.col("x")).cast("double")
+                F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).cast(
+                    "double"
+                )
                 - F.sum("x").cast("double") * F.sum("x") / F.count("*")
             )
             / F.count("*")
@@ -6797,8 +6812,14 @@ _PGRAM_TRIG_SQL = ", ".join(
     "periodogram_daily_power",
     oracle=f"""
 WITH pdaily AS (
+    -- per-event cents winsorized at ±60000 (moments_skew_kurtosis
+    -- precedent, above the corpus max so real data is never clamped):
+    -- an adversarial 1e12 value would push (x-mu)² past the int64
+    -- quantization grid below
     SELECT CAST(ts AS DATE) AS d,
-           CAST(SUM(CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+           CAST(SUM(LEAST(GREATEST(
+                    CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT),
+                    -60000), 60000))
                 AS BIGINT) AS x
     FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
@@ -6847,8 +6868,14 @@ def periodogram_daily_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as _W
 
     events = load_tables(spark, sf_dir, "events")["events"]
-    v_fp = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5).cast(
-        "bigint"
+    # winsorized cents (±60000, moments precedent — see the oracle CTE)
+    v_fp = F.least(
+        F.greatest(
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5)
+            .cast("bigint"),
+            F.lit(-60000).cast("bigint"),
+        ),
+        F.lit(60000).cast("bigint"),
     )
     pdaily = (
         events.filter(F.col("ts").isNotNull())
@@ -6958,8 +6985,13 @@ v{i} AS MATERIALIZED (
     "als_rank1_factorization",
     oracle=f"""
 WITH als_r AS MATERIALIZED (
+    -- per-event cents winsorized at ±60000 (moments precedent, above
+    -- the corpus max): unbounded ratings blow the ×1e6 quantization
+    -- grids of the alternating updates under adversarial values
     SELECT user_id, event_type,
-           CAST(SUM(CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT))
+           CAST(SUM(LEAST(GREATEST(
+                    CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT),
+                    -60000), 60000))
                 AS DOUBLE) / 100.0 AS r
     FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
 ),
@@ -7003,8 +7035,14 @@ def als_rank1_factorization(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor vectors. Reference analog: none (ML-primitive extension).
     """
     events = load_tables(spark, sf_dir, "events")["events"]
-    v_fp = F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5).cast(
-        "bigint"
+    # winsorized cents (±60000, moments precedent — see the oracle CTE)
+    v_fp = F.least(
+        F.greatest(
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5)
+            .cast("bigint"),
+            F.lit(-60000).cast("bigint"),
+        ),
+        F.lit(60000).cast("bigint"),
     )
     r = (
         events.filter(F.col("user_id").isNotNull())
@@ -7198,8 +7236,12 @@ WITH gbm_cands AS (
     SELECT * FROM (VALUES {_GBM_CANDS_SQL}) t(cid, kind, param_s, param_h)
 ),
 base AS MATERIALIZED (
+    -- cents winsorized at ±60000 (moments precedent, above the corpus
+    -- max): unbounded targets blow the ×1000 residual-square grid
     SELECT event_type, EXTRACT(hour FROM ts) AS hr,
-           CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT) AS y
+           LEAST(GREATEST(
+               CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT),
+               -60000), 60000) AS y
     FROM events
 ),
 f0 AS (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mu FROM base),
@@ -7243,12 +7285,18 @@ def gradient_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     never more than the 1-row winner.
     """
     events = load_tables(spark, sf_dir, "events")["events"]
+    # winsorized cents (±60000, moments precedent — see the oracle CTE)
     base = events.select(
         "event_type",
         F.hour("ts").alias("hr"),
-        F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5)
-        .cast("bigint")
-        .alias("y"),
+        F.least(
+            F.greatest(
+                F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5)
+                .cast("bigint"),
+                F.lit(-60000).cast("bigint"),
+            ),
+            F.lit(60000).cast("bigint"),
+        ).alias("y"),
     )
     f0 = base.agg((F.sum("y").cast("double") / F.count("*")).alias("mu"))
     rs = (
