@@ -588,3 +588,55 @@ def test_doc_ranking_correct_under_hot_source_skew(
             assert res.ok, f"{name}: {res.detail}"
     finally:
         con.close()
+
+
+EXTREME = st.lists(
+    st.one_of(
+        st.floats(
+            min_value=-1e30,
+            max_value=1e30,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        # cluster around the guard threshold (2^53 / 10^k scaled)
+        st.floats(min_value=8e8, max_value=1e12, allow_nan=False),
+        st.floats(min_value=-1e12, max_value=-8e8, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(vals=EXTREME)
+@_SETTINGS
+def test_dround_total_over_double_range_cross_engine(spark, vals):
+    """The r11 magnitude guard: dround must be TOTAL — no Spark
+    FLOOR->LONG saturation (silently emits 2^63/10^k), no DuckDB
+    Out-of-Range — and bit-identical cross-engine at ANY magnitude,
+    including straddling the 2^53 guard threshold. This is the
+    invariant the adversarial-values sweep (planted 1e12 event value)
+    found broken in 8 queries."""
+    import duckdb
+
+    from chai_data_pipeline_spark.functions import dround, sql_dround
+
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = [
+        r.r
+        for r in df.select(dround("v", 4).alias("r"))
+        .orderBy("r")
+        .collect()
+    ]
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    want = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql_dround('v', 4)} AS r FROM t ORDER BY r"
+        ).fetchall()
+    ]
+    assert got == want, (vals, got, want)
+    # saturation smoke: no result equals the long-max artifact
+    assert all(abs(g) != 922337203685477.5807 for g in got)
