@@ -86,6 +86,16 @@ def dround(col: Column | str, k: int = 4) -> Column:
 
 
 def sql_dround(expr: str, k: int = 4) -> str:
+    """SQL twin of :func:`dround`.
+
+    CALLER CONSTRAINT: ``expr`` is inlined THREE times (ABS guard, THEN,
+    ELSE). For a scalar or column reference that's free; for a large
+    generated subexpression it triples the SQL text and leans on the
+    engine's common-subexpression elimination — the same plan-cost class
+    as the duplicated-expression-tree pitfalls in CLAUDE.md. Bind an
+    expensive expression to a named column in a CTE/SELECT first, then
+    pass the bare column name here.
+    """
     m = 10**k
     return (
         f"(CASE WHEN ABS(({expr}) * {m}) >= CAST({_DR_MAX!r} AS DOUBLE)"

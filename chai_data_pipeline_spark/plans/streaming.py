@@ -378,4 +378,7 @@ WHERE r.doc_id IS NULL
 def streaming_neardup_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.neardup import streaming_neardup_guard as run
 
-    return run(spark, sf_dir)
+    # hamming_max passed explicitly so the impl and the oracle above
+    # derive from the SAME constant — editing dedup._SIMHASH_CHK_HAM
+    # can't silently desync the two sides.
+    return run(spark, sf_dir, hamming_max=_ND_HAM)

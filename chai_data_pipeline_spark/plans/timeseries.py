@@ -6815,11 +6815,13 @@ WITH pdaily AS (
     -- per-event cents winsorized at ±60000 (moments_skew_kurtosis
     -- precedent, above the corpus max so real data is never clamped):
     -- an adversarial 1e12 value would push (x-mu)² past the int64
-    -- quantization grid below
+    -- quantization grid below. Clamp BEFORE the BIGINT cast (hilbert
+    -- precedent): DuckDB CAST raises Out of Range past ~9.2e18 while
+    -- Spark's floor saturates — clamping the DOUBLE keeps both total.
     SELECT CAST(ts AS DATE) AS d,
-           CAST(SUM(LEAST(GREATEST(
-                    CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT),
-                    -60000), 60000))
+           CAST(SUM(CAST(LEAST(GREATEST(
+                    FLOOR(COALESCE(value, 0) * 100 + 0.5),
+                    -60000), 60000) AS BIGINT))
                 AS BIGINT) AS x
     FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
@@ -6987,11 +6989,12 @@ v{i} AS MATERIALIZED (
 WITH als_r AS MATERIALIZED (
     -- per-event cents winsorized at ±60000 (moments precedent, above
     -- the corpus max): unbounded ratings blow the ×1e6 quantization
-    -- grids of the alternating updates under adversarial values
+    -- grids of the alternating updates under adversarial values.
+    -- Clamp BEFORE the BIGINT cast (hilbert precedent) — totality.
     SELECT user_id, event_type,
-           CAST(SUM(LEAST(GREATEST(
-                    CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT),
-                    -60000), 60000))
+           CAST(SUM(CAST(LEAST(GREATEST(
+                    FLOOR(COALESCE(value, 0) * 100 + 0.5),
+                    -60000), 60000) AS BIGINT))
                 AS DOUBLE) / 100.0 AS r
     FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
 ),
@@ -7237,11 +7240,12 @@ WITH gbm_cands AS (
 ),
 base AS MATERIALIZED (
     -- cents winsorized at ±60000 (moments precedent, above the corpus
-    -- max): unbounded targets blow the ×1000 residual-square grid
+    -- max): unbounded targets blow the ×1000 residual-square grid.
+    -- Clamp BEFORE the BIGINT cast (hilbert precedent) — totality.
     SELECT event_type, EXTRACT(hour FROM ts) AS hr,
-           LEAST(GREATEST(
-               CAST(FLOOR(COALESCE(value, 0) * 100 + 0.5) AS BIGINT),
-               -60000), 60000) AS y
+           CAST(LEAST(GREATEST(
+               FLOOR(COALESCE(value, 0) * 100 + 0.5),
+               -60000), 60000) AS BIGINT) AS y
     FROM events
 ),
 f0 AS (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS mu FROM base),

@@ -159,6 +159,24 @@ def merge_into(
     atomic_replace(target_dir, merged, partition_by=partition_by)
 
 
+def remove_path(path: str) -> None:
+    """Best-effort removal of a scratch entry that may be a DIRECTORY
+    (parquet dir, checkpoint) or a FILE (a crashed run's
+    ``__merge_marker``). ``shutil.rmtree(ignore_errors=True)`` silently
+    no-ops on files, so marker files would otherwise accumulate in the
+    scratch dir across crashed runs."""
+    import os
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+    else:
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+
 def atomic_replace(
     target_dir: str,
     df: DataFrame,

@@ -53,7 +53,7 @@ def streaming_neardup_guard(
     """Drive the documents stream through the SimHash guard; return the
     admitted (doc_id, simhash) set as a batch DataFrame."""
     from ..session import load_tables
-    from ..sources.writers import atomic_replace, recover_merge
+    from ..sources.writers import atomic_replace, recover_merge, remove_path
     from .windows import stream_scratch_dir
 
     # expression machinery shared with the batch checked twin
@@ -74,7 +74,9 @@ def streaming_neardup_guard(
                     recover_merge(stale)
                 except Exception:
                     pass
-            shutil.rmtree(stale, ignore_errors=True)
+            # remove_path, not rmtree: the __merge_marker match is a
+            # FILE and rmtree silently no-ops on files
+            remove_path(stale)
     run_id = uuid.uuid4().hex[:8]
     root = os.path.join(stream_scratch_dir(), f"{base}_{run_id}")
     src = root + "_src"
@@ -160,7 +162,13 @@ def streaming_neardup_guard(
             .join(rejected, "doc_id", "left_anti")
             .select("doc_id", "simhash")
         )
-        admitted.write.mode("append").parquet(out)
+        # Output lands per-batch in a batch_id-named subdir so a
+        # foreachBatch REPLAY after a mid-batch failure overwrites its
+        # own output instead of double-appending (the state swap below
+        # is already idempotent; a bare append sink would not be).
+        admitted.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={batch_id}")
+        )
         # commit the new seen-state AFTER the batch's output: the
         # union covers every prior row, so this is a complete-state
         # swap, not an upsert (same rationale as the HLL sink)
@@ -180,4 +188,5 @@ def streaming_neardup_guard(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.read.parquet(out)
+    # select() drops the batch=N partition-discovery column
+    return spark.read.parquet(out).select("doc_id", "simhash")

@@ -34,7 +34,7 @@ def streaming_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch HLL-register merge; return the final one-row estimate
     plus a register digest as a batch DataFrame."""
     from ..operators.sketch import hll_estimate, hll_registers
-    from ..sources.writers import atomic_replace, recover_merge
+    from ..sources.writers import atomic_replace, recover_merge, remove_path
     from .windows import _events_stream, stream_scratch_dir
 
     base = "chai_stream_hll"
@@ -50,7 +50,9 @@ def streaming_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     recover_merge(stale)
                 except Exception:
                     pass
-            shutil.rmtree(stale, ignore_errors=True)
+            # remove_path, not rmtree: the __merge_marker match is a
+            # FILE and rmtree silently no-ops on files
+            remove_path(stale)
     target = os.path.join(
         stream_scratch_dir(), f"{base}_{uuid.uuid4().hex[:8]}"
     )

@@ -54,7 +54,7 @@ def streaming_upsert_latest(
     # without the extra alternatives those leaked in /tmp forever. Any
     # matched target is first run through recover_merge so a marker-file
     # crash state resolves to a consistent dir before removal.
-    from ..sources.writers import recover_merge
+    from ..sources.writers import recover_merge, remove_path
 
     stale_re = re.compile(
         rf"{base}_[0-9a-f]{{8}}"
@@ -68,7 +68,9 @@ def streaming_upsert_latest(
                     recover_merge(stale)
                 except Exception:
                     pass
-            shutil.rmtree(stale, ignore_errors=True)
+            # remove_path, not rmtree: the __merge_marker match is a
+            # FILE and rmtree silently no-ops on files
+            remove_path(stale)
     target = os.path.join(
         stream_scratch_dir(), f"{base}_{uuid.uuid4().hex[:8]}"
     )

@@ -269,6 +269,27 @@ def run_streaming_query(
     aggregate must re-enable this or its trailing windows never emit.
     """
     spark = df.sparkSession
+    if output_mode == "append":
+        # Loud fence for the trap documented above: an append-mode
+        # streaming AGGREGATE only emits a group once the watermark
+        # passes it, and with no-data micro-batches forced off the
+        # watermark never advances past the last data batch — the
+        # trailing windows would be SILENTLY truncated (and could even
+        # hash-match a truncated oracle). None of the registered
+        # topologies aggregates in append mode (the join and the
+        # delivery-dedup emit at processing time); anyone adding one
+        # must re-enable spark.sql.streaming.noDataMicroBatches.enabled
+        # for that run instead of tripping this.
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if "Aggregate [" in plan:
+            raise ValueError(
+                "run_streaming_query: append-mode streaming aggregate "
+                "detected, but this runner forces "
+                "spark.sql.streaming.noDataMicroBatches.enabled=false, "
+                "so trailing windows would never finalize. Use "
+                "complete/update output mode, or add a runner variant "
+                "that re-enables no-data micro-batches for this query."
+            )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_nd = spark.conf.get(
         "spark.sql.streaming.noDataMicroBatches.enabled"
