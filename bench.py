@@ -193,9 +193,15 @@ def main() -> None:
     # timings on a shared local JVM carry ±5-8 s of GC/scheduler noise
     # across the suite; the min is the standard noise-robust statistic
     # for steady-state plan cost (it cannot hide data-dependent work —
-    # both passes execute the full plan at the target SF).
+    # every pass executes the full plan at the target SF). Three passes
+    # since r12 (was two): the 91-key sum accumulates one noise draw
+    # per key, and whole-suite readings were observed swinging ±10 s
+    # run-to-run with zero code change (r9/r11 notes) — a third draw
+    # tightens each per-query min toward steady state for ~80 s more
+    # wall time, making the recorded number comparable across host
+    # regimes.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in headline:
             fn = plans.QUERIES[name]
             t0 = time.perf_counter()

@@ -235,7 +235,7 @@ def run_streaming_query(
     df: DataFrame,
     name: str,
     output_mode: str = "complete",
-    state_partitions: int = 4,
+    state_partitions: int = 2,
 ) -> DataFrame:
     """Drive a streaming query to completion synchronously; returns the
     final result as a batch DataFrame.
@@ -246,9 +246,11 @@ def run_streaming_query(
     micro-batch commits one state file per partition per stateful
     operator — with a vanilla session's 200 partitions the fixed
     per-batch overhead dwarfs the data. Size it to expected state
-    volume / executor count in production; 4 fits the local harness
-    (measured: 4 ≈ 0.76 s vs 8 ≈ 1.06 s per stateful query at sf0.1,
-    and the per-partition state at this scale is a few KB).
+    volume / executor count in production; 2 fits the local harness
+    (r12 re-measure, min-of-3 per full tumbling run at sf0.1:
+    2 ≈ 0.90 s, 1 ≈ 0.87 s, 4 ≈ 1.35 s, 8 ≈ 1.09 s — per-partition
+    commit files dominate, and 2 keeps a multi-partition state path
+    exercised while 1 would degenerate to a single state task).
 
     Sink choice matters too: append-mode outputs can be ROW-SIZED (the
     delivery-dedup and stream-join queries emit one row per event), and
