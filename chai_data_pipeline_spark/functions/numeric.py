@@ -25,6 +25,22 @@ makes results reproducible run-to-run on a real cluster too (AQE can
 change partitioning between runs, and a 1000-executor sum would
 otherwise never reproduce byte-identical outputs).
 
+Known residual risk class #2 (accepted, magnitude-gated): the
+decimal→double cast is only guaranteed correctly-rounded on BOTH
+engines while the decimal's UNSCALED value fits 2^53. Beyond that
+(|sum| > ~9e11 at scale 4), Spark's conversion (Java BigDecimal) is
+correctly rounded but DuckDB's is not — measured 1-ulp drift at 2e17
+(r12 --xvalues probe: rolling_user_avg, running_totals,
+schema_evolution_union, pythagorean_means_by_type's arithmetic_mean).
+No clamp can fix this without changing the
+query's semantics, so the certified cross-engine envelope is the r11
+adversarial point (single values ≤ 1e12, corpus sums far below 2^53
+unscaled); past it, dsum outputs may drift by one conversion ulp.
+Saturation-class divergence (Spark FLOOR(double)→LONG silently pinning
+to 2^63 — wrong by ORDERS OF MAGNITUDE, not ulps) is never accepted:
+every rounding grid must ride dround/sql_dround or clamp before the
+cast (r12 fixed six queries caught by the 2e17 probe).
+
 Known residual risk class (accepted, low probability): a few queries
 (bayes_beta_binomial_ab, kn_bigram_perplexity, naive_bayes_langid_eval)
 quantize ENGINE-computed transcendentals — ``ln()``/``exp()`` evaluated

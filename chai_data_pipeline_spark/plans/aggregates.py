@@ -1449,7 +1449,7 @@ def approx_distinct_error_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @query(
     "pythagorean_means_by_type",
-    oracle="""
+    oracle=f"""
 WITH q AS (
     SELECT event_type,
            value,
@@ -1459,12 +1459,17 @@ WITH q AS (
 )
 SELECT event_type,
        COUNT(*) AS n,
-       (FLOOR(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*)
-        * 10000 + 0.5) / 10000.0) AS arithmetic_mean,
-       (FLOOR(exp(CAST(SUM(lq) AS BIGINT) * 1.0 / COUNT(*) / 1000000000.0)
-        * 10000 + 0.5) / 10000.0) AS geometric_mean,
-       (FLOOR(COUNT(*) * 1000000000000.0 / CAST(SUM(rq) AS BIGINT)
-        * 10000 + 0.5) / 10000.0) AS harmonic_mean
+       {sql_dround(
+           "CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*)",
+           4,
+       )} AS arithmetic_mean,
+       {sql_dround(
+           "exp(CAST(SUM(lq) AS BIGINT) * 1.0 / COUNT(*) / 1000000000.0)",
+           4,
+       )} AS geometric_mean,
+       {sql_dround(
+           "COUNT(*) * 1000000000000.0 / CAST(SUM(rq) AS BIGINT)", 4
+       )} AS harmonic_mean
 FROM q
 GROUP BY 1
 """,
@@ -1486,7 +1491,8 @@ def pythagorean_means_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rq"),
     )
-    fp = lambda c: F.floor(c * 10000 + 0.5) / F.lit(10000.0)  # noqa: E731
+    # dround, not a bare floor: 2^63 saturation guard (r12 2e17 probe)
+    fp = lambda c: dround(c, 4)  # noqa: E731
     return q.groupBy("event_type").agg(
         F.count("*").alias("n"),
         fp(

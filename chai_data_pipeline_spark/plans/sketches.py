@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import sql_dround
+from ..functions import dround, sql_dround
 from ..session import load_tables
 from .registry import query
 
@@ -423,11 +423,10 @@ exact AS (
     JOIN ranked r ON r.event_type = t.event_type AND r.rn = t.trn
 )
 SELECT e.event_type, e.q, e.n,
-       (FLOOR((e.mn + (e.qbin + 1) * ((e.mx - e.mn) / {_HQ_B}))
-        * 1000000 + 0.5) / 1000000.0) AS est_quantile,
-       (FLOOR(x.exact_q * 1000000 + 0.5) / 1000000.0) AS exact_quantile,
-       (FLOOR(((e.mx - e.mn) / {_HQ_B}) * 1000000 + 0.5) / 1000000.0)
-           AS bin_width
+       {sql_dround(f"(e.mn + (e.qbin + 1) * ((e.mx - e.mn) / {_HQ_B}))", 6)}
+           AS est_quantile,
+       {sql_dround("x.exact_q", 6)} AS exact_quantile,
+       {sql_dround(f"((e.mx - e.mn) / {_HQ_B})", 6)} AS bin_width
 FROM est e JOIN exact x ON x.event_type = e.event_type AND x.q = e.q
 """,
 )
@@ -504,7 +503,8 @@ def histogram_quantiles_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.withColumnRenamed("event_type", "et"),
         (F.col("et") == F.col("event_type")) & (F.col("rn") == F.col("trn")),
     ).select("event_type", "q", F.col("value").alias("exact_q"))
-    fp = lambda c: F.floor(c * 1000000 + 0.5) / F.lit(1000000.0)  # noqa: E731
+    # dround, not a bare floor: 2^63 saturation guard (r12 2e17 probe)
+    fp = lambda c: dround(c, 6)  # noqa: E731
     return est.join(F.broadcast(exact), ["event_type", "q"]).select(
         "event_type",
         "q",

@@ -17,6 +17,7 @@ from ..streaming.windows import (
     sliding_counts_stream,
     tumbling_counts_stream,
 )
+from ..functions.numeric import dround, sql_dround
 from .registry import query
 
 # --------------------------------------------------------------------------
@@ -48,7 +49,7 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_sliding_counts",
-    oracle="""
+    oracle=f"""
 WITH buckets AS (
     SELECT date_trunc('hour', ts) AS window_start, value FROM events
     WHERE ts IS NOT NULL
@@ -58,8 +59,9 @@ WITH buckets AS (
 )
 SELECT window_start,
        COUNT(*) AS n_events,
-       (FLOOR(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) * 10000 + 0.5)
-        / 10000.0) AS total_value
+       {sql_dround(
+           "CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)", 4
+       )} AS total_value
 FROM buckets
 GROUP BY 1
 """,
@@ -115,11 +117,12 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_stateful_totals",
-    oracle="""
+    oracle=f"""
 SELECT user_id,
        COUNT(*) AS n_events,
-       (FLOOR(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) * 10000 + 0.5)
-        / 10000.0) AS total_value
+       {sql_dround(
+           "CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)", 4
+       )} AS total_value
 FROM events WHERE ts IS NOT NULL
 GROUP BY user_id
 """,
@@ -144,10 +147,8 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # totals themselves would only be correct while totals are monotone
     return out.groupBy("user_id").agg(
         F.max_by("n_events", "seq").alias("n_events"),
-        (
-            F.floor(F.max_by("total_value", "seq") * 10000 + F.lit(0.5))
-            / 10000.0
-        ).alias("total_value"),
+        # dround, not a bare floor: saturation guard (r12 2e17 probe)
+        dround(F.max_by("total_value", "seq"), 4).alias("total_value"),
     )
 
 
@@ -277,12 +278,13 @@ def streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_static_enrich",
-    oracle="""
+    oracle=f"""
 SELECT date_trunc('hour', ts) AS window_start,
        n_name AS nation,
        COUNT(*) AS n_events,
-       (FLOOR(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)
-              * 10000 + 0.5) / 10000.0) AS total_value
+       {sql_dround(
+           "CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)", 4
+       )} AS total_value
 FROM events
 JOIN customer ON user_id = c_custkey
 JOIN nation ON c_nationkey = n_nationkey

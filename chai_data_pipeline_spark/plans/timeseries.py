@@ -1691,9 +1691,14 @@ WITH seq AS (
 ),
 weighted AS (
     -- HUGEINT product (≡ Spark DECIMAL(38,0)): cents × µs overflows
-    -- int64 for large values over long gaps
+    -- int64 for large values over long gaps. Cents clamped at ±2^53
+    -- BEFORE the floor (r12 2e17 probe): past that the double has no
+    -- fractional resolution anyway and Spark's floor→LONG would
+    -- silently saturate at 2^63 while DuckDB's stays exact — the
+    -- clamp keeps both engines on the identical value.
     SELECT user_id,
-           CAST(FLOOR(value * 100 + 0.5) AS HUGEINT)
+           CAST(FLOOR(LEAST(GREATEST(value * 100 + 0.5,
+                    -9007199254740992.0), 9007199254740992.0)) AS HUGEINT)
                * date_diff('microsecond', ts, next_ts) AS num,
            date_diff('microsecond', ts, next_ts) AS dt_us
     FROM seq WHERE next_ts IS NOT NULL
@@ -1727,11 +1732,20 @@ def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt_us = F.expr("timestampdiff(MICROSECOND, ts, next_ts)")
     # DECIMAL(38,0) product (≡ DuckDB HUGEINT): cents × microseconds
     # overflows int64 for large values over long gaps (~1e6 value over
-    # a month already exceeds 2^63)
+    # a month already exceeds 2^63). Cents clamped at ±2^53 before the
+    # floor — mirrors the oracle CTE (see its comment).
     weighted = seq.select(
         "user_id",
         (
-            F.floor(F.col("value") * 100 + 0.5).cast("decimal(38,0)")
+            F.floor(
+                F.least(
+                    F.greatest(
+                        F.col("value") * 100 + 0.5,
+                        F.lit(-9007199254740992.0),
+                    ),
+                    F.lit(9007199254740992.0),
+                )
+            ).cast("decimal(38,0)")
             * dt_us
         ).alias("num"),
         dt_us.alias("dt_us"),

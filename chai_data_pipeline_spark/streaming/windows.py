@@ -145,23 +145,27 @@ def sliding_counts_stream(
     spark: SparkSession, sf_dir: str, size: str = "2 hours",
     slide: str = "1 hour", watermark: str = "2 hours",
 ) -> DataFrame:
+    from ..functions import dround
+
     ev = _events_stream(spark, sf_dir)
     # no countDistinct on streams — exact decimal sum instead (order-
-    # independent, matches the batch oracle bit-for-bit)
+    # independent, matches the batch oracle bit-for-bit). dround (not a
+    # bare floor): Spark FLOOR(double)->LONG silently saturates at 2^63
+    # — the r12 2e17 probe caught the unguarded grid here.
     return (
         ev.withWatermark("ts", watermark)
         .groupBy(F.window("ts", size, slide).alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.floor(
-                F.sum(F.col("value").cast("decimal(27,4)")).cast("double")
-                * 10000 + 0.5
-            ).cast("double").alias("__scaled"),
+            dround(
+                F.sum(F.col("value").cast("decimal(27,4)")).cast("double"),
+                4,
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "n_events",
-            (F.col("__scaled") / 10000.0).alias("total_value"),
+            "total_value",
         )
     )
 
@@ -403,6 +407,7 @@ def static_enrich_stream(
     discipline of sliding_counts_stream so the batch oracle matches
     bit-for-bit.
     """
+    from ..functions import dround
     from ..session import load_tables
 
     ev = _events_stream(spark, sf_dir)
@@ -418,19 +423,18 @@ def static_enrich_stream(
         .groupBy(F.window("ts", size).alias("w"), "n_name")
         .agg(
             F.count("*").alias("n_events"),
-            F.floor(
-                F.sum(F.col("value").cast("decimal(27,4)")).cast("double")
-                * 10000
-                + 0.5
-            )
-            .cast("double")
-            .alias("__scaled"),
+            # dround, not a bare floor: saturation guard (see
+            # sliding_counts_stream)
+            dround(
+                F.sum(F.col("value").cast("decimal(27,4)")).cast("double"),
+                4,
+            ).alias("total_value"),
         )
         .select(
             F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             F.col("n_name").alias("nation"),
             "n_events",
-            (F.col("__scaled") / 10000.0).alias("total_value"),
+            "total_value",
         )
     )
 

@@ -45,6 +45,7 @@ def build_null_variant(
     deep: bool = False,
     unicode_docs: bool = False,
     extreme_values: bool = False,
+    xtreme_values: bool = False,
 ) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -93,6 +94,19 @@ def build_null_variant(
             (datetime.datetime(2024, 1, 16, 10), 11, "view", -5.0),
             (datetime.datetime(2024, 1, 17, 10), 12, "click", 0.005),
             (datetime.datetime(2024, 1, 18, 10), 13, "purchase", 1e12),
+        ]
+    if xtreme_values:
+        # r12 EXPLORATORY probe (--xvalues), NOT part of the 0-fail
+        # gate: 2e17 sits past the CAST-to-BIGINT totality gap (x*100 ≈
+        # 2e19 > int64) and past the decimal→double exact range
+        # (unscaled > 2^53). Expected outcomes, per the design envelope
+        # in functions/numeric.py: LOUD engine errors (ANSI overflow /
+        # Out of Range) are acceptable this far beyond the certified
+        # 1e12 point; SILENT cross-engine divergence is a bug unless it
+        # is the documented 1-ulp decimal→double cast drift. The r12
+        # audit's loud/silent classification lives in COVERAGE.md.
+        rows += [
+            (datetime.datetime(2024, 1, 19, 10), 14, "view", 2e17),
         ]
     for i, (ts, uid, et, v) in enumerate(rows):
         t["event_id"].append(base_id + i)
@@ -239,7 +253,12 @@ def main() -> int:
     deep = "--deep" in argv
     unicode_docs = "--unicode" in argv
     extreme_values = "--values" in argv
-    argv = [a for a in argv if a not in ("--deep", "--unicode", "--values")]
+    xtreme_values = "--xvalues" in argv
+    argv = [
+        a
+        for a in argv
+        if a not in ("--deep", "--unicode", "--values", "--xvalues")
+    ]
     names: list[str] = []
     if "--names" in argv:
         i = argv.index("--names")
@@ -251,6 +270,7 @@ def main() -> int:
         deep=deep,
         unicode_docs=unicode_docs,
         extreme_values=extreme_values,
+        xtreme_values=xtreme_values,
     )
 
     from pyspark.sql import SparkSession
