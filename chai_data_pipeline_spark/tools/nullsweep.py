@@ -142,6 +142,19 @@ def build_null_variant(
             (None, None),
         ],
     }
+    if extreme_values:
+        # r12: the 1e12 certified-envelope point had only ever been
+        # planted in events.value — the TPC-H money columns
+        # (l_extendedprice, o_totalprice) were never probed, so any
+        # unguarded grid there ran latent. Plant the SAME envelope
+        # magnitude (gate semantics: 0 fails required).
+        deep_rows["orders"].append(
+            (3, "O", 1e12, datetime.datetime(2024, 1, 14), "2-HIGH")
+        )
+        deep_rows["lineitem"].append(
+            (1, 1, 7.0, 1e12, 0.05, 0.04, "N", "O",
+             datetime.datetime(2024, 1, 15))
+        )
 
     planted = set()
 
