@@ -31,7 +31,7 @@ from .registry import query
 SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        COUNT(*) AS n_events
-FROM events WHERE ts IS NOT NULL
+FROM events WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
 GROUP BY 1, 2
 """,
 )
@@ -52,10 +52,10 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH buckets AS (
     SELECT date_trunc('hour', ts) AS window_start, value FROM events
-    WHERE ts IS NOT NULL
+    WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
     UNION ALL
     SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, value FROM events
-    WHERE ts IS NOT NULL
+    WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
 )
 SELECT window_start,
        COUNT(*) AS n_events,
@@ -89,7 +89,7 @@ WITH e AS (
            CASE WHEN LAG(ts) OVER w IS NULL
                      OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
                 THEN 1 ELSE 0 END AS is_new
-    FROM events WHERE ts IS NOT NULL
+    FROM events WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
     WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ), s AS (
     SELECT *, SUM(is_new) OVER (
@@ -123,7 +123,7 @@ SELECT user_id,
        {sql_dround(
            "CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)", 4
        )} AS total_value
-FROM events WHERE ts IS NOT NULL
+FROM events WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
 GROUP BY user_id
 """,
 )
@@ -169,6 +169,10 @@ FROM events p JOIN events c
 WHERE p.event_type = 'purchase'
   AND c.event_type = 'click'
   AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+  -- event-time domain [1970, ∞): matches _events_stream (pre-epoch
+  -- events are out of domain — see the r12 --xts note there)
+  AND p.ts >= TIMESTAMP '1970-01-01 00:00:00'
+  AND c.ts >= TIMESTAMP '1970-01-01 00:00:00'
 """,
 )
 def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,7 +195,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_dedup_delivery",
     oracle="""
-SELECT event_id, user_id, event_type FROM events WHERE ts IS NOT NULL
+SELECT event_id, user_id, event_type FROM events WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
 """,
 )
 def streaming_dedup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +227,7 @@ FROM (
     SELECT *, ROW_NUMBER() OVER (
         PARTITION BY user_id ORDER BY ts DESC, event_id DESC
     ) AS rn
-    FROM events WHERE ts IS NOT NULL
+    FROM events WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
 )
 WHERE rn = 1
 """,
@@ -248,7 +252,10 @@ from .sketches import _sql_est, _sql_regs  # noqa: E402
 @query(
     "streaming_hll_distinct",
     oracle=f"""
-WITH {_sql_regs('x', 'ts IS NOT NULL').lstrip()},
+WITH {_sql_regs(
+    "x",
+    "ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'",
+).lstrip()},
 {_sql_est('x', 'regs_x').lstrip()}
 SELECT (FLOOR(e * 10000 + 0.5) / 10000.0) AS hll_estimate,
        d.reg_sum, d.nonzero_regs
@@ -288,7 +295,7 @@ SELECT date_trunc('hour', ts) AS window_start,
 FROM events
 JOIN customer ON user_id = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
-WHERE ts IS NOT NULL AND user_id IS NOT NULL
+WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00' AND user_id IS NOT NULL
 GROUP BY 1, 2
 """,
 )
@@ -317,7 +324,7 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH agg AS (
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            COUNT(*) AS n_events
-    FROM events WHERE ts IS NOT NULL
+    FROM events WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
     GROUP BY 1, 2
 ),
 ranked AS (

@@ -118,10 +118,20 @@ def _events_stream(
         # NTZ wall clock -> instant: identity under the UTC session pin
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     # Event-time streaming is undefined for NULL-ts rows: they cannot be
-    # watermarked, windowed, or range-joined. Drop them centrally so
-    # every consumer (and its batch oracle, which carries the matching
-    # ts IS NOT NULL predicate) sees the same event-time universe.
-    return stream.filter(F.col("ts").isNotNull())
+    # watermarked, windowed, or range-joined. PRE-EPOCH rows are equally
+    # out of domain (r12 --xts finding): Spark's watermark floor is
+    # epoch-0, so a pre-1970 event is born "late" — stateful operators
+    # with eviction (dropDuplicatesWithinWatermark, session_window)
+    # silently DROP it while plain windowed aggregates keep it, an
+    # intra-engine inconsistency. Define the engine's event-time domain
+    # as [1970-01-01, ∞) and enforce it here, centrally, so every
+    # streaming consumer (and its batch oracle, which carries the
+    # matching predicate) sees the same event-time universe; production
+    # routes the rejects to a dead-letter audit instead.
+    return stream.filter(
+        F.col("ts").isNotNull()
+        & (F.col("ts") >= F.lit("1970-01-01 00:00:00").cast("timestamp"))
+    )
 
 
 def tumbling_counts_stream(

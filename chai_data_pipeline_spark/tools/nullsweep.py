@@ -46,6 +46,7 @@ def build_null_variant(
     unicode_docs: bool = False,
     extreme_values: bool = False,
     xtreme_values: bool = False,
+    xtreme_ts: bool = False,
 ) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -107,6 +108,18 @@ def build_null_variant(
         # audit's loud/silent classification lives in COVERAGE.md.
         rows += [
             (datetime.datetime(2024, 1, 19, 10), 14, "view", 2e17),
+        ]
+    if xtreme_ts:
+        # r12 EXPLORATORY probe (--xts): event times far outside the
+        # Jan-2024 corpus. Pre-epoch timestamps have NEGATIVE epoch
+        # values — integer floor-division (DuckDB //) and truncating
+        # division (Spark DIV) DIVERGE on negatives, as do any
+        # hand-rolled epoch-bucket grids; far-future stretches
+        # span/decay arithmetic. date_trunc/window-based bucketing is
+        # safe by construction; this flushes anything that isn't.
+        rows += [
+            (datetime.datetime(1969, 6, 15, 11, 30), 15, "view", 1.25),
+            (datetime.datetime(2120, 1, 1, 0, 0), 16, "click", 2.5),
         ]
     for i, (ts, uid, et, v) in enumerate(rows):
         t["event_id"].append(base_id + i)
@@ -267,10 +280,11 @@ def main() -> int:
     unicode_docs = "--unicode" in argv
     extreme_values = "--values" in argv
     xtreme_values = "--xvalues" in argv
+    xtreme_ts = "--xts" in argv
     argv = [
         a
         for a in argv
-        if a not in ("--deep", "--unicode", "--values", "--xvalues")
+        if a not in ("--deep", "--unicode", "--values", "--xvalues", "--xts")
     ]
     names: list[str] = []
     if "--names" in argv:
@@ -284,6 +298,7 @@ def main() -> int:
         unicode_docs=unicode_docs,
         extreme_values=extreme_values,
         xtreme_values=xtreme_values,
+        xtreme_ts=xtreme_ts,
     )
 
     from pyspark.sql import SparkSession
