@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.windows import (
+    append_window_counts_stream,
     run_streaming_query,
     sessionized_stream,
     sliding_counts_stream,
@@ -38,6 +39,49 @@ GROUP BY 1, 2
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_query(
         tumbling_counts_stream(spark, sf_dir), "t_tumbling"
+    )
+
+
+# --------------------------------------------------------------------------
+# APPEND-mode watermark-finalized tumbling windows — the canonical
+# production streaming pattern: each window emitted exactly once to an
+# append-only file sink after the watermark (max event time - delay)
+# passes its end. Only windows with window_end <= max(ts) - delay are
+# ever finalized (the watermark cannot advance past that), and the
+# boundary is inclusive (a window ending exactly at the watermark IS
+# emitted — verified empirically); the oracle carries the identical
+# cutoff. Window ends are whole-hour, so Spark's internal
+# millisecond-truncated watermark cannot diverge from the oracle's
+# full-microsecond MAX(ts) arithmetic (a whole-ms window end can never
+# fall strictly between the truncated and untruncated watermark).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "streaming_append_window",
+    oracle=f"""
+WITH dom AS (
+    SELECT ts, event_type, value FROM events
+    WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
+)
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dround(
+           "CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)", 4
+       )} AS total_value
+FROM dom
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+      <= (SELECT MAX(ts) - INTERVAL 2 HOUR FROM dom)
+GROUP BY 1, 2
+""",
+)
+def streaming_append_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_streaming_query(
+        append_window_counts_stream(spark, sf_dir),
+        "t_append_window",
+        output_mode="append",
+        finalize_windows=True,
     )
 
 

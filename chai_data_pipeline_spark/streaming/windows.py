@@ -151,6 +151,52 @@ def tumbling_counts_stream(
     )
 
 
+def append_window_counts_stream(
+    spark: SparkSession, sf_dir: str, size: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling windowed aggregate built for APPEND output mode — the
+    canonical watermark-finalized production topology: each window is
+    emitted EXACTLY ONCE, after the watermark passes its end, to an
+    append-only file sink (run via ``run_streaming_query(...,
+    output_mode="append", finalize_windows=True)``).
+
+    Contrast with tumbling_counts_stream (complete mode, re-emits the
+    whole aggregate state every batch): append mode is the shape that
+    scales — sink traffic is one row per closed window, state is
+    evicted as windows finalize, and downstream consumers see an
+    immutable log of closed windows. Windows whose end is within the
+    watermark delay of max(event time) are never finalized (the
+    watermark cannot advance past max(ts) - delay); the batch oracle
+    carries the matching ``window_end <= max(ts) - delay`` cutoff.
+    Boundary (verified empirically, see run_streaming_query): a window
+    ending exactly AT the watermark is emitted (<=, not <).
+
+    Exact-decimal value sum + dround per the sliding_counts_stream
+    discipline, so the oracle matches bit-for-bit.
+    """
+    from ..functions import dround
+
+    ev = _events_stream(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            dround(
+                F.sum(F.col("value").cast("decimal(27,4)")).cast("double"),
+                4,
+            ).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def sliding_counts_stream(
     spark: SparkSession, sf_dir: str, size: str = "2 hours",
     slide: str = "1 hour", watermark: str = "2 hours",
@@ -250,6 +296,7 @@ def run_streaming_query(
     name: str,
     output_mode: str = "complete",
     state_partitions: int = 2,
+    finalize_windows: bool = False,
 ) -> DataFrame:
     """Drive a streaming query to completion synchronously; returns the
     final result as a batch DataFrame.
@@ -277,34 +324,57 @@ def run_streaming_query(
 
     No-data micro-batches are disabled for the run (r11): they exist to
     FINALIZE append-mode windowed aggregates after the watermark passes
-    — none of this engine's streaming topologies needs that (complete/
-    update modes emit on every data batch; the append-mode join and
-    dedup emit at processing time), so the extra batch was a pure
-    state-commit round (~0.25 s each locally, one more full commit
-    cycle per query at any scale). A future append-mode WINDOWED
-    aggregate must re-enable this or its trailing windows never emit.
+    — most of this engine's streaming topologies don't need that
+    (complete/update modes emit on every data batch; the append-mode
+    join and dedup emit at processing time), so the extra batch was a
+    pure state-commit round (~0.25 s each locally, one more full commit
+    cycle per query at any scale).
+
+    ``finalize_windows=True`` is the sanctioned path for an append-mode
+    WINDOWED aggregate (the canonical production pattern: event-time
+    windows finalized by the watermark, each emitted exactly once to a
+    file sink): it re-enables no-data micro-batches for this run, so
+    after the last data batch advances the watermark one zero-input
+    finalization batch evicts-and-emits every window whose end <=
+    watermark (boundary verified empirically: a window ending EXACTLY
+    at the watermark IS emitted). Windows still inside the watermark
+    delay of max(event time) are never finalized by design — the batch
+    oracle must carry the matching ``window_end <= max(ts) - delay``
+    predicate. The runner verifies that the finalization batch actually
+    committed before returning (loud timeout, never silent truncation).
     """
     spark = df.sparkSession
-    if output_mode == "append":
+    if output_mode == "append" and not finalize_windows:
         # Loud fence for the trap documented above: an append-mode
         # streaming AGGREGATE only emits a group once the watermark
         # passes it, and with no-data micro-batches forced off the
         # watermark never advances past the last data batch — the
         # trailing windows would be SILENTLY truncated (and could even
-        # hash-match a truncated oracle). None of the registered
-        # topologies aggregates in append mode (the join and the
-        # delivery-dedup emit at processing time); anyone adding one
-        # must re-enable spark.sql.streaming.noDataMicroBatches.enabled
-        # for that run instead of tripping this.
-        plan = df._jdf.queryExecution().analyzed().toString()
-        if "Aggregate [" in plan:
+        # hash-match a truncated oracle). Append-mode aggregates must
+        # opt into finalize_windows=True instead of tripping this. The
+        # plan probe is a private-API heuristic, so it FAILS CLOSED: if
+        # the analyzed plan cannot be inspected (Spark Connect, a
+        # future _jdf rename), we raise rather than silently skip the
+        # check and re-admit the truncation trap (r12 advice).
+        try:
+            plan = df._jdf.queryExecution().analyzed().toString()
+        except Exception as exc:
+            raise ValueError(
+                "run_streaming_query: cannot inspect the analyzed plan "
+                "to rule out an append-mode streaming aggregate (the "
+                "probe uses the private _jdf API). Failing closed: use "
+                "finalize_windows=True for windowed aggregates, or "
+                "complete/update output mode."
+            ) from exc
+        if "Aggregate [" in plan or "'Aggregate" in plan:
             raise ValueError(
                 "run_streaming_query: append-mode streaming aggregate "
                 "detected, but this runner forces "
                 "spark.sql.streaming.noDataMicroBatches.enabled=false, "
                 "so trailing windows would never finalize. Use "
-                "complete/update output mode, or add a runner variant "
-                "that re-enables no-data micro-batches for this query."
+                "complete/update output mode, or pass "
+                "finalize_windows=True to re-enable no-data "
+                "micro-batches for this query."
             )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_nd = spark.conf.get(
@@ -312,10 +382,14 @@ def run_streaming_query(
     )
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     spark.conf.set(
-        "spark.sql.streaming.noDataMicroBatches.enabled", "false"
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if finalize_windows else "false",
     )
     try:
-        return _run_stream_inner(spark, df, name, output_mode)
+        return _run_stream_inner(
+            spark, df, name, output_mode,
+            wait_finalize=finalize_windows,
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set(
@@ -323,8 +397,34 @@ def run_streaming_query(
         )
 
 
+def _await_finalization_batch(q, timeout_s: float = 60.0) -> None:
+    """Block until a ZERO-input micro-batch has committed on ``q``.
+
+    processAllAvailable already waits for watermark-required no-data
+    batches in practice (MicroBatchExecution only signals idle once no
+    further batch is constructible, and a pending watermark advance
+    makes one constructible) — this is the belt-and-braces check that
+    the finalization batch really committed, because returning without
+    it would SILENTLY truncate every window the watermark just closed.
+    Loud timeout instead of silent truncation."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        progresses = list(q.recentProgress or [])
+        if any(p.get("numInputRows") == 0 for p in progresses):
+            return
+        time.sleep(0.05)
+    raise RuntimeError(
+        "finalize_windows: no zero-input finalization micro-batch "
+        "committed within timeout — trailing windows would be "
+        "truncated; refusing to return a partial result."
+    )
+
+
 def _run_stream_inner(
-    spark, df: DataFrame, name: str, output_mode: str
+    spark, df: DataFrame, name: str, output_mode: str,
+    wait_finalize: bool = False,
 ) -> DataFrame:
     if output_mode == "append":
         import glob
@@ -361,6 +461,8 @@ def _run_stream_inner(
         )
         try:
             q.processAllAvailable()
+            if wait_finalize:
+                _await_finalization_batch(q)
         finally:
             q.stop()
         return spark.read.parquet(out)

@@ -133,28 +133,35 @@ def build_null_variant(
     # --deep: ALSO plant NULLs into the relational + document tables.
     # Exploratory posture probe — the shipped generator has never
     # emitted NULLs there, but the events precedent (41 latent
-    # divergences) says measure before trusting.
-    deep_rows = {
-        "orders": [
+    # divergences) says measure before trusting. Initialized EMPTY and
+    # filled per-flag so --values composes with or without --deep (the
+    # r12 wiring appended the money-column rows here but only planted
+    # under `if deep:`, so `--values` alone silently skipped them —
+    # r12 advice): any table with rows gets planted, whatever flag put
+    # them there.
+    deep_rows: dict[str, list] = {
+        "orders": [], "lineitem": [], "documents": [], "embeddings": [],
+    }
+    if deep:
+        deep_rows["orders"] += [
             # (custkey, status, totalprice, orderdate, priority) —
             # o_orderkey is assigned from max+1 inside _orders
             (None, "O", 100.0,
              datetime.datetime(2024, 1, 10), "1-URGENT"),
             (1, None, None, None, None),
             (2, "F", None, datetime.datetime(2024, 1, 12), None),
-        ],
-        "lineitem": [
+        ]
+        deep_rows["lineitem"] += [
             # orderkey fixed to an existing key range; line fields NULL
             (None, None, None, None, None, None, None, None, None),
-        ],
-        "documents": [
+        ]
+        deep_rows["documents"] += [
             (None, None, None, None),
             ("", None, "web", None),
-        ],
-        "embeddings": [
+        ]
+        deep_rows["embeddings"] += [
             (None, None),
-        ],
-    }
+        ]
     if extreme_values:
         # r12: the 1e12 certified-envelope point had only ever been
         # planted in events.value — the TPC-H money columns
@@ -207,7 +214,7 @@ def build_null_variant(
                 tt["n_chars"].append(len(text))
 
         _plant("documents", _uni_documents)
-    if deep:
+    if any(deep_rows.values()):
         def _orders(tt):
             nk = max(tt["o_orderkey"]) + 1
             for i, (ck, st, tp, od, pr) in enumerate(deep_rows["orders"]):
@@ -257,7 +264,8 @@ def build_null_variant(
             ("orders", _orders), ("lineitem", _lineitem),
             ("documents", _documents), ("embeddings", _embeddings),
         ]:
-            _plant(name, fn)
+            if deep_rows[name]:
+                _plant(name, fn)
 
     for n in [
         "region", "nation", "customer", "supplier", "part", "orders",

@@ -73,3 +73,14 @@ def test_extreme_values_flag():
     ]
     assert min(vals) < 0
     assert max(vals) >= 1e12
+    # r13 (r12 advice): --values WITHOUT --deep must still plant the
+    # 1e12 money-column rows — previously they rode the deep-only
+    # branch and `--values` alone silently skipped the probe
+    op = pq.read_table(f"{tmp}/orders.parquet").column("o_totalprice")
+    lp = pq.read_table(f"{tmp}/lineitem.parquet").column(
+        "l_extendedprice"
+    )
+    assert max(v for v in op.to_pylist() if v is not None) >= 1e12
+    assert max(v for v in lp.to_pylist() if v is not None) >= 1e12
+    # and no NULLs planted (that's --deep's job)
+    assert op.null_count == 0 and lp.null_count == 0

@@ -1,0 +1,146 @@
+"""Round-13 invariants: the append-mode watermark-finalized windowed
+aggregate (the canonical production streaming pattern, previously
+fenced) and the fail-closed fence probe.
+
+Semantics pinned here, verified empirically against Spark 4.1:
+- a window ending EXACTLY at the watermark (max event time - delay) IS
+  finalized and emitted (boundary is <=, not <);
+- windows ending after the watermark are never emitted (the oracle must
+  carry the matching ``window_end <= max(ts) - delay`` cutoff);
+- the finalization happens in a zero-input no-data micro-batch that the
+  runner re-enables for finalize_windows=True runs — without it the
+  append sink would be EMPTY (watermark updates at end-of-batch, and
+  eviction only runs in a subsequent batch), which is what makes the
+  fence/finalize split loud rather than silently truncating.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _windowed_count(stream):
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("timestamp_ntz").alias("ws"), "n")
+    )
+
+
+def test_append_finalize_boundary(spark, tmp_path):
+    """Window end == watermark emits; window end > watermark doesn't.
+
+    Data: events at 00:30, 01:30, 02:30 and max ts exactly 03:00:00 →
+    watermark = 01:00:00. Window [00,01) (end == watermark) must be
+    the ONLY emitted window."""
+    from chai_data_pipeline_spark.streaming.windows import (
+        run_streaming_query,
+    )
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        rows = [
+            ("2024-01-01 00:30:00",),
+            ("2024-01-01 01:30:00",),
+            ("2024-01-01 02:30:00",),
+            ("2024-01-01 03:00:00",),
+        ]
+        df = spark.createDataFrame(rows, "ts string").select(
+            F.col("ts").cast("timestamp").alias("ts")
+        )
+        src = str(tmp_path / "src")
+        df.coalesce(1).write.parquet(src)
+        stream = (
+            spark.readStream.schema(df.schema).format("parquet").load(src)
+        )
+        out = run_streaming_query(
+            _windowed_count(stream),
+            f"r13_boundary_{uuid.uuid4().hex[:6]}",
+            output_mode="append",
+            finalize_windows=True,
+        )
+        got = [(str(r.ws), r.n) for r in out.collect()]
+        assert got == [("2024-01-01 00:00:00", 1)]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_append_finalize_matches_batch_cutoff(spark, sf_dir):
+    """The registered topology over real testdata equals the batch
+    aggregate restricted to watermark-closed windows."""
+    from chai_data_pipeline_spark.session import load_tables
+    from chai_data_pipeline_spark.streaming.windows import (
+        append_window_counts_stream,
+        run_streaming_query,
+    )
+
+    out = run_streaming_query(
+        append_window_counts_stream(spark, sf_dir),
+        f"r13_cutoff_{uuid.uuid4().hex[:6]}",
+        output_mode="append",
+        finalize_windows=True,
+    )
+    ev = load_tables(spark, sf_dir, "events")["events"].filter(
+        F.col("ts").isNotNull()
+        & (F.col("ts") >= F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    cutoff = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 2 HOURS")).alias("c")
+    ).collect()[0].c
+    batch = (
+        ev.filter(
+            F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")
+            <= F.lit(cutoff)
+        )
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    got = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in out.collect()
+    }
+    want = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_fence_fails_closed_on_uninspectable_plan(spark, sf_dir):
+    """If the private-API plan probe breaks (Spark Connect, a _jdf
+    rename), the fence must raise, not silently admit the truncation
+    trap (r12 advice)."""
+    from chai_data_pipeline_spark.streaming.windows import (
+        _events_stream,
+        run_streaming_query,
+    )
+
+    stream = _events_stream(spark, sf_dir).select("event_id", "user_id")
+    stream._jdf = None  # simulate an uninspectable plan
+    with pytest.raises(ValueError, match="cannot inspect"):
+        run_streaming_query(
+            stream, "r13_failclosed_probe", output_mode="append"
+        )
+
+
+def test_finalize_rejects_trailing_truncation(spark, sf_dir):
+    """finalize_windows=False + append aggregate still trips the fence
+    (the r12 guarantee is unchanged by the new opt-in path)."""
+    from chai_data_pipeline_spark.streaming.windows import (
+        append_window_counts_stream,
+        run_streaming_query,
+    )
+
+    agg = append_window_counts_stream(spark, sf_dir)
+    with pytest.raises(ValueError, match="noDataMicroBatches"):
+        run_streaming_query(agg, "r13_fence_probe", output_mode="append")
