@@ -376,7 +376,8 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 """,
 )
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # r13: rollup partials over the full scan; split measured 1.45->0.89 s
+    li = load_tables(spark, sf_dir, "lineitem", split=("lineitem",))["lineitem"]
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(

@@ -38,7 +38,9 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
+    # r13: first-stage compute bound (9 decimal aggs over the full scan);
+    # unsplittable-input split measured 1.41->0.96 s (guide §2.5)
+    li = load_tables(spark, sf_dir, "lineitem", split=("lineitem",))["lineitem"]
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(

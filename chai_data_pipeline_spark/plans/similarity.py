@@ -82,7 +82,11 @@ SELECT qid, neighbor_id, cosine FROM ranked WHERE rn = 1
 def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import dot_sql_spark
 
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # r13: 64-dim folds x 50 queries per corpus row dominate; split
+    # measured 1.32->0.62 s (guide §2.5)
+    emb = load_tables(spark, sf_dir, "embeddings", split=("embeddings",))[
+        "embeddings"
+    ]
     # hoist each side's norm to a per-ROW column before the crossJoin:
     # the naive per-pair cosine folds three 64-dim dot products in the
     # INTERPRETED higher-order-function path — precomputing norms cuts
@@ -142,7 +146,10 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ann_topk_ivf
 
-    emb = load_tables(spark, sf_dir, "embeddings")["embeddings"]
+    # r13: in-row codebook argmax dominates; split measured 1.04->0.61 s
+    emb = load_tables(spark, sf_dir, "embeddings", split=("embeddings",))[
+        "embeddings"
+    ]
     qdf = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv")
     )

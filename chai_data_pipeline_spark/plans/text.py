@@ -216,7 +216,10 @@ FROM g
 """,
 )
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # r13: per-row 3-gram work dominates; split measured 0.63->0.30 s
+    docs = load_tables(spark, sf_dir, "documents", split=("documents",))[
+        "documents"
+    ]
     # split once behind a projection boundary — the gram expression
     # references its input repeatedly and an inlined regex split at
     # every reference dominates per-row cost (measured ~2× at sf0.1)
@@ -287,7 +290,10 @@ FROM scored
 """,
 )
 def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # r13: 5-gram shingling dominates; split measured 1.42->1.19 s
+    docs = load_tables(spark, sf_dir, "documents", split=("documents",))[
+        "documents"
+    ]
     # split once behind a projection boundary (see doc_repetition)
     pre = docs.select("doc_id", "source", T.words("text").alias("toks"))
     g = pre.select(

@@ -124,7 +124,89 @@ def apply_object_store_conf(spark: SparkSession, **kwargs) -> dict[str, str]:
     return conf
 
 
-def load_tables(spark: SparkSession, sf_dir: str, *names: str):
+# ---------------------------------------------------------------------------
+# Unsplittable-input splitting (optimization guide §2.5): parquet is only
+# parallelizable at ROW-GROUP granularity, and a table shipped as one file
+# with one row group runs every stage up to its first exchange as a SINGLE
+# task no matter how many cores the session has. The guide's prescription
+# for exactly this ("one huge unsplittable file... repartition immediately
+# after the read") is implemented here — but HASH-partitioned
+# on the table's dominant join/group key instead of round-robin, so the
+# added exchange is frequently REUSED downstream (guide §2.4: a
+# repartition("k") followed by a join/groupBy/window on "k" with the same
+# partition count needs no further shuffle) and never pays round-robin's
+# sort-before-repartition in the single scan task.
+#
+# Scale-adaptive by construction: fires ONLY when the file carries fewer
+# row groups than the session has cores (row-group metadata read once per
+# path, cached). Well-packed production tables (row groups >= cores) pass
+# through untouched; a pathological single-row-group 100 GB file gets the
+# same fix the guide prescribes. Keyed hash partitioning is deterministic
+# by VALUE, so retries are safe (guide §2.5 rand() caveat) and results are
+# partition-independent per the engine-wide dsum/dround discipline
+# (functions/numeric.py).
+#
+# OPT-IN per query (r13 measurement): a blanket split helps first-stage-
+# compute-bound plans (tpch_q1 1.15→0.86 s exec, doc_repetition
+# 0.51→0.25) but costs a wasted stage on selective/broadcast-heavy plans
+# (star_join +0.32, tpch_q21 +0.32, bm25 +0.22 — their exchange is never
+# reused and the shuffled rows would have been filtered/broadcast
+# anyway). Only the query author knows whether the first stage is the
+# bottleneck, so ``load_tables(..., split=("lineitem",))`` names the
+# tables to split; the default is untouched plans.
+#
+# Env knobs (local defaults keep the driver's bench comparable):
+#   SPARK_GRAFT_SPLIT=0            kill switch (A/B instrument)
+#   SPARK_GRAFT_SPLIT_MIN_ROWS     row floor override
+# Heavy-per-row tables (documents/embeddings: each row is a document or a
+# 64-dim vector, orders of magnitude more work per row than a TPC-H tuple)
+# use a lower floor so text/similarity operators parallelize too.
+_SPLIT_KEYS: dict[str, tuple[str, int]] = {
+    # table -> (partition key, min rows to bother). Keys are each table's
+    # dominant equi-join/group column: lineitem⋈orders on orderkey reuse
+    # the exchange pair; user-keyed event windows/groupings reuse theirs.
+    "lineitem": ("l_orderkey", 10_000),
+    "orders": ("o_orderkey", 10_000),
+    "events": ("user_id", 10_000),
+    "documents": ("doc_id", 400),
+    "embeddings": ("vec_id", 400),
+}
+_SPLIT_META: dict[str, tuple[int, int]] = {}  # path -> (rows, row_groups)
+
+
+def _split_if_unsplittable(spark: SparkSession, name: str, path: str, df):
+    if os.environ.get("SPARK_GRAFT_SPLIT", "1") == "0":
+        return df
+    spec = _SPLIT_KEYS.get(name)
+    if spec is None:
+        return df
+    key, min_rows = spec
+    if key not in df.columns:
+        return df
+    min_rows = int(os.environ.get("SPARK_GRAFT_SPLIT_MIN_ROWS", min_rows))
+    meta = _SPLIT_META.get(path)
+    if meta is None:
+        try:
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(path).metadata
+            meta = (md.num_rows, md.num_row_groups)
+        except Exception:
+            meta = (0, 1 << 30)  # unreadable -> treat as well-packed
+        _SPLIT_META[path] = meta
+    rows, row_groups = meta
+    cores = spark.sparkContext.defaultParallelism
+    if rows < min_rows or row_groups >= cores:
+        return df
+    return df.repartition(cores, F.col(key))
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    *names: str,
+    split: tuple[str, ...] = (),
+):
     """Read testdata parquet tables and register temp views.
 
     Returns a dict name -> DataFrame. Explicit schemas are unnecessary
@@ -175,6 +257,10 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
             # µs-NTZ parquet already reads as timestamp_ntz: no-op
         else:
             df = spark.read.parquet(path)
+        if name in split or os.environ.get("SPARK_GRAFT_SPLIT_FORCE") == "1":
+            # FORCE is the A/B measurement instrument (perf probes flip
+            # it per build to isolate the split's effect per query)
+            df = _split_if_unsplittable(spark, name, path, df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
