@@ -54,19 +54,13 @@ def _best_struct_expr(codebook: list[list[float]], vec_col: str) -> str:
     across engines/partitions). Centroid norms are baked in as literals
     and the row norm is read from a pre-hoisted ``__vnorm`` column —
     the naive form recomputes both k times per row."""
-    from .similarity import dot_sql_spark_lit
+    from .similarity import dot_sql_spark
 
     elems = []
     for cid, vec in enumerate(codebook):
-        # r13: unrolled literal dot (dot_sql_spark_lit) replaces the
-        # aggregate(zip_with(...)) fold — HOFs are CodegenFallback, so
-        # every (row, centroid) paid an interpreted lambda loop plus a
-        # zipped array allocation; the flat sum whole-stage-codegens.
-        # Bit-identical: same products in index order, same left-fold
-        # additions from 0, same literal formatting (proof in
-        # dot_sql_spark's docstring + tests/test_round13_invariants.py).
+        arr = f"array({', '.join(f'cast({x!r} AS double)' for x in vec)})"
         elems.append(
-            f"struct(({dot_sql_spark_lit(vec_col, vec)})"
+            f"struct(({dot_sql_spark(vec_col, arr)})"
             f" / (__vnorm * {_centroid_norm(vec)!r}) AS sim, "
             f"{-cid} AS neg_cid)"
         )
@@ -87,11 +81,9 @@ def kmeans_assign(
     """Map-only nearest-centroid assignment against a literal codebook."""
     from .similarity import dot_sql_spark
 
-    dim = len(codebook[0])
     return (
         df.withColumn(
-            "__vnorm",
-            F.expr(f"sqrt({dot_sql_spark(vec_col, vec_col, dim)})"),
+            "__vnorm", F.expr(f"sqrt({dot_sql_spark(vec_col, vec_col)})")
         )
         .withColumn(out_col, F.expr(_assign_expr(codebook, vec_col)))
         .drop("__vnorm")
@@ -113,11 +105,9 @@ def kmeans_assign_scored(
     are the same sequential-fold dot over the same literals."""
     from .similarity import dot_sql_spark
 
-    dim = len(codebook[0])
     return (
         df.withColumn(
-            "__vnorm",
-            F.expr(f"sqrt({dot_sql_spark(vec_col, vec_col, dim)})"),
+            "__vnorm", F.expr(f"sqrt({dot_sql_spark(vec_col, vec_col)})")
         )
         .withColumn("__best", F.expr(_best_struct_expr(codebook, vec_col)))
         .select(

@@ -26,54 +26,12 @@ def _as_double(arr: str) -> str:
     return f"transform({arr}, x -> cast(x AS double))"
 
 
-def dot_sql_spark(a: str, b: str, dim: int | None = None) -> str:
-    """Spark SQL fragment: exact sequential-fold dot product.
-
-    With ``dim`` (r13 optimization, guide §4.1): the fold is UNROLLED
-    into a flat ``0 + a[0]*b[0] + ... + a[dim-1]*b[dim-1]`` sum.
-    Higher-order functions (``aggregate``/``zip_with``/``transform``)
-    are CodegenFallback — every pair pays an interpreted lambda loop
-    plus a zipped 64-element array allocation — while the unrolled form
-    whole-stage-codegens. Bit-identical by construction AND by
-    measurement (100k sf0.1 knn pairs, 0 mismatches incl. string repr):
-    same products in index order, same left-fold addition sequence
-    starting from cast(0 as double), same per-element double casts.
-    ``get()`` (null on out-of-range, never throws under ANSI) returns
-    NULL past either array's end, so NULL/short inputs yield NULL —
-    exactly what the unrolled DuckDB oracle (``dot_sql_duckdb``, 1-based
-    ``a[i]`` indexing) computes. The ONE divergence from the fold form:
-    arrays shorter than ``dim`` on BOTH sides (e.g. both empty) fold to
-    the partial sum / 0.0 but unroll to NULL; the fold actually
-    DISAGREED with the oracle there, the flat form agrees. Corpus
-    embeddings are fixed-width or NULL, so results are identical on
-    real data (pinned by tests/test_round13_invariants.py + 30-query
-    sf0.01 rehearse). Omit ``dim`` when the array length is not
-    statically known — unrolling to the wrong width would silently
-    truncate/extend the sum."""
-    if dim is None:
-        return (
-            f"aggregate(zip_with({_as_double(a)}, {_as_double(b)}, (x, y) -> x * y),"
-            f" cast(0 AS double), (acc, v) -> acc + v)"
-        )
-    terms = " + ".join(
-        f"(CAST(get({a}, {i}) AS DOUBLE) * CAST(get({b}, {i}) AS DOUBLE))"
-        for i in range(dim)
+def dot_sql_spark(a: str, b: str) -> str:
+    """Spark SQL fragment: exact sequential-fold dot product."""
+    return (
+        f"aggregate(zip_with({_as_double(a)}, {_as_double(b)}, (x, y) -> x * y),"
+        f" cast(0 AS double), (acc, v) -> acc + v)"
     )
-    return f"(CAST(0 AS DOUBLE) + {terms})"
-
-
-def dot_sql_spark_lit(a: str, vec: list[float]) -> str:
-    """Unrolled dot of an array column against a PLAN-TIME literal
-    vector — each element ships as a scalar double literal (same
-    ``cast({x!r} as double)`` formatting the fold-era literal arrays
-    used, so values are bit-identical), avoiding a 64-element array
-    literal duplicated per term. Same op order as the fold:
-    ``0 + (a[i] * lit_i)`` left to right with the column operand first."""
-    terms = " + ".join(
-        f"(CAST(get({a}, {i}) AS DOUBLE) * cast({x!r} as double))"
-        for i, x in enumerate(vec)
-    )
-    return f"(CAST(0 AS DOUBLE) + {terms})"
 
 
 def dot_sql_duckdb(a: str, b: str, dim: int) -> str:
@@ -84,10 +42,10 @@ def dot_sql_duckdb(a: str, b: str, dim: int) -> str:
     )
 
 
-def cosine_sql_spark(a: str, b: str, dim: int | None = None) -> str:
+def cosine_sql_spark(a: str, b: str) -> str:
     return (
-        f"({dot_sql_spark(a, b, dim)}) / "
-        f"(sqrt({dot_sql_spark(a, a, dim)}) * sqrt({dot_sql_spark(b, b, dim)}))"
+        f"({dot_sql_spark(a, b)}) / "
+        f"(sqrt({dot_sql_spark(a, a)}) * sqrt({dot_sql_spark(b, b)}))"
     )
 
 
@@ -99,13 +57,9 @@ def cosine_sql_duckdb(a: str, b: str, dim: int) -> str:
 
 
 def with_cosine(
-    df: DataFrame,
-    a_col: str,
-    b_col: str,
-    out_col: str = "cosine",
-    dim: int | None = None,
+    df: DataFrame, a_col: str, b_col: str, out_col: str = "cosine"
 ) -> DataFrame:
-    return df.withColumn(out_col, F.expr(cosine_sql_spark(a_col, b_col, dim)))
+    return df.withColumn(out_col, F.expr(cosine_sql_spark(a_col, b_col)))
 
 
 def ranked_topk(scored: DataFrame, k: int, id_col: str) -> DataFrame:
@@ -132,7 +86,6 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "qv",
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k rows of ``vectors`` by cosine to the single-row
     ``query`` (broadcast). Ranks on the ROUNDED cosine + id tiebreak so
@@ -142,17 +95,16 @@ def brute_force_topk(
     from ..functions import dround
 
     base = vectors.withColumn(
-        "__n", F.expr(f"sqrt({dot_sql_spark(vec_col, vec_col, dim)})")
+        "__n", F.expr(f"sqrt({dot_sql_spark(vec_col, vec_col)})")
     )
     qn = query.withColumn(
-        "__qn",
-        F.expr(f"sqrt({dot_sql_spark(query_vec_col, query_vec_col, dim)})"),
+        "__qn", F.expr(f"sqrt({dot_sql_spark(query_vec_col, query_vec_col)})")
     )
     joined = base.crossJoin(F.broadcast(qn))
     scored = joined.select(
         F.col(id_col),
         dround(
-            F.expr(dot_sql_spark(vec_col, query_vec_col, dim))
+            F.expr(dot_sql_spark(vec_col, query_vec_col))
             / (F.col("__n") * F.col("__qn")),
             6,
         ).alias("cosine"),
@@ -253,7 +205,7 @@ def lsh_signature_exprs(
         s_terms, d_terms = [], []
         for b in range(bits_per_table):
             plane = _hyperplane(t, b, dim)
-            s_dot = dot_sql_spark_lit(vec_col, plane)
+            s_dot = dot_sql_spark(vec_col, _literal_array_spark(plane))
             d_dot = dot_sql_duckdb(
                 vec_col, f"({_literal_list_duckdb(plane)})", dim
             )
@@ -303,9 +255,7 @@ def ann_topk_lsh_checked(
     )
     scored = cands.select(
         F.col(id_col),
-        dround(F.expr(cosine_sql_spark(vec_col, "qv", dim)), 6).alias(
-            "cosine"
-        ),
+        dround(F.expr(cosine_sql_spark(vec_col, "qv")), 6).alias("cosine"),
     )
     return ranked_topk(scored, k, id_col)
 
@@ -322,7 +272,6 @@ def ann_topk_lsh(
     the query, then exact cosine on candidates only."""
     from ..functions import dround
 
-    dim = lsh_kwargs.get("dim", 64)
     buckets = lsh_sign_buckets(df, vec_col, id_col, **lsh_kwargs)
     q_buckets = lsh_sign_buckets(
         query.select(F.col("qv").alias(vec_col), F.lit(-1).alias(id_col)),
@@ -337,9 +286,7 @@ def ann_topk_lsh(
     )
     scored = cands.select(
         F.col(id_col),
-        dround(F.expr(cosine_sql_spark(vec_col, "qv", dim)), 6).alias(
-            "cosine"
-        ),
+        dround(F.expr(cosine_sql_spark(vec_col, "qv")), 6).alias("cosine"),
     )
     return ranked_topk(scored, k, id_col)
 
@@ -349,7 +296,6 @@ def ivf_assign(
     n_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    dim: int | None = 64,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
     "centroid". Centroids are the first ``n_centroids`` vectors by id —
@@ -385,7 +331,7 @@ def ivf_assign(
                     F.col("centroid_id"),
                     F.col("centroid_vec"),
                     F.expr(
-                        f"sqrt({dot_sql_spark('centroid_vec', 'centroid_vec', dim)})"
+                        f"sqrt({dot_sql_spark('centroid_vec', 'centroid_vec')})"
                     ).alias("cnorm"),
                 )
             )
@@ -393,12 +339,12 @@ def ivf_assign(
     )
     best = (
         "array_max(transform(__codebook, c -> struct("
-        f"({dot_sql_spark(vec_col, 'c.centroid_vec', dim)}) / (__vnorm * c.cnorm)"
+        f"({dot_sql_spark(vec_col, 'c.centroid_vec')}) / (__vnorm * c.cnorm)"
         " AS sim, -c.centroid_id AS neg_cid)))"
     )
     return (
         df.withColumn(
-            "__vnorm", F.expr(f"sqrt({dot_sql_spark(vec_col, vec_col, dim)})")
+            "__vnorm", F.expr(f"sqrt({dot_sql_spark(vec_col, vec_col)})")
         )
         .crossJoin(F.broadcast(codebook))
         .withColumn("__best", F.expr(best))
@@ -414,7 +360,6 @@ def ann_topk_ivf(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    dim: int | None = 64,
 ) -> DataFrame:
     """IVF approximate top-k: score the query against the centroid
     codebook, probe the ``n_probe`` nearest inverted lists, exact cosine
@@ -423,7 +368,7 @@ def ann_topk_ivf(
     of the data."""
     from ..functions import dround
 
-    assigned = ivf_assign(df, n_centroids, vec_col, id_col, dim)
+    assigned = ivf_assign(df, n_centroids, vec_col, id_col)
     cents = (
         df.orderBy(id_col)
         .limit(n_centroids)
@@ -434,9 +379,7 @@ def ann_topk_ivf(
     )
     probe = (
         cents.crossJoin(F.broadcast(query))
-        .withColumn(
-            "__sim", F.expr(cosine_sql_spark("centroid_vec", "qv", dim))
-        )
+        .withColumn("__sim", F.expr(cosine_sql_spark("centroid_vec", "qv")))
         .orderBy(F.desc("__sim"), F.asc("centroid_id"))
         .limit(n_probe)
         .select("centroid_id")
@@ -446,9 +389,7 @@ def ann_topk_ivf(
     )
     scored = cands.select(
         F.col(id_col),
-        dround(F.expr(cosine_sql_spark(vec_col, "qv", dim)), 6).alias(
-            "cosine"
-        ),
+        dround(F.expr(cosine_sql_spark(vec_col, "qv")), 6).alias("cosine"),
     )
     return ranked_topk(scored, k, id_col)
 

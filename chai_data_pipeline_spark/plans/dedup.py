@@ -272,7 +272,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not three per PAIR) — bit-identical to the oracle's per-pair form:
     # dot / (sqrt(aa) * sqrt(bb)), same ops in the same order
     base = emb.withColumn(
-        "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding', 64)})")
+        "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding')})")
     )
     a = base.select(
         F.col("vec_id").alias("id_a"),
@@ -286,7 +286,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("emb_b"),
         F.col("__n").alias("__nb"),
     )
-    cos = F.expr(dot_sql_spark("emb_a", "emb_b", 64)) / (
+    cos = F.expr(dot_sql_spark("emb_a", "emb_b")) / (
         F.col("__na") * F.col("__nb")
     )
     return (

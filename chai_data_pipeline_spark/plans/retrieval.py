@@ -386,9 +386,9 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos6 = F.floor(
         F.expr(
-            f"({dot_sql_spark('embedding', 'qv', 64)}) / "
-            f"(sqrt({dot_sql_spark('embedding', 'embedding', 64)})"
-            f" * sqrt({dot_sql_spark('qv', 'qv', 64)}))"
+            f"({dot_sql_spark('embedding', 'qv')}) / "
+            f"(sqrt({dot_sql_spark('embedding', 'embedding')})"
+            f" * sqrt({dot_sql_spark('qv', 'qv')}))"
         )
         * 1000000
         + 0.5

@@ -51,7 +51,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv")
     )
-    return brute_force_topk(emb, qdf, k=10, dim=DIM)
+    return brute_force_topk(emb, qdf, k=10)
 
 
 # --------------------------------------------------------------------------
@@ -93,7 +93,7 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # that to one fold per pair, bit-identically (same ops, same order:
     # dot / (sqrt(aa) * sqrt(bb)))
     base = emb.withColumn(
-        "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding', DIM)})")
+        "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding')})")
     )
     q = base.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("qid"),
@@ -107,7 +107,7 @@ def similarity_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.col("vec_id").alias("neighbor_id"),
             dround(
-                F.expr(dot_sql_spark("embedding", "qv", DIM))
+                F.expr(dot_sql_spark("embedding", "qv"))
                 / (F.col("__n") * F.col("__qn")),
                 6,
             ).alias("cosine"),
@@ -1130,9 +1130,9 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qv")
     )
     cos_q = F.expr(
-        f"({dot_sql_spark('embedding', 'qv', DIM)}) / "
-        f"(sqrt({dot_sql_spark('embedding', 'embedding', DIM)})"
-        f" * sqrt({dot_sql_spark('qv', 'qv', DIM)}))"
+        f"({dot_sql_spark('embedding', 'qv')}) / "
+        f"(sqrt({dot_sql_spark('embedding', 'embedding')})"
+        f" * sqrt({dot_sql_spark('qv', 'qv')}))"
     )
     rel6 = F.floor(cos_q * 1000000 + 0.5) / F.lit(1000000.0)
     # NULL embeddings have no cosine and can't be candidates (a NULL
@@ -1155,9 +1155,9 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("ib"), F.col("embedding").alias("eb")
     )
     cos_p = F.expr(
-        f"({dot_sql_spark('ea', 'eb', DIM)}) / "
-        f"(sqrt({dot_sql_spark('ea', 'ea', DIM)})"
-        f" * sqrt({dot_sql_spark('eb', 'eb', DIM)}))"
+        f"({dot_sql_spark('ea', 'eb')}) / "
+        f"(sqrt({dot_sql_spark('ea', 'ea')})"
+        f" * sqrt({dot_sql_spark('eb', 'eb')}))"
     )
     p6 = F.floor(cos_p * 1000000 + 0.5) / F.lit(1000000.0)
     sims_df = (
@@ -1268,17 +1268,17 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emb_t", F.slice("embedding", 1, _MRL_DIM)
     ).withColumn("qv_t", F.slice("qv", 1, _MRL_DIM))
 
-    def cos6(a: str, b: str, d: int):
+    def cos6(a: str, b: str):
         c = F.expr(
-            f"({dot_sql_spark(a, b, d)}) / "
-            f"(sqrt({dot_sql_spark(a, a, d)}) * sqrt({dot_sql_spark(b, b, d)}))"
+            f"({dot_sql_spark(a, b)}) / "
+            f"(sqrt({dot_sql_spark(a, a)}) * sqrt({dot_sql_spark(b, b)}))"
         )
         return F.floor(c * 1000000 + 0.5) / F.lit(1000000.0)
 
     scored = base.select(
         "vec_id",
-        cos6("embedding", "qv", DIM).alias("c_full"),
-        cos6("emb_t", "qv_t", _MRL_DIM).alias("c_trunc"),
+        cos6("embedding", "qv").alias("c_full"),
+        cos6("emb_t", "qv_t").alias("c_trunc"),
     )
     # full-dim top-K via TakeOrdered (never a global window over the
     # scored corpus), then row_number over the K-row result
@@ -1531,7 +1531,7 @@ def semdedup_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hoist per-member norms before the equi-join (one fold per member,
     # not three per pair; bit-identical — same ops, same order)
     m = members.withColumn(
-        "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding', DIM)})")
+        "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding')})")
     )
     a = m.select(
         "cluster_id",
@@ -1545,7 +1545,7 @@ def semdedup_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("eb"),
         F.col("__n").alias("nb"),
     )
-    pair_cos = F.expr(dot_sql_spark("ea", "eb", DIM)) / (
+    pair_cos = F.expr(dot_sql_spark("ea", "eb")) / (
         F.col("na") * F.col("nb")
     )
     dups = (
@@ -1675,7 +1675,7 @@ def ivf_probe_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probe_rank = (
         cents.crossJoin(F.broadcast(q))
-        .withColumn("__pc", F.expr(cosine_sql_spark("cvec", "qv", DIM)))
+        .withColumn("__pc", F.expr(cosine_sql_spark("cvec", "qv")))
         .select("centroid_id", "__pc")
         .withColumn("pr", F.row_number().over(pw))
         .select("centroid_id", "pr")
@@ -1690,18 +1690,18 @@ def ivf_probe_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("np", "vec_id", "embedding")
     )
     qn = q.withColumn(
-        "__qn", F.expr(f"sqrt({dot_sql_spark('qv', 'qv', DIM)})")
+        "__qn", F.expr(f"sqrt({dot_sql_spark('qv', 'qv')})")
     )
     scored = (
         cand.withColumn(
-            "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding', DIM)})")
+            "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding')})")
         )
         .crossJoin(F.broadcast(qn))
         .select(
             "np",
             "vec_id",
             dround(
-                F.expr(dot_sql_spark("embedding", "qv", DIM))
+                F.expr(dot_sql_spark("embedding", "qv"))
                 / (F.col("__n") * F.col("__qn")),
                 6,
             ).alias("cosine"),
@@ -1716,7 +1716,7 @@ def ivf_probe_recall_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import brute_force_topk
 
     brute = (
-        brute_force_topk(emb, q, k=10, dim=DIM)
+        brute_force_topk(emb, q, k=10)
         .select("vec_id")
         .withColumn("__bf", F.lit(1))
     )
@@ -1808,7 +1808,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is NULLS FIRST vs DuckDB NULLS LAST) — exclude unlabeled rows
     # from both the query set and the voting neighbor set.
     base = emb.filter(F.col("label").isNotNull()).withColumn(
-        "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding', DIM)})")
+        "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding')})")
     )
     q = base.filter(F.col("vec_id") < _KNN_ACC_Q).select(
         F.col("vec_id").alias("qid"),
@@ -1825,7 +1825,7 @@ def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "label",
             dround(
-                F.expr(dot_sql_spark("embedding", "qv", DIM))
+                F.expr(dot_sql_spark("embedding", "qv"))
                 / (F.col("__n") * F.col("__qn")),
                 6,
             ).alias("cosine"),
@@ -1927,12 +1927,12 @@ def _d2_duckdb(a: str, b: str, dim: int) -> str:
     )
 
 
-def _d2_spark(a: str, b: str, dim: int) -> str:
+def _d2_spark(a: str, b: str) -> str:
     from ..operators.similarity import dot_sql_spark
 
     return (
-        f"(({dot_sql_spark(a, a, dim)}) - 2.0 * ({dot_sql_spark(a, b, dim)})"
-        f" + ({dot_sql_spark(b, b, dim)}))"
+        f"(({dot_sql_spark(a, a)}) - 2.0 * ({dot_sql_spark(a, b)})"
+        f" + ({dot_sql_spark(b, b)}))"
     )
 
 
@@ -1983,8 +1983,8 @@ def random_projection_jl_audit(
         F.col("pv").alias("pb"),
     )
     pairs = a.join(F.broadcast(b), F.col("aid") < F.col("bid")).select(
-        F.expr(_d2_spark("ea", "eb", DIM)).alias("d2o"),
-        F.expr(_d2_spark("pa", "pb", _JL_OUT)).alias("d2p"),
+        F.expr(_d2_spark("ea", "eb")).alias("d2o"),
+        F.expr(_d2_spark("pa", "pb")).alias("d2p"),
     )
     q = pairs.filter(F.col("d2o") > 0).select(
         F.floor(F.col("d2p") / F.col("d2o") * 1000000 + 0.5)
@@ -2574,7 +2574,7 @@ def binary_quantization_hamming_audit(
         .alias("w1"),
     )
     base = nn.withColumn(
-        "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding', DIM)})")
+        "__n", F.expr(f"sqrt({dot_sql_spark('embedding', 'embedding')})")
     )
     q = base.filter(F.col("vec_id") < _BQ_QUERIES).select(
         F.col("vec_id").alias("qid"),
@@ -2588,7 +2588,7 @@ def binary_quantization_hamming_audit(
             "qid",
             "vec_id",
             dround(
-                F.expr(dot_sql_spark("embedding", "qv", DIM))
+                F.expr(dot_sql_spark("embedding", "qv"))
                 / (F.col("__n") * F.col("__qn")),
                 6,
             ).alias("cosine"),

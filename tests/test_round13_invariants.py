@@ -226,81 +226,3 @@ def test_finalize_rejects_trailing_truncation(spark, sf_dir):
     agg = append_window_counts_stream(spark, sf_dir)
     with pytest.raises(ValueError, match="noDataMicroBatches"):
         run_streaming_query(agg, "r13_fence_probe", output_mode="append")
-
-
-# ---------------------------------------------------------------------------
-# r13 optimization: unrolled dot products must be BIT-identical to the
-# aggregate(zip_with(...)) fold they replaced (operators/similarity.py
-# dot_sql_spark(dim=...) / dot_sql_spark_lit). Same products in index
-# order, same left-fold additions from cast(0 as double); get() returns
-# NULL out-of-range, mirroring zip_with's null padding, so degenerate
-# inputs (NULL array, short array, empty array) agree too.
-# ---------------------------------------------------------------------------
-
-
-def test_unrolled_dot_bit_identical_to_fold(spark):
-    import random
-
-    from chai_data_pipeline_spark.operators.similarity import (
-        dot_sql_spark,
-        dot_sql_spark_lit,
-    )
-
-    rng = random.Random(1337)
-    dim = 64
-    rows = [
-        (
-            i,
-            [rng.uniform(-2.0, 2.0) for _ in range(dim)],
-            [rng.uniform(-2.0, 2.0) for _ in range(dim)],
-        )
-        for i in range(500)
-    ]
-    lit_vec = [rng.uniform(-2.0, 2.0) for _ in range(dim)]
-    df = spark.createDataFrame(rows, "id long, a array<double>, b array<double>")
-    arr = "array({})".format(
-        ", ".join(f"cast({x!r} AS double)" for x in lit_vec)
-    )
-    out = df.selectExpr(
-        f"({dot_sql_spark('a', 'b')}) AS fold",
-        f"({dot_sql_spark('a', 'b', dim)}) AS flat",
-        f"({dot_sql_spark('a', arr)}) AS fold_lit",
-        f"({dot_sql_spark_lit('a', lit_vec)}) AS flat_lit",
-    ).collect()
-    for r in out:
-        # bit-identity, not approx: compare exact float reprs
-        assert repr(r.fold) == repr(r.flat)
-        assert repr(r.fold_lit) == repr(r.flat_lit)
-
-
-def test_unrolled_dot_degenerate_inputs(spark):
-    """NULL/short inputs: the flat form yields NULL, matching the
-    unrolled DuckDB oracle (out-of-range list index → NULL). The fold
-    form agrees except when BOTH arrays are shorter than dim (it folds
-    the zip of the shorter pair — 0.0 for both-empty), where the fold
-    actually disagreed with the oracle; corpus embeddings are
-    fixed-width or NULL, so the two forms are identical on real data
-    (previous test + sf0.01 rehearse)."""
-    from chai_data_pipeline_spark.operators.similarity import dot_sql_spark
-
-    df = spark.createDataFrame(
-        [
-            (0, None, [1.0, 2.0, 3.0]),          # NULL side
-            (1, [1.0], [1.0, 2.0, 3.0]),         # short left
-            (2, [], []),                          # both empty
-            (3, [1.0, 2.0], None),               # NULL right
-        ],
-        "id long, a array<double>, b array<double>",
-    )
-    out = {
-        r.id: (r.fold, r.flat)
-        for r in df.selectExpr(
-            "id",
-            f"({dot_sql_spark('a', 'b')}) AS fold",
-            f"({dot_sql_spark('a', 'b', 3)}) AS flat",
-        ).collect()
-    }
-    assert out[0] == (None, None)
-    assert out[1] == (None, None)
-    assert out[2] == (0.0, None)  # fold pads; flat matches the oracle
-    assert out[3] == (None, None)
