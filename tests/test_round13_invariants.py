@@ -226,3 +226,34 @@ def test_finalize_rejects_trailing_truncation(spark, sf_dir):
     agg = append_window_counts_stream(spark, sf_dir)
     with pytest.raises(ValueError, match="noDataMicroBatches"):
         run_streaming_query(agg, "r13_fence_probe", output_mode="append")
+
+
+def test_load_tables_memo_reuses_plan_objects(spark, sf_dir):
+    """The per-session table memo returns the SAME DataFrame (a plan
+    object, never a result) for repeat loads, keeps sf_dirs and split
+    variants distinct, repoints the temp view when the key changes,
+    and honors the SPARK_GRAFT_TABLE_MEMO=0 kill switch."""
+    import chai_data_pipeline_spark.session as S
+
+    a = S.load_tables(spark, sf_dir, "events")["events"]
+    b = S.load_tables(spark, sf_dir, "events")["events"]
+    assert a is b  # memo hit: no second read.parquet plan build
+    # the registered view resolves to the same relation
+    assert spark.table("events").count() == a.count()
+
+    # split variant is a distinct memo entry (different physical plan)
+    c = S.load_tables(spark, sf_dir, "events", split=("events",))["events"]
+    assert c is not a
+    c2 = S.load_tables(spark, sf_dir, "events", split=("events",))["events"]
+    assert c2 is c
+    # ...and the view now points at the split variant, then back
+    S.load_tables(spark, sf_dir, "events")
+    assert spark.table("events").count() == a.count()
+
+    # kill switch bypasses the memo entirely
+    os.environ["SPARK_GRAFT_TABLE_MEMO"] = "0"
+    try:
+        d = S.load_tables(spark, sf_dir, "events")["events"]
+        assert d is not a
+    finally:
+        os.environ.pop("SPARK_GRAFT_TABLE_MEMO", None)
