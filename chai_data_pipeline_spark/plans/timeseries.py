@@ -275,9 +275,12 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     # timeless events cannot sequence a change history
-    events = load_tables(spark, sf_dir, "events")["events"].filter(
-        F.col("ts").isNotNull()
-    )
+    # split=: single-row-group input, and every window below keys on
+    # user_id — the split's hash exchange IS the window shuffle
+    # (interleaved A/B 0.65 -> 0.43 s, plans/r13/ab_split.json)
+    events = load_tables(spark, sf_dir, "events", split=("events",))[
+        "events"
+    ].filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = events.select(
         "user_id",

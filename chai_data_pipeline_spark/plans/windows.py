@@ -332,7 +332,12 @@ FROM s GROUP BY user_id, session_id
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import sessionize
 
-    events = load_tables(spark, sf_dir, "events")["events"]
+    # split=: sessionize windows on user_id = the events split key, so
+    # the split's exchange is the session-window shuffle (interleaved
+    # A/B 0.60 -> 0.33 s, plans/r13/ab_split.json)
+    events = load_tables(spark, sf_dir, "events", split=("events",))[
+        "events"
+    ]
     # Sessions are undefined for timeless/anonymous rows; the shared
     # NULL-key filter (plan AND oracle) also avoids the Spark NULLS
     # FIRST vs DuckDB NULLS LAST window-order divergence over ts.
