@@ -562,7 +562,13 @@ def corpus_overlap_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     The source-count table is S rows — broadcast. Output is S·(S-1)/2
     rows regardless of corpus size.
     """
-    docs = load_tables(spark, sf_dir, "documents")["documents"]
+    # split=: the eager localCheckpoint below runs the explode +
+    # partial-distinct first stage at BUILD time — single-task on a
+    # single-row-group file without the split (interleaved A/B
+    # 1.06 -> 0.81 s, plans/r13/ab_split.json)
+    docs = load_tables(spark, sf_dir, "documents", split=("documents",))[
+        "documents"
+    ]
     # word BIGRAMS, not char trigrams: ~6x fewer posting rows through
     # the distinct shuffle for the same overlap signal. The token array
     # is materialized as a column FIRST — a split() inside the shingle
