@@ -992,6 +992,11 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("f_orders"),
         dsum("o_totalprice", 2).alias("m_value"),
     )
+    # materialize once: the quintile-cutoff agg AND the scoring pass
+    # both consume per_cust — without the checkpoint each re-runs the
+    # full orders scan + group (corpus_overlap_sources precedent;
+    # interleaved A/B 1.22 -> 1.11 s). ~N_customers rows, bounded.
+    per_cust = per_cust.localCheckpoint(eager=True)
 
     def _cuts(metric: str, tag: str):
         return [
