@@ -205,7 +205,12 @@ def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     reuses the exchange. The decimal-exact dsum-based average keeps
     the `<` boundary comparison bit-identical cross-engine
     (numeric.py scale rule)."""
-    t = load_tables(spark, sf_dir, "lineitem", "part")
+    # split on l_partkey (key override): the per-part agg AND the
+    # join-back both cluster on it, so the split exchange is the only
+    # shuffle the plan needs (A/B in plans/r13/ab_split.json)
+    t = load_tables(
+        spark, sf_dir, "lineitem", "part", split=("lineitem:l_partkey",)
+    )
     li = t["lineitem"]
     part = t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     per_part_avg = (

@@ -74,8 +74,12 @@ FROM ranked WHERE rn <= 10
 """,
 )
 def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # split on l_partkey (key override): a partkey partitioning is a
+    # subset of the (l_partkey, l_suppkey) distinct clustering, so the
+    # pair-distinct exchange elides (A/B in plans/r13/ab_split.json)
     t = load_tables(
-        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region",
+        split=("lineitem:l_partkey",),
     )
     pairs = t["lineitem"].select("l_partkey", "l_suppkey").distinct()
     eu = (
@@ -204,7 +208,11 @@ WHERE part_value > 1.5 * tv / np
 """,
 )
 def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, "lineitem", "part")
+    # split on l_partkey (key override): the per-part group clusters
+    # on it, so the split exchange doubles as the group shuffle
+    t = load_tables(
+        spark, sf_dir, "lineitem", "part", split=("lineitem:l_partkey",)
+    )
     per_part = (
         t["lineitem"]
         .join(
@@ -265,7 +273,13 @@ def tpch_q16_parts_supplier_count(
     warm, identical 3353 groups) and drops the Expand entirely — the
     shuffle that remains is the one the semantics require.
     """
-    t = load_tables(spark, sf_dir, "lineitem", "part", "supplier")
+    # split on l_suppkey (key override): a suppkey partitioning is a
+    # subset of the final (brand, type, size, suppkey) distinct
+    # clustering, so the distinct's exchange elides
+    t = load_tables(
+        spark, sf_dir, "lineitem", "part", "supplier",
+        split=("lineitem:l_suppkey",),
+    )
     bad = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     parts = t["part"].filter(
         (F.col("p_brand") != "Brand#1") & (F.col("p_size") <= 25)

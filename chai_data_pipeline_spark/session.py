@@ -189,13 +189,20 @@ _TABLE_MEMO: dict[tuple, object] = {}
 _VIEW_STATE: dict[tuple, tuple] = {}
 
 
-def _split_if_unsplittable(spark: SparkSession, name: str, path: str, df):
+def _split_if_unsplittable(
+    spark: SparkSession, name: str, path: str, df, key_override=None
+):
     if os.environ.get("SPARK_GRAFT_SPLIT", "1") == "0":
         return df
     spec = _SPLIT_KEYS.get(name)
     if spec is None:
         return df
     key, min_rows = spec
+    if key_override:
+        # "table:key" split entry — the caller's plan shuffles on a
+        # different column than the table's dominant key, so hash the
+        # split there instead (same exchange-reuse rationale).
+        key = key_override
     if key not in df.columns:
         return df
     min_rows = int(os.environ.get("SPARK_GRAFT_SPLIT_MIN_ROWS", min_rows))
@@ -246,10 +253,16 @@ def load_tables(
     out = {}
     app_id = spark.sparkContext.applicationId
     memo_on = os.environ.get("SPARK_GRAFT_TABLE_MEMO", "1") != "0"
+    # split entries are "table" or "table:key" (per-query key override)
+    split_spec = {
+        s.split(":", 1)[0]: (s.split(":", 1)[1] if ":" in s else None)
+        for s in split
+    }
     for name in names:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        key_override = split_spec.get(name)
         split_eff = (
-            name in split
+            name in split_spec
             or os.environ.get("SPARK_GRAFT_SPLIT_FORCE") == "1"
         )
         # The split env knobs (kill switch, row floor) change what
@@ -259,7 +272,9 @@ def load_tables(
             os.environ.get("SPARK_GRAFT_SPLIT", "1"),
             os.environ.get("SPARK_GRAFT_SPLIT_MIN_ROWS"),
         ) if split_eff else None
-        memo_key = (app_id, sf_dir, name, split_eff, split_env)
+        memo_key = (
+            app_id, sf_dir, name, split_eff, key_override, split_env
+        )
         cached = _TABLE_MEMO.get(memo_key) if memo_on else None
         if cached is not None:
             view_key = (app_id, name)
@@ -297,7 +312,9 @@ def load_tables(
         if split_eff:
             # FORCE is the A/B measurement instrument (perf probes flip
             # it per build to isolate the split's effect per query)
-            df = _split_if_unsplittable(spark, name, path, df)
+            df = _split_if_unsplittable(
+                spark, name, path, df, key_override=key_override
+            )
         df.createOrReplaceTempView(name)
         if memo_on:
             _TABLE_MEMO[memo_key] = df
