@@ -718,7 +718,11 @@ def inventory_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    events = load_tables(spark, sf_dir, "events")["events"]
+    # split=: every window and the final agg cluster on user_id (A/B
+    # -0.01/-0.04 s across two runs, plans/r13/ab_split_kill.json)
+    events = load_tables(spark, sf_dir, "events", split=("events",))[
+        "events"
+    ]
     # timeless or valueless transactions cannot enter a ledger
     tx = events.filter(
         F.col("event_type").isin("purchase", "error")

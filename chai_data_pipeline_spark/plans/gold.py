@@ -42,7 +42,12 @@ GROUP BY user_id
 """,
 )
 def user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_tables(spark, sf_dir, "events")["events"]
+    # split=: groupBy(user_id) = the events split key — the exchange
+    # is the group shuffle (A/B 0.30 -> 0.20 s,
+    # plans/r13/ab_split_kill.json)
+    events = load_tables(spark, sf_dir, "events", split=("events",))[
+        "events"
+    ]
     n = F.count("*")
     return events.groupBy("user_id").agg(
         n.alias("n_events"),

@@ -1,0 +1,50 @@
+"""A/B probe: split call sites already in code, via the kill switch.
+
+ab_split.py forces the split ON for queries whose code does not set
+``split=``; this variant measures queries whose code DOES set it, by
+flipping SPARK_GRAFT_SPLIT (0 = kill switch, unset = code path). Same
+methodology: build+exec (noop sink), min-of-3, interleaved A/B/A/B in
+one session to cancel regime drift. Measurement only, not product.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+from chai_data_pipeline_spark import plans  # noqa: E402
+from chai_data_pipeline_spark.session import get_spark  # noqa: E402
+
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+names = sys.argv[1:]
+
+spark = get_spark("ab-split-kill")
+spark.range(1).count()
+warm = "/root/testdata/sf0.001"
+for n in names:
+    plans.QUERIES[n](spark, warm).write.format("noop").mode("overwrite").save()
+
+res = {}
+for _pass in range(3):
+    for n in names:
+        for mode in ("off", "on"):
+            if mode == "off":
+                os.environ["SPARK_GRAFT_SPLIT"] = "0"
+            else:
+                os.environ.pop("SPARK_GRAFT_SPLIT", None)
+            t0 = time.perf_counter()
+            df = plans.QUERIES[n](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            key = (n, mode)
+            if key not in res or dt < res[key]:
+                res[key] = dt
+os.environ.pop("SPARK_GRAFT_SPLIT", None)
+
+out = {}
+print(f"{'query':40s} {'off':>7s} {'on':>7s} {'delta':>7s}")
+for n in names:
+    off, on = res[(n, "off")], res[(n, "on")]
+    out[n] = {"off": round(off, 3), "on": round(on, 3)}
+    print(f"{n:40s} {off:7.3f} {on:7.3f} {on-off:+7.3f}")
+json.dump(out, open("/tmp/ab_split_kill.json", "w"), indent=1)
