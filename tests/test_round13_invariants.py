@@ -286,3 +286,32 @@ def test_split_key_override(spark, sf_dir):
         assert "RepartitionByExpression" not in nplan
     finally:
         os.environ.pop("SPARK_GRAFT_SPLIT_MIN_ROWS", None)
+
+
+def test_events_stream_memo_reuses_plan_objects(spark, sf_dir):
+    """The per-session source-stream memo returns the SAME streaming
+    DataFrame (a plan object, never a result) for repeat builds, keeps
+    delivery/trigger variants distinct, and honors the
+    SPARK_GRAFT_STREAM_MEMO=0 kill switch. Every started query still
+    reads the staged files — nothing here caches data."""
+    from chai_data_pipeline_spark.streaming.windows import _events_stream
+
+    a = _events_stream(spark, sf_dir)
+    b = _events_stream(spark, sf_dir)
+    assert a is b  # memo hit: no second batch-schema read / plan build
+    assert a.isStreaming
+
+    # the duplicate-delivery staging is a different source dir → its
+    # own memo entry, as is a bounded-trigger variant
+    c = _events_stream(spark, sf_dir, duplicate_delivery=True)
+    assert c is not a
+    d = _events_stream(spark, sf_dir, max_files_per_trigger=1)
+    assert d is not a and d is not c
+    assert _events_stream(spark, sf_dir, duplicate_delivery=True) is c
+
+    os.environ["SPARK_GRAFT_STREAM_MEMO"] = "0"
+    try:
+        e = _events_stream(spark, sf_dir)
+        assert e is not a  # kill switch bypasses the memo entirely
+    finally:
+        os.environ.pop("SPARK_GRAFT_STREAM_MEMO", None)
