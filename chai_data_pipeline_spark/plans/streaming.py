@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..streaming.windows import (
+    adaptive_state_partitions,
     append_window_counts_stream,
     run_streaming_query,
     sessionized_stream,
@@ -37,6 +38,11 @@ GROUP BY 1, 2
 """,
 )
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # windowed-AGGREGATE state is window-cardinality (bounded) and the
+    # stream's shuffle is map-side partial-aggregated, so more state
+    # partitions are pure commit overhead at ANY volume — the r13 sf1
+    # measurement confirmed it (2 parts 1.55 s vs 8 parts 2.87 s at 1M
+    # events); adaptive_state_partitions is for ROW-KEYED state only
     return run_streaming_query(
         tumbling_counts_stream(spark, sf_dir), "t_tumbling"
     )
@@ -77,6 +83,8 @@ GROUP BY 1, 2
 """,
 )
 def streaming_append_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded windowed-aggregate state: fixed partitions (see
+    # streaming_tumbling_counts note)
     return run_streaming_query(
         append_window_counts_stream(spark, sf_dir),
         "t_append_window",
@@ -111,6 +119,8 @@ GROUP BY 1
 """,
 )
 def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded windowed-aggregate state: fixed partitions (see
+    # streaming_tumbling_counts note)
     return run_streaming_query(
         sliding_counts_stream(spark, sf_dir), "t_sliding"
     )
@@ -146,6 +156,9 @@ FROM s GROUP BY user_id, session_id
 """,
 )
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session-window state is bounded by (users x open sessions), not
+    # rows: fixed partitions (see streaming_tumbling_counts note;
+    # measured 2.98 s at 2 parts vs 4.07 s at 8 parts, sf1)
     return run_streaming_query(
         sessionized_stream(spark, sf_dir), "t_session"
     )
@@ -183,8 +196,9 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # applyInPandasWithState scales with parallel Arrow workers, so
         # MORE state partitions win here (measured 1.97 s at 8 vs
         # 2.36 s at 4) — the opposite of the JVM-state default, where
-        # per-partition commit files dominate
-        state_partitions=8,
+        # per-partition commit files dominate; 8 is the FLOOR and the
+        # count still grows with source volume (r13 scale measurement)
+        state_partitions=adaptive_state_partitions(spark, sf_dir, floor=8),
     )
     # one update row per user per batch; the LAST emission (highest seq,
     # stamped by the state function) is the final total — max of the
@@ -226,6 +240,7 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchase_click_join_stream(spark, sf_dir),
         "t_stream_join",
         output_mode="append",
+        state_partitions=adaptive_state_partitions(spark, sf_dir),
     )
 
 
@@ -249,6 +264,10 @@ def streaming_dedup_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_delivery_stream(spark, sf_dir),
         "t_stream_dedup",
         output_mode="append",
+        # replicas=2: the at-least-once source stages the file twice
+        state_partitions=adaptive_state_partitions(
+            spark, sf_dir, replicas=2
+        ),
     )
 
 
@@ -346,6 +365,8 @@ GROUP BY 1, 2
 def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import static_enrich_stream
 
+    # bounded windowed-aggregate state: fixed partitions (see
+    # streaming_tumbling_counts note)
     return run_streaming_query(
         static_enrich_stream(spark, sf_dir), "t_static_enrich"
     )

@@ -38,6 +38,59 @@ from pyspark.sql import functions as F
 # scale. Kill switch SPARK_GRAFT_STREAM_MEMO=0 for A/B probes.
 _STREAM_MEMO: dict[tuple, DataFrame] = {}
 
+# events.parquet row counts per path (footer metadata, read once) for
+# adaptive_state_partitions — same cache discipline as session._SPLIT_META
+_EVENTS_ROWS: dict[str, int] = {}
+
+
+def adaptive_state_partitions(
+    spark: SparkSession,
+    sf_dir: str,
+    floor: int = 2,
+    replicas: int = 1,
+    rows_per_partition: int = 125_000,
+) -> int:
+    """Scale the streaming state-store / shuffle partition count with
+    SOURCE VOLUME, for topologies whose state is ROW-KEYED (stream-
+    stream join buffers, dropDuplicates id sets, per-key Arrow state).
+
+    The r12 re-measure picked 2 at sf0.1 (100k events: per-partition
+    state-commit files are the dominant fixed cost of a short run) —
+    but the r13 10x scale point proved that is a LOCAL-SCALE constant
+    for row-keyed state: at 1M events the stream-stream join runs
+    14.2 s with 2 partitions vs 6.0 s with 8 (min-of-3 interleaved,
+    plans/r13/ab_stream_parts_sf1.json) because every micro-batch
+    shuffles the full batch into only 2 state tasks. Derivation: one
+    partition per ~125k source rows, floored at the local optimum (2;
+    8 for the applyInPandasWithState topology, which scales with
+    parallel Arrow workers), capped at the session's core count. At
+    sf0.1 this yields exactly the r12-measured optima — the local
+    bench is unchanged by construction — and on a real cluster the
+    count follows data volume and executor width, which is how
+    production sizes state stores. ``replicas`` covers staged
+    redelivery (the at-least-once dedup source stages the file twice).
+
+    NOT for windowed/grouped AGGREGATES with bounded state: their
+    stream shuffle is map-side partial-aggregated (bytes move at group
+    cardinality, not row count), so extra partitions are pure commit
+    overhead at any volume — measured at sf1: tumbling 1.55 s at 2
+    parts vs 2.87 s at 8, session windows 2.98 vs 4.07
+    (plans/r13/perfprobe_s1_sf1_afterparts.json). Those keep the
+    fixed local default.
+    """
+    src = os.path.join(sf_dir, "events.parquet")
+    rows = _EVENTS_ROWS.get(src)
+    if rows is None:
+        try:
+            import pyarrow.parquet as pq
+
+            rows = pq.ParquetFile(src).metadata.num_rows
+        except Exception:
+            rows = 0
+        _EVENTS_ROWS[src] = rows
+    cores = spark.sparkContext.defaultParallelism
+    return max(floor, min(cores, (rows * replicas) // rows_per_partition))
+
 
 def stream_scratch_dir() -> str:
     """Scratch root for streaming checkpoints, staged sources, and file

@@ -315,3 +315,33 @@ def test_events_stream_memo_reuses_plan_objects(spark, sf_dir):
         assert e is not a  # kill switch bypasses the memo entirely
     finally:
         os.environ.pop("SPARK_GRAFT_STREAM_MEMO", None)
+
+
+def test_adaptive_state_partitions_scales_with_volume(spark, sf_dir):
+    """The streaming state-partition count follows SOURCE VOLUME: at
+    the local test scales it lands exactly on the r12-measured optima
+    (2; floor 8 for the Arrow-stateful topology), and at 10x/100x
+    volumes it grows one partition per ~125k rows, capped at the
+    session's core count — the sf1 measurement showed 2 partitions is
+    2.4x slower than 8 at 1M events (plans/r13/ab_stream_parts_sf1)."""
+    from chai_data_pipeline_spark.streaming import windows as W
+
+    # real testdata dirs: small scales keep the local floor
+    assert W.adaptive_state_partitions(spark, sf_dir) == 2
+    assert W.adaptive_state_partitions(spark, sf_dir, floor=8) == 8
+    assert W.adaptive_state_partitions(spark, sf_dir, replicas=2) == 2
+
+    # larger volumes via the row-count cache (no giant file needed)
+    cores = spark.sparkContext.defaultParallelism
+    fake = "/nonexistent/sfX"
+    src = os.path.join(fake, "events.parquet")
+    try:
+        W._EVENTS_ROWS[src] = 1_000_000
+        assert W.adaptive_state_partitions(spark, fake) == min(8, cores)
+        W._EVENTS_ROWS[src] = 1_000_000_000
+        assert W.adaptive_state_partitions(spark, fake) == cores
+        # unreadable metadata fails safe to the floor
+        W._EVENTS_ROWS.pop(src)
+        assert W.adaptive_state_partitions(spark, fake) == 2
+    finally:
+        W._EVENTS_ROWS.pop(src, None)
