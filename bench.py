@@ -216,12 +216,27 @@ def main() -> None:
     # headline fields LAST — the recorded tail then always contains a
     # parsable "value" even when the queries dict is truncated away.
     # Still exactly one valid JSON line with the same fields.
+    #
+    # cpus / master / default_parallelism make the bench's effective
+    # parallelism SELF-EVIDENCING (round 14, VERDICT r13 item 2): the
+    # session is built by get_spark, which honors $SPARK_GRAFT_CPUS
+    # (session.py default_parallelism), but the r13 driver could only
+    # infer that from flat 8-vs-32-core ratios and mis-flagged
+    # `suspect_cpus_ignored`. These fields sit with the scalar block at
+    # the END of the line so they survive tail truncation too.
     print(
         json.dumps(
             {
                 "queries": timings,
                 "n_queries": len(timings),
                 "sf": sf,
+                "cpus": (
+                    int(os.environ["SPARK_GRAFT_CPUS"])
+                    if os.environ.get("SPARK_GRAFT_CPUS", "").isdigit()
+                    else None
+                ),
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
                 "metric": "headline_queries_total",
                 "unit": "sec",
                 "value": total,

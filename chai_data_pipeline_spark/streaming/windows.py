@@ -38,9 +38,10 @@ from pyspark.sql import functions as F
 # scale. Kill switch SPARK_GRAFT_STREAM_MEMO=0 for A/B probes.
 _STREAM_MEMO: dict[tuple, DataFrame] = {}
 
-# events.parquet row counts per path (footer metadata, read once) for
-# adaptive_state_partitions — same cache discipline as session._SPLIT_META
-_EVENTS_ROWS: dict[str, int] = {}
+# events.parquet row counts per (path, mtime_ns, size) (footer
+# metadata, read once per file version) for adaptive_state_partitions
+# — same cache discipline as session._SPLIT_META
+_EVENTS_ROWS: dict[tuple[str, int, int], int] = {}
 
 
 def adaptive_state_partitions(
@@ -63,7 +64,10 @@ def adaptive_state_partitions(
     shuffles the full batch into only 2 state tasks. Derivation: one
     partition per ~125k source rows, floored at the local optimum (2;
     8 for the applyInPandasWithState topology, which scales with
-    parallel Arrow workers), capped at the session's core count. At
+    parallel Arrow workers), capped at the session's core count —
+    the floor intentionally WINS over the core cap (a tiny container
+    with fewer cores than the floor still gets the measured-minimum
+    partition count, matching the prior fixed defaults). At
     sf0.1 this yields exactly the r12-measured optima — the local
     bench is unchanged by construction — and on a real cluster the
     count follows data volume and executor width, which is how
@@ -79,15 +83,26 @@ def adaptive_state_partitions(
     fixed local default.
     """
     src = os.path.join(sf_dir, "events.parquet")
-    rows = _EVENTS_ROWS.get(src)
+    # cache keyed on (path, mtime, size) so an in-process testdata
+    # regeneration invalidates naturally; a read FAILURE is not
+    # cached (falls back to the floor for this call only), so a
+    # transient error cannot pin the count for the session (ADVICE
+    # r13).
+    try:
+        st = os.stat(src)
+        key = (src, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    rows = _EVENTS_ROWS.get(key) if key is not None else None
     if rows is None:
         try:
             import pyarrow.parquet as pq
 
             rows = pq.ParquetFile(src).metadata.num_rows
         except Exception:
-            rows = 0
-        _EVENTS_ROWS[src] = rows
+            return floor
+        if key is not None:
+            _EVENTS_ROWS[key] = rows
     cores = spark.sparkContext.defaultParallelism
     return max(floor, min(cores, (rows * replicas) // rows_per_partition))
 

@@ -166,13 +166,21 @@ def test_reconfirm_quota_invariants():
     assert len(q) <= plans._RECONFIRM_QUOTA
     # all picks are oracle-bearing greens
     assert all(n in plans.ORACLES and n in plans._GREENS for n in q)
-    # picks are the stalest: no non-pick green has an older green round
+    # picks are the stalest: no non-pick green has an older green
+    # round — except greens holding an ACTIVE _FORCE_FRONT pin, which
+    # already reach the window at rank 0 and are skipped by the quota
+    # (round 14: spending a refresh slot on a pinned name is waste)
     if len(q) == plans._RECONFIRM_QUOTA:
         newest_pick = max(plans._GREEN_ROUND.get(n, 0) for n in q)
         others = [
             plans._GREEN_ROUND.get(n, 0)
             for n in plans._GREENS
-            if n in plans.ORACLES and n not in q
+            if n in plans.ORACLES
+            and n not in q
+            and not (
+                n in plans._FORCE_FRONT
+                and plans._GREEN_ROUND.get(n, 0) < plans._FORCE_FRONT[n]
+            )
         ]
         if others:
             assert min(others) >= newest_pick

@@ -317,13 +317,18 @@ def test_events_stream_memo_reuses_plan_objects(spark, sf_dir):
         os.environ.pop("SPARK_GRAFT_STREAM_MEMO", None)
 
 
-def test_adaptive_state_partitions_scales_with_volume(spark, sf_dir):
+def test_adaptive_state_partitions_scales_with_volume(
+    spark, sf_dir, tmp_path
+):
     """The streaming state-partition count follows SOURCE VOLUME: at
     the local test scales it lands exactly on the r12-measured optima
     (2; floor 8 for the Arrow-stateful topology), and at 10x/100x
     volumes it grows one partition per ~125k rows, capped at the
-    session's core count — the sf1 measurement showed 2 partitions is
-    2.4x slower than 8 at 1M events (plans/r13/ab_stream_parts_sf1)."""
+    session's core count (floor wins over the cap on tiny hosts) —
+    the sf1 measurement showed 2 partitions is 2.4x slower than 8 at
+    1M events (plans/r13/ab_stream_parts_sf1). Assertions compare
+    against the derivation formula, not host-dependent constants
+    (ADVICE r13)."""
     from chai_data_pipeline_spark.streaming import windows as W
 
     # real testdata dirs: small scales keep the local floor
@@ -331,17 +336,30 @@ def test_adaptive_state_partitions_scales_with_volume(spark, sf_dir):
     assert W.adaptive_state_partitions(spark, sf_dir, floor=8) == 8
     assert W.adaptive_state_partitions(spark, sf_dir, replicas=2) == 2
 
-    # larger volumes via the row-count cache (no giant file needed)
+    # larger volumes via the row-count cache (no giant file needed);
+    # the cache is keyed on (path, mtime_ns, size) so a regenerated
+    # file invalidates naturally — use a real (empty) file for a
+    # statable key
     cores = spark.sparkContext.defaultParallelism
-    fake = "/nonexistent/sfX"
-    src = os.path.join(fake, "events.parquet")
+    src = str(tmp_path / "events.parquet")
+    with open(src, "w"):
+        pass
+    st = os.stat(src)
+    key = (src, st.st_mtime_ns, st.st_size)
     try:
-        W._EVENTS_ROWS[src] = 1_000_000
-        assert W.adaptive_state_partitions(spark, fake) == min(8, cores)
-        W._EVENTS_ROWS[src] = 1_000_000_000
-        assert W.adaptive_state_partitions(spark, fake) == cores
-        # unreadable metadata fails safe to the floor
-        W._EVENTS_ROWS.pop(src)
-        assert W.adaptive_state_partitions(spark, fake) == 2
+        W._EVENTS_ROWS[key] = 1_000_000
+        assert W.adaptive_state_partitions(spark, str(tmp_path)) == max(
+            2, min(cores, 1_000_000 // 125_000)
+        )
+        W._EVENTS_ROWS[key] = 1_000_000_000
+        assert W.adaptive_state_partitions(spark, str(tmp_path)) == max(
+            2, cores
+        )
     finally:
-        W._EVENTS_ROWS.pop(src, None)
+        W._EVENTS_ROWS.pop(key, None)
+
+    # unreadable metadata fails safe to the floor for THIS call and is
+    # NOT cached (a transient failure must not pin the count)
+    n0 = len(W._EVENTS_ROWS)
+    assert W.adaptive_state_partitions(spark, "/nonexistent/sfX") == 2
+    assert len(W._EVENTS_ROWS) == n0
