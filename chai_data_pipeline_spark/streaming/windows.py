@@ -478,6 +478,7 @@ def run_streaming_query(
         "spark.sql.streaming.noDataMicroBatches.enabled",
         "true" if finalize_windows else "false",
     )
+    restore_retain = _set_ephemeral_retain(spark)
     try:
         return _run_stream_inner(
             spark, df, name, output_mode,
@@ -488,6 +489,39 @@ def run_streaming_query(
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", prev_nd
         )
+        restore_retain()
+
+
+def _set_ephemeral_retain(spark) -> "callable":
+    """Bound checkpoint-version retention for an EPHEMERAL streaming run.
+
+    These runners drive a query to completion against a throwaway
+    checkpoint (deleted on the next run of the same name, never
+    restarted), so Spark's default ``minBatchesToRetain=100`` — sized
+    for production recovery windows — only adds per-batch bookkeeping:
+    every commit tracks (and, past the bound, cleans) state/WAL
+    versions that no restart will ever read. r14 measured the bound at
+    2 as a small-but-consistent win across all seven streaming headline
+    keys (totals 7.725 -> 7.508 s focused 5-pass, 9.284 -> 8.865 s in
+    the 4-arm probe; every key improved in both). It never changes what
+    a batch computes — only how many already-committed versions are
+    kept.
+
+    ``SPARK_GRAFT_STREAM_RETAIN`` overrides the bound (a long-lived
+    production job that restarts from these checkpoints should carry
+    its own recovery-window sizing; empty string = leave the session
+    default untouched). Returns a restore thunk for the caller's
+    ``finally``.
+    """
+    val = os.environ.get("SPARK_GRAFT_STREAM_RETAIN", "2")
+    if not val:
+        return lambda: None
+    key = "spark.sql.streaming.minBatchesToRetain"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, val)
+    if prev is None:
+        return lambda: spark.conf.unset(key)
+    return lambda: spark.conf.set(key, prev)
 
 
 def _await_finalization_batch(q, timeout_s: float = 60.0) -> None:
@@ -702,6 +736,7 @@ def window_topk_run(
     spark.conf.set(
         "spark.sql.streaming.noDataMicroBatches.enabled", "false"
     )
+    restore_retain = _set_ephemeral_retain(spark)
     try:
         q = (
             agg.writeStream.outputMode("complete")
@@ -718,4 +753,5 @@ def window_topk_run(
         spark.conf.set(
             "spark.sql.streaming.noDataMicroBatches.enabled", prev_nd
         )
+        restore_retain()
     return spark.read.parquet(out)

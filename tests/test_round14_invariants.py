@@ -110,3 +110,36 @@ def test_every_runner_call_site_is_classified():
         f"{sorted(unclassified)} — add them to ROW_KEYED or BOUNDED_AGG "
         f"in {os.path.basename(__file__)} with a measured justification"
     )
+
+
+def test_ephemeral_retain_applied_and_restored(spark, monkeypatch):
+    """run_streaming_query bounds checkpoint-version retention for its
+    throwaway checkpoints (r14: minBatchesToRetain=2, measured win
+    across all seven streaming headline keys) and restores the session
+    conf afterwards; SPARK_GRAFT_STREAM_RETAIN='' disables the bound."""
+    from chai_data_pipeline_spark.streaming.windows import (
+        _set_ephemeral_retain,
+    )
+
+    key = "spark.sql.streaming.minBatchesToRetain"
+    before = spark.conf.get(key, None)
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_RETAIN", "7")
+    restore = _set_ephemeral_retain(spark)
+    assert spark.conf.get(key) == "7"
+    restore()
+    assert spark.conf.get(key, None) == before
+
+    # kill switch: empty string leaves the session default untouched
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_RETAIN", "")
+    restore = _set_ephemeral_retain(spark)
+    assert spark.conf.get(key, None) == before
+    restore()
+    assert spark.conf.get(key, None) == before
+
+    # default (env unset): the ephemeral bound of 2
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_RETAIN", raising=False)
+    restore = _set_ephemeral_retain(spark)
+    assert spark.conf.get(key) == "2"
+    restore()
+    assert spark.conf.get(key, None) == before
