@@ -424,26 +424,40 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct-pair cardinality and the follow-up per-order count is
     # tiny (measured 1.30 s → 1.01 s at sf0.1; the gap widens with
     # row count).
+    #
+    # r14: the waiting ROWS never need a join back to `l` at all. For a
+    # qualifying order (>= 2 suppliers, exactly 1 late supplier) the
+    # waiting rows are exactly the late rows of that unique supplier,
+    # so the pair agg carries the per-pair late-row count and the
+    # per-order agg carries (unique late supplier, its row count) —
+    # numwait = SUM of those counts per supplier. This removes the
+    # second lineitem scan, the SortMergeJoin left-semi, and the
+    # 600k-row Exchange+Sort that fed it (plan: 2 lineitem scans -> 1,
+    # SMJ gone); at any scale the late-row recount rides the exchanges
+    # the aggregation already pays for.
     pairs = l.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("late").alias("late")
+        F.max("late").alias("late"),
+        F.count_if(F.col("late")).alias("n_late_rows"),
     )
     per_order = pairs.groupBy(F.col("l_orderkey").alias("ok")).agg(
         F.count("*").alias("n_supps"),
         F.count_if(F.col("late")).alias("n_late_supps"),
-    )
-    waiting = l.filter(F.col("late")).join(
-        per_order.filter(
-            (F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1)
+        F.max(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "late_supp"
         ),
-        F.col("l_orderkey") == F.col("ok"),
-        "left_semi",
+        F.sum(F.when(F.col("late"), F.col("n_late_rows"))).alias(
+            "late_rows"
+        ),
     )
+    waiting = per_order.filter(
+        (F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1)
+    ).select("late_supp", "late_rows")
     counts = (
         waiting.join(
-            t["supplier"], F.col("l_suppkey") == F.col("s_suppkey")
+            t["supplier"], F.col("late_supp") == F.col("s_suppkey")
         )
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("late_rows").alias("numwait"))
     )
     topk = counts.orderBy(F.desc("numwait"), F.asc("s_name")).limit(10)
     w = Window.partitionBy(F.lit(0)).orderBy(
