@@ -352,6 +352,52 @@ def ivf_assign(
     )
 
 
+def ivf_assign_arrow(
+    df: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow-native IVF coarse quantization for ROWS-ONLY paths: the
+    same first-k codebook as :func:`ivf_assign`, but every batch of
+    vectors scores all centroids in ONE numpy matmul inside a pandas
+    UDF instead of k interpreted zip_with/aggregate folds per row —
+    the same production trade :func:`lsh_sign_buckets` already makes
+    for bucketing (SIMD summation order is not reproducible in SQL, so
+    the hash-checked twin keeps :func:`ivf_assign`'s fold form).
+
+    Ties break to the LOWEST centroid id exactly like the fold form:
+    the codebook rows are collected in ascending id order and
+    ``argmax`` returns the FIRST maximum. The codebook collect is
+    bounded model state (k×dim floats — the pq_codebooks precedent),
+    not a data collect. The UDF is a closure: executors do not have
+    the repo on sys.path (worker-shipping rule)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = (
+        df.orderBy(id_col)
+        .limit(n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cids = np.array([r[0] for r in rows], dtype=np.int64)
+    cents = np.array(
+        [[float(x) for x in r[1]] for r in rows], dtype=np.float64
+    )  # (k, dim)
+    cnorms = np.sqrt((cents * cents).sum(axis=1))  # (k,)
+
+    def _assign_impl(vecs):
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        vn = np.sqrt((mat * mat).sum(axis=1))
+        sims = (mat @ cents.T) / (vn[:, None] * cnorms[None, :])
+        return pd.Series(cids[sims.argmax(axis=1)])
+
+    _assign_impl.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    assign = F.pandas_udf(_assign_impl, "long")
+    return df.withColumn("centroid_id", assign(F.col(vec_col)))
+
+
 def ann_topk_ivf(
     df: DataFrame,
     query: DataFrame,
@@ -360,13 +406,72 @@ def ann_topk_ivf(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    arrow: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: score the query against the centroid
     codebook, probe the ``n_probe`` nearest inverted lists, exact cosine
     only within them. At scale the assignment is written once
     (partitioned by centroid_id) and each query touches n_probe/n_total
-    of the data."""
+    of the data.
+
+    ``arrow=True`` (rows-only callers): numpy-matmul assignment
+    (:func:`ivf_assign_arrow`) and batched numpy candidate scoring —
+    linear work moves from the interpreted higher-order-function
+    evaluator to SIMD. The cosine is still rounded through
+    :func:`dround`(6) before ranking, and the probe/tiebreak logic is
+    identical, so the rounded output matches the fold form on real
+    data (proven row-identical at sf0.001/0.01/0.1 and the 10x sf1
+    point in plans/r14/ab_ivf_arrow.json); the hash-checked twin keeps
+    ``arrow=False`` because SIMD summation order cannot be reproduced
+    in the DuckDB oracle."""
     from ..functions import dround
+
+    if arrow:
+        import numpy as np
+        import pandas as pd
+
+        assigned = ivf_assign_arrow(df, n_centroids, vec_col, id_col)
+        qvec = np.array(
+            [float(x) for x in query.first()[0]], dtype=np.float64
+        )
+        qnorm = float(np.sqrt((qvec * qvec).sum()))
+
+        def _cos_impl(vecs):
+            mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in vecs]
+            )
+            vn = np.sqrt((mat * mat).sum(axis=1))
+            return pd.Series((mat @ qvec) / (vn * qnorm))
+
+        _cos_impl.__annotations__ = {
+            "vecs": pd.Series,
+            "return": pd.Series,
+        }
+        cos_q = F.pandas_udf(_cos_impl, "double")
+
+        cents = (
+            df.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"),
+                F.col(vec_col).alias("centroid_vec"),
+            )
+        )
+        probe = (
+            cents.crossJoin(F.broadcast(query))
+            .withColumn(
+                "__sim", F.expr(cosine_sql_spark("centroid_vec", "qv"))
+            )
+            .orderBy(F.desc("__sim"), F.asc("centroid_id"))
+            .limit(n_probe)
+            .select("centroid_id")
+        )
+        cands = assigned.join(F.broadcast(probe), "centroid_id")
+        scored = cands.select(
+            F.col(id_col),
+            dround(cos_q(F.col(vec_col)), 6).alias("cosine"),
+        )
+        return ranked_topk(scored, k, id_col)
 
     assigned = ivf_assign(df, n_centroids, vec_col, id_col)
     cents = (

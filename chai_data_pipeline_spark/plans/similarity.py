@@ -8,6 +8,8 @@
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -142,6 +144,36 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _ivf_arrow_auto(sf_dir: str, threshold: int = 10_000) -> bool:
+    """Volume switch for the rows-only IVF path (r14, VERDICT item 6).
+
+    The Arrow/numpy form pays a ~0.8 s FIXED cost (codebook + query
+    collect jobs, Python worker spin-up) and then scales almost flat,
+    while the interpreted fold form is cheap to start but linear in
+    vectors×centroids: measured min-of-3 interleaved at 2k vectors
+    (sf0.1) fold 0.62 s vs arrow 1.43 s, at 20k vectors (sf1) fold
+    3.55 s vs arrow 1.31 s (plans/r14/ab_ivf_arrow.json) — crossover
+    ≈7k. Below the threshold the fold form wins and the local bench is
+    unchanged by construction; above it the matmul form wins and keeps
+    widening (the adaptive_state_partitions posture: derive from data
+    volume, never from the local harness). SPARK_GRAFT_IVF_ARROW=0/1
+    forces either side (kill switch / A-B instrument)."""
+    forced = os.environ.get("SPARK_GRAFT_IVF_ARROW", "")
+    if forced in ("0", "1"):
+        return forced == "1"
+    try:
+        import pyarrow.parquet as pq
+
+        return (
+            pq.read_metadata(
+                os.path.join(sf_dir, "embeddings.parquet")
+            ).num_rows
+            >= threshold
+        )
+    except Exception:
+        return False
+
+
 @query("similarity_ann_ivf")
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ann_topk_ivf
@@ -153,7 +185,14 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qdf = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv")
     )
-    return ann_topk_ivf(emb, qdf, k=10)
+    # r14: above ~10k vectors the per-row 16-centroid assignment moves
+    # from the interpreted fold evaluator to one numpy matmul per Arrow
+    # batch (see _ivf_arrow_auto for the measured crossover). Proven
+    # row-identical to the fold form at sf0.001/0.01/0.1/sf1 — 0
+    # assignment flips over 23k vectors (plans/r14/ab_ivf_arrow.json);
+    # the hash-checked twin similarity_ann_ivf_checked keeps the fold
+    # form because SIMD summation order has no DuckDB twin.
+    return ann_topk_ivf(emb, qdf, k=10, arrow=_ivf_arrow_auto(sf_dir))
 
 
 # --------------------------------------------------------------------------
