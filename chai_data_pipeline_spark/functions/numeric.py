@@ -25,17 +25,21 @@ makes results reproducible run-to-run on a real cluster too (AQE can
 change partitioning between runs, and a 1000-executor sum would
 otherwise never reproduce byte-identical outputs).
 
-Known residual risk class #2 (accepted, magnitude-gated): the
-decimal→double cast is only guaranteed correctly-rounded on BOTH
-engines while the decimal's UNSCALED value fits 2^53. Beyond that
-(|sum| > ~9e11 at scale 4), Spark's conversion (Java BigDecimal) is
-correctly rounded but DuckDB's is not — measured 1-ulp drift at 2e17
-(r12 --xvalues probe: rolling_user_avg, running_totals,
-schema_evolution_union, pythagorean_means_by_type's arithmetic_mean).
-No clamp can fix this without changing the
-query's semantics, so the certified cross-engine envelope is the r11
-adversarial point (single values ≤ 1e12, corpus sums far below 2^53
-unscaled); past it, dsum outputs may drift by one conversion ulp.
+Residual risk class #2 — CLOSED in r14 (was: accepted,
+magnitude-gated). The decimal→double cast is correctly rounded in
+Spark (Java BigDecimal) at every magnitude, but DuckDB's native
+``CAST(DECIMAL AS DOUBLE)`` converts the unscaled integer and then
+divides by 10^scale — TWO roundings — so past 2^53 unscaled
+(|sum| > ~9e13 at scale 2) the two engines drift by one conversion
+ulp (measured r12 at 2e17; re-measured r14 at the 4e15 gate plant:
+exact decimal 4000000105232161.64 → Spark …161.5, DuckDB native cast
+…162.0). Since r14 :func:`sql_dsum` routes the oracle's conversion
+through VARCHAR — ``CAST(CAST(dec AS VARCHAR) AS DOUBLE)`` — which
+DuckDB parses correctly-rounded (verified equal to Python/Spark at
+the failing point), so dsum/sql_dsum now match over the FULL double
+range; values whose unscaled decimals fit 2^53 are bit-unchanged by
+the reroute (both paths exact there), which keeps every existing
+oracle hash on real data identical.
 Saturation-class divergence (Spark FLOOR(double)→LONG silently pinning
 to 2^63 — wrong by ORDERS OF MAGNITUDE, not ulps) is never accepted:
 every rounding grid must ride dround/sql_dround or clamp before the
@@ -127,7 +131,14 @@ def dsum(col: Column | str, scale: int = 4) -> Column:
 
 
 def sql_dsum(expr: str, scale: int = 4) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({_PREC},{scale}))) AS DOUBLE)"
+    # VARCHAR reroute (r14): DuckDB's native DECIMAL→DOUBLE cast is
+    # double-rounded past 2^53 unscaled; the string round-trip is
+    # correctly rounded and bit-matches Spark's BigDecimal conversion
+    # at every magnitude (module docstring, risk class #2).
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL({_PREC},{scale})))"
+        f" AS VARCHAR) AS DOUBLE)"
+    )
 
 
 def davg(col: Column | str, scale: int = 4) -> Column:

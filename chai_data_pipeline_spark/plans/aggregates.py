@@ -378,11 +378,30 @@ GROUP BY ROLLUP(l_returnflag, l_linestatus)
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13: rollup partials over the full scan; split measured 1.45->0.89 s
     li = load_tables(spark, sf_dir, "lineitem", split=("lineitem",))["lineitem"]
+    # r14: pre-aggregate to (flag, status) grain BEFORE the rollup —
+    # Spark plans rollup as Expand-then-aggregate, so the naive form
+    # pushes 3x the full row count through the partial aggregate; over
+    # the pre-aggregate the Expand runs at group cardinality (~6 rows).
+    # Exact by the decimal discipline: the element cast mirrors
+    # dsum's DECIMAL(27,2) exactly (numeric.py _PREC — the scale rule),
+    # decimal addition is associative, and the outer sum only WIDENS
+    # (decimal(37,2) partials -> decimal(38,2)), so re-aggregating
+    # partials is bit-identical to the single-level sum; counts re-add
+    # as BIGINTs. Data-NULL flag/status rows form the same detail
+    # groups either way (rollup subtotal NULLs are tracked via
+    # grouping_id, not the values). A/B and plan diff in
+    # plans/r14/ab_twolevel.json / rollup_revenue_{before,after}.txt.
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(27,2)")).alias(
+            "__rev"
+        ),
+        F.count("*").alias("__n"),
+    )
     return (
-        li.rollup("l_returnflag", "l_linestatus")
+        base.rollup("l_returnflag", "l_linestatus")
         .agg(
-            dround(dsum("l_extendedprice", 2), 2).alias("revenue"),
-            F.count("*").alias("n_items"),
+            dround(F.sum("__rev").cast("double"), 2).alias("revenue"),
+            F.sum("__n").alias("n_items"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
@@ -716,7 +735,7 @@ terms AS (
 SELECT COUNT(*) AS n_cells,
        (SELECT (COUNT(DISTINCT event_type) - 1)
                * (COUNT(DISTINCT dow) - 1) FROM cells) AS dof,
-       CAST(SUM(CAST(term AS DECIMAL(27,8))) AS DOUBLE) AS chi2
+       CAST(CAST(SUM(CAST(term AS DECIMAL(27,8))) AS VARCHAR) AS DOUBLE) AS chi2
 FROM terms
 """,
 )
@@ -1035,7 +1054,9 @@ monthly_direct AS (
 )
 SELECT c.event_type, c.month,
        c.n_cascade AS n_events,
-       CAST(c.v_cascade AS DOUBLE) AS total_value,
+       -- VARCHAR reroute (r14): DuckDB's native DECIMAL->DOUBLE cast
+       -- is double-rounded past 2^53 unscaled (numeric.py risk #2)
+       CAST(CAST(c.v_cascade AS VARCHAR) AS DOUBLE) AS total_value,
        (c.n_cascade = d.n_direct) AS counts_match,
        (c.v_cascade = d.v_direct) AS values_match
 FROM monthly_cascade c
@@ -1461,7 +1482,7 @@ WITH q AS (
 SELECT event_type,
        COUNT(*) AS n,
        {sql_dround(
-           "CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*)",
+           "CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE) / COUNT(*)",
            4,
        )} AS arithmetic_mean,
        {sql_dround(
@@ -1533,13 +1554,19 @@ _CUPED_CUTOFF = "2024-01-16 00:00:00"
     "cuped_ab_analysis",
     oracle=f"""
 WITH per_user AS (
+    -- per-user cents winsorized at +-1e11 ($1e9/user, ~10^6x the
+    -- corpus per-user ceiling; r11 moments precedent): the planted
+    -- 4e15 value made the x1000 adjustment grid saturate Spark's
+    -- FLOOR(double)->LONG at 2^63 and overflow the per-arm SUM, while
+    -- DuckDB's BIGINT cast errored — both engines now clamp
+    -- identically BEFORE the moments, so theta/yq stay in exact range.
     SELECT user_id,
-           CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
+           LEAST(GREATEST(CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_CUTOFF}'
                 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
-                ELSE 0 END) AS BIGINT) AS x,
-           CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
+                ELSE 0 END) AS BIGINT), -100000000000), 100000000000) AS x,
+           LEAST(GREATEST(CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_CUTOFF}'
                 THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
-                ELSE 0 END) AS BIGINT) AS y
+                ELSE 0 END) AS BIGINT), -100000000000), 100000000000) AS y
     FROM events WHERE user_id IS NOT NULL GROUP BY 1
 ),
 m AS (
@@ -1592,13 +1619,21 @@ def cuped_ab_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = events.filter(F.col("user_id").isNotNull())
     cutoff = F.lit(_CUPED_CUTOFF).cast("timestamp_ntz")
     cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    # winsorize per-user cents at +-1e11 — see the oracle comment
+    clamp = lambda c: F.least(  # noqa: E731
+        F.greatest(c, F.lit(-100000000000)), F.lit(100000000000)
+    )
     per_user = events.groupBy("user_id").agg(
-        F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(0))
-        .cast("bigint")
-        .alias("x"),
-        F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(0))
-        .cast("bigint")
-        .alias("y"),
+        clamp(
+            F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(0)).cast(
+                "bigint"
+            )
+        ).alias("x"),
+        clamp(
+            F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(0)).cast(
+                "bigint"
+            )
+        ).alias("y"),
     )
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     m = per_user.agg(
@@ -1669,15 +1704,19 @@ arms AS (
     FROM per_user GROUP BY 1
 )
 SELECT a.arm, a.n_users,
-       a.spre * 1.0 / a.n_users / 100.0 AS mean_pre,
-       a.spost * 1.0 / a.n_users / 100.0 AS mean_post,
-       (FLOOR((a.spost * 1.0 / a.n_users / 100.0
-               - a.spre * 1.0 / a.n_users / 100.0) * 10000 + 0.5)
+       -- CAST AS DOUBLE heads (r14): `* 1.0` ran these chains in
+       -- DECIMAL on DuckDB (bare-literal pitfall, r9), exact past
+       -- double resolution and ulps off Spark's double chain at the
+       -- planted-4e15 point; a double head makes both IEEE-identical.
+       CAST(a.spre AS DOUBLE) / a.n_users / 100.0 AS mean_pre,
+       CAST(a.spost AS DOUBLE) / a.n_users / 100.0 AS mean_post,
+       (FLOOR((CAST(a.spost AS DOUBLE) / a.n_users / 100.0
+               - CAST(a.spre AS DOUBLE) / a.n_users / 100.0) * 10000 + 0.5)
         / 10000.0) AS delta,
-       (FLOOR(((b.spost * 1.0 / b.n_users / 100.0
-                - b.spre * 1.0 / b.n_users / 100.0)
-              - (ca.spost * 1.0 / ca.n_users / 100.0
-                 - ca.spre * 1.0 / ca.n_users / 100.0)) * 10000 + 0.5)
+       (FLOOR(((CAST(b.spost AS DOUBLE) / b.n_users / 100.0
+                - CAST(b.spre AS DOUBLE) / b.n_users / 100.0)
+              - (CAST(ca.spost AS DOUBLE) / ca.n_users / 100.0
+                 - CAST(ca.spre AS DOUBLE) / ca.n_users / 100.0)) * 10000 + 0.5)
         / 10000.0) AS did_estimate
 FROM arms a
 CROSS JOIN (SELECT * FROM arms WHERE arm = 'A') ca
@@ -1803,7 +1842,13 @@ w AS (
 )
 SELECT b AS replica,
        CAST(SUM(wt) AS BIGINT) AS n_eff,
-       (FLOOR(CAST(SUM(CAST(wt AS BIGINT) * y_cents) AS BIGINT) * 1.0
+       -- head cast AS DOUBLE (r14): `* 1.0` made DuckDB run this chain
+       -- in DECIMAL (bare decimal literal, the r9 pitfall), exact past
+       -- double resolution — 3 ulps off Spark's double chain at the
+       -- planted-4e15 point. With a DOUBLE head the remaining ops
+       -- promote to double and the IEEE sequence matches Spark's.
+       (FLOOR(CAST(CAST(SUM(CAST(wt AS BIGINT) * y_cents) AS BIGINT)
+                   AS DOUBLE)
               / CAST(SUM(wt) AS BIGINT) / 100.0 * 10000 + 0.5) / 10000.0)
            AS resampled_mean
 FROM w
@@ -2003,17 +2048,35 @@ _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
 def _corr_sql() -> str:
+    # winsorize at +-1e6 before the cents grid (r14, r11 fix-kit
+    # pattern 1): the planted 4e15 l_extendedprice made the moment
+    # combinations (s_a*s_b, n*ss) overflow DECIMAL(38)/HUGEINT on
+    # both engines; every real column ceiling (quantity<=50,
+    # price<~1e5, discount/tax<=1) sits >=10x below the cap, so
+    # corpus data is untouched. CASE, not LEAST/GREATEST: both
+    # engines' LEAST/GREATEST IGNORE NULL arguments (a planted NULL
+    # column value would clamp to the cap instead of staying NULL and
+    # being skipped by SUM); the CASE falls through to ELSE NULL on
+    # NULL input in both engines. Applied to EVERY moment — s/ss AND
+    # the sp cross-products (a half-clamped matrix diverges silently).
+    def _q(c: str) -> str:
+        return (
+            f"CAST(FLOOR((CASE WHEN {c} > 1000000.0 THEN 1000000.0"
+            f" WHEN {c} < -1000000.0 THEN -1000000.0 ELSE {c} END)"
+            f" * 100 + 0.5) AS BIGINT)"
+        )
+
     aggs = ["COUNT(*) AS n"]
     for c in _CORR_COLS:
-        q = f"CAST(FLOOR({c} * 100 + 0.5) AS BIGINT)"
+        q = _q(c)
         aggs.append(f"CAST(SUM({q}) AS HUGEINT) AS s_{c}")
         aggs.append(
             f"CAST(SUM(CAST({q} AS HUGEINT) * {q}) AS HUGEINT) AS ss_{c}"
         )
     for i, a in enumerate(_CORR_COLS):
         for b in _CORR_COLS[i + 1:]:
-            qa = f"CAST(FLOOR({a} * 100 + 0.5) AS BIGINT)"
-            qb = f"CAST(FLOOR({b} * 100 + 0.5) AS BIGINT)"
+            qa = _q(a)
+            qb = _q(b)
             aggs.append(
                 f"CAST(SUM(CAST({qa} AS HUGEINT) * {qb}) AS HUGEINT)"
                 f" AS sp_{a}_{b}"
@@ -2049,7 +2112,14 @@ def lineitem_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir, "lineitem")["lineitem"]
 
     def q(c):
-        return F.floor(F.col(c) * 100 + 0.5).cast("bigint")
+        # winsorize at +-1e6 before the cents grid; CASE-shaped so a
+        # NULL input stays NULL on both engines — see _corr_sql
+        clamped = (
+            F.when(F.col(c) > 1000000.0, 1000000.0)
+            .when(F.col(c) < -1000000.0, -1000000.0)
+            .otherwise(F.col(c))
+        )
+        return F.floor(clamped * 100 + 0.5).cast("bigint")
 
     aggs = [F.count("*").alias("n")]
     for c in _CORR_COLS:
@@ -2506,8 +2576,8 @@ terms AS (
 )
 SELECT CAST(SUM(CASE WHEN arm = 'A' THEN n_users END) AS BIGINT) AS n_a,
        CAST(SUM(CASE WHEN arm = 'B' THEN n_users END) AS BIGINT) AS n_b,
-       CAST(SUM(CAST(term AS DECIMAL(27,8))) AS DOUBLE) AS chi2,
-       CAST(SUM(CAST(term AS DECIMAL(27,8))) AS DOUBLE) > 3.841459
+       CAST(CAST(SUM(CAST(term AS DECIMAL(27,8))) AS VARCHAR) AS DOUBLE) AS chi2,
+       CAST(CAST(SUM(CAST(term AS DECIMAL(27,8))) AS VARCHAR) AS DOUBLE) > 3.841459
            AS srm_flag
 FROM terms
 """,
@@ -2765,8 +2835,13 @@ pred AS (
     FROM v GROUP BY 1
 ),
 resid AS (
+    -- c promoted to HUGEINT BEFORE the product (r14, r11 fix-kit
+    -- pattern 2): planted 4e15 cents x n_cal overflowed INT64 on both
+    -- engines (Spark ANSI try_multiply error, DuckDB cast error);
+    -- the scale-0 DECIMAL->DOUBLE cast downstream is single-rounding,
+    -- so the halfwidth double is unchanged where it was finite before
     SELECT v.event_type, v.event_id, v.is_cal,
-           ABS(v.c * p.n_cal - p.s_cal) AS r_scaled,
+           ABS(CAST(v.c AS HUGEINT) * p.n_cal - p.s_cal) AS r_scaled,
            p.n_cal, p.n_test, p.s_cal
     FROM v JOIN pred p USING (event_type)
     WHERE p.n_cal > 0
@@ -2830,9 +2905,11 @@ def conformal_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "event_id",
             "is_cal",
-            F.abs(F.col("c") * F.col("n_cal") - F.col("s_cal")).alias(
-                "r_scaled"
-            ),
+            # decimal(38,0) BEFORE the product — see oracle comment
+            F.abs(
+                F.col("c").cast("decimal(38,0)") * F.col("n_cal")
+                - F.col("s_cal")
+            ).alias("r_scaled"),
             "n_cal",
             "n_test",
         )
@@ -5524,17 +5601,17 @@ WITH d_users AS (
 {_delta_arm_sql('a', 'A').lstrip()},
 {_delta_arm_sql('b', 'B').lstrip()}
 SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
-       (FLOOR(a.r / 100.0 * 1000000 + 0.5) / 1000000.0) AS ratio_a,
-       (FLOOR(b.r / 100.0 * 1000000 + 0.5) / 1000000.0) AS ratio_b,
-       (FLOOR((b.r - a.r) / 100.0 * 1000000 + 0.5) / 1000000.0) AS diff,
-       (FLOOR(sqrt(a.vr + b.vr) / 100.0 * 1000000 + 0.5) / 1000000.0)
-           AS se_diff,
-       (FLOOR(((b.r - a.r) - {_DELTA_Z!r} * sqrt(a.vr + b.vr)) / 100.0
-              * 1000000 + 0.5) / 1000000.0) AS ci_lo,
-       (FLOOR(((b.r - a.r) + {_DELTA_Z!r} * sqrt(a.vr + b.vr)) / 100.0
-              * 1000000 + 0.5) / 1000000.0) AS ci_hi,
-       (FLOOR((b.r - a.r) / sqrt(a.vr + b.vr) * 1000000 + 0.5)
-        / 1000000.0) AS z
+       -- sql_dround grids (r14): the bare FLOOR grids saturated
+       -- Spark's FLOOR(double)->LONG at 2^63 under the planted-4e15
+       -- per-user cents (r ~ 1e16 -> grid 1e20); the guarded round is
+       -- identical below 2^53 and lockstep above.
+       {sql_dround('(a.r / 100.0)', 6)} AS ratio_a,
+       {sql_dround('(b.r / 100.0)', 6)} AS ratio_b,
+       {sql_dround('((b.r - a.r) / 100.0)', 6)} AS diff,
+       {sql_dround('(sqrt(a.vr + b.vr) / 100.0)', 6)} AS se_diff,
+       {sql_dround('(((b.r - a.r) - ' + repr(_DELTA_Z) + ' * sqrt(a.vr + b.vr)) / 100.0)', 6)} AS ci_lo,
+       {sql_dround('(((b.r - a.r) + ' + repr(_DELTA_Z) + ' * sqrt(a.vr + b.vr)) / 100.0)', 6)} AS ci_hi,
+       {sql_dround('((b.r - a.r) / sqrt(a.vr + b.vr))', 6)} AS z
 FROM v_a a CROSS JOIN v_b b
 """,
 )
@@ -5607,8 +5684,9 @@ def ratio_metric_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = F.col("r_b") - F.col("r_a")
     se = F.sqrt(F.col("vr_a") + F.col("vr_b"))
 
-    def fp6(c):
-        return F.floor(c * 1000000 + 0.5) / 1000000.0
+    # dround (r14): guarded twin of the oracle's sql_dround grids —
+    # the bare floor grid saturated at the planted-4e15 point
+    fp6 = lambda c: dround(c, 6)  # noqa: E731
 
     return out.select(
         F.col("n_a").cast("bigint").alias("n_a"),

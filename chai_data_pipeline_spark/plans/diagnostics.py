@@ -268,7 +268,7 @@ terms AS (
 SELECT t.event_type,
        CAST(tt.t_a AS BIGINT) AS n_first,
        CAST(tt.t_b AS BIGINT) AS n_second,
-       CAST(SUM(CAST(t.term AS DECIMAL(27,6))) AS DOUBLE) AS psi
+       CAST(CAST(SUM(CAST(t.term AS DECIMAL(27,6))) AS VARCHAR) AS DOUBLE) AS psi
 FROM terms t JOIN tot tt USING (event_type)
 GROUP BY 1, 2, 3
 """,
@@ -1079,7 +1079,7 @@ terms AS (
 SELECT event_type,
        CAST(t_a AS BIGINT) AS n_first,
        CAST(t_b AS BIGINT) AS n_second,
-       CAST(SUM(CAST(term AS DECIMAL(27,9))) AS DOUBLE) AS jsd_nats
+       CAST(CAST(SUM(CAST(term AS DECIMAL(27,9))) AS VARCHAR) AS DOUBLE) AS jsd_nats
 FROM terms
 GROUP BY 1, 2, 3
 """,

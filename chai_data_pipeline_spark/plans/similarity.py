@@ -573,7 +573,7 @@ terms AS (
 )
 SELECT label_a, label_b,
        COUNT(*) AS n_dims,
-       (FLOOR(CAST(SUM(CAST(t AS DECIMAL(27,12))) AS DOUBLE) * 100000000
+       (FLOOR(CAST(CAST(SUM(CAST(t AS DECIMAL(27,12))) AS VARCHAR) AS DOUBLE) * 100000000
               + 0.5) / 100000000.0) AS dist_sq
 FROM terms
 GROUP BY 1, 2

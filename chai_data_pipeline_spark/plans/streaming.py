@@ -74,7 +74,7 @@ SELECT date_trunc('hour', ts) AS window_start,
        event_type,
        COUNT(*) AS n_events,
        {sql_dround(
-           "CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)", 4
+           "CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE)", 4
        )} AS total_value
 FROM dom
 WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
@@ -112,7 +112,7 @@ WITH buckets AS (
 SELECT window_start,
        COUNT(*) AS n_events,
        {sql_dround(
-           "CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)", 4
+           "CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE)", 4
        )} AS total_value
 FROM buckets
 GROUP BY 1
@@ -178,7 +178,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT user_id,
        COUNT(*) AS n_events,
        {sql_dround(
-           "CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)", 4
+           "CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE)", 4
        )} AS total_value
 FROM events WHERE ts IS NOT NULL AND ts >= TIMESTAMP '1970-01-01 00:00:00'
 GROUP BY user_id
@@ -353,7 +353,7 @@ SELECT date_trunc('hour', ts) AS window_start,
        n_name AS nation,
        COUNT(*) AS n_events,
        {sql_dround(
-           "CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)", 4
+           "CAST(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS VARCHAR) AS DOUBLE)", 4
        )} AS total_value
 FROM events
 JOIN customer ON user_id = c_custkey

@@ -2873,8 +2873,17 @@ _DECAY_TAU_DAYS = 30.0
     "time_decayed_user_value",
     oracle=f"""
 WITH q AS (
+    -- value winsorized at +-1e6 (r14; moments precedent, ~1800x the
+    -- corpus ceiling): the planted 4e15 value made the x1e6 decay
+    -- grid overflow DuckDB's BIGINT cast (loud) and saturate Spark's
+    -- FLOOR->LONG (silent). Clamp the DOUBLE before the floor
+    -- (hilbert precedent); CASE-shaped so NULL stays NULL on both
+    -- engines.
     SELECT user_id,
-           CAST(FLOOR(value * exp(-(CAST(date_diff('microsecond', ts,
+           CAST(FLOOR((CASE WHEN value > 1000000.0 THEN 1000000.0
+                            WHEN value < -1000000.0 THEN -1000000.0
+                            ELSE value END)
+                * exp(-(CAST(date_diff('microsecond', ts,
                     TIMESTAMP '{AS_OF}') AS BIGINT) / 86400000000.0)
                     / {_DECAY_TAU_DAYS}) * 1000000 + 0.5) AS BIGINT) AS dq
     FROM events
@@ -2900,8 +2909,15 @@ def time_decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         / 86400000000.0
     )
+    # value winsorized at +-1e6, CASE-shaped (NULL stays NULL) — see
+    # the oracle comment
+    v = (
+        F.when(F.col("value") > 1000000.0, 1000000.0)
+        .when(F.col("value") < -1000000.0, -1000000.0)
+        .otherwise(F.col("value"))
+    )
     dq = F.floor(
-        F.col("value") * F.exp(-age_days / _DECAY_TAU_DAYS) * 1000000 + 0.5
+        v * F.exp(-age_days / _DECAY_TAU_DAYS) * 1000000 + 0.5
     ).cast("bigint")
     return (
         events.select("user_id", dq.alias("dq"))
@@ -5758,9 +5774,17 @@ def hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "forecast_metrics_comparison",
     oracle="""
 WITH daily AS (
+    -- per-event cents winsorized at ±60000 (r14; periodogram/moments
+    -- precedent, above the corpus max so real data is never clamped):
+    -- a planted 4e15 value pushed the daily totals to ~4e17 and the
+    -- rmse grid (sqrt(sse/n)*100) past int64 — DuckDB's BIGINT cast
+    -- raises Out of Range while Spark's floor saturates. Clamp the
+    -- floored double BEFORE the BIGINT cast (hilbert precedent).
     SELECT CAST(ts AS DATE) AS d,
-           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
-               AS y
+           CAST(SUM(CAST(LEAST(GREATEST(
+                    FLOOR(COALESCE(value, 0) * 100 + 0.5),
+                    -60000), 60000) AS BIGINT))
+                AS BIGINT) AS y
     FROM events WHERE ts IS NOT NULL GROUP BY 1
 ),
 lagged AS (
@@ -5844,14 +5868,20 @@ def forecast_metrics_comparison(
     from pyspark.sql.window import Window
 
     events = load_tables(spark, sf_dir, "events")["events"]
+    # winsorized cents (±60000, periodogram/moments precedent — see
+    # the oracle CTE comment)
+    cents_w = F.least(
+        F.greatest(
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100 + 0.5)
+            .cast("bigint"),
+            F.lit(-60000).cast("bigint"),
+        ),
+        F.lit(60000).cast("bigint"),
+    )
     daily = (
         events.filter(F.col("ts").isNotNull())
         .groupBy(F.to_date("ts").alias("d"))
-        .agg(
-            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint"))
-            .cast("bigint")
-            .alias("y")
-        )
+        .agg(F.sum(cents_w).cast("bigint").alias("y"))
     )
     w = Window.orderBy("d")
     lagged = daily.select(

@@ -259,21 +259,37 @@ def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFra
         split=("lineitem", "orders"),
     )
     li = t["lineitem"]
+    # r14: the output group is per o_orderkey (the orders PK — every
+    # other group column is functionally determined by it), and its
+    # total_qty is EXACTLY the per-order decimal sum the HAVING filter
+    # already computed — the same dsum over the same lineitem rows. So
+    # the qualifying aggregate IS the result: no semi-join back to
+    # lineitem, no second pass over the big orders' detail rows, no
+    # detail-grain final aggregation. One lineitem scan + one
+    # order-grain aggregate, then order/customer joins on the
+    # HAVING-filtered (small) side. Plan diff + A/B in
+    # plans/r14/{tpch_q18_*_{before,after}.txt, ab_twolevel.json}.
     big_orders = (
         li.groupBy("l_orderkey")
         .agg(dsum("l_quantity", 2).alias("_sq"))
         .filter(F.col("_sq") > 250)
-        .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        li.join(big_orders, F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
-        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        big_orders.join(
+            t["orders"], F.col("o_orderkey") == F.col("l_orderkey")
+        )
         .join(
             t["customer"].select("c_custkey", "c_name"),
             F.col("c_custkey") == F.col("o_custkey"),
         )
-        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dround(dsum("l_quantity", 2), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            dround(F.col("_sq"), 2).alias("total_qty"),
+        )
     )
 
 

@@ -225,6 +225,16 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dsum(F.col("p_retailprice") * F.col("l_quantity"), 2), 2
             ).alias("part_value")
         )
+        # r14: both the threshold scalar AND the filtered output consume
+        # per_part, and the optimizer plans the full scan+join+aggregate
+        # TWICE (no exchange reuse across the aggregate — the r14
+        # before-plan shows two complete subtrees). Materialize the
+        # part-cardinality intermediate once (the rfm_segmentation /
+        # guide §5 multi-consumer pattern; recomputed per call, inside
+        # the timed region — not caching): one lineitem pass instead of
+        # two, and at any scale the checkpoint is bounded by the part
+        # catalog, not the fact table.
+        .localCheckpoint(eager=True)
     )
     # second-level sum over ROUNDED per-part values: plain double SUM
     # would be partial-order-dependent, so go through decimal again

@@ -1696,7 +1696,11 @@ w AS (
 tot AS (SELECT CAST(SUM(w_scaled) AS BIGINT) AS t FROM w)
 SELECT event_type,
        CAST(n AS BIGINT) AS n_rows,
-       (FLOOR(sd * 1000000 + 0.5) / 1000000.0) AS stddev,
+       -- sql_dround (r14): the bare FLOOR grid saturated Spark's
+       -- FLOOR(double)->LONG at 2^63 under the planted-4e15 stratum
+       -- (sd*1e6 ~ 1e22) while DuckDB's floor stayed double; the
+       -- guarded round is identical below 2^53 and lockstep above.
+       {sql_dround('sd', 6)} AS stddev,
        CAST(FLOOR({_NEYMAN_BUDGET} * CAST(w_scaled AS DOUBLE)
                   / (CASE WHEN t > 0 THEN t END)) AS BIGINT) AS alloc_n
 FROM w CROSS JOIN tot
@@ -1739,9 +1743,9 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.crossJoin(F.broadcast(tot)).select(
         "event_type",
         F.col("n").cast("bigint").alias("n_rows"),
-        (F.floor(F.col("sd") * 1000000 + 0.5) / F.lit(1000000.0)).alias(
-            "stddev"
-        ),
+        # dround (r14): guarded twin of the oracle's sql_dround — the
+        # bare floor grid saturated at the planted-4e15 stratum
+        dround(F.col("sd"), 6).alias("stddev"),
         F.floor(
             _NEYMAN_BUDGET
             * F.col("w_scaled").cast("double")
