@@ -199,19 +199,21 @@ def test_tpch_q14_single_pass_no_exchange_before_agg(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 0
 
 
-def test_tpch_q18_semi_join_broadcasts_having_set(spark, sf_dir):
-    """Q18's HAVING-qualified order-key set (tiny by selectivity:
-    sum(qty) > 250) must reach the lineitem fact table as a BROADCAST
-    left-semi join — the fact side never shuffles for membership. The
-    only hash exchanges are the two aggregations (per-order sum, final
-    group-by). Pins the shape investigated in round 3 (the r2 timing
-    blip was suite noise, not a plan change: 1.39 s at sf0.1, at its
-    r1 level)."""
+def test_tpch_q18_having_aggregate_is_the_result(spark, sf_dir):
+    """r14 shape: the output group is per o_orderkey (the orders PK),
+    and total_qty IS the per-order dsum the HAVING filter computed —
+    so the plan must contain NO semi-join back to lineitem, NO second
+    lineitem scan, and NO detail-grain re-aggregation: one order-grain
+    aggregate joined to orders/customer. (Supersedes the r3-pinned
+    broadcast-semi-join shape, which scanned lineitem twice; r14 A/B
+    0.646 -> 0.567 s, plans/r14/ab_twolevel.json.)"""
     plan = _plan(spark, "tpch_q18_large_volume_customers", sf_dir)
-    assert "BroadcastHashJoin LeftSemi" in plan
-    assert "SortMergeJoin LeftSemi" not in plan
-    assert "ShuffledHashJoin LeftSemi" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "LeftSemi" not in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan
+    # the one remaining hash-aggregate pair is the per-order dsum
+    # (plus the split repartitions); no final group-by re-aggregation
+    assert plan.count("Exchange hashpartitioning") <= 3
 
 
 def test_pq_encode_and_score_map_only(spark, sf_dir):
